@@ -1,0 +1,150 @@
+"""Multimodal column handling (SURVEY.md §2.4): opaque binary payloads
+with typed metadata structs, integrity hashing, and the Pandas-UDF
+plumbing for decode/feature-extraction.
+
+Design: media is a `binary` column + a metadata struct (mime, size,
+checksum). Decoding (image/audio libs are not in this container) is a
+clearly-marked stub behind `mapInPandas` — the Spark-side contract
+(schema, Arrow batch shape, partitioning) is real and tested; swapping
+in PIL/torchaudio later changes only `_decode_stub`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+
+@register(
+    "q_llm_multimodal_cols",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS payload_md5,
+           octet_length(encode(text))::BIGINT AS payload_bytes,
+           'text/plain' AS mime
+    FROM documents
+    """,
+    category="multimodal",
+)
+def q_llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column (utf-8 encoded text standing in for media
+    bytes) + integrity metadata: md5 checksum, byte length, mime tag.
+    The binary column itself is reduced to its hash/size for the
+    oracle compare — raw blobs hash differently across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.md5(payload).alias("payload_md5"),
+        F.length(payload).cast("long").alias("payload_bytes"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sha256", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-shaped as a media table: (doc_id, payload binary,
+    meta struct). On a real corpus `payload` is image/audio bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decoder. A production build imports PIL/cv2/torchaudio here
+    and returns real (width, height, feature_vector). This container
+    has no media libraries, so we emit a deterministic fake derived
+    from the payload bytes — the Spark plumbing around it is real.
+    """
+    n = len(payload)
+    width, height = (n % 640) + 1, (n % 480) + 1
+    # Deterministic fake features: byte histogram over 8 buckets.
+    hist = [0.0] * 8
+    for b in payload[:256]:
+        hist[b % 8] += 1.0
+    return width, height, hist
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: Arrow-batched, one
+    Python worker per partition — the only sane shape for per-blob
+    Python work at scale (never a row-at-a-time UDF)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+@register("q_llm_multimodal_decode", oracle=None, category="multimodal")
+def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: binary media table →
+    mapInPandas decode (stubbed, deterministic) → typed feature rows.
+    Rows-only oracle (the decode stub is engine-side Python); pytest
+    pins the exact output for a fixed payload."""
+    media = media_table(spark, sf_dir).repartition("doc_id")
+    feats = decode_media(media)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.size("feature").alias("feat_dim"),
+        F.round(
+            F.aggregate(
+                F.transform("feature", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("feat_sum"),
+    )

@@ -1,0 +1,209 @@
+"""Scalar function families (SURVEY.md §2.2 q_fn_*): string, date,
+math/conditional, array, and JSON expressions.
+
+All expressions are built-in `pyspark.sql.functions` — JVM-side,
+inside whole-stage codegen. No Python UDFs anywhere in this module.
+
+Oracle parity notes baked into each query:
+- ceil/floor return BIGINT in Spark but DOUBLE in DuckDB → cast.
+- Spark timestamps are emitted as dates/strings/epoch ints, never raw.
+- split() arrays are reduced to scalars (size / element) for hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substr(p_name, 1, 8) AS name_prefix,
+           trim(p_name) AS name_trim,
+           length(p_name)::BIGINT AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           len(string_split(p_type, ' '))::INT AS type_words,
+           (p_type LIKE '%BRASS%') AS is_brass,
+           starts_with(p_name, 'a') AS starts_a
+    FROM part
+    """,
+    category="function",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over `part`: case, substring, trim,
+    length, concat, replace, regexp_extract, split, LIKE, prefix."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.startswith(F.col("p_name"), F.lit("a")).alias("starts_a"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           extract(year FROM o_orderdate)::INT AS order_year,
+           extract(month FROM o_orderdate)::INT AS order_mon,
+           extract(dow FROM o_orderdate)::INT AS order_dow,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01')::INT AS days_to_2002,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day_str,
+           strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+    category="function",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal function family over `orders`: truncation, extraction,
+    interval arithmetic, differences, formatting. DOW convention:
+    both engines emit 0=Sunday..6=Saturday (Spark dayofweek is 1-based
+    → subtract 1). Date results are emitted as ISO strings so the
+    oracle compare is dtype-proof (DATE vs TIMESTAMP ambiguity)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day_str"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           abs(l_discount - 0.05) AS disc_dev,
+           ceil(l_quantity)::BIGINT AS qty_ceil,
+           floor(l_quantity)::BIGINT AS qty_floor,
+           round(pow(l_quantity, 2), 4) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS log_price,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           l_quantity % 7 AS qty_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS qty_class,
+           sign(l_discount - l_tax)::DOUBLE AS rate_sign
+    FROM lineitem
+    """,
+    category="function",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional family over `lineitem`: round/abs/ceil/floor,
+    pow/ln/sqrt, modulo, greatest, CASE WHEN, sign."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # 4 decimals: the product of two 2-decimal inputs has exactly
+        # ≤4 true decimals, so round-4 never sits on a rounding-mode
+        # boundary (round-3 does, and the engines' modes differ).
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        (F.col("l_quantity") % 7).alias("qty_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "medium")
+        .otherwise("large")
+        .alias("qty_class"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).alias("rate_sign"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INT AS dim,
+           round(embedding[1]::DOUBLE, 6) AS first_elem,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS vec_sum,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 6) AS vec_max,
+           round(list_aggregate(embedding::DOUBLE[], 'min'), 6) AS vec_min,
+           round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                'sum'), 4) AS vec_sq_sum,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))::INT AS n_positive,
+           round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'), 4) AS head_sum
+    FROM embeddings
+    """,
+    category="function",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over `embeddings.embedding`: size,
+    element access, fold (sum), max/min, transform+fold, filter,
+    slice. All higher-order functions run JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_elem"),
+        F.round(fold_sum(v), 4).alias("vec_sum"),
+        F.round(F.array_max(v), 6).alias("vec_max"),
+        F.round(F.array_min(v), 6).alias("vec_min"),
+        F.round(fold_sum(F.transform(v, lambda x: x * x)), 4).alias("vec_sq_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.round(fold_sum(F.slice(v, 1, 8)), 4).alias("head_sum"),
+    )
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::INT AS k_value,
+           (json_extract(props, '$.k')::INT % 10) AS k_bucket,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    """,
+    category="function",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the `events.props` string column:
+    get_json_object path access, typed cast, missing-key null."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )

@@ -1,0 +1,210 @@
+"""Text analysis for LLM data pipelines (SURVEY.md §2.4): token
+counting, quality scoring, language ID, and document fingerprinting
+over the `documents` table.
+
+Everything is built-in JVM expressions (regexp_*, split, md5) — these
+run inside whole-stage codegen over billions of documents with zero
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+# BPE-ish pre-tokenizer: word pieces OR single non-space symbols.
+_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID (public-knowledge common words).
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "de", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+}
+
+
+@register(
+    "q_llm_text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars_calc,
+           len(string_split(text, ' '))::INT AS n_words,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::INT
+             AS n_tokens,
+           round(length(replace(text, ' ', ''))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS avg_word_len,
+           len(regexp_extract_all(text, '[.!?]'))::INT AS n_sentences,
+           (length(text) - length(replace(text, 'e', '')))::BIGINT AS n_letter_e
+    FROM documents
+    """,
+    category="text",
+)
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char/word/token counts (whitespace and
+    BPE-ish regex tokenizations), average word length, sentence count,
+    single-char frequency."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(words),
+            6,
+        ).alias("avg_word_len"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]"), 0)).alias("n_sentences"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+        ).cast("long").alias("n_letter_e"),
+    )
+
+
+@register(
+    "q_llm_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio,
+             length(replace(text, ' ', ''))::DOUBLE
+               / len(string_split(text, ' ')) AS avg_word_len
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars, n_words::INT AS n_words,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(avg_word_len, 6) AS avg_word_len
+    FROM scored
+    WHERE n_chars BETWEEN 100 AND 20000
+      AND n_words >= 20
+      AND punct_ratio < 0.1
+      AND avg_word_len BETWEEN 2 AND 12
+    """,
+    category="text",
+)
+def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (length, word count, punctuation ratio,
+    average word length) — the standard pre-training corpus filter
+    shape. Pure predicate pushdown-friendly scan."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    punct_ratio = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0)
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    avg_word_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            n_words.alias("n_words"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(avg_word_len, 6).alias("avg_word_len"),
+        )
+        .where(
+            F.col("n_chars").between(100, 20000)
+            & (F.col("n_words") >= 20)
+            & (F.col("punct_ratio") < 0.1)
+            & F.col("avg_word_len").between(2, 12)
+        )
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains([{words}], w)))"
+    )
+
+
+@register(
+    "q_llm_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql('en')} AS sc_en,
+             {_lang_score_sql('de')} AS sc_de,
+             {_lang_score_sql('es')} AS sc_es,
+             {_lang_score_sql('fr')} AS sc_fr
+      FROM documents)
+    SELECT doc_id, lang AS lang_actual,
+           CASE WHEN greatest(sc_en, sc_de, sc_es, sc_fr) = 0 THEN 'und'
+                WHEN sc_en >= greatest(sc_de, sc_es, sc_fr) THEN 'en'
+                WHEN sc_de >= greatest(sc_es, sc_fr) THEN 'de'
+                WHEN sc_es >= sc_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           sc_en::INT AS sc_en
+    FROM scored
+    """,
+    category="text",
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits and
+    pick the max (ties broken by a fixed language priority, 'und' when
+    no stopword appears). A real pipeline plugs fastText here; the
+    Spark plumbing — tokenized votes, argmax — is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    lw = F.split(F.lower(F.col("text")), " ")
+
+    def score(lang: str):
+        stops = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        return F.size(F.filter(lw, lambda w: F.array_contains(stops, w)))
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        score("en").alias("sc_en_raw"),
+        score("de").alias("sc_de"),
+        score("es").alias("sc_es"),
+        score("fr").alias("sc_fr"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang_actual",
+        F.when(F.greatest("sc_en_raw", "sc_de", "sc_es", "sc_fr") == 0, "und")
+        .when(F.col("sc_en_raw") >= F.greatest("sc_de", "sc_es", "sc_fr"), "en")
+        .when(F.col("sc_de") >= F.greatest("sc_es", "sc_fr"), "de")
+        .when(F.col("sc_es") >= F.col("sc_fr"), "es")
+        .otherwise("fr")
+        .alias("lang_pred"),
+        F.col("sc_en_raw").cast("int").alias("sc_en"),
+    )
+
+
+@register(
+    "q_llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fingerprint,
+           count(*) OVER (PARTITION BY
+             md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))))::BIGINT
+             AS dup_count
+    FROM documents
+    """,
+    category="text",
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (md5 of lowercased alphanumerics) —
+    catches whitespace/punctuation-only duplicates that exact-match
+    dedup misses, with the per-fingerprint duplicate count."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", "")))
+    from pyspark.sql import Window
+
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("dup_count"),
+    )

@@ -1,0 +1,13 @@
+"""Operator modules. Importing this package registers every batch query
+in ``plans.registry.REGISTRY`` (SURVEY.md §2.2 + §2.4)."""
+
+from batchprocessor_spark.operators import (  # noqa: F401
+    aggregates,
+    dedup,
+    joins,
+    relational,
+    setops,
+    similarity,
+    timeseries,
+    windows,
+)

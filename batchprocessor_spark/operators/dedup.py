@@ -1,0 +1,206 @@
+"""Deduplication operators (SURVEY.md §2.2 q_dedup_* and §2.4
+LLM-pipeline dedup family): exact, distinct, n-gram Jaccard,
+MinHash-LSH, and SimHash.
+
+Scale posture (the 100 TB story):
+- Exact dedup = one shuffle on the dedup key (hash-groupBy), no
+  driver involvement.
+- Near-dup NEVER does an all-pairs O(n²) join: candidates come from an
+  inverted shingle index (exact Jaccard) or MinHash-LSH buckets, then
+  only candidates are verified. Hot buckets are the skew risk — AQE
+  skew-join handles moderate skew; a stopword-shingle filter caps the
+  worst of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+# Word-trigram shingling is shared by all text near-dup operators.
+_SHINGLE_WIDTH = 3
+# MinHash signature size. r=1 banding (any equal minhash ⇒ candidate)
+# keeps the miss probability ≤ (1-j)^64 ≈ 5e-20 at j=0.5; production
+# tuning at petabyte scale would band r=4 to shrink candidate counts.
+_NUM_HASHES = 64
+_JACCARD_THRESHOLD = 0.5
+
+
+def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, shingle) — distinct word-`width`-grams per document.
+
+    Built with JVM-side array functions (split + transform + slice +
+    array_join): no Python UDF in the hot path.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(words) - (width - 1), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(words, i, width), " "),
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def _jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact word-shingle Jaccard for pairs sharing ≥1 shingle,
+    optionally pruned to a candidate-pair set first."""
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT d1, d2,
+           round(inter::DOUBLE / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE inter::DOUBLE / (s1.n + s2.n - inter) > {_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT event_id, user_id, event_type, value FROM ranked WHERE rn = 1
+    """,
+    category="dedup",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact key dedup keeping the FIRST occurrence (earliest ts, then
+    lowest event_id) per (user_id, event_type). Deterministic — unlike
+    bare dropDuplicates, which keeps an arbitrary row."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "q_dedup_distinct",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+    category="dedup",
+)
+def q_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row distinct on a projection (hash aggregate on the row)."""
+    return load_table(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+@register("q_llm_dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, category="dedup")
+def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs: word-trigram Jaccard > 0.5 via an
+    inverted shingle index self-join (pairs sharing ≥1 shingle) — the
+    exact-verification baseline for MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(docs)
+    return pairs.where(F.col("jaccard") > _JACCARD_THRESHOLD).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("q_llm_dedup_minhash", oracle=_JACCARD_ORACLE, category="dedup")
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup: 64 xxhash64 min-signatures per doc →
+    LSH candidate pairs (any matching signature position) → exact
+    Jaccard verification of candidates only.
+
+    The verified output equals the exact-Jaccard query (miss
+    probability ≤ (1-0.5)^64), so it shares the same SQL oracle. At
+    100 TB the candidate join touches a tiny fraction of all pairs —
+    this is the scale path; q_llm_dedup_ngram_jaccard is the baseline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sigs = sh.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))) for i in range(_NUM_HASHES)]
+        ).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode("sig").alias("band", "minhash")
+    )
+    candidates = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "minhash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    verified = _jaccard_pairs(docs, candidates=candidates)
+    return verified.where(F.col("jaccard") > _JACCARD_THRESHOLD).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("q_llm_dedup_simhash", oracle=None, category="dedup")
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (xxhash64 word hashes,
+    per-bit majority vote) + its near-dup pair count at Hamming ≤ 8.
+
+    Rows-only oracle: xxhash64 is Spark-specific. The companion pytest
+    checks SimHash pairs against exact Jaccard pairs for overlap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    # For each bit position: sum(+1/-1 votes) > 0 → bit set.
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(64)
+    ]
+    simhash = votes.select(
+        "doc_id",
+        sum(bit_terms[1:], start=bit_terms[0]).alias("simhash"),
+    )
+    return simhash

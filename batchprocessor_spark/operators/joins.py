@@ -1,0 +1,315 @@
+"""Join operators (SURVEY.md §2.2): broadcast/sort-merge equi joins,
+outer, semi/anti, cross, non-equi range, and a scalable as-of join.
+
+Scale notes (100 TB posture):
+- Small dimensions are explicitly ``F.broadcast`` so the fact table
+  never shuffles for them.
+- Fact-fact joins shuffle on the join key once; AQE handles skew.
+- The as-of join deliberately avoids the naive range-join explosion
+  (every purchase × every preceding click): it is a union + windowed
+  last-non-null, i.e. ONE shuffle on (user_id) and a per-partition
+  sort — the idiom that survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+
+@register(
+    "q_join_inner_broadcast",
+    oracle="""
+    SELECT p_brand,
+           count(*)::BIGINT AS cnt,
+           round(sum(l_extendedprice::DECIMAL(12,2)
+               * (1 - l_discount::DECIMAL(8,6))), 4)::DOUBLE AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    category="join",
+)
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join fact→small dim; the dim is broadcast so lineitem
+    never shuffles for the join (only for the tiny final agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)"))
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_inner_sortmerge",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS cnt,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+)
+def q_join_inner_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join (orders ⋈ lineitem). At scale both sides are
+    large → Catalyst picks shuffle sort-merge; AQE splits skewed keys."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)::BIGINT AS num_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    category="join",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (num_orders=0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH s AS (SELECT s_nationkey AS nk, count(*)::BIGINT AS sup_cnt FROM supplier GROUP BY 1),
+         c AS (SELECT c_nationkey AS nk, count(*)::BIGINT AS cust_cnt FROM customer GROUP BY 1)
+    SELECT coalesce(s.nk, c.nk) AS nationkey, sup_cnt, cust_cnt
+    FROM s FULL OUTER JOIN c ON s.nk = c.nk
+    """,
+    category="join",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (aggregate-then-join
+    keeps the shuffled data minimal)."""
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("sup_cnt"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk2"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    return (
+        s.join(c, s.nk == c.nk2, "full")
+        .select(F.coalesce("nk", "nk2").alias("nationkey"), "sup_cnt", "cust_cnt")
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    """,
+    category="join",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join (left semi): customers with at least one big order.
+    Semi joins shuffle only keys — no row multiplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    category="join",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+    category="join",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two bounded dimensions (5 × 25). Cross joins are
+    only ever issued on provably small inputs; the small side broadcasts."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS cnt,
+           round(avg(l_quantity), 4) AS avg_qty
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate > o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range-band join ("shipped within 60 days of ordering").
+    The equi key carries the shuffle; the range predicate is evaluated
+    post-match, so this stays a sort-merge join — NOT a nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate)
+        & (l.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+    )
+    return (
+        o.join(l, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "q_join_range_bands",
+    oracle="""
+    WITH bands(band_id, lo, hi) AS (
+      VALUES (0, 0.0, 250.0), (1, 250.0, 500.0), (2, 500.0, 750.0),
+             (3, 750.0, 1000.0), (4, 1000.0, 1250.0), (5, 1250.0, 1500.0),
+             (6, 1500.0, 1750.0), (7, 1750.0, 2100.0)
+    )
+    SELECT band_id, count(*)::BIGINT AS cnt,
+           round(avg(p_retailprice), 4) AS avg_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id
+    """,
+    category="join",
+)
+def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join against a tiny banding table →
+    broadcast nested-loop with a broadcast side of 8 rows. The only
+    sane physical plan for arbitrary theta joins at scale."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(i, i * 250.0, (i + 1) * 250.0 if i < 7 else 2100.0) for i in range(8)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        p.join(F.broadcast(bands), (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+         pc AS (
+           SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                  c.event_id AS click_id, c.value AS click_value,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT purchase_id, user_id, click_id, click_value
+    FROM pc WHERE rn = 1
+    """,
+    category="join",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest click of the same user
+    at-or-before the purchase time (ties broken by highest event_id).
+
+    Implemented as the SCALABLE idiom — union both sides, one window
+    over (user_id, ts) carrying the last-seen click forward — instead
+    of the naive `ts <= ts` join that multiplies rows quadratically.
+    The oracle states the same semantics declaratively.
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("tag"),
+        # Null on purchase rows so last(..., ignorenulls) skips them;
+        # a struct keeps (click_id, click_value) from the SAME click row.
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("event_id").alias("click_id"), F.col("value").alias("click_value")),
+        ).alias("click"),
+    )
+    # Order: time asc; at equal ts clicks sort before purchases (tag),
+    # and among same-ts clicks the highest event_id wins (last).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "tag",
+        F.last("click", ignorenulls=True).over(w).alias("click"),
+    )
+    return merged.where(F.col("tag") == 1).select(
+        "purchase_id",
+        "user_id",
+        F.col("click.click_id").alias("click_id"),
+        F.col("click.click_value").alias("click_value"),
+    )

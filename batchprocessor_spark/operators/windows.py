@@ -1,0 +1,183 @@
+"""Window / sort / top-k operators (SURVEY.md §2.2).
+
+Determinism discipline: `row_number`/`ntile`/frames use a TOTAL order
+(unique tie-break columns appended); `rank`/`dense_rank` are shown on a
+non-total order because their tie semantics are themselves
+deterministic. Without a total order the driver's value-hash compare
+would be flaky.
+
+Scale: a window = one shuffle on partitionBy + per-partition sort.
+Partition keys here have enough cardinality to spread; a global sort
+(q_sort_limit) uses Spark's range-partitioned TakeOrderedAndProject,
+which never materializes the full sorted table for a LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS rk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS drk,
+           ntile(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS nt
+    FROM orders
+    """,
+    category="window",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions per customer. row_number/ntile get a total
+    order (tie-break on o_orderkey); rank/dense_rank run on a tied
+    order to exercise their gap semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_tied = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_tied).alias("rk"),
+        F.dense_rank().over(w_tied).alias("drk"),
+        F.ntile(4).over(w_total).alias("nt"),
+    )
+
+
+@register(
+    "q_win_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS first_val,
+           last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="window",
+)
+def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last per user event timeline (total order via
+    (ts, event_id)). No arithmetic → values are exact, no rounding."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w_run).alias("first_val"),
+        F.last("value").over(w_all).alias("last_val"),
+    )
+
+
+@register(
+    "q_win_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_orderkey
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
+    FROM orders
+    """,
+    category="window",
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row frames (running sum, 3-row moving average) and a numeric
+    RANGE frame over the order key."""
+    o = load_table(spark, sf_dir, "orders")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("o_orderstatus").orderBy("o_orderkey").rangeBetween(-100, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("run_sum"),
+        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("mov_avg3"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("range_sum"),
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    category="sort",
+)
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 by price (total order via o_orderkey tie-break).
+    Catalyst compiles ORDER BY + LIMIT into TakeOrderedAndProject:
+    per-partition top-k then a k-row merge — no full global sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@register(
+    "q_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM ranked WHERE rn <= 3
+    """,
+    category="sort",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority class — the row_number + filter idiom.
+    Spark pushes the rn<=3 filter into the window sort as a group-limit
+    (WindowGroupLimit), so each partition keeps only 3 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )

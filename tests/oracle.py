@@ -1,0 +1,73 @@
+"""Driver-faithful oracle comparison: run a registered query on Spark
+and its SQL twin on DuckDB over the same parquet tables, then compare
+row count + sorted-column value multiset (the driver hashes; we diff
+for actionable failure messages)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pandas as pd
+
+from batchprocessor_spark.sources.catalog import TABLES
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return v
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        if pd.isna(v):
+            return None
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.to_pydatetime()
+    if isinstance(v, datetime.date):
+        return v
+    if hasattr(v, "item"):  # numpy scalar
+        v = v.item()
+        return _canon(v) if not isinstance(v, (int, str, bool, bytes)) else v
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def canonical_rows(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = [tuple(_canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+
+
+def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
+    spark_pdf = spark_df.toPandas()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
+        f"oracle={sorted(oracle_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    )
+    s_rows = canonical_rows(spark_pdf)
+    o_rows = canonical_rows(oracle_pdf)
+    if s_rows != o_rows:
+        diffs = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+        ][:5]
+        raise AssertionError(
+            f"{name}: value mismatch, first diffs (sorted-row idx, spark, oracle): {diffs}"
+        )
