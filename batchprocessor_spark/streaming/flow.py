@@ -1,0 +1,187 @@
+"""Sink-side flow control for micro-batch flushes (SURVEY.md §2.1
+O9–O12): bounded concurrency, TPS/IPS rate limiting, bounded retry
+with a dead-letter table.
+
+This is the one piece of the reference that Spark does NOT provide
+out of the box (SURVEY §4.3): Structured Streaming owns triggers and
+backpressure, but in-flight flush concurrency caps, token-bucket rate
+limits, and retry→DLQ policy around a user sink are plain engine code.
+
+Reference parity (file:line in /root/reference/):
+- concurrency semaphore: V1/MixedLimiter.java:30-33, V2/Worker.java:229
+- TPS/IPS rate limiter:  V1/MixedLimiter.java:16-43
+- retry w/ delay + bounded count: V2/Worker.java:258-311, V3/Worker.java:182-210
+- discard-on-exhaustion (we upgrade to a DLQ parquet table instead of
+  the reference's log-and-drop, V2/Worker.java:290-292)
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections.abc import Callable
+from concurrent.futures import Future, ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+
+@dataclass
+class FlowControlConfig:
+    """Mirrors the reference's BatchProcessorConfig knobs
+    (V2/BatchProcessorConfig.java:20-59)."""
+
+    batch_size: int = 1024          # flushSize: max items per sink call
+    concurrency: int = 16           # max in-flight sink calls
+    tps: float = 0.0                # flushes/sec, 0 = unlimited
+    ips: float = 0.0                # items/sec, 0 = unlimited
+    max_retry_count: int = 3        # retries before DLQ
+    retry_delay_s: float = 0.1      # base delay, doubles per attempt
+
+
+class TokenBucket:
+    """Blocking token bucket (Guava RateLimiter analogue,
+    V1/MixedLimiter.java:16-43). Thread-safe; acquire(n) sleeps until
+    n tokens are available at `rate` tokens/sec."""
+
+    def __init__(self, rate: float, burst: float | None = None):
+        self.rate = float(rate)
+        self.capacity = burst if burst is not None else max(self.rate, 1.0)
+        self._tokens = self.capacity
+        self._last = time.monotonic()
+        self._lock = threading.Lock()
+
+    def acquire(self, n: float = 1.0) -> None:
+        if self.rate <= 0:
+            return
+        while True:
+            with self._lock:
+                now = time.monotonic()
+                self._tokens = min(self.capacity, self._tokens + (now - self._last) * self.rate)
+                self._last = now
+                if self._tokens >= n:
+                    self._tokens -= n
+                    return
+                wait = (n - self._tokens) / self.rate
+            time.sleep(min(wait, 0.5))
+
+
+@dataclass
+class FlowStats:
+    """Observable counters (Stat analogue, V2/Stat.java:11-136)."""
+
+    flushed_batches: int = 0
+    flushed_items: int = 0
+    failed_flushes: int = 0
+    retries: int = 0
+    dlq_batches: int = 0
+    dlq_items: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def snapshot(self) -> dict[str, int]:
+        with self._lock:
+            return {
+                "flushed_batches": self.flushed_batches,
+                "flushed_items": self.flushed_items,
+                "failed_flushes": self.failed_flushes,
+                "retries": self.retries,
+                "dlq_batches": self.dlq_batches,
+                "dlq_items": self.dlq_items,
+            }
+
+
+Sink = Callable[[pd.DataFrame], None]
+
+
+class FlowController:
+    """Dispatches sink calls for micro-batch chunks under a global
+    concurrency semaphore + rate limits, with bounded retry and a
+    dead-letter parquet table.
+
+    Driver-side by design: the reference is a client-side batching
+    library whose sinks are remote calls (RPC/HTTP bulk APIs); the
+    global semaphore is the point. For executor-side fan-out use
+    ``distributed_sink_partitions`` (processor.py), which applies the
+    same policy per partition.
+    """
+
+    def __init__(self, sink: Sink, config: FlowControlConfig, dlq_path: str | None = None):
+        self.sink = sink
+        self.config = config
+        self.dlq_path = dlq_path
+        self.stats = FlowStats()
+        self._sem = threading.Semaphore(config.concurrency)
+        self._pool = ThreadPoolExecutor(max_workers=config.concurrency, thread_name_prefix="bp-flush")
+        self._tps = TokenBucket(config.tps)
+        self._ips = TokenBucket(config.ips, burst=max(config.ips, config.batch_size * 2.0))
+        self._dlq_lock = threading.Lock()
+        self._dlq_seq = 0
+
+    # -- submission ---------------------------------------------------
+
+    def submit_batch(self, pdf: pd.DataFrame) -> list[Future]:
+        """Split a micro-batch into ≤batch_size chunks and dispatch
+        each through the semaphore/rate gate (O5 count trigger +
+        O9 async dispatch)."""
+        futures: list[Future] = []
+        n = len(pdf)
+        bs = self.config.batch_size
+        for lo in range(0, n, bs):
+            chunk = pdf.iloc[lo : lo + bs]
+            # Acquire the permit on the CALLER thread (backpressure on
+            # the micro-batch loop), release when the flush completes —
+            # same shape as V1/InnerEventHandler.java:78-95.
+            self._sem.acquire()
+            fut = self._pool.submit(self._flush_with_retry, chunk)
+            fut.add_done_callback(lambda _f: self._sem.release())
+            futures.append(fut)
+        return futures
+
+    @staticmethod
+    def wait(futures: list[Future]) -> None:
+        for f in futures:
+            f.result()
+
+    # -- flush path ---------------------------------------------------
+
+    def _flush_with_retry(self, chunk: pd.DataFrame) -> None:
+        attempts = 0
+        while True:
+            self._tps.acquire(1)
+            self._ips.acquire(len(chunk))
+            try:
+                self.sink(chunk)
+            except Exception:
+                with self.stats._lock:
+                    self.stats.failed_flushes += 1
+                if attempts < self.config.max_retry_count:
+                    attempts += 1
+                    with self.stats._lock:
+                        self.stats.retries += 1
+                    time.sleep(self.config.retry_delay_s * (2 ** (attempts - 1)))
+                    continue
+                self._to_dlq(chunk)
+                return
+            else:
+                with self.stats._lock:
+                    self.stats.flushed_batches += 1
+                    self.stats.flushed_items += len(chunk)
+                return
+
+    def _to_dlq(self, chunk: pd.DataFrame) -> None:
+        """Exhausted retries → append to the dead-letter parquet table
+        (upgrade over the reference's log-and-drop)."""
+        with self.stats._lock:
+            self.stats.dlq_batches += 1
+            self.stats.dlq_items += len(chunk)
+        if self.dlq_path:
+            import os
+
+            os.makedirs(self.dlq_path, exist_ok=True)
+            with self._dlq_lock:
+                self._dlq_seq += 1
+                seq = self._dlq_seq
+            chunk.to_parquet(f"{self.dlq_path}/dlq_{seq:08d}.parquet", index=False)
+
+    def shutdown(self) -> None:
+        self._pool.shutdown(wait=True)

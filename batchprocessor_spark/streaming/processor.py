@@ -1,0 +1,367 @@
+"""BatchProcessor — the reference library's public API re-expressed on
+Structured Streaming (SURVEY.md §2.1 O1–O18, §7 Milestone 2).
+
+Reference → engine mapping (paths relative to /root/reference/):
+
+| Reference                                   | Here                       |
+|---------------------------------------------|----------------------------|
+| put/tryPut (V1/BatchProcessor.java:9-15)    | put()/try_put()/put_many() |
+| ring buffer + worker batching (O4/O5)       | spool files → file-source  |
+|                                             | micro-batches              |
+| time-based force flush (O6)                 | interval spool + trigger   |
+| explicit flush (O7)                         | flush()                    |
+| async sink + semaphore + rate (O9–O11)      | FlowController             |
+| retry + drop (O12)                          | retry + DLQ parquet        |
+| block/reject backpressure (O13)             | pending-cap block/reject   |
+| start/stop lifecycle (O14/O15)              | start()/stop() drain       |
+| Stat tree (O16)                             | stat() dict                |
+
+Scale posture: the facade is driver-side because the reference is a
+client-side batching library (its sinks are remote bulk APIs and the
+GLOBAL concurrency cap is the contract). For executor-side sinks at
+cluster scale use ``foreach_batch_sink(..., distributed=True)``,
+which applies the same flow-control policy per partition via
+``foreachPartition`` — concurrency/rates then bound each partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from batchprocessor_spark.streaming.flow import (
+    FlowControlConfig,
+    FlowController,
+    Sink,
+)
+
+
+class State(Enum):
+    NEW = "NEW"
+    STARTED = "STARTED"
+    STOPPED = "STOPPED"
+
+
+class BufferFullError(RuntimeError):
+    """Raised by put(block=False) analogue of the reference's
+    InsufficientCapacityException (V1/DisruptorBatchProcessor.java:129)."""
+
+
+@dataclass
+class ProcessorConfig:
+    """Union of the reference's v1/v2/v3 config surfaces
+    (V1/BatchProcessorProperties.java:12-49, V2/BatchProcessorConfig.java:20-59,
+    V3/BatchProcessorConfig.java:18-26)."""
+
+    batch_size: int = 1024            # items per sink flush
+    queue_size: int = 65536           # max pending (accepted − flushed)
+    concurrency: int = 16             # in-flight sink calls
+    flush_interval_s: float = 1.0     # time-based force flush (O6)
+    tps: float = 0.0                  # flush calls/sec (O11)
+    ips: float = 0.0                  # items/sec (O11)
+    max_retry_count: int = 3          # O12
+    retry_delay_s: float = 0.1
+    block_on_full: bool = True        # O13
+    stop_timeout_s: float = 30.0      # O15 drain budget
+    spool_size: int = 8192            # items per spool file (micro-batch feed)
+    max_files_per_trigger: int = 64
+
+
+class BatchProcessor:
+    """Micro-batching pipeline: ``put()`` items → spool-file source →
+    Structured Streaming micro-batches → flow-controlled sink flushes.
+
+    The sink is any callable taking a pandas DataFrame of ≤batch_size
+    rows (the Flusher analogue, V2/Flusher.java:12). Exceptions are
+    retried with backoff then dead-lettered.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: T.StructType | str,
+        sink: Sink,
+        config: ProcessorConfig | None = None,
+        workdir: str | None = None,
+    ):
+        self.spark = spark
+        self.schema = (
+            T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+        )
+        self.config = config or ProcessorConfig()
+        self.workdir = workdir or tempfile.mkdtemp(prefix="bp_proc_")
+        self.ingest_dir = os.path.join(self.workdir, "ingest")
+        self.ckpt_dir = os.path.join(self.workdir, "checkpoint")
+        self.dlq_dir = os.path.join(self.workdir, "dlq")
+        os.makedirs(self.ingest_dir, exist_ok=True)
+
+        self._state = State.NEW
+        self._state_lock = threading.Lock()
+        self._buffer: list[tuple] = []
+        self._buffer_lock = threading.Lock()
+        self._buffer_oldest: float | None = None
+        self._spool_seq = 0
+        self._accepted = 0
+        self._query = None
+        self._timer: threading.Thread | None = None
+        self._timer_stop = threading.Event()
+        self._controller = FlowController(
+            sink,
+            FlowControlConfig(
+                batch_size=self.config.batch_size,
+                concurrency=self.config.concurrency,
+                tps=self.config.tps,
+                ips=self.config.ips,
+                max_retry_count=self.config.max_retry_count,
+                retry_delay_s=self.config.retry_delay_s,
+            ),
+            dlq_path=self.dlq_dir,
+        )
+        self._arrow_schema = None
+
+    # ------------------------------------------------------------ state
+
+    def _pending(self) -> int:
+        s = self._controller.stats.snapshot()
+        return self._accepted - s["flushed_items"] - s["dlq_items"]
+
+    # ------------------------------------------------------- lifecycle
+
+    def start(self) -> "BatchProcessor":
+        """O14: idempotent-unsafe start (CAS NEW→STARTED like
+        V1/DisruptorBatchProcessor.java:229-257; the liveness-sentinel
+        dance is unnecessary — ``start()`` returns after the streaming
+        query is initialized)."""
+        with self._state_lock:
+            if self._state != State.NEW:
+                raise RuntimeError(f"cannot start from state {self._state}")
+            self._state = State.STARTED
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .option("maxFilesPerTrigger", self.config.max_files_per_trigger)
+            .parquet(self.ingest_dir)
+        )
+        self._query = (
+            stream.writeStream.foreachBatch(self._handle_micro_batch)
+            .option("checkpointLocation", self.ckpt_dir)
+            .trigger(processingTime=f"{int(self.config.flush_interval_s * 1000)} milliseconds")
+            .start()
+        )
+        self._timer = threading.Thread(target=self._interval_spooler, daemon=True)
+        self._timer.start()
+        return self
+
+    def _handle_micro_batch(self, df: DataFrame, epoch_id: int) -> None:
+        pdf = df.toPandas()
+        if len(pdf) == 0:
+            return
+        futures = self._controller.submit_batch(pdf)
+        # Block until this epoch's flushes finish so the checkpoint
+        # commit implies delivery (at-least-once; the reference has no
+        # delivery guarantee at all — SURVEY §2.1 non-goals).
+        self._controller.wait(futures)
+
+    def _interval_spooler(self) -> None:
+        """O6: force-flush aged partial buffers (the v2 scheduler
+        publishing FLUSH events, V2/Worker.java:84-102)."""
+        while not self._timer_stop.wait(self.config.flush_interval_s / 4):
+            with self._buffer_lock:
+                aged = (
+                    self._buffer
+                    and self._buffer_oldest is not None
+                    and time.monotonic() - self._buffer_oldest >= self.config.flush_interval_s
+                )
+            if aged:
+                self._spool()
+
+    # ---------------------------------------------------------- ingest
+
+    def put(self, item: dict | tuple, block: bool = True) -> None:
+        """O1: accept one item; blocks (or raises BufferFullError) when
+        more than queue_size items are pending downstream (O13)."""
+        if self._state != State.STARTED:
+            raise RuntimeError(f"put() in state {self._state}")
+        while self._pending() >= self.config.queue_size:
+            if not block or not self.config.block_on_full:
+                raise BufferFullError(
+                    f"pending {self._pending()} >= queue_size {self.config.queue_size}"
+                )
+            time.sleep(0.01)
+        with self._buffer_lock:
+            self._buffer.append(self._as_tuple(item))
+            if self._buffer_oldest is None:
+                self._buffer_oldest = time.monotonic()
+            self._accepted += 1
+            full = len(self._buffer) >= self.config.spool_size
+        if full:
+            self._spool()
+
+    def try_put(self, item: dict | tuple) -> bool:
+        """O2: non-blocking put — False when over capacity. (The
+        reference's v3 try_put returns false even on success,
+        V3/Worker.java:71-72 — a bug we do not replicate.)"""
+        try:
+            self.put(item, block=False)
+            return True
+        except BufferFullError:
+            return False
+
+    def put_many(self, items: list[dict | tuple]) -> None:
+        """O3: bulk ingest (chunked internally by spool_size)."""
+        for item in items:
+            self.put(item)
+
+    def _as_tuple(self, item: dict | tuple) -> tuple:
+        if isinstance(item, dict):
+            return tuple(item.get(f.name) for f in self.schema.fields)
+        return tuple(item)
+
+    # ----------------------------------------------------------- spool
+
+    def _spool(self) -> None:
+        """Write the in-memory buffer as one parquet spool file — the
+        ring-buffer→worker handoff made durable. Driver-side pyarrow
+        write (no Spark job per spool)."""
+        with self._buffer_lock:
+            if not self._buffer:
+                return
+            batch, self._buffer = self._buffer, []
+            self._buffer_oldest = None
+            self._spool_seq += 1
+            seq = self._spool_seq
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._arrow_schema is None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self._arrow_schema = to_arrow_schema(self.schema)
+        cols = list(zip(*batch)) if batch else [[] for _ in self.schema.fields]
+        table = pa.Table.from_arrays(
+            [pa.array(list(c), type=f.type) for c, f in zip(cols, self._arrow_schema)],
+            schema=self._arrow_schema,
+        )
+        tmp = os.path.join(self.workdir, f".tmp_{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.ingest_dir, f"spool_{seq:08d}.parquet"))
+
+    # ------------------------------------------------------------ flush
+
+    def flush(self, wait: bool = False) -> None:
+        """O7: explicit flush — spool the partial buffer immediately;
+        with wait=True also drain everything spooled so far."""
+        self._spool()
+        if wait and self._query is not None:
+            self._query.processAllAvailable()
+
+    # ------------------------------------------------------------- stop
+
+    def stop(self, wait_for_completion: bool = True) -> dict[str, Any]:
+        """O15: graceful drain — reject new input, spool the residual
+        buffer, process everything available, then stop the query.
+        Zero loss by construction (file source + checkpoint), without
+        the reference's acquire-all-permits dance
+        (V1/DisruptorBatchProcessor.java:287-301)."""
+        with self._state_lock:
+            if self._state != State.STARTED:
+                raise RuntimeError(f"stop() in state {self._state}")
+            self._state = State.STOPPED
+        self._timer_stop.set()
+        self._spool()
+        if self._query is not None:
+            if wait_for_completion:
+                self._query.processAllAvailable()
+            self._query.stop()
+            self._query.awaitTermination(int(self.config.stop_timeout_s))
+        self._controller.shutdown()
+        return self.stat()
+
+    # ------------------------------------------------------------- stat
+
+    def stat(self) -> dict[str, Any]:
+        """O16: observability snapshot (Stat analogue, V2/Stat.java)."""
+        s = self._controller.stats.snapshot()
+        with self._buffer_lock:
+            buffered = len(self._buffer)
+        progress = None
+        if self._query is not None and self._query.lastProgress:
+            progress = {
+                k: self._query.lastProgress.get(k)
+                for k in ("batchId", "numInputRows", "inputRowsPerSecond")
+            }
+        return {
+            "state": self._state.value,
+            "accepted": self._accepted,
+            "buffered": buffered,
+            "pending": self._pending(),
+            "spool_files": self._spool_seq,
+            "last_progress": progress,
+            **s,
+        }
+
+    # --------------------------------------------------------- cleanup
+
+    def close(self) -> None:
+        shutil.rmtree(self.workdir, ignore_errors=True)
+
+    def dlq(self) -> DataFrame | None:
+        """The dead-letter table (None when empty)."""
+        if not os.path.isdir(self.dlq_dir) or not os.listdir(self.dlq_dir):
+            return None
+        return self.spark.read.parquet(self.dlq_dir)
+
+
+def foreach_batch_sink(
+    sink: Sink,
+    config: FlowControlConfig | None = None,
+    dlq_path: str | None = None,
+    distributed: bool = False,
+):
+    """Standalone foreachBatch wrapper for arbitrary streaming queries:
+    ``df.writeStream.foreachBatch(foreach_batch_sink(my_sink, cfg))``.
+
+    distributed=False: micro-batch collected to the driver, flow
+    control is GLOBAL (reference semantics — right for client-side
+    bulk-API sinks).
+    distributed=True: flow control runs inside each partition on the
+    executors (caps apply per partition) — the shape that scales to
+    1000 executors; pair with ``df.repartition(n)`` to set fan-out.
+    """
+    cfg = config or FlowControlConfig()
+
+    if not distributed:
+        controller = FlowController(sink, cfg, dlq_path=dlq_path)
+
+        def handle(df: DataFrame, epoch_id: int) -> None:
+            pdf = df.toPandas()
+            if len(pdf):
+                controller.wait(controller.submit_batch(pdf))
+
+        handle.controller = controller  # expose stats to callers
+        return handle
+
+    def handle_distributed(df: DataFrame, epoch_id: int) -> None:
+        def per_partition(rows):
+            import pandas as pd  # executor-side import
+
+            pdf = pd.DataFrame([r.asDict() for r in rows])
+            if len(pdf) == 0:
+                return
+            ctrl = FlowController(sink, cfg, dlq_path=None)
+            ctrl.wait(ctrl.submit_batch(pdf))
+            ctrl.shutdown()
+
+        df.foreachPartition(per_partition)
+
+    return handle_distributed

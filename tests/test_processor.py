@@ -1,0 +1,212 @@
+"""Semantics tests for the BatchProcessor core (SURVEY.md §5.2(2)),
+mirroring the reference's observable contracts:
+
+- no-loss + throughput model (T/DisruptorBatchProcessorTest.java:16-44):
+  65,536 items, batch_size=1024, concurrency=8, 1 s fake sink →
+  64 flushes / 8 in flight ≈ 8 s; BASELINE.md allows ≤ 2× (18 s).
+- retry-then-DLQ (v2 retry contract, T/v2/DisruptorBatchProcessorTest.java:17-24)
+- interval force flush (v1 test2, T/DisruptorBatchProcessorTest.java:47-61)
+- reject-on-full admission (O13)
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from batchprocessor_spark.streaming.flow import FlowControlConfig, FlowController
+from batchprocessor_spark.streaming.processor import BatchProcessor, ProcessorConfig
+
+SCHEMA = "id BIGINT, payload STRING"
+
+
+def make_processor(spark, sink, **overrides) -> BatchProcessor:
+    cfg = ProcessorConfig(**overrides)
+    return BatchProcessor(spark, SCHEMA, sink, cfg)
+
+
+class CountingSink:
+    def __init__(self, latency_s: float = 0.0, fail_first: int = 0):
+        self.latency_s = latency_s
+        self.fail_first = fail_first
+        self.calls = 0
+        self.items = 0
+        self._lock = threading.Lock()
+
+    def __call__(self, chunk) -> None:
+        with self._lock:
+            self.calls += 1
+            call_no = self.calls
+        if call_no <= self.fail_first:
+            raise RuntimeError(f"injected failure on call {call_no}")
+        if self.latency_s:
+            time.sleep(self.latency_s)
+        with self._lock:
+            self.items += len(chunk)
+
+
+@pytest.mark.slow
+def test_throughput_model_no_loss(spark):
+    """The reference's headline test: 65,536 items through a 1 s sink
+    at batch 1024 / concurrency 8 must take ~ceil(64/8)*1s and lose
+    nothing. BASELINE budget: ≤ 18 s for the flush phase."""
+    sink = CountingSink(latency_s=1.0)
+    p = make_processor(
+        spark, sink, batch_size=1024, concurrency=8, flush_interval_s=0.2, spool_size=16384
+    )
+    p.start()
+    t0 = time.perf_counter()
+    p.put_many([(i, f"item-{i}") for i in range(65536)])
+    stats = p.stop()
+    wall = time.perf_counter() - t0
+    assert sink.items == 65536, stats
+    assert stats["flushed_items"] == 65536
+    assert stats["dlq_items"] == 0
+    assert stats["pending"] == 0
+    # 64 flushes / 8 concurrent × 1 s = 8 s ideal; ≤18 s per BASELINE.md.
+    assert wall <= 18.0, f"flush phase took {wall:.1f}s (>2x baseline)"
+    p.close()
+
+
+def test_retry_then_recover(spark):
+    """v2 retry contract: sink fails twice then succeeds — items are
+    retried in place, nothing is lost, nothing dead-lettered."""
+    sink = CountingSink(fail_first=2)
+    p = make_processor(
+        spark, sink, batch_size=100, concurrency=2, max_retry_count=3, retry_delay_s=0.05
+    )
+    p.start()
+    p.put_many([(i, "x") for i in range(100)])
+    stats = p.stop()
+    assert sink.items == 100
+    assert stats["retries"] >= 2
+    assert stats["dlq_items"] == 0
+    p.close()
+
+
+def test_retry_exhausted_goes_to_dlq(spark):
+    """O12 upgrade: exhausted retries land in the dead-letter parquet
+    table instead of the reference's log-and-drop."""
+    sink = CountingSink(fail_first=10**9)  # always fails
+    p = make_processor(
+        spark, sink, batch_size=50, concurrency=2, max_retry_count=1, retry_delay_s=0.01
+    )
+    p.start()
+    p.put_many([(i, "x") for i in range(100)])
+    stats = p.stop()
+    assert stats["flushed_items"] == 0
+    assert stats["dlq_items"] == 100
+    dlq = p.dlq()
+    assert dlq is not None and dlq.count() == 100
+    p.close()
+
+
+def test_interval_force_flush(spark):
+    """O6: a partial buffer older than flush_interval flushes without
+    reaching batch_size (v1 test2 analogue)."""
+    sink = CountingSink()
+    p = make_processor(spark, sink, batch_size=1000, flush_interval_s=0.3, spool_size=1000)
+    p.start()
+    p.put((1, "first"))
+    p.put((2, "second"))
+    deadline = time.monotonic() + 10
+    while sink.items < 2 and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert sink.items == 2, "aged partial buffer was not force-flushed"
+    p.stop()
+    p.close()
+
+
+def test_reject_on_full(spark):
+    """O13 reject mode: when pending exceeds queue_size, try_put
+    returns False (and put raises) instead of blocking."""
+    gate = threading.Event()
+
+    def blocking_sink(chunk):
+        gate.wait(30)
+
+    p = make_processor(
+        spark,
+        blocking_sink,
+        batch_size=10,
+        queue_size=20,
+        concurrency=1,
+        block_on_full=False,
+        spool_size=10,
+    )
+    p.start()
+    accepted = 0
+    rejected = 0
+    for i in range(200):
+        if p.try_put((i, "x")):
+            accepted += 1
+        else:
+            rejected += 1
+    assert rejected > 0, "expected rejections once pending exceeded queue_size"
+    assert accepted >= 20
+    gate.set()
+    p.stop()
+    p.close()
+
+
+def test_stat_shape(spark):
+    sink = CountingSink()
+    p = make_processor(spark, sink, batch_size=10, spool_size=10)
+    p.start()
+    p.put_many([(i, "x") for i in range(25)])
+    p.flush(wait=True)
+    stats = p.stat()
+    assert stats["state"] == "STARTED"
+    assert stats["accepted"] == 25
+    assert stats["flushed_items"] == 25
+    final = p.stop()
+    assert final["state"] == "STOPPED"
+    p.close()
+
+
+def test_flow_controller_concurrency_cap():
+    """O10: never more than `concurrency` sink calls in flight."""
+    import pandas as pd
+
+    active = 0
+    peak = 0
+    lock = threading.Lock()
+
+    def sink(chunk):
+        nonlocal active, peak
+        with lock:
+            active += 1
+            peak = max(peak, active)
+        time.sleep(0.05)
+        with lock:
+            active -= 1
+
+    ctrl = FlowController(sink, FlowControlConfig(batch_size=10, concurrency=3))
+    pdf = pd.DataFrame({"id": range(200)})
+    ctrl.wait(ctrl.submit_batch(pdf))
+    ctrl.shutdown()
+    assert peak <= 3
+    assert ctrl.stats.snapshot()["flushed_items"] == 200
+
+
+def test_flow_controller_tps():
+    """O11: TPS token bucket paces flush calls."""
+    import pandas as pd
+
+    times: list[float] = []
+    lock = threading.Lock()
+
+    def sink(chunk):
+        with lock:
+            times.append(time.monotonic())
+
+    ctrl = FlowController(sink, FlowControlConfig(batch_size=10, concurrency=4, tps=10.0))
+    pdf = pd.DataFrame({"id": range(300)})  # 30 flushes at 10/s ≈ ≥2s
+    t0 = time.monotonic()
+    ctrl.wait(ctrl.submit_batch(pdf))
+    elapsed = time.monotonic() - t0
+    ctrl.shutdown()
+    assert len(times) == 30
+    assert elapsed >= 1.5, f"30 flushes at tps=10 finished too fast: {elapsed:.2f}s"
