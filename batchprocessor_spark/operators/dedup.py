@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import register
-from batchprocessor_spark.sources.catalog import load_table
+from batchprocessor_spark.sources.catalog import load_table, spread
 
 # Word-trigram shingling is shared by all text near-dup operators.
 _SHINGLE_WIDTH = 3
@@ -30,12 +30,10 @@ _JACCARD_THRESHOLD = 0.5
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Documents arrive as one parquet file → one partition; the
-    per-doc shingling work is CPU-bound, so spread it across the
-    cluster first (hash on doc_id, not round-robin, so downstream
-    doc_id joins can reuse the partitioning)."""
-    sc = docs.sparkSession.sparkContext
-    return docs.repartition(sc.defaultParallelism, "doc_id")
+    """Spread the single-file documents scan before the CPU-bound
+    shingling (hash on doc_id so downstream doc_id joins can reuse
+    the partitioning)."""
+    return spread(docs, "doc_id")
 
 
 def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
@@ -45,11 +43,16 @@ def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
     array_join): no Python UDF in the hot path.
     """
     words = F.split(F.col("text"), " ")
-    n = F.greatest(F.size(words) - (width - 1), F.lit(0))
-    sh = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(words, i, width), " "),
-    )
+    n = F.size(words) - (width - 1)
+    # Guard n < 1: Spark's sequence(1, 0) DESCENDS to [1, 0] and
+    # slice(start=0) throws — short documents produce no shingles.
+    sh = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(words, i, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return _spread(docs).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
@@ -159,12 +162,16 @@ def shingle_sets(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
     (no explode, no shuffle): the narrow per-doc representation that
     signature computation and pair verification both run on."""
     words = F.split(F.col("text"), " ")
-    cnt = F.greatest(F.size(words) - (width - 1), F.lit(0))
+    cnt = F.size(words) - (width - 1)
+    # Same sequence(1, 0)-descends guard as shingles().
     sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.array_join(F.slice(words, i, width), " "),
-        )
+        F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_join(F.slice(words, i, width), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
     return _spread(docs).select("doc_id", sh.alias("sh")).withColumn("n", F.size("sh"))
 

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import register
-from batchprocessor_spark.sources.catalog import load_table
+from batchprocessor_spark.sources.catalog import load_table, spread
 
 _TOP_K = 10
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -49,6 +49,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with per-vector norms precomputed ONCE instead of per
+    pair (3× fewer array folds in pair joins). Bitwise-identical to
+    ``cosine``: the norm is the same sequential fold either way."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 _TOPK_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < {_N_QUERIES}),
@@ -74,17 +81,19 @@ def q_llm_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-k (no global sort)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     scored = (
         F.broadcast(q)
-        .join(emb, F.col("vec_id") != F.col("qid"))
+        .join(spread(emb), F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+            F.round(
+                cosine_prenorm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
@@ -117,12 +126,17 @@ def q_llm_simsearch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = spread(emb).select(
+        F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
-        a.join(b, F.col("v1") < F.col("v2"))
-        .select("v1", "v2", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        a.join(F.broadcast(b), F.col("v1") < F.col("v2"))
+        .select("v1", "v2", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") > _NEAR_DUP_THRESHOLD)
     )
 
@@ -137,8 +151,10 @@ def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion pytest measures recall@10 ≥ 0.8 vs brute force.
     """
     nprobe = 3
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
     )
     # Distributed centroid computation: explode by position, average,
     # re-assemble arrays ordered by position.

@@ -31,6 +31,17 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Redistribute a DataFrame across the cluster before CPU-bound
+    per-row work. Needed because a single parquet file with one row
+    group scans as ONE task no matter the split config — on a real
+    multi-file table this is a no-op decision, but the explicit hash
+    repartition also lets downstream joins on the same key reuse the
+    exchange."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Accepts both ``<sf>/<name>.parquet`` files and
     ``<sf>/<name>/`` directories so the same catalog works on real

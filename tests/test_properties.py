@@ -1,0 +1,119 @@
+"""Property-based spot checks (SURVEY.md §5.2(4)) — an upgrade the
+reference lacks entirely. Hypothesis generates small row sets; Spark
+results are checked against python-computed ground truth.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=0, max_size=60
+)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_dedup_idempotent_and_correct(spark, rows):
+    """dropDuplicates is idempotent and equals the python set."""
+    df = spark.createDataFrame(rows, "k INT, v INT") if rows else spark.createDataFrame([], "k INT, v INT")
+    once = df.dropDuplicates()
+    twice = once.dropDuplicates()
+    got = {tuple(r) for r in once.collect()}
+    assert got == set(rows)
+    assert {tuple(r) for r in twice.collect()} == got
+
+
+@given(a=rows_strategy, b=rows_strategy)
+@SETTINGS
+def test_setop_algebra(spark, a, b):
+    """union/intersect/except match python multiset/set semantics."""
+    schema = "k INT, v INT"
+    da = spark.createDataFrame(a, schema) if a else spark.createDataFrame([], schema)
+    db = spark.createDataFrame(b, schema) if b else spark.createDataFrame([], schema)
+    sa, sb = set(a), set(b)
+    assert {tuple(r) for r in da.union(db).distinct().collect()} == sa | sb
+    assert {tuple(r) for r in da.intersect(db).collect()} == sa & sb
+    assert {tuple(r) for r in da.subtract(db).collect()} == sa - sb
+    # UNION ALL preserves multiplicity.
+    assert da.unionAll(db).count() == len(a) + len(b)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_running_sum_frame_vs_bruteforce(spark, rows):
+    """rowsBetween(unboundedPreceding, currentRow) running sum equals
+    the brute-force prefix sum over the same total order."""
+    # Unique ordering key: enumerate.
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    schema = "k INT, i INT, v INT"
+    df = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        (r.k, r.i): r.rs
+        for r in df.select("k", "i", F.sum("v").over(w).alias("rs")).collect()
+    }
+    expected: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = {}
+    for k, i, v in sorted(data, key=lambda t: (t[0], t[1])):
+        acc[k] = acc.get(k, 0) + v
+        expected[(k, i)] = acc[k]
+    assert got == expected
+
+
+@given(rows=rows_strategy, k=st.integers(1, 5))
+@SETTINGS
+def test_topk_per_group_vs_bruteforce(spark, rows, k):
+    """row_number()<=k returns exactly the first k per group under the
+    same total order as python sorting."""
+    data = [(key, i, v) for i, (key, v) in enumerate(rows)]
+    schema = "k INT, i INT, v INT"
+    df = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("i"))
+    got = {
+        (r.k, r.i)
+        for r in df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).collect()
+    }
+    expected = set()
+    by_group: dict[int, list[tuple[int, int, int]]] = {}
+    for row in data:
+        by_group.setdefault(row[0], []).append(row)
+    for key, grp in by_group.items():
+        for g in sorted(grp, key=lambda t: (-t[2], t[1]))[:k]:
+            expected.add((key, g[1]))
+    assert got == expected
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=10
+    )
+)
+@SETTINGS
+def test_shingle_sets_match_python(spark, texts):
+    """The JVM array-expression shingler equals a python reference
+    implementation (including empty/short documents)."""
+    from batchprocessor_spark.operators.dedup import _SHINGLE_WIDTH, shingle_sets
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id INT, text STRING")
+    got = {r.doc_id: set(r.sh) for r in shingle_sets(docs).collect()}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        expected = {
+            " ".join(words[j : j + _SHINGLE_WIDTH])
+            for j in range(max(len(words) - _SHINGLE_WIDTH + 1, 0))
+        }
+        assert got[i] == expected, (t, got[i], expected)
