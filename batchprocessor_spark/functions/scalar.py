@@ -187,6 +187,41 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_explode",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(range(len(embedding)))::INT AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings)
+    SELECT pos,
+           count(*)::BIGINT AS n,
+           round(avg(x), 6) AS avg_x,
+           round(max(x), 6) AS max_x
+    FROM flat
+    GROUP BY pos
+    """,
+    category="function",
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (table-valued): flatten every embedding to
+    (vec_id, pos, x) rows, then aggregate per position — the column-
+    statistics pattern over array columns."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    )
+    return flat.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("avg_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+
+
+@register(
     "q_fn_json",
     oracle="""
     SELECT event_id,

@@ -128,6 +128,63 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price,
+           round(median(l_quantity), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance, correlation,
+    covariance, exact median and interpolated percentile."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+    )
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           coalesce(count(*) FILTER (WHERE l_linestatus = 'F'), 0)::BIGINT AS status_f,
+           coalesce(count(*) FILTER (WHERE l_linestatus = 'O'), 0)::BIGINT AS status_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): line counts by returnflag × linestatus with
+    an explicit pivot-value list (required at scale — value discovery
+    is an extra job)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+    )
+
+
+@register(
     "q_agg_rollup",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,
