@@ -285,6 +285,30 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema) if rows else result
 
 
+@register("q_stream_custom_state", oracle=None, category="streaming")
+def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, value_sum) over the events replay. Update-mode
+    output keeps the LAST emission per user, which after a full
+    AvailableNow drain equals the batch per-user aggregate — asserted
+    in tests/test_stateful.py."""
+    from batchprocessor_spark.streaming.stateful import running_user_counters
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    counters = running_user_counters(stream)
+    out = run_to_memory(counters, output_mode="update")
+    # Update mode may emit a user several times across micro-batches;
+    # keep the final (highest event_count) row per user.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("event_count").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_count", F.round("value_sum", 2).alias("value_sum"))
+    )
+
+
 @register("q_stream_dedup_state", oracle=None, category="streaming")
 def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (dropDuplicates on keys within the

@@ -1,0 +1,35 @@
+"""applyInPandasWithState custom operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import load_all
+from tests.conftest import SF_ORACLE
+from batchprocessor_spark.sources.catalog import load_table
+
+REGISTRY = load_all()
+
+
+def test_custom_state_equals_batch_aggregate(spark):
+    """After a full drain, the stateful per-user counters must equal
+    the plain batch groupBy over the same data."""
+    got = {
+        (r.user_id): (r.event_count, r.value_sum)
+        for r in REGISTRY["q_stream_custom_state"].builder(spark, SF_ORACLE).collect()
+    }
+    expected = {
+        r.user_id: (r.cnt, r.vs)
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("vs"),
+        )
+        .collect()
+    }
+    assert len(got) == len(expected)
+    mismatched = {
+        k: (got[k], expected[k]) for k in expected if got.get(k) != expected[k]
+    }
+    assert not mismatched, dict(list(mismatched.items())[:5])
