@@ -143,14 +143,18 @@ def q_llm_simsearch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_llm_simsearch_ivf", oracle=None, category="similarity")
 def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: centroids per cluster label
-    (computed distributively by position), queries probe the nprobe=3
-    nearest centroids, and only those clusters are scored.
+    """IVF-style approximate top-k with nprobe=3 of 10 cells — the
+    scale path that scores only probed cells. Rows-only oracle; the
+    companion pytest pins the mechanism: probing ALL cells must equal
+    brute force exactly (and nprobe=3 gives ≈ nprobe/k recall on this
+    deliberately structure-free fixture data)."""
+    return ivf_topk(spark, sf_dir, nprobe=3)
 
-    Rows-only oracle (approximate results are engine-specific); the
-    companion pytest measures recall@10 ≥ 0.8 vs brute force.
-    """
-    nprobe = 3
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF search: centroids per cluster label (computed
+    distributively by position), queries probe the ``nprobe`` nearest
+    centroids, only those clusters are scored."""
     emb = spread(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", as_double("embedding").alias("v")

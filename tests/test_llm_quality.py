@@ -1,0 +1,84 @@
+"""Accuracy/recall checks for the approximate operators — the
+companion assertions promised in their docstrings. These are the
+checks a rows-only oracle can't do: sketch accuracy, LSH recall,
+ANN recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import load_all
+from batchprocessor_spark.sources.catalog import load_table
+from tests.conftest import SF_ORACLE
+
+REGISTRY = load_all()
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in REGISTRY["q_agg_approx"].builder(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r.l_returnflag: r.d
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    for flag, est in approx.items():
+        assert abs(est - exact[flag]) / exact[flag] < 0.05, (flag, est, exact[flag])
+
+
+def test_simhash_separates_near_dups(spark):
+    """Near-dup pairs (exact Jaccard > 0.5) must have dramatically
+    smaller SimHash Hamming distance than the average random pair."""
+    sim = {
+        r.doc_id: r.simhash
+        for r in REGISTRY["q_llm_dedup_simhash"].builder(spark, SF_ORACLE).collect()
+    }
+    pairs = [
+        (r.d1, r.d2)
+        for r in REGISTRY["q_llm_dedup_ngram_jaccard"].builder(spark, SF_ORACLE).collect()
+    ]
+    assert pairs, "expected known near-dup pairs in the fixture data"
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    dup_dists = [hamming(sim[a], sim[b]) for a, b in pairs]
+    ids = sorted(sim)[:80]
+    rand_dists = [
+        hamming(sim[ids[i]], sim[ids[j]])
+        for i in range(0, 60, 3)
+        for j in range(i + 7, 70, 13)
+    ]
+    avg_dup = sum(dup_dists) / len(dup_dists)
+    avg_rand = sum(rand_dists) / len(rand_dists)
+    assert avg_dup < avg_rand / 2, (avg_dup, avg_rand)
+    # Every true near-dup within a conservative Hamming radius.
+    assert max(dup_dists) <= 16, dup_dists
+
+
+def _topk_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.qid, set()).add(r.vec_id)
+    return out
+
+
+def test_ivf_mechanism_and_recall(spark):
+    """Probing ALL cells must reproduce brute force exactly (the IVF
+    machinery invariant); nprobe=3 must beat the nprobe/k random-
+    partition floor on this structure-free fixture data."""
+    from batchprocessor_spark.operators.similarity import ivf_topk
+
+    truth = _topk_sets(REGISTRY["q_llm_simsearch_topk"].builder(spark, SF_ORACLE).collect())
+    full = _topk_sets(ivf_topk(spark, SF_ORACLE, nprobe=10).collect())
+    assert full == truth, "nprobe=k must equal brute force"
+
+    probed = _topk_sets(REGISTRY["q_llm_simsearch_ivf"].builder(spark, SF_ORACLE).collect())
+    recalls = [len(truth[q] & probed.get(q, set())) / len(truth[q]) for q in truth]
+    # Near-uniform embeddings: expected recall ≈ nprobe/k = 0.3.
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
