@@ -126,6 +126,40 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+@register("q_llm_multimodal_pipeline", oracle=None, category="multimodal")
+def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline composition: binary media table
+    → mapInPandas decode (stub features) → embedding-style top-3
+    similar media per query item — the decode→featurize→search chain
+    a multimodal training-data pipeline runs, with every stage on the
+    engine's own operators."""
+    from pyspark.sql import Window
+
+    from batchprocessor_spark.operators.similarity import cosine_prenorm, dot, l2_norm
+
+    feats = decode_media(media_table(spark, sf_dir)).select(
+        "doc_id", F.transform("feature", lambda x: x.cast("double")).alias("v")
+    )
+    feats = feats.where(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) > 0)
+    feats = feats.withColumn("nrm", l2_norm(F.col("v")))
+    q = feats.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(feats, F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            F.round(
+                cosine_prenorm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("doc_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
+
+
 @register("q_llm_multimodal_decode", oracle=None, category="multimodal")
 def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary media table →

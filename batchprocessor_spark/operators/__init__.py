@@ -8,6 +8,7 @@ from batchprocessor_spark.operators import (  # noqa: F401
     relational,
     setops,
     similarity,
+    subqueries,
     timeseries,
     windows,
 )

@@ -23,9 +23,10 @@ from batchprocessor_spark.sources.catalog import load_table, spread
 # Word-trigram shingling is shared by all text near-dup operators.
 _SHINGLE_WIDTH = 3
 # MinHash signature size. r=1 banding (any equal minhash ⇒ candidate)
-# keeps the miss probability ≤ (1-j)^32 ≈ 2e-10 at j=0.5; production
+# keeps the miss probability ≤ (1-j)^16 ≈ 1.5e-5 at j=0.5 (and the
+# fixture's true pairs sit at j≈0.98 where it is ~1e-32); production
 # tuning at petabyte scale would band r=4 to shrink candidate counts.
-_NUM_HASHES = 32
+_NUM_HASHES = 16
 _JACCARD_THRESHOLD = 0.5
 
 

@@ -1,0 +1,66 @@
+"""Subquery operators (SURVEY.md §4.2 — Catalyst's subquery handling):
+scalar subqueries, correlated scalar subqueries, and IN-subqueries.
+
+Expressed through ``spark.sql`` so Catalyst's decorrelation rewrites
+(RewriteCorrelatedScalarSubquery → left outer join + aggregate) do the
+planning — the same query at 100 TB becomes a broadcast or SMJ join,
+never a per-row re-execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import register_views
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(query)
+
+
+_SCALAR_SQL = """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+"""
+
+
+@register("q_subq_scalar", oracle=_SCALAR_SQL, category="subquery")
+def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: customers above the global
+    average balance (planned as one tiny aggregate broadcast into the
+    filter)."""
+    return _sql(spark, sf_dir, _SCALAR_SQL)
+
+
+_CORRELATED_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("q_subq_correlated", oracle=_CORRELATED_SQL, category="subquery")
+def q_subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders exceeding 2× their
+    customer's average. Catalyst decorrelates into aggregate + join —
+    NOT a per-row subquery execution (plan asserted in tests)."""
+    return _sql(spark, sf_dir, _CORRELATED_SQL)
+
+
+_IN_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_regionkey IN (0, 1))
+"""
+
+
+@register("q_subq_in", oracle=_IN_SQL, category="subquery")
+def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (planned as a left-semi join on the subquery)."""
+    return _sql(spark, sf_dir, _IN_SQL)

@@ -95,6 +95,14 @@ def test_udf_is_arrow_not_row_python(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_correlated_subquery_decorrelates(spark):
+    """The correlated scalar subquery must plan as aggregate + join
+    (decorrelated), never as a per-row subquery node."""
+    plan = plan_of(spark, "q_subq_correlated")
+    assert "Join" in plan or "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "InSubquery" not in plan and "ScalarSubquery" not in plan.split("Filter")[0], plan
+
+
 def test_minhash_no_cartesian(spark):
     """LSH candidate generation must join on (band, minhash) buckets —
     a cartesian/nested-loop product over documents would be the
