@@ -187,6 +187,85 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fn_misc",
+    oracle="""
+    WITH j AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment, o_totalprice
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey)
+    SELECT c_custkey,
+           coalesce(o_totalprice, -1.0) AS price_or_neg1,
+           nullif(c_mktsegment, 'BUILDING') AS seg_nullif,
+           (o_totalprice IS NULL) AS no_order,
+           CASE WHEN o_totalprice IS NULL THEN 'none'
+                ELSE 'some' END AS nvl2_like,
+           (c_custkey & 255)::BIGINT AS key_and,
+           (c_custkey | 1)::BIGINT AS key_or,
+           xor(c_custkey, 42)::BIGINT AS key_xor,
+           (c_custkey << 2)::BIGINT AS key_shl,
+           least(c_acctbal, coalesce(o_totalprice, c_acctbal)) AS least_val
+    FROM j
+    """,
+    category="function",
+)
+def q_fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling (coalesce/nullif/IS NULL/nvl2-style CASE) and
+    bitwise ops over a null-producing outer join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "o_totalprice"
+    )
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("price_or_neg1"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullif"),
+        F.col("o_totalprice").isNull().alias("no_order"),
+        F.when(F.col("o_totalprice").isNull(), "none").otherwise("some").alias("nvl2_like"),
+        F.col("c_custkey").bitwiseAND(F.lit(255)).alias("key_and"),
+        F.col("c_custkey").bitwiseOR(F.lit(1)).alias("key_or"),
+        F.col("c_custkey").bitwiseXOR(F.lit(42)).alias("key_xor"),
+        F.shiftleft(F.col("c_custkey"), 2).alias("key_shl"),
+        F.least("c_acctbal", F.coalesce("o_totalprice", "c_acctbal")).alias("least_val"),
+    )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(cust := o_custkey, price := o_totalprice,
+                         status := o_orderstatus) AS info
+      FROM orders)
+    SELECT o_orderkey,
+           info.cust AS cust,
+           round(info.price * 1.1, 4) AS uplifted,
+           (info.status = 'F') AS is_final
+    FROM s
+    """,
+    category="function",
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct construction + field access (struct columns are
+    emitted back as scalars for the engine-agnostic compare)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("info"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("info.cust").alias("cust"),
+        F.round(F.col("info.price") * 1.1, 4).alias("uplifted"),
+        (F.col("info.status") == "F").alias("is_final"),
+    )
+
+
+@register(
     "q_fn_explode",
     oracle="""
     WITH flat AS (

@@ -108,6 +108,10 @@ class BatchProcessor:
 
         self._state = State.NEW
         self._state_lock = threading.Lock()
+        # Unique per instance: spool names must never collide with a
+        # previous run's files — the file source tracks paths in the
+        # checkpoint and silently ignores re-used names.
+        self._instance = uuid.uuid4().hex[:8]
         self._buffer: list[tuple] = []
         self._buffer_lock = threading.Lock()
         self._buffer_oldest: float | None = None
@@ -254,7 +258,10 @@ class BatchProcessor:
         )
         tmp = os.path.join(self.workdir, f".tmp_{uuid.uuid4().hex}.parquet")
         pq.write_table(table, tmp)
-        os.rename(tmp, os.path.join(self.ingest_dir, f"spool_{seq:08d}.parquet"))
+        os.rename(
+            tmp,
+            os.path.join(self.ingest_dir, f"spool_{self._instance}_{seq:08d}.parquet"),
+        )
 
     # ------------------------------------------------------------ flush
 
