@@ -184,6 +184,36 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(7::BIGINT,
+                          list_transform(string_split(text, ''),
+                                         c -> ord(c)::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 2147483647
+           ) AS rolling_hash
+    FROM documents
+    """,
+    category="text",
+)
+def q_llm_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint:
+    h = fold(chars, h0=7, h*31 + code mod 2^31-1) — deterministic and
+    engine-agnostic (same integer fold in Spark and DuckDB), unlike
+    md5/xxhash which differ per engine. The modulo keeps every
+    intermediate < 2^36, so ANSI overflow checking never trips."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647).cast("long"),
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
     "q_llm_fingerprint",
     oracle="""
     SELECT doc_id,

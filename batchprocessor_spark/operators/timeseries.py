@@ -85,6 +85,56 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ts_rollup_multires",
+    oracle="""
+    WITH minute AS (
+      SELECT (epoch_us(ts) // 60000000) * 60 AS m_start, event_type,
+             count(*) AS cnt, sum(value) AS sv
+      FROM events GROUP BY 1, 2),
+    hour AS (
+      SELECT (m_start // 3600) * 3600 AS h_start, event_type,
+             sum(cnt) AS cnt, sum(sv) AS sv
+      FROM minute GROUP BY 1, 2)
+    SELECT (h_start // 86400) * 86400 AS day_start, event_type,
+           sum(cnt)::BIGINT AS cnt,
+           round(sum(sv), 2) AS total_value,
+           count(*)::BIGINT AS hours_active
+    FROM hour GROUP BY 1, 2
+    """,
+    category="timeseries",
+)
+def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute → hour → day,
+    each level aggregating the PREVIOUS level's partials (never
+    re-scanning raw data) — the continuous-aggregate pattern that
+    keeps 100 TB of raw events summarizable. Also yields per-day
+    active-hour counts only derivable from the intermediate level."""
+    e = load_table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("m_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+    )
+    hour = (
+        minute.groupBy(
+            (F.floor(F.col("m_start") / 3600) * 3600).alias("h_start"), "event_type"
+        )
+        .agg(F.sum("cnt").alias("cnt"), F.sum("sv").alias("sv"))
+    )
+    return (
+        hour.groupBy(
+            (F.floor(F.col("h_start") / 86400) * 86400).alias("day_start"), "event_type"
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.round(F.sum("sv"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("hours_active"),
+        )
+    )
+
+
+@register(
     "q_win_session",
     oracle="""
     WITH ordered AS (
