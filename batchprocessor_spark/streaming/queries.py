@@ -285,6 +285,42 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema) if rows else result
 
 
+@register("q_stream_stream_join", oracle=None, category="streaming")
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks and a time-bound join
+    condition: purchases joined to clicks of the same user within the
+    preceding 1 hour. Both sides are real streams (state-store backed
+    join); after a full AvailableNow drain the result equals the
+    equivalent batch join — asserted in tests/test_stateful.py."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", "p_user")
+    return run_to_memory(joined, output_mode="append")
+
+
 @register("q_stream_custom_state", oracle=None, category="streaming")
 def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user

@@ -11,6 +11,37 @@ from batchprocessor_spark.sources.catalog import load_table
 REGISTRY = load_all()
 
 
+def test_stream_stream_join_equals_batch_join(spark):
+    """The watermarked stream-stream join over a fully-drained replay
+    must equal the batch join with the same predicate."""
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in REGISTRY["q_stream_stream_join"].builder(spark, SF_ORACLE).collect()
+    )
+    e = load_table(spark, SF_ORACLE, "events")
+    clicks = e.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    expected = sorted(
+        (r.purchase_id, r.click_id)
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    )
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_custom_state_equals_batch_aggregate(spark):
     """After a full drain, the stateful per-user counters must equal
     the plain batch groupBy over the same data."""
