@@ -141,6 +141,85 @@ def q_llm_simsearch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, list]:
+    """Distributed Lloyd's k-means over (vec_id, v: array<double>).
+
+    Deterministic: init = the k lowest vec_ids; assignment ties break
+    on the lower cluster id. Per iteration: one broadcast of k
+    centroids (tiny model state on the driver — the same shape MLlib
+    uses), one shuffle for the centroid recomputation. Returns
+    (assignments DataFrame, centroids as python lists).
+
+    This is the engine's iterative-algorithm pattern: driver-side loop
+    over fully-distributed steps, nothing data-sized ever collected.
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select("v").first()["v"])
+    centroids = [list(r.v) for r in emb.orderBy("vec_id").limit(k).collect()]
+    assigned = None
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)], "cid INT, cv ARRAY<DOUBLE>"
+            )
+        )
+        # |a-c|^2 = |a|^2 - 2 a·c + |c|^2; |a|^2 constant per row → rank
+        # by (|c|^2 - 2 a·c), cheaper and same argmin.
+        score = dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("v"), F.col("cv"))
+        w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+        assigned = (
+            emb.crossJoin(cdf)
+            .select("vec_id", "v", "cid", score.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        new_rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
+            .select("cid", F.transform("pc", lambda s: s.cx).alias("cv"))
+            .collect()
+        )
+        by_cid = {r.cid: list(r.cv) for r in new_rows}
+        centroids = [by_cid.get(i, centroids[i][:dim]) for i in range(k)]
+    return assigned, centroids
+
+
+@register("q_ml_kmeans", oracle=None, category="similarity")
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embeddings (k=10, 5 Lloyd
+    iterations, deterministic init) — cluster sizes plus rounded
+    within-cluster dispersion. Rows-only oracle (iterative, not
+    SQL-expressible); determinism makes the row hash stable."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    assigned, centroids = kmeans_fit(emb, k=10, iters=5)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid INT, cv ARRAY<DOUBLE>"
+        )
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assigned.join(cdf, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.round(F.sum(dist_sq), 2).alias("inertia"),
+        )
+    )
+
+
 @register("q_llm_simsearch_ivf", oracle=None, category="similarity")
 def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k with nprobe=3 of 10 cells — the
