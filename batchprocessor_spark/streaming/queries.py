@@ -23,6 +23,26 @@ from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Stateful streaming ops create one state-store instance per
+    shuffle partition; under a default session (200 partitions) these
+    small replay scenarios pay 200 state checkpoints per batch. Cap
+    the conf for the query start (it is pinned into the checkpoint at
+    first run), then restore. A production job sizes this to its
+    cluster instead."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 EVENTS_RAW_DDL = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
@@ -49,15 +69,16 @@ def run_to_memory(
     it as a batch DataFrame."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"bp_ckpt_{name}")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _few_shuffle_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(name)
 
 
@@ -262,23 +283,24 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.hour(F.col("win.start")).alias("win_hour"), "cnt")
     )
     name = f"late_{uuid.uuid4().hex[:12]}"
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(processingTime="100 milliseconds")
-        .start()
-    )
-    try:
-        write_batch("batch_1.parquet", [(10, 0), (10, 15), (10, 30)])
-        query.processAllAvailable()
-        write_batch("batch_2.parquet", [(8, 0), (12, 0), (12, 30)])
-        query.processAllAvailable()
-        write_batch("batch_3.parquet", [(13, 0)])
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with _few_shuffle_partitions(spark):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            write_batch("batch_1.parquet", [(10, 0), (10, 15), (10, 30)])
+            query.processAllAvailable()
+            write_batch("batch_2.parquet", [(8, 0), (12, 0), (12, 30)])
+            query.processAllAvailable()
+            write_batch("batch_3.parquet", [(13, 0)])
+            query.processAllAvailable()
+        finally:
+            query.stop()
     result = spark.table(name)
     rows = result.collect()
     shutil.rmtree(tmp, ignore_errors=True)
