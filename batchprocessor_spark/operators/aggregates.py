@@ -157,6 +157,34 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments,
+           arg_max(c_custkey, c_acctbal) AS richest_cust,
+           arg_min(c_custkey, c_acctbal) AS poorest_cust,
+           count(*)::BIGINT AS cnt
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    category="aggregate",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection + argmax aggregates: distinct-set-to-string (sorted
+    for determinism), max_by/min_by. NB arg_max ties: c_acctbal values
+    are distinct per nation in the fixture; a production query adds a
+    tie-break."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "q_agg_pivot",
     oracle="""
     SELECT l_returnflag,

@@ -55,6 +55,37 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_rank_ext",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    category="window",
+)
+def q_win_rank_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended ranking: percent_rank, cume_dist, nth_value (all on a
+    total order so both engines agree)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_run).alias("second_key"),
+    )
+
+
+@register(
     "q_win_analytic",
     oracle="""
     SELECT event_id, user_id,
