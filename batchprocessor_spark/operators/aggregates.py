@@ -119,8 +119,10 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias(
+            F.approx_count_distinct("l_partkey", rsd=0.03).alias("approx_parts"),
+            # accuracy 1000 ≈ 0.1% rank error — plenty, and ~10× less
+            # memory/merge cost than the 10000 default-ish setting.
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
                 "price_pcts"
             ),
         )

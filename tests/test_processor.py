@@ -191,6 +191,23 @@ def test_flow_controller_concurrency_cap():
     assert ctrl.stats.snapshot()["flushed_items"] == 200
 
 
+def test_flow_controller_ips():
+    """O11: IPS (items/sec) token bucket paces by batch size."""
+    import pandas as pd
+
+    ctrl = FlowController(
+        lambda chunk: None,
+        FlowControlConfig(batch_size=100, concurrency=4, ips=1000.0),
+    )
+    pdf = pd.DataFrame({"id": range(3000)})  # 3000 items at 1000/s, burst ~1000
+    t0 = time.monotonic()
+    ctrl.wait(ctrl.submit_batch(pdf))
+    elapsed = time.monotonic() - t0
+    ctrl.shutdown()
+    assert ctrl.stats.snapshot()["flushed_items"] == 3000
+    assert elapsed >= 1.2, f"3000 items at ips=1000 (burst 1000) too fast: {elapsed:.2f}s"
+
+
 def test_flow_controller_tps():
     """O11: TPS token bucket paces flush calls."""
     import pandas as pd
