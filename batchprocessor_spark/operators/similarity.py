@@ -154,37 +154,46 @@ def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, 
     over fully-distributed steps, nothing data-sized ever collected.
     """
     spark = emb.sparkSession
+    emb = emb.cache()  # read once; every iteration scans it
     dim = len(emb.select("v").first()["v"])
     centroids = [list(r.v) for r in emb.orderBy("vec_id").limit(k).collect()]
     assigned = None
     for _ in range(iters):
-        cdf = F.broadcast(
+        # One-row broadcast carrying ALL centroids: assignment is then
+        # a per-row argmin over the array — no shuffle at all (the
+        # crossJoin-k-rows + window alternative shuffles every point
+        # per iteration).
+        carr = F.broadcast(
             spark.createDataFrame(
                 [(i, c) for i, c in enumerate(centroids)], "cid INT, cv ARRAY<DOUBLE>"
-            )
+            ).agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
         )
         # |a-c|^2 = |a|^2 - 2 a·c + |c|^2; |a|^2 constant per row → rank
-        # by (|c|^2 - 2 a·c), cheaper and same argmin.
-        score = dot(F.col("cv"), F.col("cv")) - 2 * dot(F.col("v"), F.col("cv"))
-        w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
-        assigned = (
-            emb.crossJoin(cdf)
-            .select("vec_id", "v", "cid", score.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
+        # by (|c|^2 - 2 a·c), cheaper and same argmin. array_min on
+        # (d, cid) structs is lexicographic → ties break on lower cid.
+        scored = F.transform(
+            "cs",
+            lambda s: F.struct(
+                (dot(s.cv, s.cv) - 2 * dot(F.col("v"), s.cv)).alias("d"),
+                s.cid.alias("cid"),
+            ),
         )
+        assigned = (
+            emb.crossJoin(carr)
+            .select("vec_id", "v", F.array_min(scored).getField("cid").alias("cid"))
+        )
+        # ONE shuffle per iteration: (cid, pos) partial averages; the
+        # k×dim result (tiny) is assembled on the driver.
         new_rows = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("cx"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pc"))
-            .select("cid", F.transform("pc", lambda s: s.cx).alias("cv"))
             .collect()
         )
-        by_cid = {r.cid: list(r.cv) for r in new_rows}
-        centroids = [by_cid.get(i, centroids[i][:dim]) for i in range(k)]
+        acc: dict[int, list] = {}
+        for r in new_rows:
+            acc.setdefault(r.cid, [0.0] * dim)[r.pos] = r.cx
+        centroids = [acc.get(i, centroids[i][:dim]) for i in range(k)]
     return assigned, centroids
 
 
