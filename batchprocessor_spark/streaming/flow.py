@@ -109,6 +109,12 @@ class FlowController:
         self.sink = sink
         self.config = config
         self.dlq_path = dlq_path
+        # O17 sink lifecycle (AsyncProcessorManager.create/shutdown,
+        # V1/AsyncProcessorManager.java:7-11; Flusher.Factory,
+        # V2/Flusher.java:14-33): sinks exposing open()/close() get
+        # lifecycle callbacks around the controller's lifetime.
+        if hasattr(sink, "open"):
+            sink.open()
         self.stats = FlowStats()
         self._sem = threading.Semaphore(config.concurrency)
         self._pool = ThreadPoolExecutor(max_workers=config.concurrency, thread_name_prefix="bp-flush")
@@ -185,3 +191,5 @@ class FlowController:
 
     def shutdown(self) -> None:
         self._pool.shutdown(wait=True)
+        if hasattr(self.sink, "close"):
+            self.sink.close()

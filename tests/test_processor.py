@@ -191,6 +191,34 @@ def test_flow_controller_concurrency_cap():
     assert ctrl.stats.snapshot()["flushed_items"] == 200
 
 
+def test_sink_lifecycle_open_close(spark):
+    """O17: sinks with open()/close() get lifecycle callbacks around
+    the processor's lifetime (Flusher.Factory analogue)."""
+
+    class LifecycleSink:
+        def __init__(self):
+            self.events: list[str] = []
+            self.items = 0
+
+        def open(self):
+            self.events.append("open")
+
+        def close(self):
+            self.events.append("close")
+
+        def __call__(self, chunk):
+            self.items += len(chunk)
+
+    sink = LifecycleSink()
+    p = make_processor(spark, sink, batch_size=10, spool_size=10)
+    p.start()
+    p.put_many([(i, "x") for i in range(30)])
+    p.stop()
+    assert sink.events == ["open", "close"]
+    assert sink.items == 30
+    p.close()
+
+
 def test_flow_controller_ips():
     """O11: IPS (items/sec) token bucket paces by batch size."""
     import pandas as pd
