@@ -126,6 +126,85 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub over mapInPandas: a production build calls
+    PIL.Image.resize here; the stub truncates/pads payload bytes to a
+    deterministic width*height "image". The Spark contract — Arrow
+    batches in, typed binary rows out — is the real part."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            resized = [
+                bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stub over mapInPandas (1 input row → n output
+    rows, the table-valued shape video decode needs): a production
+    build seeks keyframes with pyav/ffmpeg; the stub slices the
+    payload into n equal chunks."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                step = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = bytes(payload[i * step : (i + 1) * step])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(frame)
+                    out["n_bytes"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@register("q_llm_multimodal_frames", oracle=None, category="multimodal")
+def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample chain: media → resize(64×48) →
+    4-frame sampling → per-doc frame stats. One row in, four rows out
+    through Arrow-batched Python — the video-ingest shape."""
+    media = media_table(spark, sf_dir).repartition("doc_id")
+    frames = sample_frames(resize_media(media, 64, 48), n_frames=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max(F.when(F.col("frame_idx") == 0, F.md5("frame"))).alias("first_frame_md5"),
+    )
+
+
 @register("q_llm_multimodal_pipeline", oracle=None, category="multimodal")
 def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline composition: binary media table
