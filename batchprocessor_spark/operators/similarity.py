@@ -141,6 +141,59 @@ def q_llm_simsearch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_THRESHOLD = 0.35
+
+
+@register(
+    "q_llm_simsearch_neardup_bucketed",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          > {_BUCKET_THRESHOLD}
+    """,
+    category="similarity",
+)
+def q_llm_simsearch_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-partitioned near-duplicate pairs: exact cosine pairs
+    computed only WITHIN each cluster bucket (`label`) — the 100 TB
+    near-dup pattern. Unlike the global all-pairs baseline
+    (q_llm_simsearch_neardup, which must broadcast one full side),
+    this is an equi-join on the bucket key: both sides shuffle by
+    `label`, pair generation is local to a partition, and cost drops
+    from O(n²) to Σ O(n_b²). At scale the buckets come from k-means /
+    LSH assignment (q_ml_kmeans); the fixture's `label` column stands
+    in for that assignment. Cross-bucket pairs are sacrificed by
+    design — recall vs the global baseline is pinned in
+    tests/test_similarity_bucketed.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = spread(emb, "label").select(
+        F.col("label"), F.col("vec_id").alias("v1"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("v2"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, ["label"])
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "label", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") > _BUCKET_THRESHOLD)
+    )
+
+
 def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, list]:
     """Distributed Lloyd's k-means over (vec_id, v: array<double>).
 
