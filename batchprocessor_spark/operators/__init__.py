@@ -6,6 +6,7 @@ from batchprocessor_spark.operators import (  # noqa: F401
     dedup,
     joins,
     relational,
+    sampling,
     setops,
     similarity,
     subqueries,

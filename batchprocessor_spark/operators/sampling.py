@@ -1,0 +1,159 @@
+"""Deterministic sampling & dataset-split operators — the
+training-data-pipeline primitives the reference never had (its only
+"sampling" is backpressure drop, V2/Worker.java:290-292; BASELINE.json's
+north_star mandates LLM-pipeline data ops as first-class).
+
+Random `TABLESAMPLE` / `df.sample()` is the WRONG tool for training
+pipelines: it is not reproducible across engines/runs/partitionings,
+and membership can't be audited later. The idiom here is
+**content-hash gating**: a row is selected iff a deterministic hash of
+its stable key lands under a threshold. Properties that matter at
+100 TB:
+
+- **Shuffle-free**: selection is a per-row predicate — a narrow map
+  over the scan, no exchange anywhere, trivially parallel on 1000
+  executors.
+- **Reproducible & auditable**: membership is a pure function of the
+  key, so reruns, backfills, and a different engine (the DuckDB
+  oracle!) agree row-for-row.
+- **Stable under growth**: adding new rows never flips old rows'
+  split assignment (the classic hash-split guarantee for train/test
+  hygiene).
+
+Hash = first 8 hex digits of md5 (engine-agnostic, verified parity
+with DuckDB), salted per use-case so the split hash and the sampling
+hash are independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+
+def hash_bucket(key: Column, salt: str, buckets: int) -> Column:
+    """Deterministic uniform bucket in [0, buckets): first 8 md5 hex
+    digits of ``salt || key`` as an integer, mod buckets. 32 bits of
+    hash over ≤ 2^20 buckets keeps modulo bias < 0.03%."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")
+
+
+def _oracle_bucket(key_sql: str, salt: str, buckets: int) -> str:
+    return (
+        f"('0x' || substring(md5('{salt}' || ({key_sql})::VARCHAR), 1, 8))::BIGINT"
+        f" % {buckets}"
+    )
+
+
+_SPLIT_BUCKET = _oracle_bucket("doc_id", "split:", 100)
+
+@register(
+    "q_sample_hash_split",
+    oracle=f"""
+    SELECT CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM documents
+    GROUP BY split, lang
+    """,
+    category="sampling",
+)
+def q_sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by hash of ``doc_id`` —
+    deterministic, shuffle-free (the CASE is a narrow projection; the
+    only exchange is the tiny per-(split,lang) count agg). New rows
+    never move old rows between splits."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), "split:", 100)
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# Language-rebalanced mixture: downsample over-represented languages.
+# per-mille keep rates; absent key = keep everything.
+_LANG_RATES = {"en": 250, "zh": 500}
+_DEFAULT_RATE = 1000
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_LANG_RATES.items())
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_oracle_bucket("doc_id", "samp:", 1000)} < {_rate_case_sql()}
+    """,
+    category="sampling",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (language-rebalanced) deterministic sample: keep
+    25% of `en`, 50% of `zh`, 100% of everything else — the mixture-
+    reweighting step of a pre-training pipeline. Pure per-row
+    predicate on (hash(doc_id), lang): no shuffle, no RNG state, and
+    membership is auditable after the fact. Emits the sampled rows
+    themselves (row-level parity with the oracle, not just counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in sorted(_LANG_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    keep = hash_bucket(F.col("doc_id"), "samp:", 1000) < rate
+    return d.where(keep).select("doc_id", "source", "lang")
+
+
+@register(
+    "q_sample_reservoir_pergroup",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             {_oracle_bucket("doc_id", "resv:", 1000000)} AS rk
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rnk
+      FROM keyed)
+    SELECT doc_id, source, n_chars, rnk FROM ranked WHERE rnk <= 5
+    """,
+    category="sampling",
+)
+def q_sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-group sample (5 docs per source) via hash-rank —
+    the deterministic analogue of per-group reservoir sampling.
+    Ranking by hash(doc_id) is a uniform random order that both
+    engines reproduce exactly. Catalyst plans the rnk<=5 filter as a
+    WindowGroupLimit: partial top-5 per partition BEFORE the shuffle,
+    so only k·groups rows ever move — the same trick as q_topk_per_group."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    keyed = d.select(
+        "doc_id", "source", "n_chars",
+        hash_bucket(F.col("doc_id"), "resv:", 1000000).alias("rk"),
+    )
+    w = Window.partitionBy("source").orderBy("rk", "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "source", "n_chars", "rnk")
+    )
