@@ -313,3 +313,60 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click.click_id").alias("click_id"),
         F.col("click.click_value").alias("click_value"),
     )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*)::BIGINT AS n_lines,
+           round(sum((l_extendedprice::DECIMAL(12,2)
+               * ((1 - l_discount::DECIMAL(8,6))::DECIMAL(8,6)))::DECIMAL(24,8)), 4)::DOUBLE
+             AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY r_name, n_name
+    """,
+    category="join",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (TPC-H Q5 shape): revenue per region and
+    nation for one order year. The scale-determining choices: the
+    orders filter is pushed to the scan BEFORE the fact-fact join, the
+    lineitem⋈orders and ⋈customer joins shuffle on their keys exactly
+    once each, and the two bounded dimensions (nation 25 rows, region
+    5) are explicit broadcasts so the fact stream never shuffles for
+    them. The final agg groups ~125 keys — a trivial exchange.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")).cast(
+            "decimal(8,6)"
+        )
+    ).cast("decimal(24,8)")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("revenue"),
+        )
+    )

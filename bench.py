@@ -27,6 +27,7 @@ HEADLINE = [
     "q_join_inner_broadcast",
     "q_join_inner_sortmerge",
     "q_join_asof",
+    "q_join_multiway",
     "q_agg_rollup",
     "q_win_rank",
     "q_win_frame",

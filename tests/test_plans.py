@@ -110,3 +110,19 @@ def test_minhash_no_cartesian(spark):
     plan = plan_of(spark, "q_llm_dedup_minhash")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_multiway_join_scale_posture(spark):
+    """Five-table star join: with auto-broadcast off (the 100 TB
+    situation where only EXPLICIT broadcasts survive), the fact-fact
+    joins become shuffles while nation/region stay broadcast; the
+    order-date filter reaches the orders scan."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "q_join_multiway")
+        assert plan.count("BroadcastHashJoin") == 2, plan   # nation, region only
+        assert "SortMergeJoin" in plan, plan                # l⋈o, ⋈c shuffle joins
+        assert "CartesianProduct" not in plan, plan
+        assert "GreaterThanOrEqual(o_orderdate" in plan, plan  # pushed to scan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
