@@ -238,3 +238,102 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("dup_count"),
     )
+
+
+_VOCAB_TOP_K = 100
+_BIGRAM_TOP_K = 50
+
+
+@register(
+    "q_llm_vocab_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents),
+    counted AS (
+      SELECT token, count(*)::BIGINT AS cnt
+      FROM w WHERE token <> ''
+      GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM counted)
+    SELECT token, cnt, rnk FROM ranked WHERE rnk <= {_VOCAB_TOP_K}
+    """,
+    category="text",
+)
+def q_llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 lowercase word types by frequency —
+    the vocabulary-building pass of a tokenizer-training pipeline.
+    Shape at scale: explode is a narrow map, the count is one shuffle
+    partially aggregated map-side (token space ≪ corpus size), and
+    the global top-k is a TakeOrdered over the counted types (vocab
+    cardinality, NOT corpus cardinality). Tie-break on token keeps
+    the cut deterministic."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    token = F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token")
+    counted = (
+        d.select(token)
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _VOCAB_TOP_K)
+    )
+
+
+@register(
+    "q_llm_ngram_bigrams",
+    oracle=f"""
+    WITH w AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    b AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM w),
+    counted AS (
+      SELECT bigram, count(*)::BIGINT AS cnt FROM b GROUP BY bigram),
+    ranked AS (
+      SELECT bigram, cnt,
+             row_number() OVER (ORDER BY cnt DESC, bigram) AS rnk
+      FROM counted)
+    SELECT bigram, cnt, rnk FROM ranked WHERE rnk <= {_BIGRAM_TOP_K}
+    """,
+    category="text",
+)
+def q_llm_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams across the corpus (n-gram statistics for
+    tokenizer/LM diagnostics). Bigram construction is pure array math
+    per document — zip_with over two shifted slices, no self-join, no
+    UDF; then the same count + deterministic top-k shape as the
+    vocabulary query."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BIGRAM_TOP_K)
+    )

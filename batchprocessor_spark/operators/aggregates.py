@@ -283,3 +283,63 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+_HIST_LO, _HIST_HI, _HIST_BUCKETS = 0, 600, 12
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(greatest(((n_chars - {_HIST_LO}) * {_HIST_BUCKETS})
+                            // ({_HIST_HI} - {_HIST_LO}), 0),
+                   {_HIST_BUCKETS} - 1) AS bucket,
+             n_chars, lang
+      FROM documents)
+    SELECT bucket::INT AS bucket,
+           (bucket * ({_HIST_HI} - {_HIST_LO}) // {_HIST_BUCKETS})::BIGINT AS lo,
+           ((bucket + 1) * ({_HIST_HI} - {_HIST_LO}) // {_HIST_BUCKETS})::BIGINT AS hi,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM b GROUP BY bucket
+    """,
+    category="aggregate",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram of document lengths (12 equal-width
+    buckets over [0, 600), clamped at the edges) — the
+    distribution-profiling pass run before setting quality-filter
+    thresholds. Bucketing is a narrow arithmetic map (no sampling, no
+    sort); the aggregate shuffles only ``buckets`` rows per partition,
+    so cost at 100 TB is one scan + a constant-size exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    width_num, width_den = _HIST_HI - _HIST_LO, _HIST_BUCKETS
+    bucket = F.least(
+        F.greatest(
+            ((F.col("n_chars") - _HIST_LO) * width_den).cast("long")
+            / F.lit(width_num).cast("long"),
+            F.lit(0).cast("double"),
+        ),
+        F.lit(width_den - 1).cast("double"),
+    )
+    bucket = F.floor(bucket).cast("int")
+    return (
+        d.select(bucket.alias("bucket"), "lang")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("long") * width_num / width_den)
+            .cast("long")
+            .alias("lo"),
+            ((F.col("bucket") + 1).cast("long") * width_num / width_den)
+            .cast("long")
+            .alias("hi"),
+            "n_docs",
+            "n_langs",
+        )
+    )
