@@ -264,3 +264,87 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         sum(bit_terms[1:], start=bit_terms[0]).alias("simhash"),
     )
+
+
+_PAIRS_SQL = f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    jp AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT d1, d2
+      FROM jp JOIN sizes s1 ON jp.d1 = s1.doc_id JOIN sizes s2 ON jp.d2 = s2.doc_id
+      WHERE inter::DOUBLE / (s1.n + s2.n - inter) > {_JACCARD_THRESHOLD})
+"""
+
+
+@register(
+    "q_llm_dedup_clusters",
+    oracle=_PAIRS_SQL.replace("WITH docs", "WITH RECURSIVE docs")
+    + """
+    , edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+    SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM walk GROUP BY node
+    """,
+    category="dedup",
+)
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    exact-Jaccard near-dup pair graph, labelling every clustered doc
+    with the smallest doc_id in its component (= the canonical doc a
+    dedup pass would keep). This is the step that turns pair detection
+    into an actual dedup decision when duplicates chain (A~B, B~C but
+    A!~C must still collapse to one cluster).
+
+    Spark-first shape: iterative min-label propagation — per round one
+    join edges⋈labels + one min-aggregate, all distributed, driver
+    holds only the convergence flag. Near-dup components are tiny
+    (dup groups), so rounds ≈ cluster diameter, converging in 2-3
+    rounds here; billion-node general graphs would switch to the
+    large-star/small-star algorithm, same building blocks. The oracle
+    states the fixpoint declaratively (recursive CTE).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _jaccard_pairs(docs)
+        .where(F.col("jaccard") > _JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b").cache()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .cache()
+    )
+    for _ in range(20):
+        prop = edges.join(labels, edges.a == labels.node).select(
+            F.col("b").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label")).cache()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

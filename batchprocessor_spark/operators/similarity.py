@@ -448,3 +448,61 @@ def q_llm_simsearch_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") > _NEAR_DUP_THRESHOLD)
     )
+
+
+@register(
+    "q_llm_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, v, nrm,
+             list_transform(v, x -> round(x / nrm * 127)::INT) AS qvec
+      FROM v)
+    SELECT vec_id,
+           round(nrm, 6) AS nrm,
+           array_to_string(qvec, ',') AS qvec_str,
+           round(1.0
+                 - 2.0 * list_dot_product(v, qvec::DOUBLE[]) / (nrm * 127)
+                 + list_dot_product(qvec::DOUBLE[], qvec::DOUBLE[]) / (127.0 * 127.0),
+                 6) AS sq_err
+    FROM q
+    """,
+    category="similarity",
+)
+def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization: L2-normalize, scale to [-127, 127],
+    round — the 4× storage/bandwidth compression step before ANN
+    serving — plus the squared reconstruction error per vector,
+    expanded as |u|² - 2·u·q/127 + |q/127|² so every term is a
+    deterministic sequential fold (identical in both engines; a
+    zip-then-sum of per-element differences would need an order
+    guarantee DuckDB doesn't give). Pure per-row array math: no
+    shuffle, no UDF, linear scan at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    qvec = F.transform(
+        "v", lambda x: F.round(x / F.col("nrm") * 127, 0).cast("int")
+    )
+    qd = F.transform("qvec", lambda q: q.cast("double"))
+    sq_err = (
+        F.lit(1.0)
+        - F.lit(2.0) * dot(F.col("v"), qd) / (F.col("nrm") * 127)
+        + dot(qd, qd) / F.lit(127.0 * 127.0)
+    )
+    return (
+        emb.withColumn("qvec", qvec)
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("nrm"),
+            # Serialized for the engine-agnostic value hash (the
+            # driver compare canonicalizes scalars, not arrays).
+            F.array_join(
+                F.transform("qvec", lambda q: q.cast("string")), ","
+            ).alias("qvec_str"),
+            F.round(sq_err, 6).alias("sq_err"),
+        )
+    )
