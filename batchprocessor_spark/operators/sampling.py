@@ -157,3 +157,87 @@ def q_sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("doc_id", "source", "n_chars", "rnk")
     )
+
+
+_PACK_WINDOW = 4096  # chars per packed training sequence
+
+
+@register(
+    "q_llm_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             {_oracle_bucket("doc_id", "pack:", 1000000)} AS rk
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY rk, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, n_chars,
+           ((cum - n_chars) // {_PACK_WINDOW})::BIGINT AS bin,
+           ((cum - 1) // {_PACK_WINDOW}
+              != (cum - n_chars) // {_PACK_WINDOW}) AS crosses
+    FROM c
+    """,
+    category="sampling",
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): deterministically shuffle
+    the corpus by hash, concatenate, and cut fixed 4096-char training
+    windows — each doc gets the bin where it starts plus a flag when
+    it straddles a boundary.
+
+    The naive formulation is a GLOBAL running sum — a single-partition
+    window that serializes 100 TB through one task. This is instead
+    the distributed two-phase prefix sum: range-partition on the order
+    key, per-partition running sums (parallel), then add per-partition
+    offsets (a #partitions-sized driver cumsum, broadcast back). The
+    oracle states the same result as the naive global window, which
+    DuckDB can afford at fixture scale — results are identical, only
+    the plan differs.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", hash_bucket(F.col("doc_id"), "pack:", 1000000).alias("rk")
+    )
+    from pyspark.sql import Window
+
+    nparts = max(2, spark.sparkContext.defaultParallelism // 2)
+    parted = d.repartitionByRange(nparts, "rk", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("rk", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = parted.withColumn("cum_local", F.sum("n_chars").over(w))
+    # Per-partition totals are #partitions rows — the ONLY driver
+    # materialization, independent of data size.
+    totals = {
+        r.pid: r.total
+        for r in local.groupBy("pid").agg(F.max("cum_local").alias("total")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    odf = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid INT, offset BIGINT"
+        )
+    )
+    cum = (F.col("cum_local") + F.col("offset")).alias("cum")
+    return (
+        local.join(odf, "pid")
+        .select("doc_id", "n_chars", cum)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.floor((F.col("cum") - F.col("n_chars")) / _PACK_WINDOW)
+            .cast("long")
+            .alias("bin"),
+            (
+                F.floor((F.col("cum") - 1) / _PACK_WINDOW)
+                != F.floor((F.col("cum") - F.col("n_chars")) / _PACK_WINDOW)
+            ).alias("crosses"),
+        )
+    )
