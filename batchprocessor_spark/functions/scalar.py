@@ -326,3 +326,44 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("missing").isNull().alias("missing_is_null"),
         )
     )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*)::BIGINT AS cnt
+      FROM documents GROUP BY source, lang)
+    SELECT source,
+           count(*)::INT AS n_langs,
+           string_agg(lang, ',' ORDER BY lang) AS langs,
+           coalesce(sum(cnt) FILTER (lang = 'en'), 0)::BIGINT AS en_docs,
+           sum(cnt)::BIGINT AS total_docs
+    FROM c GROUP BY source
+    """,
+    category="function",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§1.2): per-source lang→count maps built with
+    map_from_entries, then consumed via map_keys / map_values /
+    element_at / size — the full construct-access-fold cycle. Output
+    is flattened to scalars (sorted key list, one lookup, a fold over
+    values) so the oracle can state the same result with plain
+    conditional aggregation — DuckDB's map extraction semantics differ
+    and never need to be invoked."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = per_lang.groupBy("source").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("lang", "cnt")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "source",
+        F.size("m").alias("n_langs"),
+        F.array_join(F.map_keys("m"), ",").alias("langs"),
+        F.coalesce(F.element_at("m", F.lit("en")), F.lit(0).cast("long")).alias("en_docs"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_docs"),
+    )
