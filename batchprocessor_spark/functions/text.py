@@ -337,3 +337,110 @@ def q_llm_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _BIGRAM_TOP_K)
     )
+
+
+_BOILERPLATE_TOP_N = 10
+
+
+@register(
+    "q_llm_boilerplate_filter",
+    oracle=f"""
+    WITH counted AS (
+      SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    top AS (
+      SELECT token FROM counted
+      ORDER BY cnt DESC, token LIMIT {_BOILERPLATE_TOP_N}),
+    toplist AS (SELECT list(token) AS toks FROM top),
+    cleaned AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         w -> NOT list_contains(toks, w)) AS ws,
+             len(string_split(text, ' '))::BIGINT AS n_before
+      FROM documents, toplist)
+    SELECT doc_id, n_before, len(ws)::BIGINT AS n_after,
+           md5(array_to_string(ws, ' ')) AS cleaned_fp
+    FROM cleaned
+    """,
+    category="text",
+)
+def q_llm_boilerplate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal: compute the 10 globally most
+    frequent tokens (deterministic tie-break), then strip them from
+    every document — the stopword/boilerplate pass that precedes
+    TF-IDF or quality scoring. The two-phase shape is the one that
+    scales: a token-count aggregate reduces 100 TB to a vocab-sized
+    table, the top-N (model-sized, like k-means centroids) broadcasts
+    back, and removal is a per-row array filter with no further
+    shuffle. Emits before/after counts plus an md5 of the cleaned
+    text so the full transformation is value-checked."""
+    d = load_table(spark, sf_dir, "documents")
+    counted = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = [
+        r.token
+        for r in counted.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(_BOILERPLATE_TOP_N)
+        .collect()
+    ]
+    words = F.split(F.col("text"), " ")
+    cleaned = F.filter(words, lambda w: ~w.isin(*top))
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_before"),
+        F.size(cleaned).cast("long").alias("n_after"),
+        F.md5(F.array_join(cleaned, " ")).alias("cleaned_fp"),
+    )
+
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "q_llm_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}'))::INT AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}'))::INT AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM aug
+    """,
+    category="text",
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: detect and replace email addresses and phone
+    numbers with placeholder tags, reporting per-doc redaction counts
+    and a fingerprint of the scrubbed text. The fixture corpus is
+    synthetic word-soup, so a deterministic email+phone is injected
+    per doc first — the scrub path is then exercised for real (every
+    row redacts ≥1 of each) and remains value-checked end-to-end.
+    Pure regexp expressions in whole-stage codegen; at 100 TB this is
+    a narrow map with zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+    )
