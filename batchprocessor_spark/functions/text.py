@@ -444,3 +444,60 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_fp"),
     )
+
+
+_TFIDF_TOP_K = 3
+
+
+@register(
+    "q_llm_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, count(*)::BIGINT AS tf
+      FROM tok GROUP BY doc_id, token),
+    df AS (
+      SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (token), n),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id, token, tfidf, rnk FROM ranked WHERE rnk <= {_TFIDF_TOP_K}
+    """,
+    category="text",
+)
+def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic corpus-weighted
+    relevance scoring (smoothed idf = ln((N+1)/(df+1))). Scale shape:
+    term frequencies aggregate per (doc, token); document frequencies
+    reduce to a vocab-sized table that joins back broadcast-style; the
+    per-doc top-k is a WindowGroupLimit on doc_id. Ranking uses the
+    ROUNDED score so cross-engine float noise below 1e-6 cannot flip
+    the cut."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # one scalar; the oracle's CTE twin
+    tfidf = F.round(
+        F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .select("doc_id", "token", tfidf.alias("tfidf"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TFIDF_TOP_K)
+    )

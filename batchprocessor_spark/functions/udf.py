@@ -93,3 +93,48 @@ def q_udf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         center,
         schema="c_custkey BIGINT, c_nationkey INT, bal_centered DOUBLE, group_size BIGINT",
     )
+
+
+_CHUNK_W = 100
+
+
+@register(
+    "q_udf_table",
+    oracle=f"""
+    WITH e AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - 1) // {_CHUNK_W})) AS i
+      FROM documents)
+    SELECT doc_id, i::INT AS chunk_id,
+           substring(text, (i * {_CHUNK_W} + 1)::INT, {_CHUNK_W}) AS chunk,
+           length(substring(text, (i * {_CHUNK_W} + 1)::INT, {_CHUNK_W}))::INT
+             AS chunk_len
+    FROM e
+    """,
+    category="udf",
+)
+def q_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row in, N chunk rows out —
+    fixed 100-char document chunking, the RAG-ingestion shape. This
+    completes the user-code surface triple (scalar pandas UDF /
+    grouped applyInPandas / table UDTF). Arrow exchange is enabled for
+    the UDTF (runtime conf) so batches cross the JVM↔Python boundary
+    columnar. The chunking itself is SQL-expressible (that is what
+    makes the oracle possible); the query exists to exercise and
+    value-check the UDTF path itself."""
+    from pyspark.sql.functions import lit, udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk string, chunk_len int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            for i in range(0, max(1, len(text)), _CHUNK_W):
+                piece = text[i : i + _CHUNK_W]
+                yield doc_id, i // _CHUNK_W, piece, len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("bp_docs_udtf")
+    return spark.sql(
+        "SELECT c.* FROM bp_docs_udtf, LATERAL chunk_doc(doc_id, text) c"
+    )
