@@ -138,3 +138,46 @@ def q_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.* FROM bp_docs_udtf, LATERAL chunk_doc(doc_id, text) c"
     )
+
+
+@register(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(c_acctbal::DECIMAL(12,2) * (c_custkey % 7 + 1))::DOUBLE
+                 / sum(c_custkey % 7 + 1), 6) AS weighted_bal,
+           count(*)::BIGINT AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="udf",
+)
+def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (the UDAF analogue): one scalar per
+    group, computed vectorized on the whole group's Arrow batch — here
+    a weighted mean with deterministic synthetic weights. Distinct
+    from applyInPandas (grouped-map): the UDF participates in a real
+    aggregation plan, so Catalyst can combine it with other aggregates
+    in one pass."""
+
+    @F.pandas_udf(T.DoubleType())
+    def weighted_bal(bal: pd.Series, key: pd.Series) -> float:
+        # Exact integer accumulation (balances have 2 decimals), so the
+        # result is independent of row arrival order — a float .sum()
+        # would vary in the last bits across shuffles and risk flipping
+        # the 6-decimal round against the oracle.
+        w = (key % 7 + 1).astype("int64")
+        cents = (bal * 100).round().astype("int64")
+        return float(round((cents * w).sum() / 100.0 / w.sum(), 6))
+
+    # Spark refuses to mix group-agg pandas UDFs with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a
+    # pandas aggregate too.
+    @F.pandas_udf(T.LongType())
+    def n_rows(key: pd.Series) -> int:
+        return int(len(key))
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        weighted_bal("c_acctbal", "c_custkey").alias("weighted_bal"),
+        n_rows("c_custkey").alias("n"),
+    )
