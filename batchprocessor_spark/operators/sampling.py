@@ -191,44 +191,60 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     The naive formulation is a GLOBAL running sum — a single-partition
     window that serializes 100 TB through one task. This is instead
     the distributed two-phase prefix sum: range-partition on the order
-    key, per-partition running sums (parallel), then add per-partition
-    offsets (a #partitions-sized driver cumsum, broadcast back). The
-    oracle states the same result as the naive global window, which
-    DuckDB can afford at fixture scale — results are identical, only
-    the plan differs.
+    key, partition-LOCAL running sums, then add per-partition offsets
+    (a #partitions-sized driver cumsum, carried into the closure). The
+    local cumsum runs in mapInPandas rather than a Window over the
+    partition id: a window would make Catalyst insert a SECOND
+    full-data hash Exchange on pid to satisfy its clustering
+    requirement, while mapInPandas consumes partitions exactly as the
+    range exchange left them — one shuffle total, and this is
+    precisely the "built-ins can't express partition-local scan-order
+    semantics" case where dropping to an Arrow-batched map is right.
+    The oracle states the same result as the naive global window,
+    which DuckDB can afford at fixture scale — results are identical,
+    only the plan differs.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", hash_bucket(F.col("doc_id"), "pack:", 1000000).alias("rk")
     )
-    from pyspark.sql import Window
-
     nparts = max(2, spark.sparkContext.defaultParallelism // 2)
-    parted = d.repartitionByRange(nparts, "rk", "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    parted = (
+        d.repartitionByRange(nparts, "rk", "doc_id")
+        .sortWithinPartitions("rk", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("pid").orderBy("rk", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    local = parted.withColumn("cum_local", F.sum("n_chars").over(w))
-    # Per-partition totals are #partitions rows — the ONLY driver
-    # materialization, independent of data size.
+    # Phase 1: per-partition totals — a map-side partial agg whose
+    # exchange moves ONE row per partition; the driver sees only
+    # model-sized state (the offset table).
     totals = {
         r.pid: r.total
-        for r in local.groupBy("pid").agg(F.max("cum_local").alias("total")).collect()
+        for r in parted.groupBy("pid").agg(F.sum("n_chars").alias("total")).collect()
     }
     offsets, acc = {}, 0
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid]
-    odf = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid INT, offset BIGINT"
-        )
-    )
-    cum = (F.col("cum_local") + F.col("offset")).alias("cum")
+
+    # Phase 2: partition-local running sum, seeded with the partition's
+    # offset; Arrow batches arrive in the sorted partition order and
+    # the carry threads across batches.
+    def add_cum(batches):
+        import pandas as pd  # noqa: F401 (arrow batch type)
+
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is None:
+                carry = offsets.get(int(pdf["pid"].iloc[0]), 0)
+            cums = pdf["n_chars"].cumsum() + carry
+            carry = int(cums.iloc[-1])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_chars": pdf["n_chars"], "cum": cums}
+            )
+
     return (
-        local.join(odf, "pid")
-        .select("doc_id", "n_chars", cum)
+        parted.mapInPandas(add_cum, schema="doc_id BIGINT, n_chars BIGINT, cum BIGINT")
         .select(
             "doc_id",
             "n_chars",

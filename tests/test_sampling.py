@@ -51,3 +51,14 @@ def test_reservoir_uses_window_group_limit(spark):
     df = REGISTRY["q_sample_reservoir_pergroup"].builder(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """The two-phase prefix sum must keep exactly ONE full-data
+    exchange (the range partition). A Window over the partition id
+    would add a second hash Exchange — the regression this pins."""
+    df = REGISTRY["q_llm_pack_sequences"].builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "Window" not in plan, plan
