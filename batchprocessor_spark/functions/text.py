@@ -476,20 +476,27 @@ _TFIDF_TOP_K = 3
 )
 def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document — the classic corpus-weighted
-    relevance scoring (smoothed idf = ln((N+1)/(df+1))). Scale shape:
-    term frequencies aggregate per (doc, token); document frequencies
-    reduce to a vocab-sized table that joins back broadcast-style; the
-    per-doc top-k is a WindowGroupLimit on doc_id. Ranking uses the
-    ROUNDED score so cross-engine float noise below 1e-6 cannot flip
-    the cut."""
+    relevance scoring (smoothed idf = ln((N+1)/(df+1))). Ranking uses
+    the ROUNDED score so cross-engine float noise below 1e-6 cannot
+    flip the cut.
+
+    Shuffle accounting (the scale shape): ONE full-data exchange —
+    documents repartition by doc_id BEFORE the explode (docs cross the
+    wire, not the ~20× larger token stream), and that single hash
+    partitioning then satisfies the tf aggregate's clustering (subset
+    of its keys), the final per-doc window, AND lets AQE reuse the
+    exchange for the df branch. Document frequency derives from the tf
+    table (its rows ARE the distinct (doc, token) pairs), so there is
+    no second scan or countDistinct expansion; its exchange moves only
+    vocab-sized partials. The per-doc top-k is a WindowGroupLimit."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
+    tok = d.repartition("doc_id").select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()  # one scalar; the oracle's CTE twin
     tfidf = F.round(
         F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
