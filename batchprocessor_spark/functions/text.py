@@ -280,10 +280,14 @@ def q_llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # TakeOrderedAndProject computes the cut distributed (per-partition
+    # top-100 → merge); the single-partition rank window then touches
+    # only the 100 surviving rows, never the full vocabulary.
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= _VOCAB_TOP_K)
+        counted.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(_VOCAB_TOP_K)
+        .withColumn("rnk", F.row_number().over(w))
     )
 
 
@@ -332,10 +336,13 @@ def q_llm_ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Same distributed-cut shape as q_llm_vocab_topk: TakeOrdered for
+    # the top-50, rank window only over the survivors.
     w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
     return (
-        counted.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= _BIGRAM_TOP_K)
+        counted.orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(_BIGRAM_TOP_K)
+        .withColumn("rnk", F.row_number().over(w))
     )
 
 
