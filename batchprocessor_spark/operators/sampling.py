@@ -207,7 +207,14 @@ def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", hash_bucket(F.col("doc_id"), "pack:", 1000000).alias("rk")
     )
-    nparts = max(2, spark.sparkContext.defaultParallelism // 2)
+    return pack_by_cumsum(d, max(2, spark.sparkContext.defaultParallelism // 2))
+
+
+def pack_by_cumsum(d: DataFrame, nparts: int) -> DataFrame:
+    """Two-phase distributed prefix sum over (rk, doc_id) order; the
+    result is a pure function of the data — tests pin invariance to
+    ``nparts`` (a different cluster size must produce identical bins).
+    """
     parted = (
         d.repartitionByRange(nparts, "rk", "doc_id")
         .sortWithinPartitions("rk", "doc_id")

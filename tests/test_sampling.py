@@ -62,3 +62,22 @@ def test_pack_sequences_single_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert "MapInPandas" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_pack_sequences_partition_count_invariant(spark):
+    """The packing result is a pure function of the data: running the
+    two-phase prefix sum with different partition counts (different
+    cluster sizes) must produce identical bins — the property that
+    makes the op safe to re-run on any cluster."""
+    from batchprocessor_spark.operators.sampling import pack_by_cumsum
+    from batchprocessor_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "n_chars",
+        hash_bucket(F.col("doc_id"), "pack:", 1000000).alias("rk"),
+    )
+    results = [
+        {(r.doc_id): (r.bin, r.crosses) for r in pack_by_cumsum(d, n).collect()}
+        for n in (2, 3, 8)
+    ]
+    assert results[0] == results[1] == results[2]
