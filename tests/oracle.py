@@ -39,6 +39,8 @@ def _canon(v):
         return ts.to_pydatetime()
     if isinstance(v, datetime.date):
         return v
+    if hasattr(v, "tolist") and getattr(v, "ndim", 0):  # numpy array
+        return tuple(_canon(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         v = v.item()
         return _canon(v) if not isinstance(v, (int, str, bool, bytes)) else v
