@@ -348,3 +348,40 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+_INGEST_SPLIT = 400  # doc_id < 400 = existing corpus, rest = new batch
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS f
+      FROM documents),
+    old AS (SELECT DISTINCT f FROM fp WHERE doc_id < {_INGEST_SPLIT}),
+    new_docs AS (SELECT doc_id, f FROM fp WHERE doc_id >= {_INGEST_SPLIT})
+    SELECT n.doc_id, n.f AS fingerprint
+    FROM new_docs n LEFT JOIN old o ON n.f = o.f
+    WHERE o.f IS NULL
+    """,
+    category="dedup",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: an arriving batch is admitted only
+    where its normalization fingerprint does not already exist in the
+    corpus — the anti-join every append-only pipeline runs before
+    writing. The corpus side reduces to DISTINCT fingerprints (one
+    column, not documents), so at 100 TB the join's build side is the
+    fingerprint index; Catalyst plans a left-anti hash join that
+    shuffles fingerprints, never text. The fixture splits `documents`
+    at doc_id {_INGEST_SPLIT} into corpus vs batch."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", "")))
+    keyed = d.select("doc_id", fp.alias("fingerprint"))
+    corpus = keyed.where(F.col("doc_id") < _INGEST_SPLIT).select("fingerprint").distinct()
+    new_docs = keyed.where(F.col("doc_id") >= _INGEST_SPLIT)
+    return new_docs.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
