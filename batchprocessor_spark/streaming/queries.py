@@ -380,3 +380,82 @@ def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "q_stream_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+    category="streaming",
+)
+def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized aggregate: events arrive as a sequence
+    of real micro-batches; each foreachBatch appends its batch's
+    PARTIAL per-type aggregates to a durable partials table, and the
+    final answer is the merge of the partials. This is the
+    incremental-view pattern (partial-aggregate append + merge) that
+    keeps a 100 TB rollup fresh without ever reprocessing history —
+    and the SQL oracle pins the strong claim: the incremental result
+    equals the one-shot batch aggregate over all events.
+
+    Batches are sequenced explicitly (file drops + processAllAvailable)
+    because maxFilesPerTrigger does not reliably split files under
+    Trigger.AvailableNow.
+    """
+    import pyarrow.parquet as pq
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    table = pq.read_table(events_path, columns=["event_id", "event_type", "value"])
+    workdir = tempfile.mkdtemp(prefix="bp_incr_")
+    ingest = os.path.join(workdir, "in")
+    partials = os.path.join(workdir, "partials")
+    os.makedirs(ingest)
+    n_slices = 4
+    rows = table.num_rows
+    step = (rows + n_slices - 1) // n_slices
+    slices = [table.slice(i * step, step) for i in range(n_slices)]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("s"),
+            )
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(ingest)
+    )
+    with _few_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            for i, sl in enumerate(slices):
+                tmp = os.path.join(workdir, f".tmp_{i}.parquet")
+                pq.write_table(sl, tmp)
+                os.rename(tmp, os.path.join(ingest, f"slice_{i:04d}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    result = (
+        spark.read.parquet(partials)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), 2).alias("value_sum"),
+        )
+    )
+    shutil.rmtree(ingest, ignore_errors=True)
+    return result
