@@ -200,7 +200,12 @@ def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, 
     Deterministic: init = the k lowest vec_ids; assignment ties break
     on the lower cluster id. Per iteration: one broadcast of k
     centroids (tiny model state on the driver — the same shape MLlib
-    uses), one shuffle for the centroid recomputation. Returns
+    uses) and ZERO shuffles — centroid recomputation is partition-
+    local numpy accumulation (k×dim partial sums per partition via
+    mapInPandas) collected as #partitions×k tiny rows and merged on
+    the driver in deterministically sorted order. The previous
+    posexplode + groupBy(cid, pos) formulation shuffled n×dim rows
+    every iteration; the partials shuffle nothing at all. Returns
     (assignments DataFrame, centroids as python lists).
 
     This is the engine's iterative-algorithm pattern: driver-side loop
@@ -235,18 +240,49 @@ def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, 
             emb.crossJoin(carr)
             .select("vec_id", "v", F.array_min(scored).getField("cid").alias("cid"))
         )
-        # ONE shuffle per iteration: (cid, pos) partial averages; the
-        # k×dim result (tiny) is assembled on the driver.
-        new_rows = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("cx"))
-            .collect()
-        )
-        acc: dict[int, list] = {}
-        for r in new_rows:
-            acc.setdefault(r.cid, [0.0] * dim)[r.pos] = r.cx
-        centroids = [acc.get(i, centroids[i][:dim]) for i in range(k)]
+        # Partition-local partial sums: each partition emits at most k
+        # rows of (cid, vector_sum, count) — no exchange anywhere.
+        def centroid_partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            acc: dict[int, list] = {}
+            for pdf in batches:
+                for cid, grp in pdf.groupby("cid"):
+                    arr = np.array(grp["v"].tolist(), dtype=np.float64)
+                    if cid in acc:
+                        acc[cid][0] += arr.sum(axis=0)
+                        acc[cid][1] += len(arr)
+                    else:
+                        acc[cid] = [arr.sum(axis=0), len(arr)]
+            if acc:
+                yield pd.DataFrame(
+                    {
+                        "cid": list(acc),
+                        "s": [a[0].tolist() for a in acc.values()],
+                        "c": [a[1] for a in acc.values()],
+                    }
+                )
+
+        partials = assigned.mapInPandas(
+            centroid_partials, "cid INT, s ARRAY<DOUBLE>, c BIGINT"
+        ).collect()
+        # Merge in sorted order: collect() arrival order is not
+        # deterministic, float addition is not associative — sorting
+        # first keeps kmeans_fit bit-reproducible across runs.
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for r in sorted(partials, key=lambda r: (r.cid, tuple(r.s))):
+            if r.cid in sums:
+                sums[r.cid] = [a + b for a, b in zip(sums[r.cid], r.s)]
+                counts[r.cid] += r.c
+            else:
+                sums[r.cid] = list(r.s)
+                counts[r.cid] = r.c
+        centroids = [
+            [x / counts[i] for x in sums[i]] if i in sums else centroids[i][:dim]
+            for i in range(k)
+        ]
     return assigned, centroids
 
 
