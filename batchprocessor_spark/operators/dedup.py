@@ -324,13 +324,24 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") > _JACCARD_THRESHOLD)
         .select("d1", "d2")
     )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair list
+    (d1, d2) → (node, label) where label = the component's smallest
+    node. Distributed join + min-agg per round; the driver holds only
+    the convergence flag. Property-tested against a python union-find
+    in tests/test_properties.py."""
     edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b").cache()
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
         .cache()
     )
-    for _ in range(20):
+    for _ in range(max_rounds):
         prop = edges.join(labels, edges.a == labels.node).select(
             F.col("b").alias("node"), "label"
         )
@@ -347,7 +358,7 @@ def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return labels
 
 
 _INGEST_SPLIT = 400  # doc_id < 400 = existing corpus, rest = new batch

@@ -117,3 +117,69 @@ def test_shingle_sets_match_python(spark, texts):
             for j in range(max(len(words) - _SHINGLE_WIDTH + 1, 0))
         }
         assert got[i] == expected, (t, got[i], expected)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_connected_components_vs_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a python
+    union-find on arbitrary small graphs (chains, cycles, stars,
+    disconnected pieces — whatever hypothesis produces)."""
+    from batchprocessor_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "d1 BIGINT, d2 BIGINT"
+    )
+    got = {
+        r.node: r.label for r in connected_components(pairs, max_rounds=40).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    ),
+    nparts=st.integers(2, 6),
+)
+@SETTINGS
+def test_pack_cumsum_vs_python(spark, rows, nparts):
+    """The distributed two-phase prefix sum must equal a sequential
+    python cumsum in (rk, doc_id) order, for any partition count."""
+    from batchprocessor_spark.operators.sampling import hash_bucket, pack_by_cumsum
+
+    d = spark.createDataFrame(rows, "doc_id BIGINT, n_chars BIGINT").select(
+        "doc_id", "n_chars", hash_bucket(F.col("doc_id"), "pack:", 1000000).alias("rk")
+    )
+    keyed = {r.doc_id: r.rk for r in d.collect()}
+    got = {r.doc_id: (r.bin, r.crosses) for r in pack_by_cumsum(d, nparts).collect()}
+
+    cum, want = 0, {}
+    for doc_id, n in sorted(rows, key=lambda t: (keyed[t[0]], t[0])):
+        start, cum = cum, cum + n
+        want[doc_id] = (start // 4096, (cum - 1) // 4096 != start // 4096)
+    assert got == want
