@@ -335,18 +335,26 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     node. Distributed join + min-agg per round; the driver holds only
     the convergence flag. Property-tested against a python union-find
     in tests/test_properties.py."""
-    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b").cache()
+    # localCheckpoint rather than cache: labels is referenced three
+    # times per round, so un-truncated lineage grows exponentially
+    # with rounds (the plan itself would OOM on deep graphs).
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b").localCheckpoint()
+    )
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_rounds):
         prop = edges.join(labels, edges.a == labels.node).select(
             F.col("b").alias("node"), "label"
         )
         new_labels = (
-            labels.union(prop).groupBy("node").agg(F.min("label").alias("label")).cache()
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
@@ -396,3 +404,84 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_docs.join(corpus, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set (count + hash sum)
+    for fixpoint detection without materializing the set twice."""
+    r = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-insensitive and cannot overflow (a hash SUM
+        # trips ANSI long-overflow).
+        F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+    ).collect()[0]
+    return (r.n, r.h)
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm that replaces min-label propagation
+    when components can be DEEP (propagation needs diameter rounds; a
+    billion-node chain would never finish). Each round is two grouped
+    min-aggregates + explodes, all distributed.
+
+    large-star(u): every strictly-larger neighbor of u re-points to
+    the minimum of u's closed neighborhood; small-star(u): every
+    smaller-or-equal neighbor (and u) points to that minimum. At the
+    fixpoint every node holds an edge to its component's minimum.
+    Output: (node, label) like ``connected_components`` — property
+    tests pin both against a python union-find, and a chain test pins
+    the logarithmic round count."""
+    spark = pairs.sparkSession
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        nbrs = sym(e).groupBy("a").agg(F.collect_set("b").alias("ns"))
+        m = F.array_min(F.array_append("ns", F.col("a")))
+        if large:
+            members = F.filter("ns", lambda v: v > F.col("a"))
+        else:
+            # Small-star links the smaller-or-equal neighbors AND the
+            # center itself to m — without the center link the star
+            # edges vanish and connectivity is lost.
+            members = F.array_append(
+                F.filter("ns", lambda v: v <= F.col("a")), F.col("a")
+            )
+        out = nbrs.select(
+            F.explode(members).alias("na"), m.alias("nb")
+        ).where(F.col("na") != F.col("nb"))
+        return out.select(F.col("na").alias("a"), F.col("nb").alias("b")).distinct()
+
+    # localCheckpoint (not cache): each round's plan references the
+    # previous round several times, so lineage grows EXPONENTIALLY —
+    # by round ~10 the logical plan itself OOMs the driver. Eager
+    # checkpointing cuts the lineage to the materialized result, the
+    # standard hygiene for iterative DataFrame algorithms.
+    edges = (
+        pairs.select(F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = _edge_checksum(edges)
+    for _ in range(max_rounds):
+        edges2 = star(star(edges, large=True), large=False).localCheckpoint()
+        cur = _edge_checksum(edges2)
+        edges.unpersist()
+        edges = edges2
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint: edges connect every non-minimum node to its component
+    # minimum (possibly transitively collapsed already).
+    labels = (
+        sym(edges)
+        .groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select(F.col("a").alias("node"), F.least("a", "mn").alias("label"))
+    )
+    edges.unpersist()
+    return labels

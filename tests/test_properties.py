@@ -183,3 +183,57 @@ def test_pack_cumsum_vs_python(spark, rows, nparts):
         start, cum = cum, cum + n
         want[doc_id] = (start // 4096, (cum - 1) // 4096 != start // 4096)
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_star_components_vs_union_find(spark, edges):
+    """The large-star/small-star algorithm must agree with union-find
+    on arbitrary small graphs, exactly like min-label propagation."""
+    from batchprocessor_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "d1 BIGINT, d2 BIGINT"
+    )
+    got = {
+        r.node: r.label
+        for r in connected_components_star(pairs, max_rounds=30).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_star_components_deep_chain(spark):
+    """A 64-node chain: min-label propagation needs ~diameter rounds;
+    the star algorithm must collapse it within O(log n) rounds — this
+    is exactly why it is the billion-node-graph variant."""
+    from batchprocessor_spark.operators.dedup import connected_components_star
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "d1 BIGINT, d2 BIGINT"
+    )
+    labels = {
+        r.node: r.label for r in connected_components_star(pairs, max_rounds=10).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
