@@ -485,3 +485,36 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 30) -> DataFra
     )
     edges.unpersist()
     return labels
+
+
+@register(
+    "q_llm_dedup_clusters_star",
+    oracle=_PAIRS_SQL.replace("WITH docs", "WITH RECURSIVE docs")
+    + """
+    , edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+    SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM walk GROUP BY node
+    """,
+    category="dedup",
+)
+def q_llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution via the large-star/small-star
+    algorithm — identical output to q_llm_dedup_clusters (same
+    recursive-CTE oracle), but converging in O(log n) rounds instead
+    of O(component diameter): the variant to reach for when duplicate
+    chains can be long (e.g. boilerplate families spanning millions of
+    pages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _jaccard_pairs(docs)
+        .where(F.col("jaccard") > _JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
