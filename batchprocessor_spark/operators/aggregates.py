@@ -115,16 +115,18 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++). Sketch results are
     engine-specific, so the driver records a rows-only check; the
     companion pytest asserts the estimate is within 5% of exact."""
+    pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.03).alias("approx_parts"),
             # accuracy 1000 ≈ 0.1% rank error — plenty, and ~10× less
-            # memory/merge cost than the 10000 default-ish setting.
-            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
-                "price_pcts"
-            ),
+            # memory/merge cost than the 10000 default-ish setting.  One
+            # sketch pass, unpacked to scalar columns (array columns choke
+            # order-insensitive result canonicalizers downstream).
+            F.element_at(pcts, 1).alias("p50_price"),
+            F.element_at(pcts, 2).alias("p95_price"),
         )
     )
 
