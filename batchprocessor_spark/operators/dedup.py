@@ -335,12 +335,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     node. Distributed join + min-agg per round; the driver holds only
     the convergence flag. Property-tested against a python union-find
     in tests/test_properties.py."""
-    # localCheckpoint rather than cache: labels is referenced three
-    # times per round, so un-truncated lineage grows exponentially
-    # with rounds (the plan itself would OOM on deep graphs).
+    # Materialize the pair join ONCE before anything fans out: the edge
+    # set references `pairs` twice (both union branches), and every
+    # propagation round re-reads edges — without this pin an expensive
+    # upstream (e.g. the Jaccard shingle join) would be recomputed per
+    # reference. localCheckpoint rather than cache: labels is referenced
+    # three times per round, so un-truncated lineage also grows
+    # exponentially with rounds (the plan itself would OOM on deep graphs).
+    pairs = pairs.localCheckpoint()
     edges = (
         pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b").localCheckpoint()
     )
+    pairs.unpersist()
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))

@@ -220,6 +220,11 @@ def pack_by_cumsum(d: DataFrame, nparts: int) -> DataFrame:
         .sortWithinPartitions("rk", "doc_id")
         .withColumn("pid", F.spark_partition_id())
     )
+    # Range partitioning is sampling-based, so two evaluations of `parted`
+    # (phase-1 totals job, phase-2 mapInPandas job) could assign rows to
+    # different partition ids and silently corrupt the prefix sum. Pin the
+    # assignment once; both phases then read the same materialized blocks.
+    parted = parted.localCheckpoint()
     # Phase 1: per-partition totals — a map-side partial agg whose
     # exchange moves ONE row per partition; the driver sees only
     # model-sized state (the offset table).

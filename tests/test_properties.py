@@ -237,3 +237,28 @@ def test_star_components_deep_chain(spark):
         r.node: r.label for r in connected_components_star(pairs, max_rounds=10).collect()
     }
     assert labels == {i: 0 for i in range(n)}
+
+
+def test_connected_components_evaluates_pairs_once(spark):
+    """The pair graph feeding CC can be an expensive join (Jaccard at
+    100 TB); connected_components must materialize it exactly once —
+    not once per union branch or per propagation round. Pinned with an
+    accumulator incremented on every evaluated pair row."""
+    import pandas as pd
+
+    from batchprocessor_spark.operators.dedup import connected_components
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "d1 BIGINT, d2 BIGINT"
+    )
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    pairs = base.repartition(2).mapInPandas(count_rows, "d1 BIGINT, d2 BIGINT")
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert labels == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+    assert acc.value == 3, f"pair graph evaluated {acc.value / 3:.1f}x"

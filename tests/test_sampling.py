@@ -54,12 +54,16 @@ def test_reservoir_uses_window_group_limit(spark):
 
 
 def test_pack_sequences_single_exchange(spark):
-    """The two-phase prefix sum must keep exactly ONE full-data
-    exchange (the range partition). A Window over the partition id
-    would add a second hash Exchange — the regression this pins."""
+    """The two-phase prefix sum materializes the range partition ONCE
+    (pinned via localCheckpoint so both phases see identical partition
+    assignment); the downstream plan must then add ZERO further
+    exchanges — mapInPandas consumes the pinned partitions as-is. A
+    Window over the partition id would add a hash Exchange — the
+    regression this pins."""
     df = REGISTRY["q_llm_pack_sequences"].builder(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan  # the pinned checkpoint
     assert "MapInPandas" in plan, plan
     assert "Window" not in plan, plan
 
