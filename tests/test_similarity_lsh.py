@@ -46,22 +46,22 @@ def test_lsh_candidates_prune_pair_space(spark):
     ).withColumn("nrm", l2_norm(F.col("v")))
     n = emb.count()
     ncand = lsh_candidate_pairs(emb).count()
-    # Structure-free data at a 0.5 threshold is LSH's worst case; even
-    # there the bucket join must beat all-pairs (measured ≈ 0.64·n²/2).
-    assert ncand < 0.75 * n * (n - 1) / 2, (ncand, n)
+    # Structure-free data at a 0.5 threshold is LSH's worst case; the
+    # 160×12 banding must still keep the candidate space under 10% of
+    # all pairs (measured ≈ 0.055·n²/2 with the pinned seed), so the
+    # verify stage costs ~1/18th of brute force.
+    assert ncand < 0.10 * n * (n - 1) / 2, (ncand, n)
 
 
 def test_lsh_pairgen_is_bucket_equijoin(spark):
-    """Candidate generation must join on (band, key) buckets. The only
-    nested-loop joins allowed are the two one-row hyperplane
-    broadcasts (the same tiny-model-state pattern as the k-means
-    centroid carrier) — never a data×data product."""
+    """Candidate generation must join on (band, key) buckets — never a
+    data×data product — and signatures must come from the Arrow-batched
+    numpy map (closure-carried planes), not a planes join."""
     df = REGISTRY["q_llm_simsearch_neardup_lsh"].builder(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     import re
 
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band", plan), plan
-    # Each BNLJ must be the planes attach (1-row build side): both
-    # sides of the self-join recompute signatures, so exactly 2.
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "MapInPandas" in plan, plan
