@@ -3,10 +3,11 @@ with typed metadata structs, integrity hashing, and the Pandas-UDF
 plumbing for decode/feature-extraction.
 
 Design: media is a `binary` column + a metadata struct (mime, size,
-checksum). Decoding (image/audio libs are not in this container) is a
-clearly-marked stub behind `mapInPandas` — the Spark-side contract
-(schema, Arrow batch shape, partitioning) is real and tested; swapping
-in PIL/torchaudio later changes only `_decode_stub`.
+checksum). Decoding sits behind a FEATURE PROBE (`_pil_image`): when
+PIL is importable and the payload is an image, the real decoder runs;
+otherwise a clearly-marked deterministic stub. Either way the Spark
+contract — schema, Arrow batch shape, partitioning — is identical and
+tested, so installing a media library changes behavior, not plumbing.
 """
 
 from __future__ import annotations
@@ -91,11 +92,28 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pil_image():
+    """Feature probe for a real image decoder, evaluated once per
+    Python worker process. Returns the PIL Image module or None."""
+    global _PIL_PROBE
+    if _PIL_PROBE is _UNPROBED:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _PIL_PROBE = Image
+        except Exception:
+            _PIL_PROBE = None
+    return _PIL_PROBE
+
+
+_UNPROBED = object()
+_PIL_PROBE: object = _UNPROBED
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decoder. A production build imports PIL/cv2/torchaudio here
-    and returns real (width, height, feature_vector). This container
-    has no media libraries, so we emit a deterministic fake derived
-    from the payload bytes — the Spark plumbing around it is real.
+    """STUB decoder for non-image payloads (or when no media library
+    is installed): a deterministic fake derived from the payload bytes
+    so tests are reproducible — the Spark plumbing around it is real.
     """
     n = len(payload)
     width, height = (n % 640) + 1, (n % 480) + 1
@@ -106,6 +124,22 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, hist
 
 
+def _decode_payload(payload: bytes, mime: str) -> tuple[int, int, list[float]]:
+    """Decode one payload: real PIL decode when a media library is
+    present AND the payload is an image; the deterministic stub
+    otherwise. Same (width, height, 8-dim feature) contract on both
+    paths, so swapping environments never changes the schema."""
+    image_mod = _pil_image()
+    if image_mod is not None and mime.startswith("image/"):
+        import io
+
+        with image_mod.open(io.BytesIO(bytes(payload))) as im:
+            width, height = im.size
+            px = list(im.convert("L").resize((4, 2)).getdata())
+        return width, height, [float(x) for x in px]
+    return _decode_stub(payload)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode/feature-extract via mapInPandas: Arrow-batched, one
     Python worker per partition — the only sane shape for per-blob
@@ -113,7 +147,10 @@ def decode_media(media: DataFrame) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_stub(p) for p in pdf["payload"]]
+            mimes = [(m or {}).get("mime", "") for m in pdf["meta"]]
+            decoded = [
+                _decode_payload(p, mime) for p, mime in zip(pdf["payload"], mimes)
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

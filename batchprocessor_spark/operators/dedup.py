@@ -181,8 +181,9 @@ def shingle_sets(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
 def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup, fully vectorized:
 
-    1. signatures: 32 × array_min(transform(shingle_set, xxhash64))
-       per doc — computed on the per-doc array, NO explode/groupBy;
+    1. signatures: _NUM_HASHES (16) × array_min(transform(shingle_set,
+       xxhash64)) per doc — computed on the per-doc array, NO
+       explode/groupBy;
     2. LSH candidates: self-join on (band, minhash) buckets — touches
        ~2% of all pairs instead of O(n²);
     3. exact verification: array_intersect of the two shingle sets
@@ -190,8 +191,8 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        array math).
 
     The verified output equals the exact-Jaccard query (miss
-    probability ≤ (1-0.5)^32 per true pair), so it shares the same
-    SQL oracle. q_llm_dedup_ngram_jaccard is the inverted-index
+    probability ≤ (1-j)^16 ≈ 1.5e-5 per true pair at the j=0.5
+    threshold — see _NUM_HASHES), so it shares the same SQL oracle. q_llm_dedup_ngram_jaccard is the inverted-index
     baseline; this is the 100 TB path.
     """
     # Cache: the sets table feeds signature banding AND both sides of
@@ -229,21 +230,49 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_dedup_simhash", oracle=None, category="dedup")
-def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (xxhash64 word hashes,
-    per-bit majority vote) + its near-dup pair count at Hamming ≤ 8.
+# SimHash bit width: 15 hex chars of md5 = 60 bits, chosen so the
+# word hash is computable IDENTICALLY in Spark (conv/substring/md5)
+# and DuckDB (hex-literal cast) while staying inside a signed int64 —
+# that is what upgrades this from a rows-only check to a full value
+# oracle. 60 uniform bits lose nothing vs 64 for near-dup detection.
+_SIMHASH_BITS = 60
 
-    Rows-only oracle: xxhash64 is Spark-specific. The companion pytest
-    checks SimHash pairs against exact Jaccard pairs for overlap.
+_SIMHASH_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words),
+    votes AS (
+      SELECT doc_id, b.range AS b,
+             sum(((h >> b.range::INT) & 1) * 2 - 1) AS vote
+      FROM h CROSS JOIN range({_SIMHASH_BITS}) b
+      GROUP BY doc_id, b.range)
+    SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+
+@register("q_llm_dedup_simhash", oracle=_SIMHASH_ORACLE, category="dedup")
+def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (md5-derived word
+    hashes, per-bit majority vote). Every word OCCURRENCE votes — the
+    duplicate-sensitive variant.
+
+    The word hash is the top 60 bits of md5, engine-independent, so
+    (unlike an xxhash64 formulation) the full fingerprint has an exact
+    DuckDB oracle. The companion pytest additionally checks SimHash
+    Hamming distance separates true near-dups from random pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
     # Per-doc array math, zero shuffles: hash the word array once,
     # then one fold per bit (the explode+groupBy formulation shuffled
-    # every word row with 64 aggregate columns — ~5× slower).
+    # every word row with 60 aggregate columns — ~5× slower).
+    word_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")  # noqa: E731
     hashed = _spread(docs).select(
         "doc_id",
-        F.transform(F.split(F.col("text"), " "), lambda w: F.xxhash64(w)).alias("hs"),
+        F.transform(F.split(F.col("text"), " "), word_hash).alias("hs"),
     )
 
     def vote(b: int):
@@ -258,7 +287,7 @@ def q_llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
-        for b in range(64)
+        for b in range(_SIMHASH_BITS)
     ]
     return hashed.select(
         "doc_id",

@@ -215,31 +215,8 @@ def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, 
     emb = emb.cache()  # read once; every iteration scans it
     dim = len(emb.select("v").first()["v"])
     centroids = [list(r.v) for r in emb.orderBy("vec_id").limit(k).collect()]
-    assigned = None
     for _ in range(iters):
-        # One-row broadcast carrying ALL centroids: assignment is then
-        # a per-row argmin over the array — no shuffle at all (the
-        # crossJoin-k-rows + window alternative shuffles every point
-        # per iteration).
-        carr = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)], "cid INT, cv ARRAY<DOUBLE>"
-            ).agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
-        )
-        # |a-c|^2 = |a|^2 - 2 a·c + |c|^2; |a|^2 constant per row → rank
-        # by (|c|^2 - 2 a·c), cheaper and same argmin. array_min on
-        # (d, cid) structs is lexicographic → ties break on lower cid.
-        scored = F.transform(
-            "cs",
-            lambda s: F.struct(
-                (dot(s.cv, s.cv) - 2 * dot(F.col("v"), s.cv)).alias("d"),
-                s.cid.alias("cid"),
-            ),
-        )
-        assigned = (
-            emb.crossJoin(carr)
-            .select("vec_id", "v", F.array_min(scored).getField("cid").alias("cid"))
-        )
+        assigned = kmeans_assign(emb, centroids)
         # Partition-local partial sums: each partition emits at most k
         # rows of (cid, vector_sum, count) — no exchange anywhere.
         def centroid_partials(batches):
@@ -283,7 +260,37 @@ def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, 
             [x / counts[i] for x in sums[i]] if i in sums else centroids[i][:dim]
             for i in range(k)
         ]
-    return assigned, centroids
+    # Final assignment is recomputed against the FINAL centroids so the
+    # returned (assignments, centroids) pair is self-consistent — inertia
+    # measured on it is the model's true within-cluster dispersion, not a
+    # half-step mix of pre-update assignment and post-update centroids.
+    return kmeans_assign(emb, centroids), centroids
+
+
+def kmeans_assign(emb: DataFrame, centroids: list) -> DataFrame:
+    """(vec_id, v, cid): nearest-centroid assignment as a per-row
+    argmin over a one-row centroid broadcast — zero shuffle (the
+    crossJoin-k-rows + window alternative shuffles every point).
+
+    |a-c|^2 = |a|^2 - 2 a·c + |c|^2; |a|^2 is constant per row → rank
+    by (|c|^2 - 2 a·c), cheaper and same argmin. array_min on (d, cid)
+    structs is lexicographic → ties break on the lower cluster id."""
+    spark = emb.sparkSession
+    carr = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid INT, cv ARRAY<DOUBLE>"
+        ).agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
+    )
+    scored = F.transform(
+        "cs",
+        lambda s: F.struct(
+            (dot(s.cv, s.cv) - 2 * dot(F.col("v"), s.cv)).alias("d"),
+            s.cid.alias("cid"),
+        ),
+    )
+    return emb.crossJoin(carr).select(
+        "vec_id", "v", F.array_min(scored).getField("cid").alias("cid")
+    )
 
 
 @register("q_ml_kmeans", oracle=None, category="similarity")
@@ -310,6 +317,64 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         assigned.join(cdf, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.round(F.sum(dist_sq), 2).alias("inertia"),
+        )
+    )
+
+
+@register(
+    "q_ml_kmeans_init",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM v ORDER BY vec_id LIMIT 10),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             list_dot_product(c.cv, c.cv) - 2 * list_dot_product(v.v, c.cv) AS d,
+             list_dot_product(v.v, v.v) AS vv
+      FROM v CROSS JOIN c),
+    assigned AS (
+      SELECT vec_id, cid, d + vv AS dist_sq
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
+    SELECT cid, count(*)::BIGINT AS cluster_size,
+           round(sum(dist_sq), 2) AS inertia
+    FROM assigned GROUP BY cid
+    """,
+    category="similarity",
+)
+def q_ml_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic FIRST Lloyd iteration (init = the k lowest
+    vec_ids, argmin assignment with lower-cid tie-break): cluster
+    sizes + within-cluster dispersion. This is the step of the
+    iterative algorithm that IS SQL-expressible, so it carries a full
+    DuckDB value oracle — the hard correctness gate for the assignment
+    kernel that q_ml_kmeans (5 iterations, rows-only) builds on."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    centroids = [list(r.v) for r in emb.orderBy("vec_id").limit(10).collect()]
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid INT, cv ARRAY<DOUBLE>"
+        )
+    )
+    # Same 3-dot-product formulation (and fold order) as the oracle so
+    # the rounded sums are float-identical across engines.
+    dist_sq = (
+        dot(F.col("cv"), F.col("cv"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("v"), F.col("v"))
+    )
+    return (
+        kmeans_assign(emb, centroids)
+        .join(cdf, "cid")
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),

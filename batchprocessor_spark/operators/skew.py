@@ -63,7 +63,18 @@ def salted_join(
     mitigation. ``small`` is replicated ``salt_n``× (so it must be the
     dimension side); ``big`` rows get a random-but-deterministic salt
     from a hash of the full row position — here a hash of all columns,
-    which needs no extra state and stays stable across retries."""
+    which needs no extra state and stays stable across retries.
+
+    Only join shapes that never emit an unmatched SMALL-side row are
+    allowed: with ``small`` replicated salt_n×, right/full joins would
+    surface every unmatched replica (salt_n duplicate rows), silently
+    breaking equivalence with the unsalted join."""
+    safe = {"inner", "left", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in safe:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched small-side "
+            f"rows {salt_n}x; supported shapes: {sorted(safe)}"
+        )
     salt = (F.abs(F.xxhash64(*big.columns)) % salt_n).alias("__salt")
     big_salted = big.withColumn("__salt", salt)
     small_salted = small.crossJoin(

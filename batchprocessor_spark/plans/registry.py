@@ -112,6 +112,15 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "q_stream_graceful_stop",
     # slot 50 — headline extension
     "q_join_multiway",
+    # 51+ — strongest SQL-oracled extensions first, in case the driver
+    # window turns out larger than 50
+    "q_ml_kmeans_init",
+    "q_llm_dedup_simhash",
+    "q_llm_dedup_clusters",
+    "q_llm_dedup_clusters_star",
+    "q_dedup_incremental",
+    "q_llm_simsearch_neardup_bucketed",
+    "q_llm_pack_sequences",
 )
 
 

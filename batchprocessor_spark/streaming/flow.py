@@ -68,7 +68,14 @@ class TokenBucket:
 
 @dataclass
 class FlowStats:
-    """Observable counters (Stat analogue, V2/Stat.java:11-136)."""
+    """Observable counters (Stat analogue, V2/Stat.java:11-136).
+
+    Mirrors the reference's per-worker granularity: the Stat tree
+    reports each worker's buffer occupancy and the semaphore queue
+    (V2/Stat.java:58-124, filled at V2/DisruptorBatchProcessor.java:
+    185-211); here each flush-pool thread is a worker, with its own
+    flushed/retry/dlq counters plus a busy flag, and ``in_flight`` is
+    the semaphore-occupancy gauge."""
 
     flushed_batches: int = 0
     flushed_items: int = 0
@@ -76,9 +83,26 @@ class FlowStats:
     retries: int = 0
     dlq_batches: int = 0
     dlq_items: int = 0
+    in_flight: int = 0
+    workers: dict = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
-    def snapshot(self) -> dict[str, int]:
+    def worker(self, name: str) -> dict:
+        """Per-worker counter record (caller must hold _lock)."""
+        return self.workers.setdefault(
+            name,
+            {
+                "flushed_batches": 0,
+                "flushed_items": 0,
+                "failed_flushes": 0,
+                "retries": 0,
+                "dlq_batches": 0,
+                "dlq_items": 0,
+                "busy": False,
+            },
+        )
+
+    def snapshot(self) -> dict:
         with self._lock:
             return {
                 "flushed_batches": self.flushed_batches,
@@ -87,6 +111,8 @@ class FlowStats:
                 "retries": self.retries,
                 "dlq_batches": self.dlq_batches,
                 "dlq_items": self.dlq_items,
+                "in_flight": self.in_flight,
+                "workers": {k: dict(v) for k, v in self.workers.items()},
             }
 
 
@@ -151,6 +177,18 @@ class FlowController:
     # -- flush path ---------------------------------------------------
 
     def _flush_with_retry(self, chunk: pd.DataFrame) -> None:
+        me = threading.current_thread().name
+        with self.stats._lock:
+            self.stats.in_flight += 1
+            self.stats.worker(me)["busy"] = True
+        try:
+            self._flush_with_retry0(chunk, me)
+        finally:
+            with self.stats._lock:
+                self.stats.in_flight -= 1
+                self.stats.worker(me)["busy"] = False
+
+    def _flush_with_retry0(self, chunk: pd.DataFrame, me: str) -> None:
         attempts = 0
         while True:
             self._tps.acquire(1)
@@ -160,26 +198,35 @@ class FlowController:
             except Exception:
                 with self.stats._lock:
                     self.stats.failed_flushes += 1
+                    self.stats.worker(me)["failed_flushes"] += 1
                 if attempts < self.config.max_retry_count:
                     attempts += 1
                     with self.stats._lock:
                         self.stats.retries += 1
+                        self.stats.worker(me)["retries"] += 1
                     time.sleep(self.config.retry_delay_s * (2 ** (attempts - 1)))
                     continue
-                self._to_dlq(chunk)
+                self._to_dlq(chunk, me)
                 return
             else:
                 with self.stats._lock:
                     self.stats.flushed_batches += 1
                     self.stats.flushed_items += len(chunk)
+                    w = self.stats.worker(me)
+                    w["flushed_batches"] += 1
+                    w["flushed_items"] += len(chunk)
                 return
 
-    def _to_dlq(self, chunk: pd.DataFrame) -> None:
+    def _to_dlq(self, chunk: pd.DataFrame, me: str | None = None) -> None:
         """Exhausted retries → append to the dead-letter parquet table
         (upgrade over the reference's log-and-drop)."""
         with self.stats._lock:
             self.stats.dlq_batches += 1
             self.stats.dlq_items += len(chunk)
+            if me is not None:
+                w = self.stats.worker(me)
+                w["dlq_batches"] += 1
+                w["dlq_items"] += len(chunk)
         if self.dlq_path:
             import os
 

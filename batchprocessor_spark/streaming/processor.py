@@ -311,7 +311,12 @@ class BatchProcessor:
             "state": self._state.value,
             "accepted": self._accepted,
             "buffered": buffered,
+            # used/total occupancy mirroring the reference Stat tree's
+            # per-worker buffer gauges (V2/Stat.java:58-124)
+            "buffer_total": self.config.spool_size,
             "pending": self._pending(),
+            "queue_total": self.config.queue_size,
+            "concurrency_total": self.config.concurrency,
             "spool_files": self._spool_seq,
             "last_progress": progress,
             **s,
@@ -361,11 +366,21 @@ def foreach_batch_sink(
     def handle_distributed(df: DataFrame, epoch_id: int) -> None:
         def per_partition(rows):
             import pandas as pd  # executor-side import
+            from pyspark import TaskContext
 
             pdf = pd.DataFrame([r.asDict() for r in rows])
             if len(pdf) == 0:
                 return
-            ctrl = FlowController(sink, cfg, dlq_path=None)
+            # Retry→DLQ must survive distribution: each partition's
+            # controller appends under its own epoch/partition subpath
+            # (unique dirs, no cross-task clobbering; works on any
+            # shared filesystem pandas can write parquet to). With no
+            # dlq_path the reference's log-and-drop semantics apply.
+            part_dlq = None
+            if dlq_path is not None:
+                pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+                part_dlq = f"{dlq_path}/epoch={epoch_id}/partition={pid}"
+            ctrl = FlowController(sink, cfg, dlq_path=part_dlq)
             ctrl.wait(ctrl.submit_batch(pdf))
             ctrl.shutdown()
 

@@ -6,13 +6,17 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 
 Each query executes end-to-end into a noop sink (full plan runs, no
 driver collect cost). A warmup run of the flagship query absorbs JVM/
-codegen startup so timings reflect steady-state execution.
+codegen startup so timings reflect steady-state execution. Each query
+runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN,
+damping the 2-5x shared-host noise documented in BENCH.md so rounds
+are comparable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -64,13 +68,16 @@ def main() -> None:
     # Warmup: JVM + codegen + parquet footer caches.
     run_once(spark, registry["q_agg_basic"].builder, sf_dir)
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
-        timings[name] = round(run_once(spark, spec.builder, sf_dir), 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        runs = [run_once(spark, spec.builder, sf_dir) for _ in range(n_runs)]
+        timings[name] = round(statistics.median(runs), 3)
+        runs_str = "/".join(f"{r:.3f}" for r in runs)
+        print(f"# {name}: median {timings[name]:.3f}s of [{runs_str}]", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

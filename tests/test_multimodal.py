@@ -45,3 +45,38 @@ def test_frame_sampling_fan_out(spark):
     assert frames.count() == 4 * n_docs
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in per_doc)
+
+
+def _tiny_bmp() -> bytes:
+    """A handcrafted 2x2 24-bit BMP (no media libs needed to build it)."""
+    import struct
+
+    pixels = (
+        b"\xff\x00\x00" b"\x00\xff\x00" + b"\x00\x00"  # row 0 + pad
+        + b"\x00\x00\xff" b"\xff\xff\xff" + b"\x00\x00"  # row 1 + pad
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info_header = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return file_header + info_header + pixels
+
+
+def test_decode_feature_probe_both_paths():
+    """_decode_payload must run the REAL decoder when PIL exists and
+    the payload is an image, and the deterministic stub otherwise —
+    same (width, height, 8-dim feature) contract either way, so this
+    test passes in both environments."""
+    from batchprocessor_spark.functions.multimodal import (
+        _decode_payload,
+        _decode_stub,
+        _pil_image,
+    )
+
+    bmp = _tiny_bmp()
+    w, h, feat = _decode_payload(bmp, "image/bmp")
+    assert len(feat) == 8
+    if _pil_image() is not None:
+        assert (w, h) == (2, 2), "real decoder must report true image dims"
+    else:
+        assert (w, h, feat) == _decode_stub(bmp)
+    # Non-image payloads always take the stub path, PIL or not.
+    assert _decode_payload(b"hello world", "text/plain") == _decode_stub(b"hello world")

@@ -161,6 +161,20 @@ def test_stat_shape(spark):
     assert stats["state"] == "STARTED"
     assert stats["accepted"] == 25
     assert stats["flushed_items"] == 25
+    # Per-worker granularity (reference Stat tree, V2/Stat.java:58-124):
+    # every flush-pool thread reports its own counters + busy flag, and
+    # the per-worker counts sum to the global ones.
+    assert stats["workers"], "expected per-worker stat records"
+    for w in stats["workers"].values():
+        assert set(w) >= {"flushed_batches", "flushed_items", "busy"}
+    assert (
+        sum(w["flushed_items"] for w in stats["workers"].values())
+        == stats["flushed_items"]
+    )
+    # Semaphore occupancy gauge: nothing in flight after flush(wait=True).
+    assert stats["in_flight"] == 0
+    assert stats["concurrency_total"] == p.config.concurrency
+    assert stats["buffer_total"] == 10 and stats["queue_total"] > 0
     final = p.stop()
     assert final["state"] == "STOPPED"
     p.close()
