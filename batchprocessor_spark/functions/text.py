@@ -515,3 +515,81 @@ def q_llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TFIDF_TOP_K)
     )
+
+
+_REP_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS nw,
+             list_transform(range(1, len(string_split(text, ' '))),
+                            i -> string_split(text, ' ')[i] || ' ' ||
+                                 string_split(text, ' ')[i+1]) AS bg,
+             list_transform(range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' ' ||
+                                 string_split(text, ' ')[i+1] || ' ' ||
+                                 string_split(text, ' ')[i+2]) AS tg
+      FROM documents)
+    SELECT doc_id, nw::INT AS n_words,
+           round(len(list_distinct(ws))::DOUBLE / nw, 6) AS distinct_word_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+             round(list_max(list_transform(list_distinct(bg),
+                     b -> len(list_filter(bg, x -> x = b))))::DOUBLE / len(bg), 6)
+           END AS top_bigram_frac,
+           CASE WHEN len(tg) = 0 THEN 0.0 ELSE
+             round(1 - len(list_distinct(tg))::DOUBLE / len(tg), 6)
+           END AS dup_trigram_frac
+    FROM g
+"""
+
+
+def _grams(words, width: int):
+    """Non-distinct word n-gram list as a per-row array expression."""
+    cnt = F.size(words) - (width - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(words, i, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register("q_llm_repetition_stats", oracle=_REP_ORACLE, category="text")
+def q_llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality heuristics): distinct-word fraction, fraction of bigram
+    occurrences taken by the single most frequent bigram, and the
+    duplicate-trigram fraction. High repetition marks boilerplate,
+    SEO spam, and decoding loops.
+
+    All three are per-row array folds — a narrow map over the corpus
+    with NO shuffle and no Python. The top-bigram scan is O(d·n) per
+    doc (d = distinct bigrams); for books-length documents switch to
+    the explode + count formulation, which trades one shuffle for
+    linear work."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bg, tg = _grams(words, 2), _grams(words, 3)
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda b: F.size(F.filter(bg, lambda x: x == b)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+        ).alias("distinct_word_frac"),
+        F.when(F.size(bg) == 0, F.lit(0.0))
+        .otherwise(F.round(top_bg.cast("double") / F.size(bg), 6))
+        .alias("top_bigram_frac"),
+        F.when(F.size(tg) == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1) - F.size(F.array_distinct(tg)).cast("double") / F.size(tg), 6
+            )
+        )
+        .alias("dup_trigram_frac"),
+    )

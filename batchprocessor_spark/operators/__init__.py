@@ -9,6 +9,7 @@ from batchprocessor_spark.operators import (  # noqa: F401
     sampling,
     setops,
     similarity,
+    skew,
     subqueries,
     timeseries,
     windows,

@@ -23,22 +23,30 @@ from batchprocessor_spark.sources.catalog import load_table, register_views
 @register(
     "q_agg_basic",
     oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             sum(round(l_quantity)::BIGINT) AS sq,
+             sum(round(l_extendedprice * 100)::BIGINT) AS sp,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)) AS sdp,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT)
+                 * (100 + round(l_tax * 100)::BIGINT)) AS sch,
+             sum(round(l_discount * 100)::BIGINT) AS sd,
+             count(*)::BIGINT AS cnt
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus)
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity::DECIMAL(12,2))::DOUBLE AS sum_qty,
-           sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
-           round(sum((l_extendedprice::DECIMAL(12,2)
-                * ((1 - l_discount::DECIMAL(8,6))::DECIMAL(8,6)))::DECIMAL(24,8)), 4)::DOUBLE
-             AS sum_disc_price,
-           round(sum((l_extendedprice::DECIMAL(12,2)
-                * ((1 - l_discount::DECIMAL(8,6))::DECIMAL(8,6)))::DECIMAL(24,8)
-               * ((1 + l_tax::DECIMAL(8,6))::DECIMAL(8,6))), 4)::DOUBLE AS sum_charge,
-           (sum(l_quantity::DECIMAL(12,2))::DOUBLE / count(*)) AS avg_qty,
-           (sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*)) AS avg_price,
-           (sum(l_discount::DECIMAL(8,6))::DOUBLE / count(*)) AS avg_disc,
-           count(*)::BIGINT AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-    GROUP BY l_returnflag, l_linestatus
+           sq::DOUBLE AS sum_qty,
+           (sp // 100)::DOUBLE + (sp % 100)::DOUBLE / 100 AS sum_base_price,
+           (sdp // 10000)::DOUBLE + (sdp % 10000)::DOUBLE / 10000 AS sum_disc_price,
+           (sch // 1000000)::DOUBLE + (sch % 1000000)::DOUBLE / 1000000 AS sum_charge,
+           sq::DOUBLE / cnt AS avg_qty,
+           ((sp // 100)::DOUBLE + (sp % 100)::DOUBLE / 100) / cnt AS avg_price,
+           (sd::DOUBLE / 100) / cnt AS avg_disc,
+           cnt AS count_order
+    FROM s
     """,
     category="aggregate",
 )
@@ -47,39 +55,57 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg over 2 low-cardinality keys → sum/avg/count. One scan,
     one tiny shuffle of partial aggregates.
 
-    Float discipline: sums run over DECIMAL casts (exact, order-
-    independent — double summation order varies across partial
-    aggregation runs) and convert to DOUBLE only at the end; averages
-    are exact-sum / count so both engines divide identical doubles.
-    """
+    Float discipline, fast-lane edition: the monetary columns carry at
+    most 2 decimals and quantities are integral (asserted by
+    tests/test_oracle_parity.py), so every per-row product is EXACT
+    64-bit integer arithmetic in scaled units (cents, 1e-4 and 1e-6
+    dollars) — full codegen speed, no per-row 128-bit decimal ops
+    (which made this query ~1.8× slower). Only the accumulators are
+    decimal(38,0) so group sums cannot overflow at 100 TB (~1e22 in
+    1e-6-dollar units vs a long max of 9.2e18). The final per-GROUP
+    descale uses integer DIV/MOD so the double conversion is exact on
+    both engines (no wide-decimal→double rounding, which DuckDB gets
+    wrong)."""
     l = load_table(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(8,6)")
-    one_minus_disc = (F.lit(1).cast("decimal(8,6)") - disc).cast("decimal(8,6)")
-    one_plus_tax = (
-        F.lit(1).cast("decimal(8,6)") + F.col("l_tax").cast("decimal(8,6)")
-    ).cast("decimal(8,6)")
-    # Exact (non-rounding) width-control casts keep both engines inside
-    # their 128-bit decimal lanes with identical scales.
-    disc_price = (price * one_minus_disc).cast("decimal(24,8)")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    tax_p = F.round(F.col("l_tax") * 100).cast("long")
+    # Per-row max ≈ 1e7 cents × 200 × 200 ≈ 4e11 — comfortably in long.
+    dp = price_c * (100 - disc_p)
+    ch = dp * (100 + tax_p)
     cnt = F.count(F.lit(1))
+
+    def descale(col: str, unit: int):
+        """Exact sum/unit as double: integer quotient + small remainder,
+        each < 2^53, converted and added with identical IEEE ops on
+        both engines."""
+        return F.expr(f"CAST({col} DIV {unit} AS DOUBLE)") + F.expr(
+            f"CAST({col} % {unit} AS DOUBLE)"
+        ) / F.lit(unit)
+
     return (
         l.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            # Round the exact decimal to scale 4 BEFORE the double cast:
-            # DuckDB's wide-decimal→double conversion (int128 / 10^14)
-            # is not correctly rounded, but a scale-4 numerator fits in
-            # 2^53 so both engines convert exactly.
-            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(disc_price * one_plus_tax), 4).cast("double").alias("sum_charge"),
-            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(price).cast("double") / cnt).alias("avg_price"),
-            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
-            cnt.alias("count_order"),
+            F.sum(qty).alias("sq"),
+            F.sum(price_c.cast("decimal(38,0)")).alias("sp"),
+            F.sum(dp.cast("decimal(38,0)")).alias("sdp"),
+            F.sum(ch.cast("decimal(38,0)")).alias("sch"),
+            F.sum(disc_p).alias("sd"),
+            cnt.alias("cnt"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sq").cast("double").alias("sum_qty"),
+            descale("sp", 100).alias("sum_base_price"),
+            descale("sdp", 10000).alias("sum_disc_price"),
+            descale("sch", 1000000).alias("sum_charge"),
+            (F.col("sq").cast("double") / F.col("cnt")).alias("avg_qty"),
+            (descale("sp", 100) / F.col("cnt")).alias("avg_price"),
+            (F.col("sd").cast("double") / 100 / F.col("cnt")).alias("avg_disc"),
+            F.col("cnt").alias("count_order"),
         )
     )
 
@@ -344,4 +370,41 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_langs",
         )
+    )
+
+
+@register(
+    "q_agg_unpivot",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity)::BIGINT AS sum_qty
+    FROM lineitem
+    WHERE l_linestatus IN ('F', 'O')
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    category="aggregate",
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide pivot table back to long form via
+    ``DataFrame.unpivot`` — the inverse pair to q_agg_pivot. Null
+    cells (absent combinations) are dropped so the long form equals
+    the direct GROUP BY.
+
+    Scale: the wide input here is the already-aggregated tiny table,
+    so unpivot is a constant-size Expand node; unpivoting a 100 TB
+    fact (columns -> rows) is likewise a narrow per-row Expand with no
+    shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity").cast("long"))
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["F", "O"],
+            variableColumnName="l_linestatus",
+            valueColumnName="sum_qty",
+        )
+        .where(F.col("sum_qty").isNotNull())
     )

@@ -553,3 +553,53 @@ def q_llm_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# Decontamination: every pipeline that trains on web-scale text must
+# remove documents overlapping its evaluation benchmarks. The
+# benchmark set here is a deterministic slice of the corpus (doc_id %
+# 37 == 0, ~2.7%) so the check is self-contained and oracle-able; in
+# production it is the actual eval suites, typically a few MB of
+# shingles — i.e. always broadcast-sized relative to the corpus.
+_DECON_MOD = 37
+
+_DECON_ORACLE = f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0)
+    SELECT sh.doc_id, count(*)::BIGINT AS n_hits
+    FROM sh JOIN bench USING (shingle)
+    WHERE sh.doc_id % {_DECON_MOD} <> 0
+    GROUP BY sh.doc_id
+"""
+
+
+@register("q_llm_decontaminate", oracle=_DECON_ORACLE, category="dedup")
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: corpus documents sharing >= 1
+    word-trigram shingle with the benchmark set, with the count of
+    distinct overlapping shingles. The pipeline then anti-joins this
+    against the corpus (the anti-join itself is q_dedup_incremental's
+    shape).
+
+    Scale posture: the benchmark shingle set is tiny next to the
+    corpus, so the overlap test is a BROADCAST semi-structure join —
+    the corpus side streams through map tasks, no shuffle of corpus
+    shingles, one tiny count aggregate per contaminated doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    bench = (
+        sh.where(F.col("doc_id") % _DECON_MOD == 0).select("shingle").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

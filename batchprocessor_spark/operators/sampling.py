@@ -269,3 +269,63 @@ def pack_by_cumsum(d: DataFrame, nparts: int) -> DataFrame:
             ).alias("crosses"),
         )
     )
+
+
+# Temperature-based mixture flattening: keep probability per language
+# p_l = (c_min / c_l)^(1-ALPHA) — the smallest language is kept whole
+# and larger ones are downsampled so kept sizes scale as c_l^ALPHA
+# (multinomial temperature sampling with T = 1/ALPHA, anchored at the
+# smallest source so no source is upsampled). min() is used rather
+# than a sum normalizer because min is order-independent — a
+# float-summed normalizer could round differently across engines.
+_TEMP_ALPHA = 0.5
+_TEMP_BUCKETS = 1_000_000
+
+
+@register(
+    "q_llm_sample_temperature",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY lang),
+    th AS (
+      SELECT lang,
+             round({_TEMP_BUCKETS} * sqrt((SELECT min(c) FROM counts)::DOUBLE / c))
+               ::BIGINT AS pm
+      FROM counts)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN th USING (lang)
+    WHERE {_oracle_bucket("doc_id", "temp:", _TEMP_BUCKETS)} < th.pm
+    """,
+    category="sampling",
+)
+def q_llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted language mixture (T = 2): deterministic
+    per-row hash gate against a per-language integer threshold, so the
+    sample is reproducible and auditable — no RNG state, rerunning on
+    a grown corpus only moves rows whose language rate changed.
+
+    Scale: the per-language count table is tiny -> broadcast back onto
+    the corpus; the gate itself is a narrow projection (md5 + integer
+    compare). The threshold is rounded to an INTEGER number of hash
+    buckets before the compare, so engines never compare floats.
+    sqrt(c_min/c) is a single IEEE-exact op per language, identical in
+    Spark and DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    th = (
+        counts.crossJoin(F.broadcast(counts.agg(F.min("c").alias("cmin"))))
+        .select(
+            "lang",
+            F.round(
+                _TEMP_BUCKETS
+                * F.sqrt(F.col("cmin").cast("double") / F.col("c"))
+            )
+            .cast("long")
+            .alias("pm"),
+        )
+    )
+    gate = hash_bucket(F.col("doc_id"), "temp:", _TEMP_BUCKETS) < F.col("pm")
+    return (
+        d.join(F.broadcast(th), "lang")
+        .where(gate)
+        .select("doc_id", "lang", "source")
+    )

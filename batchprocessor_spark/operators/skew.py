@@ -84,3 +84,70 @@ def salted_join(
     )
     joined = big_salted.join(small_salted, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def _register_query():
+    """Deferred so this module keeps zero import-time Spark deps for
+    the pure helpers above."""
+    from pyspark.sql import SparkSession
+
+    from batchprocessor_spark.plans.registry import register
+    from batchprocessor_spark.sources.catalog import load_table
+
+    @register(
+        "q_join_skew_salted",
+        oracle="""
+        WITH j AS (
+          SELECT s_nationkey,
+                 round(l_quantity)::BIGINT AS qty,
+                 round(l_extendedprice * 100)::BIGINT AS price_c
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        s AS (
+          SELECT s_nationkey, count(*)::BIGINT AS n_items,
+                 sum(qty) AS sq, sum(price_c) AS sp
+          FROM j GROUP BY s_nationkey)
+        SELECT s_nationkey, n_items, sq::DOUBLE AS sum_qty,
+               (sp // 100)::DOUBLE + (sp % 100)::DOUBLE / 100 AS revenue
+        FROM s
+        """,
+        category="join",
+    )
+    def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Skew-mitigated fact⋈dim join: lineitem ⋈ supplier through
+        ``salted_join`` (supplier replicated SALT_N×, lineitem scattered
+        across salt buckets), aggregated per supplier nation. The result
+        is identical to the plain equi join — which is exactly what the
+        oracle checks — while the shuffle spreads any hot supplier key
+        over SALT_N reducers. This is the manual fallback shape for the
+        skew AQE can't split (streaming joins, or one catastrophic key).
+
+        Money math uses the exact scaled-integer lanes (see
+        q_agg_basic): cents products in long, decimal(38,0) accumulators,
+        DIV/MOD descale."""
+        l = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        )
+        s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        joined = salted_join(l, s, "s_suppkey", salt_n=8, how="inner")
+        return (
+            joined.groupBy("s_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("qty").alias("sq"),
+                F.sum(F.col("price_c").cast("decimal(38,0)")).alias("sp"),
+            )
+            .select(
+                "s_nationkey",
+                "n_items",
+                F.col("sq").cast("double").alias("sum_qty"),
+                (
+                    F.expr("CAST(sp DIV 100 AS DOUBLE)")
+                    + F.expr("CAST(sp % 100 AS DOUBLE)") / 100
+                ).alias("revenue"),
+            )
+        )
+
+
+_register_query()

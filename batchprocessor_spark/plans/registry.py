@@ -116,6 +116,11 @@ CONTRACT_ORDER: tuple[str, ...] = (
     # window turns out larger than 50
     "q_ml_kmeans_init",
     "q_llm_dedup_simhash",
+    "q_llm_decontaminate",
+    "q_llm_repetition_stats",
+    "q_llm_sample_temperature",
+    "q_agg_unpivot",
+    "q_join_skew_salted",
     "q_llm_dedup_clusters",
     "q_llm_dedup_clusters_star",
     "q_dedup_incremental",
