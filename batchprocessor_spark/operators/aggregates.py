@@ -16,6 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.functions.exactmath import (
+    dec_sum,
+    descale,
+    sql_descale,
+    sql_units,
+    to_units,
+)
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table, register_views
 
@@ -244,71 +251,106 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_rollup",
-    oracle="""
-    SELECT o_orderpriority, o_orderstatus,
-           count(*)::BIGINT AS cnt,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_orderstatus,
+             count(*)::BIGINT AS cnt,
+             sum({sql_units("o_totalprice", 100)}) AS sp
+      FROM orders
+      GROUP BY ROLLUP (o_orderpriority, o_orderstatus))
+    SELECT o_orderpriority, o_orderstatus, cnt,
+           {sql_descale("sp", 100)} AS total
+    FROM s
     """,
     category="aggregate",
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals: (priority, status), (priority), ()."""
+    """Hierarchical subtotals: (priority, status), (priority), ().
+    Totals in the exact cents lane (functions/exactmath.py) — the
+    grand-total row sums every order, exactly where double summation
+    order noise is largest."""
     return (
         load_table(spark, sf_dir, "orders")
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dec_sum(to_units(F.col("o_totalprice"), 100)).alias("sp"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "cnt",
+            descale("sp", 100).alias("total"),
         )
     )
 
 
 @register(
     "q_agg_cube",
-    oracle="""
-    SELECT o_orderpriority, o_orderstatus,
-           count(*)::BIGINT AS cnt,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_orderstatus,
+             count(*)::BIGINT AS cnt,
+             sum({sql_units("o_totalprice", 100)}) AS sp
+      FROM orders
+      GROUP BY CUBE (o_orderpriority, o_orderstatus))
+    SELECT o_orderpriority, o_orderstatus, cnt,
+           {sql_descale("sp", 100)} AS total
+    FROM s
     """,
     category="aggregate",
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 2^k grouping combinations of (priority, status)."""
+    """All 2^k grouping combinations of (priority, status); totals in
+    the exact cents lane."""
     return (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dec_sum(to_units(F.col("o_totalprice"), 100)).alias("sp"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "cnt",
+            descale("sp", 100).alias("total"),
         )
     )
 
 
 @register(
     "q_agg_gsets",
-    oracle="""
-    SELECT o_orderpriority, o_orderstatus,
-           count(*)::BIGINT AS cnt,
-           round(avg(o_totalprice), 4) AS avg_price
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_orderstatus,
+             count(*)::BIGINT AS cnt,
+             sum({sql_units("o_totalprice", 100)}) AS sp
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()))
+    SELECT o_orderpriority, o_orderstatus, cnt,
+           ({sql_descale("sp", 100)}) / cnt AS avg_price
+    FROM s
     """,
     category="aggregate",
 )
 def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (disjoint subtotals, no cross product)."""
+    """Explicit GROUPING SETS (disjoint subtotals, no cross product).
+    avg = exact-cents sum / count: both engines divide identical
+    doubles, so no round() is needed at all."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT o_orderpriority, o_orderstatus,
-               count(*) AS cnt,
-               round(avg(o_totalprice), 4) AS avg_price
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        SELECT o_orderpriority, o_orderstatus, cnt,
+               (CAST(sp DIV 100 AS DOUBLE) + CAST(sp % 100 AS DOUBLE) / 100)
+                 / cnt AS avg_price
+        FROM (
+          SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+                 sum(CAST(CAST(round(o_totalprice * 100) AS LONG)
+                          AS DECIMAL(38,0))) AS sp
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        )
         """
     )
 

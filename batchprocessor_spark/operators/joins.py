@@ -16,59 +16,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.functions.exactmath import (
+    dec_sum,
+    descale,
+    sql_descale,
+    sql_units,
+    to_units,
+)
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
 
 @register(
     "q_join_inner_broadcast",
-    oracle="""
-    SELECT p_brand,
-           count(*)::BIGINT AS cnt,
-           round(sum(l_extendedprice::DECIMAL(12,2)
-               * (1 - l_discount::DECIMAL(8,6))), 4)::DOUBLE AS revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
+    oracle=f"""
+    WITH s AS (
+      SELECT p_brand, count(*)::BIGINT AS cnt,
+             sum({sql_units("l_extendedprice", 100)}
+                 * (100 - {sql_units("l_discount", 100)})) AS sdp
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand)
+    SELECT p_brand, cnt, {sql_descale("sdp", 10000)} AS revenue FROM s
     """,
     category="join",
 )
 def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi inner join fact→small dim; the dim is broadcast so lineitem
-    never shuffles for the join (only for the tiny final agg)."""
+    never shuffles for the join (only for the tiny final agg). Revenue
+    runs in the exact scaled-integer lane (functions/exactmath.py):
+    long products per row, decimal(38,0) accumulator, DIV/MOD descale."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
+    dp = to_units(F.col("l_extendedprice"), 100) * (
+        100 - to_units(F.col("l_discount"), 100)
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)"))
-                ),
-                4,
-            )
-            .cast("double")
-            .alias("revenue"),
-        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum(dp).alias("sdp"))
+        .select("p_brand", "cnt", descale("sdp", 10000).alias("revenue"))
     )
 
 
 @register(
     "q_join_inner_sortmerge",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*)::BIGINT AS cnt,
-           round(sum(l_extendedprice), 2) AS revenue
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY o_orderpriority
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority, count(*)::BIGINT AS cnt,
+             sum({sql_units("l_extendedprice", 100)}) AS sp
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority)
+    SELECT o_orderpriority, cnt, {sql_descale("sp", 100)} AS revenue FROM s
     """,
     category="join",
 )
 def q_join_inner_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact equi join (orders ⋈ lineitem). At scale both sides are
-    large → Catalyst picks shuffle sort-merge; AQE splits skewed keys."""
+    large → Catalyst picks shuffle sort-merge; AQE splits skewed keys.
+    Revenue uses the exact cents lane — a double sum's rounding is
+    summation-order-dependent and partial aggregation makes that order
+    nondeterministic."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     return (
@@ -76,24 +83,27 @@ def q_join_inner_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            dec_sum(to_units(F.col("l_extendedprice"), 100)).alias("sp"),
         )
+        .select("o_orderpriority", "cnt", descale("sp", 100).alias("revenue"))
     )
 
 
 @register(
     "q_join_left",
-    oracle="""
-    SELECT c_custkey,
-           count(o_orderkey)::BIGINT AS num_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey
+    oracle=f"""
+    WITH s AS (
+      SELECT c_custkey, count(o_orderkey)::BIGINT AS num_orders,
+             coalesce(sum({sql_units("o_totalprice", 100)}), 0) AS sp
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    SELECT c_custkey, num_orders, {sql_descale("sp", 100)} AS total_spent FROM s
     """,
     category="join",
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving order-less customers (num_orders=0)."""
+    """Left outer join preserving order-less customers (num_orders=0);
+    totals in the exact cents lane."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -101,8 +111,12 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("num_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(
+                dec_sum(to_units(F.col("o_totalprice"), 100)),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("sp"),
         )
+        .select("c_custkey", "num_orders", descale("sp", 100).alias("total_spent"))
     )
 
 
@@ -317,20 +331,21 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_multiway",
-    oracle="""
-    SELECT r_name, n_name,
-           count(*)::BIGINT AS n_lines,
-           round(sum((l_extendedprice::DECIMAL(12,2)
-               * ((1 - l_discount::DECIMAL(8,6))::DECIMAL(8,6)))::DECIMAL(24,8)), 4)::DOUBLE
-             AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-01-01'
-    GROUP BY r_name, n_name
+    oracle=f"""
+    WITH s AS (
+      SELECT r_name, n_name,
+             count(*)::BIGINT AS n_lines,
+             sum({sql_units("l_extendedprice", 100)}
+                 * (100 - {sql_units("l_discount", 100)})) AS sdp
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY r_name, n_name)
+    SELECT r_name, n_name, n_lines, {sql_descale("sdp", 10000)} AS revenue FROM s
     """,
     category="join",
 )
@@ -353,20 +368,15 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    disc_price = (
-        F.col("l_extendedprice").cast("decimal(12,2)")
-        * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")).cast(
-            "decimal(8,6)"
-        )
-    ).cast("decimal(24,8)")
+    disc_price = to_units(F.col("l_extendedprice"), 100) * (
+        100 - to_units(F.col("l_discount"), 100)
+    )
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(disc_price), 4).cast("double").alias("revenue"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_lines"), dec_sum(disc_price).alias("sdp"))
+        .select("r_name", "n_name", "n_lines", descale("sdp", 10000).alias("revenue"))
     )
