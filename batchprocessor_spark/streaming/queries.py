@@ -82,12 +82,19 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
-@register("q_stream_microbatch_ingest", oracle=None, category="streaming")
+@register(
+    "q_stream_microbatch_ingest",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS cnt
+    FROM events GROUP BY event_type
+    """,
+    category="streaming",
+)
 def q_stream_microbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1–O5: stream-ingest events, count per event_type. The memory
-    sink receives the final aggregate after the stream drains; the
-    no-loss check is total count == table count (asserted in pytest
-    and implied by the row hash)."""
+    sink receives the final aggregate after the stream drains; the SQL
+    oracle pins the no-loss contract exactly — the drained stream
+    count per type must equal the batch count per type."""
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy("event_type")
@@ -96,11 +103,22 @@ def q_stream_microbatch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
-@register("q_stream_tumbling_watermark", oracle=None, category="streaming")
+@register(
+    "q_stream_tumbling_watermark",
+    oracle="""
+    SELECT epoch(date_trunc('day', ts))::BIGINT AS win_start,
+           event_type,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    category="streaming",
+)
 def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window WITH watermark on a real stream —
     the streaming twin of q_win_tumbling. With AvailableNow over a
-    single replay no data is late, so results equal the batch query."""
+    single replay no data is late, so the result equals the batch
+    window aggregate — which is exactly what the SQL oracle asserts
+    (same epoch-aligned day truncation as q_win_tumbling)."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
@@ -115,7 +133,15 @@ def q_stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg)
 
 
-@register("q_stream_time_flush", oracle=None, category="streaming")
+@register(
+    "q_stream_time_flush",
+    # End-state-contract oracle: the behavior is wall-clock-driven, but
+    # its REQUIRED outcome is fixed — 5 accepted, all 5 flushed by the
+    # interval trigger, 0 lost. The driver's value hash then enforces
+    # the contract, not just "returned some rows".
+    oracle="SELECT 5::BIGINT AS accepted, 5::BIGINT AS flushed, 0::BIGINT AS lost",
+    category="streaming",
+)
 def q_stream_time_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 (interval force flush): a BatchProcessor with a huge batch
     size but a short flush interval must still deliver a trickle of
@@ -147,7 +173,13 @@ def q_stream_time_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_rate_limit", oracle=None, category="streaming")
+@register(
+    "q_stream_rate_limit",
+    # End-state contract: 500 items / batch 10 ⇒ exactly 50 flushes,
+    # and the tps=20 bucket must have throttled (elapsed ≥ 1 s).
+    oracle="SELECT 50::BIGINT AS flushes, true AS throttled",
+    category="streaming",
+)
 def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 (TPS rate limit): 20 flushes through a tps=20 token bucket
     must take ≥ ~0.75 s. Returns (flushes, throttled)."""
@@ -173,7 +205,13 @@ def q_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_retry_dlq", oracle=None, category="streaming")
+@register(
+    "q_stream_retry_dlq",
+    # End-state contract: a permanently-failing sink flushes nothing,
+    # retries each of the 4 chunks, and dead-letters all 100 items.
+    oracle="SELECT 0::BIGINT AS flushed, true AS retried, 100::BIGINT AS dlq_items",
+    category="streaming",
+)
 def q_stream_retry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O12 (retry + DLQ): an always-failing sink exhausts its retries
     and every item lands in the dead-letter parquet table — the
@@ -204,7 +242,12 @@ def q_stream_retry_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_graceful_stop", oracle=None, category="streaming")
+@register(
+    "q_stream_graceful_stop",
+    # End-state contract: every accepted item is delivered on drain.
+    oracle="SELECT 2000::BIGINT AS accepted, 2000::BIGINT AS flushed, 0::BIGINT AS lost",
+    category="streaming",
+)
 def q_stream_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O15 (drain-on-stop, the reference's headline no-loss contract,
     T/DisruptorBatchProcessorTest.java:43-44): stop() after 2,000 puts
@@ -237,7 +280,13 @@ def q_stream_graceful_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_watermark_late", oracle=None, category="streaming")
+@register(
+    "q_stream_watermark_late",
+    # End-state contract (see docstring sequencing): only the hour-10
+    # window is ever finalized, with the 08:00 late row dropped.
+    oracle="SELECT 10 AS win_hour, 3::BIGINT AS cnt",
+    category="streaming",
+)
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data discard (engine extension — the reference
     has no event time, SURVEY §1.1).
@@ -307,13 +356,26 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema) if rows else result
 
 
-@register("q_stream_stream_join", oracle=None, category="streaming")
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    category="streaming",
+)
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermarks and a time-bound join
     condition: purchases joined to clicks of the same user within the
     preceding 1 hour. Both sides are real streams (state-store backed
     join); after a full AvailableNow drain the result equals the
-    equivalent batch join — asserted in tests/test_stateful.py."""
+    equivalent batch join — asserted in tests/test_stateful.py AND by
+    the SQL oracle (an inner stream-stream join emits every match; the
+    watermark bounds state, never the drained result)."""
     clicks = (
         _events_stream(spark, sf_dir)
         .where(F.col("event_type") == "click")
@@ -343,13 +405,24 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, output_mode="append")
 
 
-@register("q_stream_custom_state", oracle=None, category="streaming")
+@register(
+    "q_stream_custom_state",
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS event_count,
+           sum(round(value * 100)::BIGINT) / 100.0 AS value_sum
+    FROM events GROUP BY user_id
+    """,
+    category="streaming",
+)
 def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running (count, value_sum) over the events replay. Update-mode
     output keeps the LAST emission per user, which after a full
     AvailableNow drain equals the batch per-user aggregate — asserted
-    in tests/test_stateful.py."""
+    in tests/test_stateful.py and by the SQL oracle. The state
+    accumulates exact integer cents (streaming/stateful.py), so
+    value_sum is bit-identical to the oracle's sum(cents)/100.0 no
+    matter how the stream was micro-batched."""
     from batchprocessor_spark.streaming.stateful import running_user_counters
 
     stream = _events_stream(spark, sf_dir).select("user_id", "value")
@@ -363,16 +436,21 @@ def q_stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "event_count", F.round("value_sum", 2).alias("value_sum"))
+        .select("user_id", "event_count", "value_sum")
     )
 
 
-@register("q_stream_dedup_state", oracle=None, category="streaming")
+@register(
+    "q_stream_dedup_state",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    category="streaming",
+)
 def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (dropDuplicates on keys within the
     watermark) — the reference had no dedup at all; this is the engine
     extension. Returns the deduped key set, which is deterministic
-    regardless of which physical row the state store kept."""
+    regardless of which physical row the state store kept — hence the
+    exact DISTINCT oracle."""
     deduped = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")

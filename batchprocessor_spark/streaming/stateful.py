@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id BIGINT, event_count BIGINT, value_sum DOUBLE, closed BOOLEAN"
-STATE_SCHEMA = "event_count BIGINT, value_sum DOUBLE"
+# State accumulates VALUE IN EXACT INTEGER CENTS, not a double: double
+# accumulation order differs between micro-batch splits (and from any
+# batch oracle), while the cents lane (functions/exactmath.py) is
+# associative, restart-safe, and descales to an identical double on
+# every engine. events.value carries 2 decimals (asserted in
+# tests/test_oracle_parity.py).
+STATE_SCHEMA = "event_count BIGINT, value_cents BIGINT"
 
 
 def _make_update_fn(expire_after_s: float | None):
@@ -31,29 +37,32 @@ def _make_update_fn(expire_after_s: float | None):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if expire_after_s is not None and state.hasTimedOut:
-            count, total = state.get
+            count, cents = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "event_count": [count],
-                    "value_sum": [total],
+                    "value_sum": [cents / 100.0],
                     "closed": [True],
                 }
             )
             return
-        count, total = state.get if state.exists else (0, 0.0)
+        count, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             count += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((count, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((count, cents))
         if expire_after_s is not None:
             state.setTimeoutDuration(int(expire_after_s * 1000))
+        # cents < 2^53 ⇒ exact as double; one correctly-rounded divide
+        # gives the identical IEEE double as the oracle's
+        # sum(cents)/100.0.
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "event_count": [count],
-                "value_sum": [total],
+                "value_sum": [cents / 100.0],
                 "closed": [False],
             }
         )

@@ -44,18 +44,21 @@ def test_stream_stream_join_equals_batch_join(spark):
 
 def test_custom_state_equals_batch_aggregate(spark):
     """After a full drain, the stateful per-user counters must equal
-    the plain batch groupBy over the same data."""
+    the plain batch groupBy over the same data — in the same exact
+    cents lane the state accumulates (streaming/stateful.py), so the
+    doubles are bit-identical, not approximately close."""
     got = {
         (r.user_id): (r.event_count, r.value_sum)
         for r in REGISTRY["q_stream_custom_state"].builder(spark, SF_ORACLE).collect()
     }
+    cents = F.sum(F.round(F.col("value") * 100).cast("long"))
     expected = {
         r.user_id: (r.cnt, r.vs)
         for r in load_table(spark, SF_ORACLE, "events")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("vs"),
+            (cents / F.lit(100.0)).alias("vs"),
         )
         .collect()
     }
