@@ -243,7 +243,7 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
              (6, 1500.0, 1750.0), (7, 1750.0, 2100.0)
     )
     SELECT band_id, count(*)::BIGINT AS cnt,
-           round(avg(p_retailprice), 4) AS avg_price
+           sum(round(p_retailprice * 100)::BIGINT) / 100.0 / count(*) AS avg_price
     FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
     GROUP BY band_id
     """,
@@ -258,12 +258,15 @@ def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, i * 250.0, (i + 1) * 250.0 if i < 7 else 2100.0) for i in range(8)],
         "band_id INT, lo DOUBLE, hi DOUBLE",
     )
+    # avg in the exact cents lane: sum(cents)/100.0/cnt runs the same
+    # two IEEE divides on both engines, so no round() is needed.
+    cents = F.sum(F.round(p.p_retailprice * 100).cast("long"))
     return (
         p.join(F.broadcast(bands), (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
         .groupBy("band_id")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            (cents / F.lit(100.0) / F.count(F.lit(1))).alias("avg_price"),
         )
     )
 

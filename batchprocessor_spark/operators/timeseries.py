@@ -15,91 +15,109 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.functions.exactmath import (
+    dec_sum,
+    descale,
+    sql_descale,
+    sql_units,
+    to_units,
+)
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
 
 @register(
     "q_win_tumbling",
-    oracle="""
-    SELECT epoch(date_trunc('day', ts))::BIGINT AS win_start,
-           event_type,
-           count(*)::BIGINT AS cnt,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2
+    oracle=f"""
+    WITH s AS (
+      SELECT epoch(date_trunc('day', ts))::BIGINT AS win_start,
+             event_type,
+             count(*)::BIGINT AS cnt,
+             sum({sql_units("value", 100)}) AS sv
+      FROM events
+      GROUP BY 1, 2)
+    SELECT win_start, event_type, cnt, {sql_descale("sv", 100)} AS total_value
+    FROM s
     """,
     category="timeseries",
 )
 def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-day tumbling windows per event type (epoch-aligned, so a day
-    window start equals date_trunc('day'))."""
+    window start equals date_trunc('day')); totals in the exact cents
+    lane (functions/exactmath.py)."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum(to_units(F.col("value"), 100)).alias("sv"),
         )
         .select(
             F.unix_timestamp(F.col("win.start")).alias("win_start"),
             "event_type",
             "cnt",
-            "total_value",
+            descale("sv", 100).alias("total_value"),
         )
     )
 
 
 @register(
     "q_win_sliding",
-    oracle="""
+    oracle=f"""
     WITH expanded AS (
       SELECT (epoch_us(ts) // 900000000) * 900 - k * 900 AS win_start, value
       FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
-    )
-    SELECT win_start::BIGINT AS win_start,
-           count(*)::BIGINT AS cnt,
-           round(sum(value), 2) AS total_value
-    FROM expanded
-    GROUP BY 1
+    ),
+    s AS (
+      SELECT win_start::BIGINT AS win_start,
+             count(*)::BIGINT AS cnt,
+             sum({sql_units("value", 100)}) AS sv
+      FROM expanded
+      GROUP BY 1)
+    SELECT win_start, cnt, {sql_descale("sv", 100)} AS total_value FROM s
     """,
     category="timeseries",
 )
 def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes: each event lands in 4
     overlapping windows. The oracle expands the 4 window starts
-    explicitly (floor to the slide grid, step back k slides)."""
+    explicitly (floor to the slide grid, step back k slides); totals
+    in the exact cents lane."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum(to_units(F.col("value"), 100)).alias("sv"),
         )
         .select(
             F.unix_timestamp(F.col("win.start")).alias("win_start"),
             "cnt",
-            "total_value",
+            descale("sv", 100).alias("total_value"),
         )
     )
 
 
 @register(
     "q_ts_rollup_multires",
-    oracle="""
+    oracle=f"""
     WITH minute AS (
       SELECT (epoch_us(ts) // 60000000) * 60 AS m_start, event_type,
-             count(*) AS cnt, sum(value) AS sv
+             count(*) AS cnt, sum({sql_units("value", 100)}) AS sv
       FROM events GROUP BY 1, 2),
     hour AS (
       SELECT (m_start // 3600) * 3600 AS h_start, event_type,
              sum(cnt) AS cnt, sum(sv) AS sv
-      FROM minute GROUP BY 1, 2)
-    SELECT (h_start // 86400) * 86400 AS day_start, event_type,
-           sum(cnt)::BIGINT AS cnt,
-           round(sum(sv), 2) AS total_value,
-           count(*)::BIGINT AS hours_active
-    FROM hour GROUP BY 1, 2
+      FROM minute GROUP BY 1, 2),
+    day AS (
+      SELECT (h_start // 86400) * 86400 AS day_start, event_type,
+             sum(cnt)::BIGINT AS cnt,
+             sum(sv) AS sv,
+             count(*)::BIGINT AS hours_active
+      FROM hour GROUP BY 1, 2)
+    SELECT day_start, event_type, cnt,
+           {sql_descale("sv", 100)} AS total_value, hours_active
+    FROM day
     """,
     category="timeseries",
 )
@@ -108,13 +126,16 @@ def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     each level aggregating the PREVIOUS level's partials (never
     re-scanning raw data) — the continuous-aggregate pattern that
     keeps 100 TB of raw events summarizable. Also yields per-day
-    active-hour counts only derivable from the intermediate level."""
+    active-hour counts only derivable from the intermediate level.
+    Partials carry exact integer cents, which is also what makes the
+    re-aggregation exactly associative — a double partial would make
+    the rollup depend on the merge tree."""
     e = load_table(spark, sf_dir, "events")
     minute = (
         e.groupBy(
             (F.floor(F.unix_timestamp("ts") / 60) * 60).alias("m_start"), "event_type"
         )
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+        .agg(F.count(F.lit(1)).alias("cnt"), dec_sum(to_units(F.col("value"), 100)).alias("sv"))
     )
     hour = (
         minute.groupBy(
@@ -128,15 +149,22 @@ def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("cnt").cast("long").alias("cnt"),
-            F.round(F.sum("sv"), 2).alias("total_value"),
+            F.sum("sv").alias("sv"),
             F.count(F.lit(1)).alias("hours_active"),
+        )
+        .select(
+            "day_start",
+            "event_type",
+            "cnt",
+            descale("sv", 100).alias("total_value"),
+            "hours_active",
         )
     )
 
 
 @register(
     "q_win_session",
-    oracle="""
+    oracle=f"""
     WITH ordered AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -152,7 +180,7 @@ def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
            (epoch_us(min(ts)) // 1000000)::BIGINT AS session_start,
            (epoch_us(max(ts)) // 1000000)::BIGINT + 1800 AS session_end,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS total_value
+           {sql_descale(f"sum({sql_units('value', 100)})", 100)} AS total_value
     FROM numbered
     GROUP BY user_id, session_id
     """,
@@ -161,19 +189,20 @@ def q_ts_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute inactivity gap per user.
     Spark's session_window end = last event + gap; the oracle builds
-    the same sessions with the classic gaps-and-islands idiom."""
+    the same sessions with the classic gaps-and-islands idiom; totals
+    in the exact cents lane."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            dec_sum(to_units(F.col("value"), 100)).alias("sv"),
         )
         .select(
             "user_id",
             F.unix_timestamp(F.col("win.start")).alias("session_start"),
             F.unix_timestamp(F.col("win.end")).alias("session_end"),
             "n_events",
-            "total_value",
+            descale("sv", 100).alias("total_value"),
         )
     )

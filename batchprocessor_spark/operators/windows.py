@@ -120,24 +120,40 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_win_frame",
     oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus,
+             round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders)
     SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           (sum(cents) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0
+             AS run_sum,
+           (sum(cents) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
-           round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 100.0
+             / (count(*) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg3,
+           (sum(cents) OVER (PARTITION BY o_orderstatus
                  ORDER BY o_orderkey
-                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
-    FROM orders
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)) / 100.0
+             AS range_sum
+    FROM c
     """,
     category="window",
 )
 def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row frames (running sum, 3-row moving average) and a numeric
-    RANGE frame over the order key."""
+    RANGE frame over the order key.
+
+    Frame sums run in the exact cents lane: engines are free to
+    evaluate window aggregates with different association trees
+    (sequential accumulator, sliding subtract, segment tree), which
+    makes double frame-sums engine-dependent in the low bits — integer
+    cents make every tree produce the same value."""
     o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -154,9 +170,11 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w_run), 2).alias("run_sum"),
-        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("mov_avg3"),
-        F.round(F.sum("o_totalprice").over(w_range), 2).alias("range_sum"),
+        (F.sum(cents).over(w_run) / F.lit(100.0)).alias("run_sum"),
+        (F.sum(cents).over(w_mov) / F.lit(100.0) / F.count(F.lit(1)).over(w_mov)).alias(
+            "mov_avg3"
+        ),
+        (F.sum(cents).over(w_range) / F.lit(100.0)).alias("range_sum"),
     )
 
 

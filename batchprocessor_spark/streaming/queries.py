@@ -465,7 +465,7 @@ def q_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS value_sum
+           sum(round(value * 100)::BIGINT) / 100.0 AS value_sum
     FROM events GROUP BY event_type
     """,
     category="streaming",
@@ -498,11 +498,14 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices = [table.slice(i * step, step) for i in range(n_slices)]
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # Partials carry exact integer cents: double partials would
+        # make the merged total depend on the batch split (summation
+        # order), breaking the oracle's batch-equivalence claim.
         (
             batch_df.groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum("value").alias("s"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
             )
             .write.mode("append")
             .parquet(partials)
@@ -532,7 +535,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("s"), 2).alias("value_sum"),
+            (F.sum("s") / F.lit(100.0)).alias("value_sum"),
         )
     )
     shutil.rmtree(ingest, ignore_errors=True)
