@@ -673,3 +673,75 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+_CANONICAL_ORACLE = (
+    _PAIRS_SQL.replace("WITH docs", "WITH RECURSIVE docs")
+    + """
+    , edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+    clusters AS (
+      SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+      FROM walk GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id)),
+    canon AS (
+      SELECT cluster_id, doc_id AS canonical_id FROM ranked WHERE rn = 1)
+    SELECT d.doc_id,
+           coalesce(cn.canonical_id, d.doc_id)::BIGINT AS canonical_id,
+           coalesce(cn.canonical_id, d.doc_id) <> d.doc_id AS is_dup
+    FROM documents d
+    LEFT JOIN clusters cl ON d.doc_id = cl.doc_id
+    LEFT JOIN canon cn ON cl.cluster_id = cn.cluster_id
+    """
+)
+
+
+@register("q_llm_dedup_canonical", oracle=_CANONICAL_ORACLE, category="dedup")
+def q_llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision itself: map EVERY corpus document to the one
+    document its near-dup cluster keeps. Canonical = the longest
+    member (n_chars, doc_id tiebreak) — the "keep the richest copy"
+    policy real pipelines use instead of keep-any. Un-clustered docs
+    are their own canonical; `is_dup` marks exactly the rows an
+    anti-join would drop.
+
+    Scale posture: the pair graph and its clusters are proportional to
+    the DUPLICATED subset, which is tiny next to the corpus, so both
+    the cluster-membership and canonical maps are broadcast to the
+    full-corpus scan — the corpus itself never shuffles. The window
+    argmax runs only over cluster members, not the corpus.
+    """
+    full = load_table(spark, sf_dir, "documents")
+    docs = full.select("doc_id", "n_chars")
+    pairs = (
+        _jaccard_pairs(full)
+        .where(F.col("jaccard") > _JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+    member = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    canon = (
+        member.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return (
+        docs.join(F.broadcast(member), "doc_id", "left")
+        .join(F.broadcast(canon), "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
+            (F.coalesce("canonical_id", "doc_id") != F.col("doc_id")).alias("is_dup"),
+        )
+    )

@@ -329,3 +329,55 @@ def q_llm_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(gate)
         .select("doc_id", "lang", "source")
     )
+
+
+_SHUF_SHARDS = 8
+_SHUF_SEED = "epoch1:"
+
+
+@register(
+    "q_llm_shuffle_epoch",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('{_SHUF_SEED}' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT AS h
+      FROM documents)
+    SELECT doc_id,
+           (h % {_SHUF_SHARDS})::INT AS shard,
+           row_number() OVER (PARTITION BY h % {_SHUF_SHARDS}
+                              ORDER BY h, doc_id)::BIGINT AS pos
+    FROM h
+    """,
+    category="sampling",
+)
+def q_llm_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document gets a (shard, pos)
+    training order from a seeded 60-bit md5 hash — rerunning with the
+    same seed reproduces the exact order, changing the seed string
+    reshuffles. This is the global-shuffle a training pipeline needs
+    WITHOUT a global sort: hash-partition into shards, sort only
+    within each shard.
+
+    Scale posture: one shuffle on `shard` (the partitioner at 100 TB;
+    shards = files the trainer reads), then a per-shard sort — Spark
+    evaluates the row_number window as exactly that. No total order is
+    ever materialized, and no RNG state exists to coordinate across
+    executors. Ties are impossible at 60 bits in practice but doc_id
+    breaks them deterministically anyway.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
