@@ -162,6 +162,15 @@ class BatchProcessor:
             .trigger(processingTime=f"{int(self.config.flush_interval_s * 1000)} milliseconds")
             .start()
         )
+        # Pre-warm: the first micro-batch pays the engine's cold-start
+        # (offset/commit log creation, source init, plan codegen) —
+        # several seconds that would otherwise land inside the first
+        # DATA batch. Feed one empty spool file and drain it so
+        # start() returns with the pipeline hot, matching the
+        # reference's start-blocks-until-workers-ready semantics
+        # (V1/DisruptorBatchProcessor.java:229-257).
+        self._spool_empty()
+        self._query.processAllAvailable()
         self._timer = threading.Thread(target=self._interval_spooler, daemon=True)
         self._timer.start()
         return self
@@ -222,9 +231,31 @@ class BatchProcessor:
             return False
 
     def put_many(self, items: list[dict | tuple]) -> None:
-        """O3: bulk ingest (chunked internally by spool_size)."""
-        for item in items:
-            self.put(item)
+        """O3: bulk ingest (chunked internally by spool_size). Bulk
+        path: one lock acquisition and one capacity check per spool
+        chunk instead of per item — put() costs dominate bulk loads
+        otherwise."""
+        if self._state != State.STARTED:
+            raise RuntimeError(f"put_many() in state {self._state}")
+        i, n = 0, len(items)
+        while i < n:
+            while self._pending() >= self.config.queue_size:
+                if not self.config.block_on_full:
+                    raise BufferFullError(
+                        f"pending {self._pending()} >= queue_size {self.config.queue_size}"
+                    )
+                time.sleep(0.01)
+            with self._buffer_lock:
+                room = self.config.spool_size - len(self._buffer)
+                chunk = items[i : i + room]
+                self._buffer.extend(map(self._as_tuple, chunk))
+                if self._buffer_oldest is None:
+                    self._buffer_oldest = time.monotonic()
+                self._accepted += len(chunk)
+                full = len(self._buffer) >= self.config.spool_size
+            i += len(chunk)
+            if full:
+                self._spool()
 
     def _as_tuple(self, item: dict | tuple) -> tuple:
         if isinstance(item, dict):
@@ -244,6 +275,16 @@ class BatchProcessor:
             self._buffer_oldest = None
             self._spool_seq += 1
             seq = self._spool_seq
+        self._write_spool(batch, seq)
+
+    def _spool_empty(self) -> None:
+        """Write a zero-row spool file (stream pre-warm at start())."""
+        with self._buffer_lock:
+            self._spool_seq += 1
+            seq = self._spool_seq
+        self._write_spool([], seq)
+
+    def _write_spool(self, batch: list[tuple], seq: int) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
