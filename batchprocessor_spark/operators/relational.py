@@ -56,3 +56,50 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("l_discount") < 0.05) | (F.col("l_tax") > 0.03))
         & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@register(
+    "q_source_formats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS cnt,
+           sum(l_orderkey)::BIGINT AS key_sum,
+           sum(round(l_quantity)::BIGINT) AS qty_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="scan",
+)
+def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON source/sink round-trip: even order keys exported to
+    CSV, odd to JSON (sources/io.py sinks), both read back with
+    EXPLICIT schemas (text-format inference is a second full scan at
+    100 TB), unioned, and aggregated — the result must equal the same
+    aggregate over the native parquet, which is exactly what the
+    oracle computes. l_quantity is integral, so its text round-trip is
+    exact by construction.
+
+    This is an interop demo: at scale the pipeline reads whatever
+    format the data landed in directly; the point driver-checked here
+    is that the csv/json read AND write paths produce the same rows as
+    parquet.
+    """
+    import tempfile
+
+    from batchprocessor_spark.sources import io
+
+    cols = ["l_orderkey", "l_returnflag", "l_quantity"]
+    l = load_table(spark, sf_dir, "lineitem").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="bp_fmt_")
+    io.write(l.where(F.col("l_orderkey") % 2 == 0), f"{tmp}/csv", "csv")
+    io.write(l.where(F.col("l_orderkey") % 2 == 1), f"{tmp}/json", "json")
+    schema = "l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE"
+    back = io.read(spark, f"{tmp}/csv", "csv", schema).unionByName(
+        io.read(spark, f"{tmp}/json", "json", schema)
+    )
+    # NB: tmp intentionally outlives this function — the returned
+    # DataFrame is lazy and still reads it at collect time.
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_orderkey").alias("key_sum"),
+        F.sum(F.round("l_quantity").cast("long")).alias("qty_sum"),
+    )
