@@ -262,3 +262,47 @@ def test_connected_components_evaluates_pairs_once(spark):
     labels = {r.node: r.label for r in connected_components(pairs).collect()}
     assert labels == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
     assert acc.value == 3, f"pair graph evaluated {acc.value / 3:.1f}x"
+
+
+# 2-decimal money values spanning the magnitudes in the fixtures plus
+# adversarial tiny/large mixes; groups force partial aggregation.
+money_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(-10_000_000, 10_000_000).map(lambda c: c / 100.0),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=money_strategy, nparts=st.integers(1, 7))
+@SETTINGS
+def test_exactmath_lane_matches_decimal_ground_truth(spark, rows, nparts):
+    """The scaled-integer money lane (functions/exactmath.py) must
+    equal exact decimal.Decimal arithmetic for ANY partitioning of the
+    input — summation order, partial-aggregate merges, and AQE splits
+    must not be observable. This is the invariant ~20 queries'
+    oracle-parity rests on."""
+    from decimal import Decimal
+
+    from batchprocessor_spark.functions.exactmath import dec_sum, descale, to_units
+
+    df = (
+        spark.createDataFrame(rows, "k INT, v DOUBLE")
+        .repartition(nparts)
+        .groupBy("k")
+        .agg(dec_sum(to_units(F.col("v"), 100)).alias("s"))
+        .select("k", descale("s", 100).alias("total"))
+    )
+    got = {r.k: r.total for r in df.collect()}
+    want = {}
+    for k, v in rows:
+        want[k] = want.get(k, Decimal(0)) + Decimal(str(v)).quantize(Decimal("0.01"))
+    assert set(got) == set(want)
+    for k, cents_true in want.items():
+        # descale is quotient + remainder/100: reproduce the same IEEE
+        # steps on the exact integer cents to get the expected double.
+        c = int(cents_true * 100)
+        q, r = (c // 100, c % 100) if c >= 0 else (-((-c) // 100), -((-c) % 100))
+        assert got[k] == float(q) + float(r) / 100.0, (k, got[k], cents_true)
