@@ -242,13 +242,49 @@ def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_multimodal_pipeline", oracle=None, category="multimodal")
+@register(
+    "q_llm_multimodal_pipeline",
+    # Rebuild the stub's 8-bucket byte histogram in SQL (ASCII text ⇒
+    # byte = codepoint), assemble ordered 8-dim vectors, and rank by
+    # the SAME sequential-fold cosine (list_dot_product matches the
+    # Spark fold bitwise — see README float-parity notes).
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(least(length(text), 256))) AS i
+      FROM documents),
+    hist AS (
+      SELECT doc_id, ascii(substr(text, (i + 1)::INT, 1)) % 8 AS b,
+             count(*)::DOUBLE AS v
+      FROM pos GROUP BY 1, 2),
+    full_h AS (
+      SELECT d.doc_id, r.range AS b, coalesce(h.v, 0.0) AS v
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN range(8) r
+      LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.b = r.range),
+    vecs AS (
+      SELECT doc_id, list(v ORDER BY b) AS vec FROM full_h GROUP BY doc_id),
+    nz AS (SELECT doc_id, vec FROM vecs WHERE list_dot_product(vec, vec) > 0),
+    q AS (SELECT doc_id AS qid, vec AS qv FROM nz WHERE doc_id < 3),
+    scored AS (
+      SELECT q.qid, c.doc_id,
+             round(list_dot_product(q.qv, c.vec)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.vec, c.vec))), 6) AS sim
+      FROM q JOIN nz c ON c.doc_id <> q.qid)
+    SELECT qid, doc_id, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, doc_id) AS rnk
+    FROM scored QUALIFY rnk <= 3
+    """,
+    category="multimodal",
+)
 def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline composition: binary media table
     → mapInPandas decode (stub features) → embedding-style top-3
     similar media per query item — the decode→featurize→search chain
     a multimodal training-data pipeline runs, with every stage on the
-    engine's own operators."""
+    engine's own operators. The oracle rebuilds the deterministic stub
+    features in SQL, so the full chain is driver value-checked."""
     from pyspark.sql import Window
 
     from batchprocessor_spark.operators.similarity import cosine_prenorm, dot, l2_norm
@@ -276,12 +312,31 @@ def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
 
 
-@register("q_llm_multimodal_decode", oracle=None, category="multimodal")
+@register(
+    "q_llm_multimodal_decode",
+    # The stub decoder is closed-form over the payload bytes (the
+    # fixture text is pure ASCII, so byte = codepoint): width/height
+    # are length modulos and feat_sum is the 8-bucket histogram total
+    # = min(n_bytes, 256). The oracle states that closed form — so the
+    # driver value-checks the ENTIRE mapInPandas round trip (Arrow
+    # batching, schema, row alignment), which is the part that is real
+    # regardless of which decoder runs.
+    oracle="""
+    SELECT doc_id,
+           (octet_length(encode(text)) % 640 + 1)::INT AS width,
+           (octet_length(encode(text)) % 480 + 1)::INT AS height,
+           8 AS feat_dim,
+           least(octet_length(encode(text)), 256)::DOUBLE AS feat_sum
+    FROM documents
+    """,
+    category="multimodal",
+)
 def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary media table →
     mapInPandas decode (stubbed, deterministic) → typed feature rows.
-    Rows-only oracle (the decode stub is engine-side Python); pytest
-    pins the exact output for a fixed payload."""
+    The oracle reproduces the stub's closed form, making the Arrow
+    plumbing driver-checked; pytest additionally pins the exact
+    output for a fixed payload."""
     media = media_table(spark, sf_dir).repartition("doc_id")
     feats = decode_media(media)
     return feats.select(

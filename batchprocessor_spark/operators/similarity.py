@@ -389,8 +389,22 @@ def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path that scores only probed cells. Rows-only oracle; the
     companion pytest pins the mechanism: probing ALL cells must equal
     brute force exactly (and nprobe=3 gives ≈ nprobe/k recall on this
-    deliberately structure-free fixture data)."""
+    deliberately structure-free fixture data).
+    q_llm_simsearch_ivf_full is the driver-checked version of that
+    exactness claim."""
     return ivf_topk(spark, sf_dir, nprobe=3)
+
+
+@register("q_llm_simsearch_ivf_full", oracle=_TOPK_ORACLE, category="similarity")
+def q_llm_simsearch_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery with nprobe ≥ n_cells: probing every cell
+    means every vector is scored, so the result must EQUAL exact
+    brute-force top-k — independent of centroid float arithmetic,
+    which only steers which cells get probed. Sharing the brute-force
+    SQL oracle turns the pytest exactness claim into a driver-checked
+    correctness row for the whole IVF path (probe ranking, cell join,
+    scoring, group-limit)."""
+    return ivf_topk(spark, sf_dir, nprobe=1_000_000)
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
