@@ -103,3 +103,72 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").alias("key_sum"),
         F.sum(F.round("l_quantity").cast("long")).alias("qty_sum"),
     )
+
+
+_MERGE_SPLIT = 400  # doc_id < 400 = current corpus; >= 400 plays the arriving batch
+_MERGE_SHIFT = 50  # batch keys land at 350+: half collide (update), half are new (insert)
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE doc_id < {_MERGE_SPLIT}),
+    batch AS (
+      SELECT doc_id - {_MERGE_SHIFT} AS doc_id, lang, source,
+             n_chars + 1 AS n_chars
+      FROM documents WHERE doc_id >= {_MERGE_SPLIT}),
+    merged AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             coalesce(b.lang, c.lang) AS lang,
+             coalesce(b.source, c.source) AS source,
+             coalesce(b.n_chars, c.n_chars) AS n_chars,
+             CASE WHEN b.doc_id IS NULL THEN 'kept'
+                  WHEN c.doc_id IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS op
+      FROM corpus c FULL JOIN batch b ON c.doc_id = b.doc_id)
+    SELECT op, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS chars
+    FROM merged GROUP BY op
+    """,
+    category="scan",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics without a table format: an arriving
+    batch (keys shifted so half collide with the corpus and half are
+    brand new) is merged —
+    matching keys take the batch's row ("when matched update"),
+    unmatched batch keys insert, untouched corpus rows are kept. The
+    merge is ONE full outer join on the key + coalesce projection;
+    the output audits the op mix, which the oracle pins exactly.
+
+    Scale posture: this is the copy-on-write MERGE kernel — one
+    shuffle of each side on the key (AQE handles skew), no driver
+    involvement, and when the corpus is bucketed by key
+    (sources/bucketing.py) the corpus-side shuffle disappears. Table
+    formats (Delta/Iceberg) add file-level pruning on top; the join
+    shape is the same.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    corpus = d.where(F.col("doc_id") < _MERGE_SPLIT)
+    batch = d.where(F.col("doc_id") >= _MERGE_SPLIT).select(
+        (F.col("doc_id") - _MERGE_SHIFT).alias("doc_id"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    c, b = corpus.alias("c"), batch.alias("b")
+    merged = c.join(b, F.col("c.doc_id") == F.col("b.doc_id"), "full").select(
+        F.coalesce("b.doc_id", "c.doc_id").alias("doc_id"),
+        F.coalesce("b.n_chars", "c.n_chars").alias("n_chars"),
+        F.when(F.col("b.doc_id").isNull(), "kept")
+        .when(F.col("c.doc_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("op"),
+    )
+    return merged.groupBy("op").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").alias("chars"),
+    )
