@@ -593,3 +593,70 @@ def q_llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("dup_trigram_frac"),
     )
+
+
+_BPE_TOP_K = 20  # merge candidates reported per BPE iteration
+
+
+@register(
+    "q_llm_bpe_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT token, count(*)::BIGINT AS cnt FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents)
+      WHERE length(token) >= 2 GROUP BY token),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(token) - 1),
+                                   i -> substring(token, i, 2))) AS pair,
+             cnt
+      FROM w),
+    counted AS (
+      SELECT pair, sum(cnt)::BIGINT AS freq FROM pairs GROUP BY pair),
+    ranked AS (
+      SELECT pair, freq,
+             row_number() OVER (ORDER BY freq DESC, pair) AS rnk
+      FROM counted)
+    SELECT pair, freq, rnk FROM ranked WHERE rnk <= {_BPE_TOP_K}
+    """,
+    category="text",
+)
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-weighted adjacent character
+    pair counts. Tokenizer training's inner loop is exactly this —
+    count every adjacent symbol pair across the vocabulary weighted
+    by word frequency, then merge the argmax; the query emits the
+    top-{_BPE_TOP_K} merge candidates (deterministic tie-break on
+    the pair).
+
+    Scale posture: pair counting runs on the WORD-FREQUENCY table
+    (vocabulary-sized, built with one map-side-combined shuffle),
+    not the corpus — the 100 TB corpus is touched once to count
+    words; every subsequent BPE iteration would re-explode only the
+    vocab. Top-k is TakeOrdered over pair space (<= 26^2 here).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    token = F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token")
+    vocab = (
+        d.select(token)
+        .where(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("token") - 1),
+            lambda i: F.col("token").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    counted = (
+        vocab.select(pair, "cnt").groupBy("pair").agg(F.sum("cnt").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("pair"))
+    return (
+        counted.orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(_BPE_TOP_K)
+        .withColumn("rnk", F.row_number().over(w))
+    )

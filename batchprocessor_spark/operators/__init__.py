@@ -3,6 +3,7 @@ in ``plans.registry.REGISTRY`` (SURVEY.md §2.2 + §2.4)."""
 
 from batchprocessor_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     dedup,
     joins,
     relational,

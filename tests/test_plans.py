@@ -126,3 +126,42 @@ def test_multiway_join_scale_posture(spark):
         assert "GreaterThanOrEqual(o_orderdate" in plan, plan  # pushed to scan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    """The fuzzy edit-distance join must be an equi-join on length
+    buckets (lossless |len(a)-len(b)| <= T prune) — with broadcast
+    off (the 100 TB situation) it must be a sort-merge join, never a
+    cartesian / nested-loop all-pairs."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "q_join_fuzzy_editdist")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_scd2_single_exchange(spark):
+    """SCD2 build: the lag-filter and the lead/row_number windows all
+    share one user_id partitioning — exactly ONE Exchange in the
+    plan (a second would mean the change-filter broke sort reuse)."""
+    plan = plan_of(spark, "q_scd2_dimension")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_funnel_no_join(spark):
+    """The ordered funnel is the nested-window formulation: one
+    shuffle on user_id, no self-joins (the chained-join formulation
+    re-shuffles events once per stage)."""
+    plan = plan_of(spark, "q_funnel_conversion")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_profile_single_scan(spark):
+    """The column profiler must read the table ONCE (a per-column
+    UNION of aggregates would scan k times)."""
+    plan = plan_of(spark, "q_profile_columns")
+    assert plan.count("Scan parquet") == 1, plan
