@@ -745,3 +745,68 @@ def q_llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("canonical_id", "doc_id") != F.col("doc_id")).alias("is_dup"),
         )
     )
+
+
+def prefix_filter_candidates(
+    docs: DataFrame, threshold: float = _JACCARD_THRESHOLD
+) -> DataFrame:
+    """(d1, d2) candidate pairs from PREFIX FILTERING (Bayardo et al.
+    "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
+    PPJoin) — a LOSSLESS prune for Jaccard > t:
+
+    order every document's shingles by a GLOBAL canonical order
+    (ascending document frequency, rarest first; ties by shingle), and
+    keep only each document's first |s| - ceil(t*|s|) + 1 shingles
+    (its "prefix"). Any pair with Jaccard > t must share at least one
+    shingle lying in BOTH prefixes — if all common shingles sat past
+    one side's prefix, the overlap would be < ceil(t*|s|) <= the
+    overlap the threshold forces. So the equi-join of prefixes on the
+    shingle yields a candidate superset, typically a small fraction of
+    the share-ANY-shingle pairs the plain inverted index joins.
+
+    Shape: one shuffle to count document frequencies, one window on
+    doc_id to rank, and the prefix self-join touches only prefix
+    tokens (rare shingles first also means the hottest buckets are
+    the smallest). At 100 TB this is the exact set-similarity join
+    you run when LSH's probabilistic recall is not acceptable.
+    """
+    sh = shingles(docs)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df_counts, "shingle").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .where(F.col("rnk") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    return (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+@register("q_llm_dedup_jaccard_prefix", oracle=_JACCARD_ORACLE, category="dedup")
+def q_llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs (word-trigram Jaccard > 0.5) through
+    PREFIX-FILTERED candidate generation + exact verification. Output
+    is IDENTICAL to q_llm_dedup_ngram_jaccard (the prune is lossless,
+    unlike MinHash's probabilistic recall), so it shares the same SQL
+    oracle; the difference is the candidate set — prefixes join only
+    on each document's rarest shingles instead of on every shingle,
+    the right trade at 100 TB when exact recall is mandatory (see
+    prefix_filter_candidates for the lemma and literature)."""
+    docs = load_table(spark, sf_dir, "documents")
+    candidates = prefix_filter_candidates(docs)
+    pairs = _jaccard_pairs(docs, candidates)
+    return pairs.where(F.col("jaccard") > _JACCARD_THRESHOLD).select(
+        "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -172,3 +172,41 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@register(
+    "q_source_partitioned",
+    oracle="""
+    SELECT o_orderstatus, count(*)::BIGINT AS cnt,
+           sum(o_orderkey)::BIGINT AS key_sum
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    """,
+    category="scan",
+)
+def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned source: orders
+    written `partitionBy(o_orderstatus)`, read back with a partition
+    filter that must prune to 2 of 3 directories BEFORE any IO
+    (`PartitionFilters` on the scan — gated in tests/test_plans.py),
+    then aggregated; the result must equal the same aggregate over
+    the native table, which the oracle computes.
+
+    Scale posture: partition layout is THE first-order 100 TB lever —
+    a date/status-partitioned table turns full scans into directory
+    listings. The write side shows the layout contract (one dir per
+    key, no shuffle beyond the write's own file sizing); the read
+    side proves pruning happens at planning time, not per-row.
+    """
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    tmp = tempfile.mkdtemp(prefix="bp_part_")
+    o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp).where(F.col("o_orderstatus").isin("O", "F"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

@@ -12,7 +12,7 @@ compare is timezone/precision-proof.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.functions.exactmath import (
@@ -205,4 +205,94 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             descale("sv", 100).alias("total_value"),
         )
+    )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle="""
+    WITH d AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+    grid AS (
+      SELECT unnest(generate_series((SELECT d0 FROM d),
+                                    (SELECT d0 FROM d) + INTERVAL 1439 MINUTES,
+                                    INTERVAL 1 MINUTE)) AS m),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT event_type, date_trunc('minute', ts) AS m,
+             count(*)::BIGINT AS cnt,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events WHERE ts < (SELECT d0 FROM d) + INTERVAL 1 DAY
+      GROUP BY event_type, date_trunc('minute', ts)),
+    filled AS (
+      SELECT t.event_type, g.m, coalesce(a.cnt, 0) AS cnt, a.cents
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN actual a ON a.event_type = t.event_type AND a.m = g.m)
+    SELECT event_type,
+           (epoch_us(m) // 1000000)::BIGINT AS minute_s,
+           cnt,
+           coalesce(cents, 0)::BIGINT AS cents,
+           coalesce(last_value(cents IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             -1)::BIGINT AS carry_cents
+    FROM filled
+    """,
+    category="timeseries",
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill over the first day: a dense per-minute ×
+    per-event-type grid where minutes with no events appear with
+    cnt=0 / cents=0, plus a forward-filled "carry" of the last
+    observed minute total (-1 until a type's first event) — the
+    densification every downstream rolling/interpolation step needs.
+
+    Scale posture: the grid is generated (1440 rows/day × types, no
+    scan), actuals are one map-side-combined shuffle, the grid join
+    is a broadcast, and the forward fill is a window on the SAME
+    (event_type) partitioning. Value totals ride the exact cents
+    lane so fills are bit-stable across engines.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    grid = d0.select(
+        F.explode(
+            F.sequence(
+                F.col("d0"),
+                F.col("d0") + F.expr("INTERVAL 1439 MINUTES"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("m")
+    )
+    types = e.select("event_type").distinct()
+    day1 = e.join(F.broadcast(d0), F.col("ts") < F.col("d0") + F.expr("INTERVAL 1 DAY"))
+    actual = (
+        day1.groupBy("event_type", F.date_trunc("minute", "ts").alias("m"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"),
+        )
+    )
+    filled = (
+        grid.crossJoin(F.broadcast(types))
+        .join(actual, ["event_type", "m"], "left")
+        .select(
+            "event_type",
+            "m",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            "cents",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.unix_timestamp("m").alias("minute_s"),
+        "cnt",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(-1)).alias(
+            "carry_cents"
+        ),
     )

@@ -165,3 +165,12 @@ def test_profile_single_scan(spark):
     UNION of aggregates would scan k times)."""
     plan = plan_of(spark, "q_profile_columns")
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The partitioned-parquet read-back must carry the status filter
+    as a PartitionFilter (pruned at planning time — 1/3 of the
+    directories never read), not a post-scan row filter."""
+    plan = plan_of(spark, "q_source_partitioned")
+    scan = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_orderstatus" in scan, plan
