@@ -1,0 +1,160 @@
+"""Hierarchy / recursive-closure operators.
+
+Spark has no recursive CTE; hierarchical queries (org charts, BOM
+explosions, category trees) are run as ITERATIVE joins with
+logarithmic round counts. The engine ships pointer jumping (path
+doubling): each round every node's ancestor pointer jumps to its
+ancestor's ancestor while accumulating hop counts, reaching the root
+of any depth-D tree in ceil(log2 D) rounds — the textbook PRAM
+technique (Wyllie's list ranking), which is also how Spark-side graph
+libraries bound deep traversals. The DuckDB oracle states the same
+semantics declaratively with WITH RECURSIVE.
+
+The reference has no graph/hierarchy surface at all (its pipeline is
+T-agnostic batching, batchprocessor-core/src/main/java/.../v2/
+BatchProcessor.java:24); this extends the engine the same way the
+connected-components resolvers in operators/dedup.py do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
+
+_N_ROOTS = 3  # doc_id 0..2 are forest roots; parent(v) = v // 3 otherwise
+
+
+def pointer_jump_ancestry(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """(node, parent nullable) → (node, root_id, depth) by pointer
+    jumping. Roots carry parent NULL.
+
+    Per round: self-join state on ptr = other.node; each node's
+    pointer jumps to its pointer's pointer, depth accumulates the
+    jumped-over hop count. Roots self-loop with hop 0, so converged
+    nodes are fixpoints. Rounds needed: ceil(log2(max depth)) —
+    depth 1e6 chains finish in 20 rounds, each ONE equi-join + ONE
+    projection, fully distributed; the driver holds only the
+    convergence counter. localCheckpoint per round keeps the plan
+    from growing exponentially (same hygiene as
+    connected_components, operators/dedup.py:444).
+    """
+    state = nodes.select(
+        "node",
+        F.coalesce("parent", F.col("node")).alias("ptr"),
+        F.when(F.col("parent").isNull(), 0).otherwise(1).alias("d"),
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = state.select(
+            F.col("node").alias("j_node"),
+            F.col("ptr").alias("j_ptr"),
+            F.col("d").alias("j_d"),
+        )
+        jumped = (
+            state.join(nxt, state.ptr == nxt.j_node)
+            .select(
+                "node",
+                F.col("j_ptr").alias("ptr"),
+                (F.col("d") + F.col("j_d")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+        moved = (
+            jumped.join(
+                state.select("node", F.col("ptr").alias("old_ptr")), "node"
+            )
+            .where(F.col("ptr") != F.col("old_ptr"))
+            .count()
+        )
+        state.unpersist()
+        state = jumped
+        if moved == 0:
+            break
+    return state.select("node", F.col("ptr").alias("root_id"), F.col("d").alias("depth"))
+
+
+@register(
+    "q_hier_ancestry",
+    oracle=f"""
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS root_id, 0 AS depth
+      FROM documents WHERE doc_id < {_N_ROOTS}
+      UNION ALL
+      SELECT d.doc_id, w.root_id, w.depth + 1
+      FROM documents d JOIN walk w ON (d.doc_id // {_N_ROOTS}) = w.doc_id
+      WHERE d.doc_id >= {_N_ROOTS})
+    SELECT doc_id, root_id::BIGINT AS root_id, depth::INT AS depth FROM walk
+    """,
+    category="graph",
+)
+def q_hier_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy closure: every document's forest root and
+    depth, where the synthetic forest is parent(v) = v // 3 with
+    doc_id 0..2 as roots (depth ~log3 n — deep enough to force
+    multiple jump rounds). Spark runs pointer jumping (see
+    pointer_jump_ancestry); the oracle is the WITH RECURSIVE walk —
+    the declarative statement of the same closure.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nodes = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(
+            F.col("doc_id") >= _N_ROOTS, F.expr(f"doc_id div {_N_ROOTS}")
+        ).alias("parent"),
+    )
+    out = pointer_jump_ancestry(nodes)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("root_id"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+
+@register(
+    "q_hier_rollup",
+    oracle=f"""
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS root_id, 0 AS depth
+      FROM documents WHERE doc_id < {_N_ROOTS}
+      UNION ALL
+      SELECT d.doc_id, w.root_id, w.depth + 1
+      FROM documents d JOIN walk w ON (d.doc_id // {_N_ROOTS}) = w.doc_id
+      WHERE d.doc_id >= {_N_ROOTS})
+    SELECT w.root_id::BIGINT AS root_id,
+           count(*)::BIGINT AS n_nodes,
+           max(w.depth)::INT AS max_depth,
+           sum(d.n_chars)::BIGINT AS subtree_chars
+    FROM walk w JOIN documents d ON w.doc_id = d.doc_id
+    GROUP BY w.root_id
+    """,
+    category="graph",
+)
+def q_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup per forest root (the BOM-explosion aggregate):
+    node count, max depth, and total n_chars of every tree, computed
+    from the pointer-jumping closure + one join + one aggregate. The
+    oracle recomputes it from the recursive walk.
+
+    Scale posture: the closure is the log-round kernel; everything
+    after is a broadcast-or-shuffle join on doc_id and a 3-row
+    aggregate — no per-level passes.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nodes = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(
+            F.col("doc_id") >= _N_ROOTS, F.expr(f"doc_id div {_N_ROOTS}")
+        ).alias("parent"),
+    )
+    anc = pointer_jump_ancestry(nodes).withColumnRenamed("node", "doc_id")
+    return (
+        anc.join(d, "doc_id")
+        .groupBy("root_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("depth").cast("int").alias("max_depth"),
+            F.sum("n_chars").alias("subtree_chars"),
+        )
+    )

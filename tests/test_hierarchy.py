@@ -1,0 +1,56 @@
+"""Pointer-jumping ancestry kernel (operators/hierarchy.py): must
+match a driver-side python walk on arbitrary forests, and must close
+DEEP chains in logarithmic rounds (the whole point of path doubling —
+naive parent-following would need depth rounds)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.operators.hierarchy import pointer_jump_ancestry
+
+
+def _python_ancestry(parent: dict[int, int | None]) -> dict[int, tuple[int, int]]:
+    out = {}
+    for v in parent:
+        depth, cur = 0, v
+        while parent[cur] is not None:
+            cur = parent[cur]
+            depth += 1
+        out[v] = (cur, depth)
+    return out
+
+
+def _run(spark, parent: dict[int, int | None]):
+    rows = [(v, p) for v, p in parent.items()]
+    nodes = spark.createDataFrame(rows, "node BIGINT, parent BIGINT")
+    got = {
+        r.node: (r.root_id, r.depth)
+        for r in pointer_jump_ancestry(nodes).collect()
+    }
+    assert got == _python_ancestry(parent)
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    # 200-deep chain: path doubling needs ceil(log2 200) = 8 jump
+    # rounds (+1 to observe the fixpoint); parent-following would
+    # need 200. max_rounds=10 fails loudly if doubling regressed.
+    parent = {0: None}
+    parent.update({v: v - 1 for v in range(1, 201)})
+    rows = [(v, p) for v, p in parent.items()]
+    nodes = spark.createDataFrame(rows, "node BIGINT, parent BIGINT")
+    got = {
+        r.node: (r.root_id, r.depth)
+        for r in pointer_jump_ancestry(nodes, max_rounds=10).collect()
+    }
+    assert got == _python_ancestry(parent)
+
+
+def test_random_forest_matches_python(spark):
+    rng = random.Random(7)
+    parent: dict[int, int | None] = {v: None for v in range(5)}
+    for v in range(5, 300):
+        parent[v] = rng.randrange(v)  # parents always lower → acyclic
+    _run(spark, parent)
