@@ -48,17 +48,34 @@ EVENTS_RAW_DDL = (
     "event_type STRING, value DOUBLE, props STRING"
 )
 
+EVENTS_TS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
 
 def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = None) -> DataFrame:
-    """`events` replayed as a file-source stream. The parquet stores
-    ts as TIMESTAMP(NANOS) → read as raw nano longs (same legacy conf
-    as the batch catalog) and convert with integer division."""
+    """`events` replayed as a file-source stream, with the SAME
+    timestamp units as the batch catalog regardless of how the parquet
+    encodes them. A file stream needs an explicit schema, and a
+    TIMESTAMP(NANOS) file surfaces ts as a raw nanos BIGINT (legacy
+    conf) while a TIMESTAMP(MICROS) file surfaces a native timestamp —
+    declaring the wrong one silently shifts every event time 1000×
+    (caught by tests/test_stateful.py::test_stream_event_time_units).
+    Probe the batch reader's resolved dtype (a footer read, no scan)
+    and declare the stream schema to match."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_DDL)
+    path = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(sf_dir, "events")
+    raw_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    reader = spark.readStream.schema(EVENTS_RAW_DDL if raw_is_long else EVENTS_TS_DDL)
     if max_files:
         reader = reader.option("maxFilesPerTrigger", max_files)
     raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if raw_is_long:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
 
 
 def run_to_memory(

@@ -42,6 +42,32 @@ def test_stream_stream_join_equals_batch_join(spark):
     assert len(got) > 0
 
 
+def test_stream_event_time_units(spark):
+    """The streaming events reader must surface the SAME event times
+    as the batch catalog. A file stream takes an explicit schema, and
+    declaring BIGINT for a TIMESTAMP(MICROS) parquet column (or vice
+    versa for NANOS files) silently shifts every event time 1000× —
+    which broke every interval-bounded streaming join when the test
+    data switched encodings. _events_stream probes the batch reader's
+    resolved dtype; this pins min/max event time equality."""
+    from batchprocessor_spark.streaming.queries import _events_stream, run_to_memory
+
+    streamed = run_to_memory(
+        _events_stream(spark, SF_ORACLE).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        )
+    ).collect()[0]
+    batch = (
+        load_table(spark, SF_ORACLE, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    assert streamed.lo == batch.lo and streamed.hi == batch.hi, (
+        f"stream event-time units diverge from batch: "
+        f"stream=({streamed.lo}, {streamed.hi}) batch=({batch.lo}, {batch.hi})"
+    )
+
+
 def test_custom_state_equals_batch_aggregate(spark):
     """After a full drain, the stateful per-user counters must equal
     the plain batch groupBy over the same data — in the same exact
