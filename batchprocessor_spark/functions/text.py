@@ -660,3 +660,50 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BPE_TOP_K)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+_ADAPTIVE_Q = 0.25  # corpus quantile below which documents are dropped
+
+
+@register(
+    "q_llm_adaptive_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_words
+      FROM documents),
+    th AS (SELECT quantile_cont(n_words, {_ADAPTIVE_Q}) AS thr FROM s)
+    SELECT lang,
+           count(*)::BIGINT AS kept,
+           (SELECT thr FROM th) AS thr_words
+    FROM s WHERE n_words > (SELECT thr FROM th)
+    GROUP BY lang
+    """,
+    category="text",
+)
+def q_llm_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: instead of a fixed word-count floor
+    (q_llm_quality_filter), the threshold is the CORPUS's own 25th
+    percentile, so the filter tracks the data distribution as the
+    corpus evolves — the percentile-pinned variant of pre-training
+    quality filtering. Emits survivors per language plus the threshold
+    that was applied.
+
+    Scale posture: the quantile reduces the corpus to ONE number via
+    an exact percentile over integer word counts (at 100 TB swap in
+    approx_percentile — the query shape is unchanged); that scalar is
+    broadcast back (crossJoin of a 1-row frame, Catalyst plans a
+    BroadcastNestedLoopJoin with a 1-row build side) so the corpus
+    scan itself is filtered without a shuffle, and the survivor count
+    is a tiny per-language aggregate.
+    """
+    s = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_words")
+    )
+    th = s.agg(F.percentile("n_words", F.lit(_ADAPTIVE_Q)).alias("thr_words"))
+    return (
+        s.crossJoin(F.broadcast(th))
+        .where(F.col("n_words") > F.col("thr_words"))
+        .groupBy("lang", "thr_words")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .select("lang", "kept", "thr_words")
+    )

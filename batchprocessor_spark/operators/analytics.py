@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.functions.exactmath import to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
@@ -331,5 +332,76 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"stack({len(_PROFILE_COLS)}, {stack_args}) "
             "AS (col_name, nulls, ndv, min_s, max_s)"
+        )
+    )
+
+
+_IQR_K = 1.5  # Tukey fence multiplier
+
+
+@register(
+    "q_anomaly_iqr",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type, round(value * 100)::BIGINT AS cents FROM events),
+    b AS (
+      SELECT event_type,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM u GROUP BY event_type)
+    SELECT u.event_type,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN u.cents < b.q1 - {_IQR_K} * (b.q3 - b.q1)
+                      OR u.cents > b.q3 + {_IQR_K} * (b.q3 - b.q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           b.q1 - {_IQR_K} * (b.q3 - b.q1) AS lo_cents,
+           b.q3 + {_IQR_K} * (b.q3 - b.q1) AS hi_cents
+    FROM u JOIN b USING (event_type)
+    GROUP BY u.event_type, b.q1, b.q3
+    """,
+    category="analytics",
+)
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IQR (Tukey-fence) outlier detection over event
+    values: each event_type gets [q1 - 1.5·IQR, q3 + 1.5·IQR] fences
+    from exact interpolated quartiles, and events outside them are
+    counted — the robust anomaly screen that, unlike z-scores, is not
+    itself dragged by the outliers it hunts.
+
+    Scale posture: quartiles reduce to a per-type aggregate (types are
+    low-cardinality, the exact percentile sort is per-group); the
+    fence table is broadcast back onto the events scan, so the big
+    side never shuffles for the join and flagging is a narrow
+    projection. Quartiles are computed over exact integer cents, whose
+    interpolation (±quarter fractions) is exact in doubles — both
+    engines emit bit-identical fences.
+    """
+    u = load_table(spark, sf_dir, "events").select(
+        "event_type", to_units(F.col("value"), 100).alias("cents")
+    )
+    b = u.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(_IQR_K) * iqr
+    hi = F.col("q3") + F.lit(_IQR_K) * iqr
+    flagged = u.join(F.broadcast(b), "event_type")
+    return (
+        flagged.groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < lo) | (F.col("cents") > hi), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            lo.alias("lo_cents"),
+            hi.alias("hi_cents"),
         )
     )

@@ -27,7 +27,7 @@ hash are independent.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import register
@@ -380,4 +380,62 @@ def q_llm_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", (F.col("h") % _SHUF_SHARDS).cast("int"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
+    )
+
+
+_WSAMPLE_K = 100  # weighted sample size
+_WSAMPLE_SALT = "wsample:"
+
+
+@register(
+    "q_llm_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             n_chars::DOUBLE /
+               ((('0x' || substring(md5('{_WSAMPLE_SALT}' || doc_id::VARCHAR),
+                                    1, 8))::BIGINT + 1) / 4294967296.0)
+               AS priority
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM keyed)
+    SELECT doc_id, lang, n_chars, rk
+    FROM ranked WHERE rk <= {_WSAMPLE_K}
+    """,
+    category="sampling",
+)
+def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield–Lund–Thorup): each document draws a seeded
+    uniform u ∈ (0,1] from an md5 hash and gets priority w/u with
+    w = n_chars; the k highest priorities are the sample. Longer
+    documents are proportionally more likely to be kept, yet the
+    sample is reproducible run-to-run and incremental — new documents
+    never change the priorities of old ones (unlike quota sampling).
+
+    Scale posture: the priority is a narrow per-row projection (hash +
+    one divide, no state); global top-k plans as TakeOrderedAndProject
+    — per-partition heaps then a k-row driver merge, NO global sort,
+    no shuffle of the corpus. u is derived from md5 exactly as the
+    oracle derives it, and w/u is a single IEEE divide, so ranks agree
+    across engines (doc_id breaks exact ties).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_WSAMPLE_SALT), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967296.0)
+    keyed = d.withColumn("priority", F.col("n_chars").cast("double") / u)
+    topk = keyed.orderBy(F.col("priority").desc(), F.col("doc_id")).limit(_WSAMPLE_K)
+    # rank assignment AFTER the k-row cut: the window runs on k rows,
+    # not the corpus (single in-memory partition, no skew concern).
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return topk.select(
+        "doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk")
     )

@@ -296,3 +296,178 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "carry_cents"
         ),
     )
+
+
+@register(
+    "q_win_trailing_time",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id,
+             (epoch_us(ts) // 1000000)::BIGINT AS ts_s,
+             round(value * 100)::BIGINT AS cents
+      FROM events)
+    SELECT user_id, event_id, ts_s,
+           count(*) OVER w AS n_1h,
+           (sum(cents) OVER w)::BIGINT AS cents_1h
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    category="timeseries",
+)
+def q_win_trailing_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing TIME-range window per user: for every event, the count
+    and value total of that user's events in the preceding hour
+    (inclusive). Unlike row frames (q_win_frame) the frame is bounded
+    by event-time distance, so bursts widen it and quiet periods
+    shrink it — the per-entity rate/sum feature every fraud or
+    alerting pipeline computes.
+
+    Scale posture: ONE shuffle on user_id; the RANGE frame runs over
+    epoch-seconds (a plain BIGINT ordering both engines frame
+    identically), and the sum rides the exact cents lane, so sliding
+    evaluation trees cannot produce engine-dependent doubles. No
+    self-join — the naive formulation (events ⋈ events within 1 h) is
+    quadratic per user; the window form is linear after the sort.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        to_units(F.col("value"), 100).alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3599, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("cents_1h"),
+    )
+
+
+@register(
+    "q_ts_interpolate",
+    oracle="""
+    WITH d AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events),
+    grid AS (
+      SELECT unnest(generate_series((SELECT d0 FROM d),
+                                    (SELECT d0 FROM d) + INTERVAL 1439 MINUTES,
+                                    INTERVAL 1 MINUTE)) AS m),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+      SELECT event_type, date_trunc('minute', ts) AS m,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events WHERE ts < (SELECT d0 FROM d) + INTERVAL 1 DAY
+      GROUP BY event_type, date_trunc('minute', ts)),
+    filled AS (
+      SELECT t.event_type, g.m, a.cents,
+             CASE WHEN a.cents IS NOT NULL THEN g.m END AS obs_m
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN actual a ON a.event_type = t.event_type AND a.m = g.m),
+    bounded AS (
+      SELECT event_type, m, cents,
+             last_value(obs_m IGNORE NULLS) OVER wp AS prev_m,
+             last_value(cents IGNORE NULLS) OVER wp AS prev_c,
+             first_value(obs_m IGNORE NULLS) OVER wf AS next_m,
+             first_value(cents IGNORE NULLS) OVER wf AS next_c
+      FROM filled
+      WINDOW wp AS (PARTITION BY event_type ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY m
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type,
+           (epoch_us(m) // 1000000)::BIGINT AS minute_s,
+           coalesce(cents, -1)::BIGINT AS cents,
+           CASE
+             WHEN cents IS NOT NULL THEN cents::DOUBLE
+             WHEN prev_m IS NULL OR next_m IS NULL THEN -1.0
+             ELSE prev_c::DOUBLE
+                  + (next_c - prev_c)::DOUBLE
+                    * (date_diff('minute', prev_m, m)::DOUBLE
+                       / date_diff('minute', prev_m, next_m)::DOUBLE)
+           END AS interp_cents
+    FROM bounded
+    """,
+    category="timeseries",
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling over the first day's per-minute
+    grid: minutes with no events get the straight-line value between
+    the nearest observed minute totals on either side (-1 outside the
+    observed range) — the standard time-series densification step
+    after gap detection (q_ts_gapfill does zero-fill/LOCF; this is the
+    interpolating variant a hypertable exposes as `interpolate()`).
+
+    Scale posture: same shape as q_ts_gapfill — a generated grid
+    (1440 × types, no scan), one map-side-combined shuffle for the
+    minute totals, a broadcast grid join, then BOTH bounding windows
+    run on the SAME (event_type, m) sort: Catalyst plans one Exchange
+    + one forward and one backward WindowExec pass. The interpolation
+    arithmetic starts from exact integer cents and applies the
+    identical IEEE expression on both engines, so the doubles are
+    bit-stable.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d0 = e.agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    grid = d0.select(
+        F.explode(
+            F.sequence(
+                F.col("d0"),
+                F.col("d0") + F.expr("INTERVAL 1439 MINUTES"),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("m")
+    )
+    types = e.select("event_type").distinct()
+    day1 = e.join(F.broadcast(d0), F.col("ts") < F.col("d0") + F.expr("INTERVAL 1 DAY"))
+    actual = day1.groupBy("event_type", F.date_trunc("minute", "ts").alias("m")).agg(
+        dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents")
+    )
+    filled = (
+        grid.crossJoin(F.broadcast(types))
+        .join(actual, ["event_type", "m"], "left")
+        .select(
+            "event_type",
+            "m",
+            "cents",
+            F.when(F.col("cents").isNotNull(), F.col("m")).alias("obs_m"),
+        )
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bounded = filled.select(
+        "event_type",
+        "m",
+        "cents",
+        F.last("obs_m", ignorenulls=True).over(wp).alias("prev_m"),
+        F.last("cents", ignorenulls=True).over(wp).alias("prev_c"),
+        F.first("obs_m", ignorenulls=True).over(wf).alias("next_m"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+    )
+    minutes_between = lambda a, b: (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(60)
+    interp = (
+        F.col("prev_c").cast("double")
+        + (F.col("next_c") - F.col("prev_c")).cast("double")
+        * (
+            minutes_between(F.col("prev_m"), F.col("m")).cast("double")
+            / minutes_between(F.col("prev_m"), F.col("next_m")).cast("double")
+        )
+    )
+    return bounded.select(
+        "event_type",
+        F.unix_timestamp("m").alias("minute_s"),
+        F.coalesce("cents", F.lit(-1)).cast("long").alias("cents"),
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(F.col("prev_m").isNull() | F.col("next_m").isNull(), F.lit(-1.0))
+        .otherwise(interp)
+        .alias("interp_cents"),
+    )
