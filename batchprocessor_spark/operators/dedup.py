@@ -810,3 +810,123 @@ def q_llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("jaccard") > _JACCARD_THRESHOLD).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# Bloom-filter decontamination: same semantics as q_llm_decontaminate
+# but the benchmark shingle set is compressed into a fixed-size bit
+# array before broadcast. _BLOOM_M bits as 32-bit words (positive
+# longs on both engines — no 64-bit sign-bit portability risk), k=2
+# seeded md5 hash positions per shingle.
+_BLOOM_M = 131072
+_BLOOM_WORD = 32
+
+_BLOOM_SQL = f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_DECON_MOD} = 0),
+    pos AS (
+      SELECT ('0x' || substring(md5('b1:' || shingle), 1, 8))::BIGINT
+               % {_BLOOM_M} AS p
+      FROM bench
+      UNION ALL
+      SELECT ('0x' || substring(md5('b2:' || shingle), 1, 8))::BIGINT
+               % {_BLOOM_M}
+      FROM bench),
+    bloom AS (
+      SELECT p // {_BLOOM_WORD} AS idx,
+             bit_or(1::BIGINT << (p % {_BLOOM_WORD})) AS word
+      FROM pos GROUP BY p // {_BLOOM_WORD}),
+    corpus AS (
+      SELECT doc_id, shingle,
+             ('0x' || substring(md5('b1:' || shingle), 1, 8))::BIGINT
+               % {_BLOOM_M} AS p1,
+             ('0x' || substring(md5('b2:' || shingle), 1, 8))::BIGINT
+               % {_BLOOM_M} AS p2
+      FROM sh WHERE doc_id % {_DECON_MOD} <> 0)
+    SELECT c.doc_id, count(*)::BIGINT AS n_maybe_hits
+    FROM corpus c
+    JOIN bloom b1 ON b1.idx = c.p1 // {_BLOOM_WORD}
+    JOIN bloom b2 ON b2.idx = c.p2 // {_BLOOM_WORD}
+    WHERE (b1.word & (1::BIGINT << (c.p1 % {_BLOOM_WORD}))) <> 0
+      AND (b2.word & (1::BIGINT << (c.p2 % {_BLOOM_WORD}))) <> 0
+    GROUP BY c.doc_id
+"""
+
+
+def _bloom_pos(salt: str, col: F.Column) -> F.Column:
+    """Seeded md5 bit position in [0, _BLOOM_M) — same derivation the
+    oracle SQL spells out, so membership (and false positives) agree
+    exactly across engines."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10)
+        .cast("long")
+        % _BLOOM_M
+    )
+
+
+@register("q_llm_decontaminate_bloom", oracle=_BLOOM_SQL, category="dedup")
+def q_llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: benchmark
+    shingles are folded into a fixed 128 Kbit array (k=2 seeded md5
+    positions), and a corpus document is flagged when any of its
+    shingles has BOTH bits set. Same report shape as
+    q_llm_decontaminate but with the Bloom filter's false-positive
+    semantics — which are deterministic here, so the oracle (spelling
+    out the identical bit construction in SQL) matches exactly,
+    including the false positives. tests/test_bloom.py pins the
+    guarantee that matters: the flag set is a SUPERSET of the exact
+    overlap set (no false negatives — a Bloom filter never misses).
+
+    Scale posture: THIS is the 100 TB decontamination shape. The
+    exact variant broadcasts the full benchmark shingle dictionary
+    (MBs and growing with the eval suites); the Bloom build reduces it
+    to 4096 words (16 KiB, constant) through one tiny aggregate, and the
+    corpus-side probe is a broadcast hash join against those words —
+    the corpus never shuffles, false-positive rate is sized by m/n,
+    and widening the filter is a constant, not a per-row, cost. Size m to the probe
+    count, not the member count: every corpus shingle is a probe, so
+    per-probe FP must be small enough that FP×(shingles per doc)
+    stays tolerable — the fixture's 128 Kbit filter holds per-probe
+    FP under 1% (asserted in tests/test_bloom.py) and production
+    scales m linearly with benchmark size at 16 KiB per 2^17 bits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    bench = sh.where(F.col("doc_id") % _DECON_MOD == 0).select("shingle").distinct()
+    pos = bench.select(_bloom_pos("b1:", F.col("shingle")).alias("p")).unionAll(
+        bench.select(_bloom_pos("b2:", F.col("shingle")).alias("p"))
+    )
+    word = F.expr(f"bit_or(shiftleft(1L, int(p % {_BLOOM_WORD})))").alias("word")
+    bloom = pos.groupBy((F.col("p") / _BLOOM_WORD).cast("long").alias("idx")).agg(word)
+    corpus = sh.where(F.col("doc_id") % _DECON_MOD != 0).select(
+        "doc_id",
+        _bloom_pos("b1:", F.col("shingle")).alias("p1"),
+        _bloom_pos("b2:", F.col("shingle")).alias("p2"),
+    )
+    b1 = F.broadcast(bloom.select(F.col("idx").alias("i1"), F.col("word").alias("w1")))
+    b2 = F.broadcast(bloom.select(F.col("idx").alias("i2"), F.col("word").alias("w2")))
+    probed = (
+        corpus.join(b1, (F.col("p1") / _BLOOM_WORD).cast("long") == F.col("i1"))
+        .join(b2, (F.col("p2") / _BLOOM_WORD).cast("long") == F.col("i2"))
+        .where(
+            (
+                F.col("w1").bitwiseAND(
+                    F.expr(f"shiftleft(1L, int(p1 % {_BLOOM_WORD}))")
+                )
+                != 0
+            )
+            & (
+                F.col("w2").bitwiseAND(
+                    F.expr(f"shiftleft(1L, int(p2 % {_BLOOM_WORD}))")
+                )
+                != 0
+            )
+        )
+    )
+    return probed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_maybe_hits"))
