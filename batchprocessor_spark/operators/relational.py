@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.functions.exactmath import dec_sum, to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
@@ -209,4 +210,51 @@ def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@register(
+    "q_source_orc",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS cnt,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus
+    """,
+    category="scan",
+)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: orders exported to ORC (the other
+    columnar format Spark ships natively — common when interoperating
+    with Hive/Trino warehouses), read back, filtered and aggregated.
+    The result must equal the same aggregate over the native parquet,
+    which is what the oracle computes.
+
+    Scale posture: ORC, like parquet, carries min/max stripe
+    statistics — the o_totalprice > 1000 predicate reaches the ORC
+    scan (PushedFilters), so the round-trip preserves not just the
+    rows but the PRUNING characteristics a 100 TB table depends on.
+    Totals ride the exact cents lane.
+    """
+    import tempfile
+
+    from batchprocessor_spark.sources import io
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="bp_orc_")
+    io.write(o, f"{tmp}/orders_orc", "orc")
+    back = io.read(spark, f"{tmp}/orders_orc", "orc")
+    # NB: tmp intentionally outlives this function — the returned
+    # DataFrame is lazy and still reads it at collect time.
+    return (
+        back.where(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dec_sum(to_units(F.col("o_totalprice"), 100)).cast("long").alias("cents"),
+        )
     )

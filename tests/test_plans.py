@@ -174,3 +174,37 @@ def test_partitioned_read_prunes_partitions(spark):
     plan = plan_of(spark, "q_source_partitioned")
     scan = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "o_orderstatus" in scan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Priority sampling must plan as TakeOrderedAndProject (per-
+    partition heaps + k-row driver merge) — a global Sort before the
+    limit would be the scale-killer formulation."""
+    plan = plan_of(spark, "q_llm_sample_weighted")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_trailing_time_window_single_exchange(spark):
+    """The trailing 1-hour RANGE window must reuse ONE hash exchange
+    on user_id — a second Exchange would mean the frame and the
+    partitioning disagree."""
+    plan = plan_of(spark, "q_win_trailing_time")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_bloom_probe_broadcasts_filter_words(spark):
+    """The Bloom decontamination probe must broadcast the word table
+    (constant KBs) — the corpus side must never shuffle for the
+    membership test."""
+    plan = plan_of(spark, "q_llm_decontaminate_bloom")
+    assert "BroadcastHashJoin" in plan, plan
+    # No sort-merge join anywhere: both probe joins are broadcast.
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_anomaly_fences_broadcast_back(spark):
+    """IQR fences (a per-type row) must broadcast onto the events
+    scan; the events side shuffles only for the quartile aggregate,
+    never for the fence join."""
+    plan = plan_of(spark, "q_anomaly_iqr")
+    assert "BroadcastHashJoin" in plan, plan
