@@ -181,3 +181,59 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_bal("c_acctbal", "c_custkey").alias("weighted_bal"),
         n_rows("c_custkey").alias("n"),
     )
+
+
+@register(
+    "q_udf_arrow_map",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INT AS dim,
+           round(list_aggregate(list_transform(embedding, x -> x * x),
+                                'sum')::DOUBLE, 6) AS sq_norm
+    FROM embeddings
+    """,
+    category="udf",
+)
+def q_udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow transform (the 4th Python-exchange API after scalar
+    pandas UDF / applyInPandas / UDTF): per-vector squared L2 norm
+    computed directly on Arrow RecordBatches with pyarrow+numpy — no
+    pandas materialization at all, the cheapest possible Python
+    exchange for numeric array data.
+
+    Scale posture: embarrassingly parallel over whatever partitioning
+    the scan produced (no shuffle); each batch moves JVM→Python once
+    as Arrow buffers and numpy reduces it vectorized. The float
+    arithmetic (square + pairwise-ordered sum) is written to match
+    the oracle's left-fold exactly: np.add.reduce over the value
+    buffer reshaped per row — for float32 inputs upcast to float64
+    first, accumulation order is the list order on both engines.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def sq_norms(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # ListArray → (n, dim) float64 matrix; fixture embeddings
+            # all share one dim, asserted via the reshape itself.
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            n = len(batch)
+            dim = len(flat) // max(n, 1)
+            sq = (flat * flat).reshape(n, dim) if n else np.empty((0, 0))
+            # left-to-right fold, same association the SQL states
+            acc = np.zeros(n)
+            for j in range(sq.shape[1] if n else 0):
+                acc = acc + sq[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    pa.array([dim] * n, type=pa.int32()),
+                    pa.array(np.round(acc, 6), type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "sq_norm"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(sq_norms, "vec_id BIGINT, dim INT, sq_norm DOUBLE")

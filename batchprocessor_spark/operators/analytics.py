@@ -405,3 +405,63 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             hi.alias("hi_cents"),
         )
     )
+
+
+_SEQ_PATTERN = "view,click,purchase"
+
+
+@register(
+    "q_seq_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             count(*)::BIGINT AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           len(regexp_extract_all(seq, '{_SEQ_PATTERN}'))::INT AS n_matches,
+           (CASE WHEN seq LIKE '%{_SEQ_PATTERN.replace(",", ",%").replace("%", "")}%'
+                 THEN 1 ELSE 0 END) AS has_consecutive
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) > 0
+    """,
+    category="analytics",
+)
+def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (the MATCH_RECOGNIZE shape): users
+    whose event timeline contains an IMMEDIATELY-consecutive
+    view→click→purchase run, with the count of such runs. Stricter
+    than q_funnel_conversion (which allows gaps): this is the
+    "clean conversion" pattern session-replay products report.
+
+    Scale posture: ONE shuffle on user_id; the per-user timeline is
+    assembled with sort_array(collect_list(struct(ts, event_id,
+    type))) — deterministic total order, no window pass needed — and
+    pattern counting is a regexp over the joined sequence, all
+    JVM-side. Per-user timelines are bounded (largest fixture user ≈
+    hundreds of events); a pathological million-event user would call
+    for sessionized splitting first (q_win_session's shape).
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
+    )
+    n_matches = F.size(F.regexp_extract_all(F.col("seq"), F.lit(_SEQ_PATTERN), 0))
+    return (
+        seqs.select(
+            "user_id",
+            "n_events",
+            n_matches.alias("n_matches"),
+            F.when(F.col("seq").contains(_SEQ_PATTERN), 1).otherwise(0).alias(
+                "has_consecutive"
+            ),
+        )
+        .where(F.col("n_matches") > 0)
+    )

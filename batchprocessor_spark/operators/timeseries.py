@@ -471,3 +471,74 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(interp)
         .alias("interp_cents"),
     )
+
+
+# EWMA smoothing: alpha = 1/2 makes every weight 2^-j. Scaling all
+# weights by 2^(_EWMA_TERMS-1) turns the kernel into INTEGERS
+# (2^(19-j)), so the weighted sum accumulates exactly in BIGINT on
+# both engines and only ONE float operation remains — the final
+# divide by the scaled weight total (2^20 - 1). _EWMA_TERMS lags
+# bound the kernel; the dropped tail mass is 2^-20 of the weight.
+_EWMA_TERMS = 20
+_EWMA_NORM = 2**_EWMA_TERMS - 1  # sum of scaled weights 2^(19-j)
+
+
+def _ewma_sql_terms() -> str:
+    terms = [
+        f"coalesce(lag(cents, {j}) OVER w, 0) * {2 ** (_EWMA_TERMS - 1 - j)}"
+        for j in range(_EWMA_TERMS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "q_ts_ewma",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           (epoch_us(minute) // 1000000)::BIGINT AS minute_s,
+           cents,
+           ({_ewma_sql_terms()})::DOUBLE / {_EWMA_NORM} AS ewma_cents
+    FROM m
+    WINDOW w AS (PARTITION BY event_type ORDER BY minute)
+    """,
+    category="timeseries",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of per-minute
+    value totals per event type — the standard trend-smoothing pass
+    over a metric series. The recursive EWMA definition is unrolled
+    into a 20-term weighted lag sum normalized by the truncated
+    weight total (tail mass 2^-20).
+
+    Scale posture: minute totals are one map-side-combined shuffle;
+    all 20 lags run over a SINGLE (event_type) window sort — Catalyst
+    plans one Exchange + one WindowExec evaluating every lag in the
+    same pass. α = 1/2 lets the whole kernel scale to INTEGER weights
+    2^(19-j): the weighted sum is exact BIGINT arithmetic (an
+    extension of the cents lane — no per-addition double rounding for
+    engines to disagree on, where a float kernel diverged by 1 ulp
+    between engines), and the single final divide is the same IEEE op
+    on both sides. Max magnitude cents·2^19·20 ≈ 1e13, far inside
+    BIGINT and double-exact range.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    m = e.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("minute")
+    acc = None
+    for j in range(_EWMA_TERMS):
+        term = F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * F.lit(
+            2 ** (_EWMA_TERMS - 1 - j)
+        )
+        acc = term if acc is None else acc + term
+    return m.select(
+        "event_type",
+        F.unix_timestamp("minute").alias("minute_s"),
+        "cents",
+        (acc.cast("double") / F.lit(float(_EWMA_NORM))).alias("ewma_cents"),
+    )
