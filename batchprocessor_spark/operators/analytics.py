@@ -465,3 +465,76 @@ def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_matches") > 0)
     )
+
+
+@register(
+    "q_streaks_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    grouped AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM days),
+    islands AS (
+      SELECT user_id, grp,
+             count(*)::BIGINT AS streak_days,
+             (epoch_us(min(day)) // 1000000)::BIGINT AS start_s
+      FROM grouped GROUP BY user_id, grp)
+    SELECT user_id,
+           max(streak_days)::BIGINT AS longest_streak,
+           count(*)::BIGINT AS n_streaks,
+           min(start_s) FILTER (
+             WHERE streak_days = (SELECT max(i2.streak_days) FROM islands i2
+                                  WHERE i2.user_id = islands.user_id)
+           )::BIGINT AS best_start_s
+    FROM islands GROUP BY user_id
+    """,
+    category="analytics",
+)
+def q_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    active days, how many distinct runs there are, and when the best
+    run began (earliest, if several tie) — the engagement-streak
+    metric. The classic trick: day_number − row_number is constant
+    within a consecutive run, so one subtraction turns runs into
+    group keys.
+
+    Scale posture: two aggregates and one window, ALL partitioned by
+    user_id — a single hash exchange carries the whole query
+    (distinct days, the row_number, the island aggregate, and the
+    per-user fold reuse the same partitioning; Catalyst plans exactly
+    one Exchange). No joins, no self-comparison of dates.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    # Partition on user_id BEFORE the distinct: hashpartitioning on a
+    # prefix of the group keys satisfies the (user_id, day) aggregate
+    # AND every later per-user step, collapsing the plan to one
+    # Exchange (gated in tests/test_plans.py).
+    days = e.repartition("user_id").distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp",
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    islands = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.unix_timestamp(F.min("day")).alias("start_s"),
+    )
+    wbest = Window.partitionBy("user_id")
+    return (
+        islands.withColumn("best", F.max("streak_days").over(wbest))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak_days").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.min(
+                F.when(F.col("streak_days") == F.col("best"), F.col("start_s"))
+            ).alias("best_start_s"),
+        )
+    )

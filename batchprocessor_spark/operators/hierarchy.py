@@ -158,3 +158,97 @@ def q_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("subtree_chars"),
         )
     )
+
+
+def pointer_jump_paths(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """(node, parent nullable) → (node, root_id, path: array<bigint>)
+    where path lists node→…→root inclusive. Same log-round doubling as
+    pointer_jump_ancestry, additionally accumulating the MATERIALIZED
+    path: the state invariant is `seg` = the id sequence from node
+    down to (but excluding) ptr, so a jump concatenates seg(node) ++
+    seg(ptr) — segment lengths double per round, and converged roots
+    contribute an empty segment, making extra rounds idempotent.
+    """
+    state = nodes.select(
+        "node",
+        F.coalesce("parent", F.col("node")).alias("ptr"),
+        F.when(
+            F.col("parent").isNull(), F.array().cast("array<bigint>")
+        )
+        .otherwise(F.array(F.col("node")))
+        .alias("seg"),
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = state.select(
+            F.col("node").alias("j_node"),
+            F.col("ptr").alias("j_ptr"),
+            F.col("seg").alias("j_seg"),
+        )
+        jumped = (
+            state.join(nxt, state.ptr == nxt.j_node)
+            .select(
+                "node",
+                F.col("j_ptr").alias("ptr"),
+                F.concat(F.col("seg"), F.col("j_seg")).alias("seg"),
+            )
+            .localCheckpoint()
+        )
+        moved = (
+            jumped.join(
+                state.select("node", F.col("ptr").alias("old_ptr")), "node"
+            )
+            .where(F.col("ptr") != F.col("old_ptr"))
+            .count()
+        )
+        state.unpersist()
+        state = jumped
+        if moved == 0:
+            break
+    return state.select(
+        "node",
+        F.col("ptr").alias("root_id"),
+        F.concat(F.col("seg"), F.array(F.col("ptr"))).alias("path"),
+    )
+
+
+@register(
+    "q_hier_paths",
+    oracle=f"""
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS cur, doc_id::VARCHAR AS path
+      FROM documents
+      UNION ALL
+      SELECT w.doc_id, (w.cur // {_N_ROOTS}),
+             w.path || '/' || (w.cur // {_N_ROOTS})::VARCHAR
+      FROM walk w WHERE w.cur >= {_N_ROOTS})
+    SELECT doc_id, cur::BIGINT AS root_id, path
+    FROM walk WHERE cur < {_N_ROOTS}
+    """,
+    category="graph",
+)
+def q_hier_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-path build: every document's full ancestor chain
+    node/…/root as a string — the denormalization that turns
+    subtree queries into prefix filters (LIKE 'root/%') and powers
+    breadcrumbs without per-query traversal.
+
+    Scale posture: pointer jumping with path-segment doubling —
+    ceil(log2 depth) rounds of one equi-join each; segments live as
+    arrays until the single final array_join, so each round moves
+    O(n · current-depth) ids, never strings being re-parsed. The
+    oracle's recursive CTE walks the same chain one hop per
+    iteration.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    nodes = d.select(
+        F.col("doc_id").alias("node"),
+        F.when(
+            F.col("doc_id") >= _N_ROOTS, F.expr(f"doc_id div {_N_ROOTS}")
+        ).alias("parent"),
+    )
+    out = pointer_jump_paths(nodes)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "root_id",
+        F.array_join(F.col("path"), "/").alias("path"),
+    )

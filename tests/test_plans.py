@@ -208,3 +208,11 @@ def test_anomaly_fences_broadcast_back(spark):
     never for the fence join."""
     plan = plan_of(spark, "q_anomaly_iqr")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_streaks_single_exchange(spark):
+    """Gaps-and-islands must carry the whole query on ONE user_id
+    exchange: the distinct, row_number, island aggregate, and final
+    per-user fold all reuse the same partitioning."""
+    plan = plan_of(spark, "q_streaks_gaps_islands")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
