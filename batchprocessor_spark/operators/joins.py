@@ -383,3 +383,51 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lines"), dec_sum(disc_price).alias("sdp"))
         .select("r_name", "n_name", "n_lines", descale("sdp", 10000).alias("revenue"))
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+             count(*)::BIGINT AS cnt_even
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+    b AS (
+      SELECT nullif(o_orderpriority, '1-URGENT') AS pr,
+             count(*)::BIGINT AS cnt_odd
+      FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1)
+    SELECT coalesce(a.pr, 'URGENT-AS-NULL') AS pr, a.cnt_even, b.cnt_odd
+    FROM a JOIN b ON a.pr IS NOT DISTINCT FROM b.pr
+    """,
+    category="join",
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): the two
+    halves of `orders` aggregated on a DELIBERATELY nullable key
+    (urgent priority mapped to NULL) and joined so the NULL groups
+    match each other — the semantics a plain equi join silently drops
+    (NULL = NULL is NULL, and rows vanish). Real pipelines hit this
+    whenever a dimension key is optional.
+
+    Scale posture: <=> is still hash-joinable — Catalyst plans the
+    same BroadcastHashJoin/SMJ with null-safe key comparison, NOT a
+    nested loop (asserted in tests/test_plans.py); both sides here
+    pre-aggregate to priority-cardinality rows before joining.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pr")
+    a = (
+        o.where(F.col("o_orderkey") % 2 == 0)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt_even"))
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt_odd"))
+    )
+    return a.join(b, a.pr.eqNullSafe(b.pr)).select(
+        F.coalesce(a.pr, F.lit("URGENT-AS-NULL")).alias("pr"),
+        "cnt_even",
+        "cnt_odd",
+    )

@@ -216,3 +216,12 @@ def test_streaks_single_exchange(spark):
     per-user fold all reuse the same partitioning."""
     plan = plan_of(spark, "q_streaks_gaps_islands")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_nullsafe_join_stays_hash_joinable(spark):
+    """<=> keys must still plan as a hash join (broadcast or SMJ),
+    never a nested loop — null-safe comparison is an equi-key to
+    Catalyst."""
+    plan = plan_of(spark, "q_join_nullsafe")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan

@@ -93,3 +93,39 @@ def test_custom_state_equals_batch_aggregate(spark):
         k: (got[k], expected[k]) for k in expected if got.get(k) != expected[k]
     }
     assert not mismatched, dict(list(mismatched.items())[:5])
+
+
+def test_rocksdb_state_store_same_result(spark):
+    """Stateful streaming ops must produce identical results on the
+    RocksDB state-store provider — the provider a production cluster
+    runs when state outgrows executor heap (the 100 TB posture for
+    streaming dedup/joins: RocksDB spills to local SSD instead of
+    OOMing). The provider is pinned into a query's checkpoint at
+    first start, so each run here starts fresh."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    expected = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_ORACLE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    try:
+        spark.conf.set(key, rocks)
+        got = {
+            (r.user_id, r.event_type)
+            for r in REGISTRY["q_stream_dedup_state"]
+            .builder(spark, SF_ORACLE)
+            .collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert got == expected
