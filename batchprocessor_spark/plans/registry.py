@@ -114,6 +114,7 @@ CONTRACT_ORDER: tuple[str, ...] = (
     "q_join_multiway",
     # 51+ — strongest SQL-oracled extensions first, in case the driver
     # window turns out larger than 50
+    "q_llm_curation_pipeline",
     "q_ml_kmeans_init",
     "q_llm_dedup_simhash",
     "q_llm_decontaminate",
