@@ -439,3 +439,74 @@ def q_llm_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk")
     )
+
+
+_NEG_K = 4  # uniform negatives drawn per document
+_NEG_SALT = "negsample:"
+
+
+@register(
+    "q_llm_sample_negatives",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs, min(doc_id) AS id0 FROM documents),
+    draws AS (
+      SELECT d.doc_id, k.k,
+             (SELECT id0 FROM n)
+             + ((d.doc_id - (SELECT id0 FROM n)) + 1
+                + ('0x' || substring(md5('{_NEG_SALT}'
+                                         || d.doc_id::VARCHAR || ':'
+                                         || k.k::VARCHAR), 1, 8))::BIGINT
+                  % ((SELECT n_docs FROM n) - 1))
+               % (SELECT n_docs FROM n) AS neg_id
+      FROM documents d
+      CROSS JOIN (SELECT unnest(range({_NEG_K})) AS k) k)
+    SELECT doc_id, k::INT AS k, neg_id
+    FROM draws
+    """,
+    category="sampling",
+)
+def q_llm_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform negative sampling for contrastive/ranking training:
+    every document draws {4} deterministic pseudo-random OTHER
+    documents as negatives. The draw is an offset construction —
+    neg = id0 + (rank + 1 + hash mod (n-1)) mod n over the dense id
+    space — which is self-avoiding BY ALGEBRA (offset ∈ [1, n-1]
+    can never map a document to itself), so no rejection/retry loop
+    exists to make the sample size data-dependent.
+
+    Scale posture: a narrow per-row projection (one md5 + integer
+    arithmetic) after an explode of {4} constants — no join against
+    the corpus, no shuffle; the two corpus-level scalars (count, min
+    id) are a 1-row broadcast. Reproducible run-to-run and stable
+    as shards are reprocessed independently — the property negative
+    sampling needs for resumable training-data builds.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("id0")
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("k")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(_NEG_SALT),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    neg = F.col("id0") + (
+        (F.col("doc_id") - F.col("id0")) + 1 + h % (F.col("n_docs") - 1)
+    ) % F.col("n_docs")
+    return (
+        d.select("doc_id", ks)
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", F.col("k").cast("int").alias("k"), neg.alias("neg_id"))
+    )

@@ -633,3 +633,75 @@ def q_llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sq_err, 6).alias("sq_err"),
         )
     )
+
+
+_HARDNEG_K = 3  # hard negatives per query vector
+
+
+@register(
+    "q_llm_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             round(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 6)
+               AS sim
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.qid AND e.label <> q.qlabel),
+    ranked AS (
+      SELECT qid, vec_id, label, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT qid, vec_id, label, sim, rnk FROM ranked WHERE rnk <= {_HARDNEG_K}
+    """,
+    category="similarity",
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the {3} most cosine-similar vectors with a DIFFERENT
+    cluster label — near the anchor but semantically wrong, exactly
+    the negatives that make embedding models learn. Same broadcast +
+    per-query group-limit shape as q_llm_simsearch_topk with the
+    label-mismatch predicate fused into the join.
+
+    Scale posture: queries broadcast, corpus embarrassingly parallel,
+    WindowGroupLimit cuts per-query candidates before any shuffle of
+    scores; at real scale the corpus side pre-prunes through IVF cells
+    (q_llm_simsearch_ivf's shape) before exact scoring.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double("embedding").alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            spread(emb),
+            (F.col("vec_id") != F.col("qid")) & (F.col("label") != F.col("qlabel")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_prenorm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _HARDNEG_K
+    )
