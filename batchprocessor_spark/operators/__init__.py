@@ -7,6 +7,7 @@ from batchprocessor_spark.operators import (  # noqa: F401
     dedup,
     hierarchy,
     joins,
+    layout,
     pipeline,
     relational,
     sampling,
