@@ -557,3 +557,47 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(ingest, ignore_errors=True)
     return result
+
+
+@register(
+    "q_stream_session_watermark",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessioned AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM ordered)
+    SELECT user_id,
+           (epoch_us(min(ts)) // 1000000)::BIGINT AS sess_start_s,
+           count(*)::BIGINT AS n_events
+    FROM sessioned GROUP BY user_id, sess_no
+    """,
+    category="streaming",
+)
+def q_stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) on a REAL stream
+    with a watermark — the stateful merge-as-events-arrive session
+    operator, streaming twin of the batch q_win_session. After a full
+    AvailableNow drain the sessionization equals the batch gaps-based
+    definition, which the oracle states with lag + running-sum
+    session numbering (Spark's session_window end = last event + gap;
+    only start/count are emitted, which both definitions share)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("win.start")).alias("sess_start_s"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg)
