@@ -450,3 +450,122 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sum_qty").isNotNull())
     )
+
+
+_SEL_BUCKETS = 1024  # histogram width per selection round
+
+
+def exact_kth_units(df: DataFrame, group: str, units: str, ks: dict) -> dict:
+    """Exact k-th smallest of an integer column per group WITHOUT a
+    sort and WITHOUT buffering values — iterative histogram selection:
+    each round one map-side-combined aggregate histograms every live
+    (group, target) search range into _SEL_BUCKETS buckets, the driver
+    walks the (tiny) histogram to find the bucket containing the k-th
+    value, and the range narrows by ~1024× — so a 2^31-wide domain
+    resolves in 3-4 passes over the data with only
+    O(groups × targets × buckets) ever reaching the driver.
+
+    This is the 100 TB shape for exact order statistics: Spark's
+    built-in `percentile` buffers every value per group in the
+    aggregation state (fine at fixture scale, OOM at warehouse
+    scale); selection never holds more than a histogram.
+
+    ``ks``: {(group_value, target_id): k (1-based rank)} →
+    returns {(group_value, target_id): exact value}.
+    """
+    spark = df.sparkSession
+    bounds = {
+        r[0]: (r["lo"], r["hi"])
+        for r in df.groupBy(group)
+        .agg(F.min(units).alias("lo"), F.max(units).alias("hi"))
+        .collect()
+    }
+    state = {
+        (gv, tid): {"lo": bounds[gv][0], "hi": bounds[gv][1], "k": k}
+        for (gv, tid), k in ks.items()
+    }
+    out: dict = {}
+    while state:
+        # Broadcast the live search ranges; ONE pass histograms all.
+        st_rows = [
+            (gv, tid, s["lo"], s["hi"], max(1, (s["hi"] - s["lo"]) // _SEL_BUCKETS + 1))
+            for (gv, tid), s in state.items()
+        ]
+        st = spark.createDataFrame(
+            st_rows, f"{group} STRING, tid INT, lo BIGINT, hi BIGINT, w BIGINT"
+        )
+        hist = (
+            df.join(F.broadcast(st), group)
+            .where(F.col(units).between(F.col("lo"), F.col("hi")))
+            .groupBy(
+                group,
+                "tid",
+                ((F.col(units) - F.col("lo")) / F.col("w")).cast("long").alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_key: dict = {}
+        for r in hist:
+            by_key.setdefault((r[0], r["tid"]), {})[r["b"]] = r["c"]
+        nxt = {}
+        for (gv, tid), s in state.items():
+            w = max(1, (s["hi"] - s["lo"]) // _SEL_BUCKETS + 1)
+            cum, k = 0, s["k"]
+            for b in sorted(by_key.get((gv, tid), {})):
+                c = by_key[(gv, tid)][b]
+                if cum + c >= k:
+                    lo = s["lo"] + b * w
+                    hi = min(s["hi"], s["lo"] + (b + 1) * w - 1)
+                    if lo == hi:
+                        out[(gv, tid)] = lo
+                    else:
+                        nxt[(gv, tid)] = {"lo": lo, "hi": hi, "k": k - cum}
+                    break
+                cum += c
+        state = nxt
+    return out
+
+
+@register(
+    "q_agg_median_distributed",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           quantile_cont(round(l_extendedprice * 100)::BIGINT, 0.5)
+             AS median_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def q_agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median by distributed selection (iterative
+    histogram narrowing) rather than sort or value buffering — the
+    order-statistics algorithm that still works when one group holds
+    10^11 rows. Finds both middle order statistics in the same
+    passes and interpolates, matching quantile_cont(0.5) exactly
+    (integer cents make the midpoint average representable).
+
+    Scale posture: ceil(log1024(range)) ≈ 3 full passes, each ONE
+    map-side-combined histogram aggregate (the driver only ever sees
+    groups × 1024 counters); compare Spark's `percentile`, whose
+    aggregation buffer holds every value of the group. The same
+    kernel generalizes to any exact quantile set by seeding more
+    (group, rank) targets — extra targets share the same passes.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", to_units(F.col("l_extendedprice"), 100).alias("cents")
+    )
+    counts = {r[0]: r[1] for r in l.groupBy("l_returnflag").count().collect()}
+    ks = {}
+    for gv, n in counts.items():
+        ks[(gv, 1)] = (n + 1) // 2
+        ks[(gv, 2)] = (n + 2) // 2
+    vals = exact_kth_units(l, "l_returnflag", "cents", ks)
+    rows = [
+        (gv, counts[gv], (vals[(gv, 1)] + vals[(gv, 2)]) / 2.0)
+        for gv in sorted(counts)
+    ]
+    return spark.createDataFrame(
+        rows, "l_returnflag STRING, n BIGINT, median_cents DOUBLE"
+    )
