@@ -367,3 +367,53 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total_docs"),
     )
+
+
+@register(
+    "q_fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           round(list_aggregate(
+                   list_transform(list_zip(embedding, list_reverse(embedding)),
+                                  p -> p[1]::DOUBLE * p[2]::DOUBLE),
+                   'sum'), 4) AS rev_dot,
+           (len(list_filter(embedding, x -> x > 0.9)) > 0)::INT AS any_big,
+           (len(list_filter(embedding, x -> x > -2)) = len(embedding))::INT
+             AS all_gt_neg2,
+           list_aggregate(list_transform(embedding, x -> (x > 0)::BIGINT),
+                          'sum')::BIGINT AS n_pos,
+           round(list_aggregate(
+                   list_concat(embedding[1:4]::DOUBLE[],
+                               list_reverse(embedding)[1:4]::DOUBLE[]),
+                   'sum'), 4) AS ends_sum
+    FROM embeddings
+    """,
+    category="function",
+)
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function family beyond q_fn_array: zip_with
+    (pairwise product against the reversed vector — a self
+    convolution kernel), exists / forall predicates, a
+    transform-count, and concat+slice composition. All JVM-side
+    lambda expressions inside whole-stage codegen — the functions a
+    feature-engineering pipeline leans on before ever reaching a UDF.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rev = F.reverse(v)
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    return e.select(
+        "vec_id",
+        F.round(fold_sum(F.zip_with(v, rev, lambda a, b: a * b)), 4).alias("rev_dot"),
+        F.exists(v, lambda x: x > 0.9).cast("int").alias("any_big"),
+        F.forall(v, lambda x: x > -2).cast("int").alias("all_gt_neg2"),
+        fold_sum(F.transform(v, lambda x: (x > 0).cast("bigint")))
+        .cast("long")
+        .alias("n_pos"),
+        F.round(fold_sum(F.concat(F.slice(v, 1, 4), F.slice(rev, 1, 4))), 4).alias(
+            "ends_sum"
+        ),
+    )
