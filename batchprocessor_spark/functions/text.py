@@ -707,3 +707,81 @@ def q_llm_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("kept"))
         .select("lang", "kept", "thr_words")
     )
+
+
+@register(
+    "q_llm_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents),
+    toks AS (SELECT doc_id, token FROM w WHERE token <> ''),
+    counted AS (
+      SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM counted) WHERE rnk <= {_VOCAB_TOP_K}),
+    per_doc AS (
+      SELECT t.doc_id,
+             count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      FROM toks t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id)
+    SELECT d.lang,
+           count(*)::BIGINT AS n_docs,
+           sum(p.n_tokens)::BIGINT AS tokens,
+           sum(p.n_oov)::BIGINT AS oov,
+           round(sum(p.n_oov)::DOUBLE / sum(p.n_tokens), 6) AS oov_rate
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    category="text",
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage diagnostic: build the top-{100} word vocab
+    (q_llm_vocab_topk's cut) and measure per-language out-of-vocab
+    token rates — the coverage table a tokenizer team reads before
+    freezing a vocab, and the first place under-served languages show
+    up.
+
+    Scale posture: the vocab is vocab-cardinality (a TakeOrdered over
+    counted types) and broadcasts back onto the token stream — the
+    corpus-side explode joins a {100}-row build side, no shuffle of
+    tokens for the membership test; per-doc and per-lang rollups are
+    map-side-combined aggregates. OOV rate divides two exact BIGINTs
+    once per language.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    counted = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counted.orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(_VOCAB_TOP_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_oov").alias("oov"),
+            F.round(F.sum("n_oov") / F.sum("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
