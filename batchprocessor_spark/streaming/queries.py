@@ -601,3 +601,51 @@ def q_stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg)
+
+
+@register(
+    "q_stream_chained_rollup",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTES AS w FROM events)
+    SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+           event_type,
+           count(*)::BIGINT AS cnt
+    FROM events GROUP BY 1, 2
+    HAVING date_trunc('day', min(ts)) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+    """,
+    category="streaming",
+)
+def q_stream_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful aggregations in ONE streaming query:
+    hour-window counts re-aggregated into day windows by passing the
+    hour WINDOW STRUCT itself into the second `F.window` (the
+    window-on-window form that propagates event time through multiple
+    stateful operators). This is the streaming continuous-aggregate
+    cascade — the hourly level absorbs the high-rate input, the daily
+    level compacts hourly partials — mirroring the batch
+    q_ts_rollup_multires, with state bounded per level by the
+    watermark.
+
+    Chained aggregations only run in APPEND mode, which emits a
+    window when the watermark passes its END — so a drained replay
+    emits exactly the day windows closed by the final watermark
+    (max event time − 10 min) and withholds the still-open last day.
+    The oracle states THAT contract precisely (the HAVING clause is
+    the append-mode emission rule), making the late/held-back
+    semantics themselves driver-checked rather than papered over."""
+    hourly = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2"), "event_type")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("w2.start")).alias("day_s"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_to_memory(daily, output_mode="append")
