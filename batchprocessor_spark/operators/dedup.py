@@ -930,3 +930,86 @@ def q_llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return probed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_maybe_hits"))
+
+
+@register(
+    "q_llm_dedup_incremental_near",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    old_sh AS (SELECT * FROM sh WHERE doc_id < {_INGEST_SPLIT}),
+    new_sh AS (SELECT * FROM sh WHERE doc_id >= {_INGEST_SPLIT}),
+    inter AS (
+      SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS inter
+      FROM new_sh n JOIN old_sh o ON n.shingle = o.shingle
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    rejected AS (
+      SELECT DISTINCT new_id
+      FROM inter JOIN sizes s1 ON inter.new_id = s1.doc_id
+                 JOIN sizes s2 ON inter.old_id = s2.doc_id
+      WHERE inter::DOUBLE / (s1.n + s2.n - inter) > {_JACCARD_THRESHOLD})
+    SELECT d.doc_id,
+           (CASE WHEN r.new_id IS NULL THEN 1 ELSE 0 END) AS admitted
+    FROM documents d LEFT JOIN rejected r ON d.doc_id = r.new_id
+    WHERE d.doc_id >= {_INGEST_SPLIT}
+    """,
+    category="dedup",
+)
+def q_llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-duplicate admission: an arriving batch is
+    checked against the existing corpus for word-trigram Jaccard
+    overlap (> 0.5) and near-duplicates of corpus documents are
+    rejected — the continuous-curation counterpart of
+    q_dedup_incremental (which only catches byte-identical twins).
+    Emits every batch document with its admission verdict.
+
+    Scale posture: candidates come from the inverted shingle index
+    JOINED ACROSS the two sets (batch shingles ⋈ corpus shingles) —
+    guaranteed recall for any overlapping pair, cost proportional to
+    shared-shingle volume, never |batch|×|corpus|. At production
+    scale the corpus side is a pre-built shingle→doc index that the
+    batch probes (the same index the full-corpus pair join maintains),
+    and hot shingles are capped by the stopword filter + AQE skew
+    handling documented in the module header.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    old_sh = sh.where(F.col("doc_id") < _INGEST_SPLIT).select(
+        F.col("doc_id").alias("old_id"), "shingle"
+    )
+    new_sh = sh.where(F.col("doc_id") >= _INGEST_SPLIT).select(
+        F.col("doc_id").alias("new_id"), "shingle"
+    )
+    inter = (
+        new_sh.join(old_sh, "shingle")
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    rejected = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "new_id", "n": "n1"}), "new_id")
+        .join(sizes.withColumnsRenamed({"doc_id": "old_id", "n": "n2"}), "old_id")
+        .where(
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+            > _JACCARD_THRESHOLD
+        )
+        .select("new_id")
+        .distinct()
+    )
+    batch = d.where(F.col("doc_id") >= _INGEST_SPLIT).select("doc_id")
+    return batch.join(
+        F.broadcast(rejected.withColumnRenamed("new_id", "doc_id")).withColumn(
+            "hit", F.lit(1)
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.when(F.col("hit").isNull(), 1).otherwise(0).alias("admitted")
+    )

@@ -431,3 +431,40 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt_even",
         "cnt_odd",
     )
+
+
+@register(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           sum(round(l_quantity)::BIGINT)::BIGINT AS qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    category="join",
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join under an explicit SHUFFLE_HASH hint — the
+    third join strategy next to broadcast (small side) and sort-merge
+    (default large-large). Shuffle-hash skips BOTH sort phases by
+    hash-building the smaller shuffled side per partition: the right
+    call when one side is much smaller than the other but too big to
+    broadcast, and the build side fits executor memory per partition.
+    The plan gate (tests/test_plans.py) asserts ShuffledHashJoin with
+    no SortMergeJoin.
+
+    Scale posture: same single shuffle per side as SMJ on the equi
+    key; the trade is sort CPU vs build-side memory — with AQE,
+    Spark can also make this choice at runtime, the hint pins it
+    for predictable memory sizing.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    joined = l.join(
+        o.hint("shuffle_hash"), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round("l_quantity").cast("long")).alias("qty"),
+    )

@@ -225,3 +225,11 @@ def test_nullsafe_join_stays_hash_joinable(spark):
     plan = plan_of(spark, "q_join_nullsafe")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
+    phases), not fall back to sort-merge."""
+    plan = plan_of(spark, "q_join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
