@@ -129,3 +129,50 @@ def test_rocksdb_state_store_same_result(spark):
         else:
             spark.conf.set(key, old)
     assert got == expected
+
+
+def test_transform_with_state_equals_classic(spark):
+    """Spark 4 transformWithStateInPandas twin of the per-user
+    counters must equal the applyInPandasWithState result. Skipped
+    when the runtime lacks google.protobuf (the new API's state-server
+    dependency, not shipped with pyspark itself)."""
+    import pytest
+
+    from batchprocessor_spark.streaming.stateful import (
+        has_transform_with_state,
+        running_user_counters_tws,
+    )
+
+    if not has_transform_with_state():
+        pytest.skip("google.protobuf unavailable: transformWithState needs it")
+
+    from batchprocessor_spark.streaming.queries import _events_stream, run_to_memory
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)  # transformWithState is RocksDB-only
+        stream = _events_stream(spark, SF_ORACLE).select("user_id", "value")
+        out = run_to_memory(running_user_counters_tws(stream), output_mode="update")
+        got = {
+            r.user_id: (r.event_count, r.value_sum)
+            for r in out.orderBy("event_count").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    cents = F.sum(F.round(F.col("value") * 100).cast("long"))
+    expected = {
+        r.user_id: (r.cnt, r.vs)
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), (cents / 100.0).alias("vs"))
+        .collect()
+    }
+    assert got == expected
