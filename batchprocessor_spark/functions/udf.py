@@ -237,3 +237,65 @@ def q_udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(sq_norms, "vec_id BIGINT, dim INT, sq_norm DOUBLE")
+
+
+@register(
+    "q_udf_cogrouped",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*)::BIGINT AS n_clicks,
+             sum(round(value * 100)::BIGINT)::BIGINT AS click_cents
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (
+      SELECT user_id, count(*)::BIGINT AS n_purchases,
+             sum(round(value * 100)::BIGINT)::BIGINT AS purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           (coalesce(p.purchase_cents, 0) - coalesce(c.click_cents, 0))::BIGINT
+             AS cents_delta
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+    """,
+    category="udf",
+)
+def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: clicks and purchases grouped by user
+    arrive as TWO aligned pandas frames in one function call — the
+    API for per-entity logic that needs both sides at once without a
+    pre-join (sessionized attribution, feature joins, trajectory
+    alignment). Computes per-user counts and the purchase-minus-click
+    cents delta, exact by integer cents.
+
+    Scale posture: one shuffle per side on user_id (the cogroup key),
+    then Arrow-batched per-key frames; no wide pre-join row explosion
+    — each side arrives separately, sized by its own per-user volume.
+    """
+    from batchprocessor_spark.sources.catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "value")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        c_cents = int(left["value"].mul(100).round().astype("int64").sum()) if len(left) else 0
+        p_cents = int(right["value"].mul(100).round().astype("int64").sum()) if len(right) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "cents_delta": [p_cents - c_cents],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id BIGINT, n_clicks BIGINT, n_purchases BIGINT, cents_delta BIGINT",
+        )
+    )

@@ -538,3 +538,98 @@ def q_streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("best_start_s"),
         )
     )
+
+
+@register(
+    "q_dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS rule,
+           (count(*) - count(DISTINCT o_orderkey))::BIGINT AS violations,
+           count(*)::BIGINT AS checked
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END)::BIGINT,
+           count(*)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_positive',
+           sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                    THEN 1 ELSE 0 END)::BIGINT,
+           count(*)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'orders_date_not_null',
+           (count(*) - count(o_orderdate))::BIGINT, count(*)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           count(*)::BIGINT, (SELECT count(*) FROM lineitem)::BIGINT
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END)::BIGINT,
+           count(*)::BIGINT
+    FROM lineitem
+    """,
+    category="analytics",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations report (the Deequ / dbt-
+    test shape): primary-key uniqueness, accepted value sets, range
+    and not-null constraints, and cross-table referential integrity —
+    one (rule, violations, checked) row each, the gate a warehouse
+    load runs before publishing a partition.
+
+    Scale posture: the four orders rules compute in ONE scan/aggregate
+    (conditional sums share the pass); the uniqueness rule is a
+    count-distinct (Expand, map-side combined); the FK orphan check is
+    an anti-join on the key — at 100 TB the orders side reduces to a
+    distinct-key index, never full rows. Nothing collects beyond the
+    six report rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n_orders = F.count(F.lit(1))
+    orders_wide = o.agg(
+        (n_orders - F.count_distinct(F.col("o_orderkey"))).alias("pk"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("status"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("price"),
+        (n_orders - F.count("o_orderdate")).alias("datenull"),
+        n_orders.alias("checked"),
+    )
+    orders_rules = orders_wide.select(
+        F.expr(
+            "stack(4, 'orders_pk_unique', pk, 'orders_status_accepted', status, "
+            "'orders_price_positive', price, 'orders_date_not_null', datenull) "
+            "AS (rule, violations)"
+        ),
+        F.col("checked"),
+    )
+    n_lines = l.count()
+    orphans = (
+        l.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("lineitem_fk_orders").alias("rule"),
+            "violations",
+            F.lit(n_lines).alias("checked"),
+        )
+    )
+    qty = l.agg(
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).alias("violations"),
+        F.count(F.lit(1)).alias("checked"),
+    ).select(F.lit("lineitem_qty_range").alias("rule"), "violations", "checked")
+    return orders_rules.unionByName(orphans).unionByName(qty)
