@@ -649,3 +649,41 @@ def q_stream_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(daily, output_mode="append")
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*)::BIGINT AS cnt,
+           sum(round(e.value * 100)::BIGINT)::BIGINT AS cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    category="streaming",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (customer) micro-batch by micro-batch — the standard
+    enrichment pattern (no state store involved: the static side is
+    re-resolved per batch, so dimension updates between batches are
+    picked up). Aggregates enriched events per market segment in the
+    exact cents lane.
+
+    Scale posture: the static side is dimension-sized → broadcast
+    into each micro-batch (stateless, unlike stream-stream joins);
+    the stream side never shuffles for the join, only for the final
+    segment-cardinality aggregate."""
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(customers), F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return run_to_memory(enriched)
