@@ -216,20 +216,35 @@ def q_udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             vec_id = batch.column("vec_id")
             emb = batch.column("embedding")
-            # ListArray → (n, dim) float64 matrix; fixture embeddings
-            # all share one dim, asserted via the reshape itself.
-            flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
             n = len(batch)
-            dim = len(flat) // max(n, 1)
-            sq = (flat * flat).reshape(n, dim) if n else np.empty((0, 0))
-            # left-to-right fold, same association the SQL states
-            acc = np.zeros(n)
-            for j in range(sq.shape[1] if n else 0):
-                acc = acc + sq[:, j]
+            # Per-row lengths from the ListArray offsets — NEVER a
+            # uniform reshape, which would silently mix neighbouring
+            # rows' elements whenever dims vary (or a null shifts the
+            # flattened buffer) yet total length divides n.
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            lengths = (offsets[1:] - offsets[:-1]).astype("int64")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            sq = flat * flat
+            if n and (lengths == lengths[0]).all():
+                # uniform dims: vectorized column-wise LEFT fold, the
+                # association the SQL oracle states
+                m = sq.reshape(n, lengths[0]) if lengths[0] else np.empty((n, 0))
+                acc = np.zeros(n)
+                for j in range(m.shape[1]):
+                    acc = acc + m[:, j]
+            else:
+                # ragged dims: explicit per-row left fold
+                acc = np.zeros(n)
+                base = offsets[0]
+                for i in range(n):
+                    a = 0.0
+                    for v in sq[offsets[i] - base : offsets[i + 1] - base]:
+                        a = a + v
+                    acc[i] = a
             yield pa.RecordBatch.from_arrays(
                 [
                     vec_id,
-                    pa.array([dim] * n, type=pa.int32()),
+                    pa.array(lengths.astype("int32"), type=pa.int32()),
                     pa.array(np.round(acc, 6), type=pa.float64()),
                 ],
                 names=["vec_id", "dim", "sq_norm"],
@@ -271,9 +286,7 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     then Arrow-batched per-key frames; no wide pre-join row explosion
     — each side arrives separately, sized by its own per-user volume.
     """
-    from batchprocessor_spark.sources.catalog import load_table as _lt
-
-    e = _lt(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events")
     clicks = e.where(F.col("event_type") == "click").select("user_id", "value")
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id", "value"

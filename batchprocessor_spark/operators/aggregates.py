@@ -455,7 +455,9 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEL_BUCKETS = 1024  # histogram width per selection round
 
 
-def exact_kth_units(df: DataFrame, group: str, units: str, ks: dict) -> dict:
+def exact_kth_units(
+    df: DataFrame, group: str, units: str, ks: dict, group_type: str = "STRING"
+) -> dict:
     """Exact k-th smallest of an integer column per group WITHOUT a
     sort and WITHOUT buffering values — iterative histogram selection:
     each round one map-side-combined aggregate histograms every live
@@ -471,15 +473,30 @@ def exact_kth_units(df: DataFrame, group: str, units: str, ks: dict) -> dict:
     scale); selection never holds more than a histogram.
 
     ``ks``: {(group_value, target_id): k (1-based rank)} →
-    returns {(group_value, target_id): exact value}.
+    returns {(group_value, target_id): exact value}. ``group_type``
+    is the SQL type of the group column for the broadcast state
+    frame. Raises ValueError up front for a group value absent from
+    ``df`` or a rank beyond the group's row count (a silent drop here
+    would surface as a distant KeyError in the caller).
     """
     spark = df.sparkSession
     bounds = {
-        r[0]: (r["lo"], r["hi"])
+        r[0]: (r["lo"], r["hi"], r["n"])
         for r in df.groupBy(group)
-        .agg(F.min(units).alias("lo"), F.max(units).alias("hi"))
+        .agg(
+            F.min(units).alias("lo"),
+            F.max(units).alias("hi"),
+            F.count(units).alias("n"),
+        )
         .collect()
     }
+    bad = [
+        (gv, tid, k)
+        for (gv, tid), k in ks.items()
+        if gv not in bounds or not (1 <= k <= bounds[gv][2])
+    ]
+    if bad:
+        raise ValueError(f"rank targets outside their group's rows: {bad}")
     state = {
         (gv, tid): {"lo": bounds[gv][0], "hi": bounds[gv][1], "k": k}
         for (gv, tid), k in ks.items()
@@ -492,7 +509,7 @@ def exact_kth_units(df: DataFrame, group: str, units: str, ks: dict) -> dict:
             for (gv, tid), s in state.items()
         ]
         st = spark.createDataFrame(
-            st_rows, f"{group} STRING, tid INT, lo BIGINT, hi BIGINT, w BIGINT"
+            st_rows, f"{group} {group_type}, tid INT, lo BIGINT, hi BIGINT, w BIGINT"
         )
         hist = (
             df.join(F.broadcast(st), group)

@@ -419,9 +419,7 @@ _SEQ_PATTERN = "view,click,purchase"
              string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
       FROM events GROUP BY user_id)
     SELECT user_id, n_events,
-           len(regexp_extract_all(seq, '{_SEQ_PATTERN}'))::INT AS n_matches,
-           (CASE WHEN seq LIKE '%{_SEQ_PATTERN.replace(",", ",%").replace("%", "")}%'
-                 THEN 1 ELSE 0 END) AS has_consecutive
+           len(regexp_extract_all(seq, '{_SEQ_PATTERN}'))::INT AS n_matches
     FROM seqs
     WHERE len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) > 0
     """,
@@ -455,14 +453,7 @@ def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_matches = F.size(F.regexp_extract_all(F.col("seq"), F.lit(_SEQ_PATTERN), 0))
     return (
-        seqs.select(
-            "user_id",
-            "n_events",
-            n_matches.alias("n_matches"),
-            F.when(F.col("seq").contains(_SEQ_PATTERN), 1).otherwise(0).alias(
-                "has_consecutive"
-            ),
-        )
+        seqs.select("user_id", "n_events", n_matches.alias("n_matches"))
         .where(F.col("n_matches") > 0)
     )
 
@@ -615,16 +606,15 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("checked"),
     )
-    n_lines = l.count()
+    n_lines = l.agg(F.count(F.lit(1)).alias("checked"))
     orphans = (
         l.select("l_orderkey")
         .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("violations"))
-        .select(
-            F.lit("lineitem_fk_orders").alias("rule"),
-            "violations",
-            F.lit(n_lines).alias("checked"),
-        )
+        .select(F.lit("lineitem_fk_orders").alias("rule"), "violations")
+        # 1-row × 1-row crossJoin keeps the report fully lazy — no
+        # eager driver-side count scan at plan-build time
+        .crossJoin(F.broadcast(n_lines))
     )
     qty = l.agg(
         F.sum(

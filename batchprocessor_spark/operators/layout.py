@@ -29,7 +29,13 @@ def zorder_key(a: Column, b: Column, bits: int = _Z_BITS) -> Column:
     """Morton-interleave the low `bits` of two non-negative integer
     columns: bit i of `a` lands at position 2i, bit i of `b` at
     2i+1. Pure integer shift/mask arithmetic — JVM codegen, no UDF —
-    and the identical expression exists in ANSI SQL for the oracle."""
+    and the identical expression exists in ANSI SQL for the oracle.
+
+    Callers must pass values already inside [0, 2^bits) — q_layout_
+    zorder min/max-normalizes each dimension into that domain first
+    (see _norm_sql), because HIGH bits beyond `bits` are dropped here
+    and un-normalized wide domains would alias distant values onto
+    the same key, destroying the locality property."""
     acc = F.lit(0).cast("long")
     for i in range(bits):
         acc = (
@@ -48,7 +54,14 @@ def _zorder_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-_ZK = _zorder_sql("o_custkey", "day_n")
+# Min/max normalization of a dimension into the interleave domain
+# [0, 2^16): rank-space scaling keeps the z-curve property at ANY
+# input width (raw TPC-H custkey outgrows 16 bits past SF≈0.4).
+def _norm_sql(col: str, lo: str, hi: str) -> str:
+    return f"(({col} - {lo}) * 65535) // (CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1 END)"
+
+
+_ZK = _zorder_sql("cust_n", "day_nn")
 
 
 @register(
@@ -58,13 +71,20 @@ _ZK = _zorder_sql("o_custkey", "day_n")
       SELECT o_orderkey, o_custkey,
              date_diff('day', DATE '1992-01-01', o_orderdate) AS day_n
       FROM orders),
+    b AS (SELECT min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
+                 min(day_n) AS d_lo, max(day_n) AS d_hi FROM t),
+    normed AS (
+      SELECT o_orderkey,
+             {_norm_sql("o_custkey", "b.c_lo", "b.c_hi")} AS cust_n,
+             {_norm_sql("day_n", "b.d_lo", "b.d_hi")} AS day_nn
+      FROM t CROSS JOIN b),
     keyed AS (
-      SELECT o_orderkey, o_custkey, day_n, {_ZK}::BIGINT AS zkey FROM t),
+      SELECT o_orderkey, cust_n, day_nn, {_ZK}::BIGINT AS zkey FROM normed),
     buckets AS (
       SELECT zkey // 65536 AS zbucket,
              count(*)::BIGINT AS n_rows,
-             min(o_custkey)::BIGINT AS cust_lo, max(o_custkey)::BIGINT AS cust_hi,
-             min(day_n)::BIGINT AS day_lo, max(day_n)::BIGINT AS day_hi
+             min(cust_n)::BIGINT AS cust_lo, max(cust_n)::BIGINT AS cust_hi,
+             min(day_nn)::BIGINT AS day_lo, max(day_nn)::BIGINT AS day_hi
       FROM keyed GROUP BY 1)
     SELECT zbucket, n_rows, cust_lo, cust_hi, day_lo, day_hi
     FROM buckets
@@ -79,12 +99,20 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the point: a filter on either column alone skips most buckets,
     which a single-column sort only achieves for its own column.
 
-    Scale posture: the key is a narrow shift/mask projection (one map
-    stage, fully codegen'd); the layout write is then
-    repartitionByRange(zkey) + sortWithinPartitions — one range
-    exchange, the same cost as any sorted write. The bucket-envelope
-    report here is a tiny aggregate standing in for parquet's own
-    footer stats.
+    Each dimension is min/max-normalized into the 16-bit interleave
+    domain first (a 1-row bounds aggregate, broadcast back), so the
+    locality guarantee is input-width-independent — raw custkey
+    outgrows 16 bits past SF≈0.4 and un-normalized interleaving would
+    silently alias distant keys. Envelopes are reported in normalized
+    units: every bucket bounds BOTH dims to ≤255 of 65536 by
+    construction (tests/test_layout.py).
+
+    Scale posture: the key is a narrow shift/mask projection after a
+    1-row broadcast (one map stage, fully codegen'd); the layout
+    write is then repartitionByRange(zkey) + sortWithinPartitions —
+    one range exchange, the same cost as any sorted write. The
+    bucket-envelope report here is a tiny aggregate standing in for
+    parquet's own footer stats.
     """
     t = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -93,16 +121,38 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_n"
         ),
     )
-    keyed = t.withColumn(
-        "zkey", zorder_key(F.col("o_custkey").cast("int"), F.col("day_n").cast("int"))
+    b = t.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min("day_n").alias("d_lo"),
+        F.max("day_n").alias("d_hi"),
+    )
+
+    def norm(col, lo, hi):
+        # integer div, not float-divide-and-cast: the double quotient
+        # can land exactly on the next integer at multiples of the
+        # span, where truncation would disagree with the oracle's
+        # integer floor division
+        return F.expr(
+            f"(({col} - {lo}) * 65535) div "
+            f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1 END)"
+        )
+
+    normed = t.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        norm("o_custkey", "c_lo", "c_hi").alias("cust_n"),
+        norm("day_n", "d_lo", "d_hi").alias("day_nn"),
+    )
+    keyed = normed.withColumn(
+        "zkey", zorder_key(F.col("cust_n").cast("int"), F.col("day_nn").cast("int"))
     )
     return (
         keyed.groupBy((F.col("zkey") / 65536).cast("long").alias("zbucket"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.min("o_custkey").alias("cust_lo"),
-            F.max("o_custkey").alias("cust_hi"),
-            F.min("day_n").alias("day_lo"),
-            F.max("day_n").alias("day_hi"),
+            F.min("cust_n").alias("cust_lo"),
+            F.max("cust_n").alias("cust_hi"),
+            F.min("day_nn").alias("day_lo"),
+            F.max("day_nn").alias("day_hi"),
         )
     )

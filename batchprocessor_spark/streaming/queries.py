@@ -66,13 +66,20 @@ def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = Non
     and declare the stream schema to match."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(path):
+    single_file = os.path.exists(path)
+    if not single_file:
         path = os.path.join(sf_dir, "events")
     raw_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
     reader = spark.readStream.schema(EVENTS_RAW_DDL if raw_is_long else EVENTS_TS_DDL)
     if max_files:
         reader = reader.option("maxFilesPerTrigger", max_files)
-    raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    # The stream source must follow the same layout the probe resolved:
+    # a single file is picked out of sf_dir by glob; a directory table
+    # streams the directory itself (a glob here would match nothing).
+    if single_file:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    else:
+        raw = reader.parquet(path)
     if raw_is_long:
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return raw

@@ -176,3 +176,23 @@ def test_transform_with_state_equals_classic(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_reads_directory_layout(tmp_path, spark):
+    """The events stream must also work when the table is a DIRECTORY
+    (events/part-*.parquet) rather than a single events.parquet file —
+    the glob filter that picks the single file out of sf_dir must not
+    be applied to the directory form (it would match nothing and
+    silently drain an empty stream)."""
+    import shutil
+
+    from batchprocessor_spark.streaming.queries import _events_stream, run_to_memory
+
+    src = f"{SF_ORACLE}/events.parquet"
+    (tmp_path / "events").mkdir()
+    shutil.copy(src, tmp_path / "events" / "part-00000.parquet")
+    streamed = run_to_memory(
+        _events_stream(spark, str(tmp_path)).agg(F.count(F.lit(1)).alias("n"))
+    ).collect()[0].n
+    batch = load_table(spark, SF_ORACLE, "events").count()
+    assert streamed == batch
