@@ -258,3 +258,60 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(to_units(F.col("o_totalprice"), 100)).cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "q_sql_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)
+             ::BIGINT AS revenue_u,
+           (epoch_us(o.o_orderdate) // 1000000)::BIGINT AS odate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_u DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    category="scan",
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) written in PURE SQL through the
+    engine's SQL front end — the proof that `spark.sql` over the
+    registered catalog views is a first-class query path with the
+    same correctness discipline as the DataFrame builders (revenue in
+    the exact 1e-4-dollar lane; the oracle is the same statement in
+    DuckDB's dialect).
+
+    Scale posture: Catalyst plans it identically to the DataFrame
+    form — customer filter pushed to the scan and broadcast, orders ⋈
+    lineitem as the large join, TakeOrderedAndProject for the top-10
+    (no global sort). SQL text changes nothing about the physical
+    strategy.
+    """
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT) AS revenue_u,
+               unix_timestamp(o.o_orderdate) AS odate_s,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_u DESC, l.l_orderkey
+        LIMIT 10
+        """
+    )
