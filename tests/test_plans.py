@@ -233,3 +233,13 @@ def test_shuffle_hash_hint_respected(spark):
     plan = plan_of(spark, "q_join_shuffle_hash")
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sql_front_end_same_physical_strategy(spark):
+    """The pure-SQL TPC-H Q3 must get the same physical treatment a
+    DataFrame formulation would: pushed filters, hash joins, and a
+    TakeOrderedAndProject top-10 (never a global sort)."""
+    plan = plan_of(spark, "q_sql_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters" in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
