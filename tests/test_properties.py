@@ -306,3 +306,49 @@ def test_exactmath_lane_matches_decimal_ground_truth(spark, rows, nparts):
         c = int(cents_true * 100)
         q, r = (c // 100, c % 100) if c >= 0 else (-((-c) // 100), -((-c) % 100))
         assert got[k] == float(q) + float(r) / 100.0, (k, got[k], cents_true)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_zorder_key_matches_python_interleave(spark, pairs):
+    """zorder_key equals the python bit-interleave for any 16-bit
+    pair (and is therefore bijective on distinct pairs)."""
+    from batchprocessor_spark.operators.layout import zorder_key
+
+    def morton(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a INT, b INT")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zorder_key(F.col("a"), F.col("b"))).collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == morton(a, b)
+
+
+@given(
+    vals=st.lists(st.integers(-10_000, 10_000), min_size=1, max_size=80),
+    data=st.data(),
+)
+@SETTINGS
+def test_exact_kth_matches_sorted(spark, vals, data):
+    """exact_kth_units (iterative histogram selection) returns exactly
+    sorted(vals)[k-1] for any k — against python ground truth, not an
+    engine oracle."""
+    from batchprocessor_spark.operators.aggregates import exact_kth_units
+
+    k = data.draw(st.integers(1, len(vals)))
+    df = spark.createDataFrame([("g", v) for v in vals], "grp STRING, u BIGINT")
+    out = exact_kth_units(df, "grp", "u", {("g", 1): k})
+    assert out[("g", 1)] == sorted(vals)[k - 1]
