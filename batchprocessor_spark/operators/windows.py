@@ -230,3 +230,64 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= 3)
     )
+
+
+@register(
+    "q_win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             (CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id) = 1
+                   THEN 1 ELSE 0 END) AS first_seen
+      FROM events)
+    SELECT user_id,
+           (epoch_us(ts) // 1000000)::BIGINT AS ts_s,
+           event_id,
+           sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+    category="window",
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user over event time — how many
+    distinct event types each user has touched as of every event (the
+    discovery/engagement-breadth curve). Spark (like every engine)
+    rejects COUNT(DISTINCT) OVER a running frame; the standard
+    rewrite is first-occurrence flagging (row_number = 1 per
+    (user, value)) + a running SUM of the flags, which is exactly
+    what both sides compute.
+
+    Scale posture: both windows partition on user_id — one hash
+    Exchange, two WindowExec passes (the flag window sub-partitions
+    by (user, type) which hashpartitioning(user) already satisfies,
+    so no second shuffle; same prefix-partitioning reuse as
+    q_streaks_gaps_islands). State per row is a flag and a counter,
+    never a distinct-set.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        # partition on the user_id PREFIX up front: it satisfies both
+        # the (user, type) flag window and the per-user running sum,
+        # collapsing the plan to one Exchange (gated in test_plans)
+        .repartition("user_id")
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return flagged.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )

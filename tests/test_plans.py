@@ -243,3 +243,10 @@ def test_sql_front_end_same_physical_strategy(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "PushedFilters" in plan, plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_running_distinct_single_exchange(spark):
+    """Both windows of the running-distinct query must share the one
+    user_id hash exchange (prefix-partitioning reuse)."""
+    plan = plan_of(spark, "q_win_running_distinct")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
