@@ -586,3 +586,33 @@ def q_agg_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "l_returnflag STRING, n BIGINT, median_cents DOUBLE"
     )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id)::BIGINT AS all_bits,
+           bit_or(user_id)::BIGINT AS any_bits,
+           bit_xor(event_id)::BIGINT AS xor_fingerprint,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    """,
+    category="aggregate",
+)
+def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) per
+    group. bit_xor is the load-bearing one at scale: it is an
+    order-insensitive, overflow-free set fingerprint — the engine's
+    connected-components fixpoint detector and any
+    compare-two-table-snapshots check use exactly this (a SUM of
+    hashes trips ANSI overflow; XOR cannot). All three are
+    associative-commutative, so map-side partials are exact under any
+    AQE re-split."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("bit_and(user_id)").alias("all_bits"),
+        F.expr("bit_or(user_id)").alias("any_bits"),
+        F.expr("bit_xor(event_id)").alias("xor_fingerprint"),
+        F.count(F.lit(1)).alias("n"),
+    )
