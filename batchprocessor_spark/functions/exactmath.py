@@ -34,6 +34,20 @@ def to_units(col: Column, scale: int) -> Column:
     return F.round(col * scale).cast("long") if scale != 1 else F.round(col).cast("long")
 
 
+def pd_to_units(series, scale: int):
+    """Pandas twin of :func:`to_units` for Arrow-batched UDF paths.
+
+    pandas ``.round()`` is numpy half-to-even, while Spark ``F.round``
+    and DuckDB ``round`` are half-away-from-zero — a value whose
+    ``x*scale`` lands exactly on ``.5`` in binary would differ by one
+    unit between the lanes. Sign-aware ``floor(|x|*scale + 0.5)``
+    reproduces the half-away convention exactly (ADVICE r2)."""
+    import numpy as np
+
+    scaled = series.to_numpy(dtype="float64") * scale
+    return np.copysign(np.floor(np.abs(scaled) + 0.5), scaled).astype("int64")
+
+
 def dec_sum(col: Column) -> Column:
     """Overflow-proof exact accumulator for integer-unit columns."""
     return F.sum(col.cast("decimal(38,0)"))

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from batchprocessor_spark.functions.exactmath import pd_to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
@@ -166,7 +167,7 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would vary in the last bits across shuffles and risk flipping
         # the 6-decimal round against the oracle.
         w = (key % 7 + 1).astype("int64")
-        cents = (bal * 100).round().astype("int64")
+        cents = pd_to_units(bal, 100)
         return float(round((cents * w).sum() / 100.0 / w.sum(), 6))
 
     # Spark refuses to mix group-agg pandas UDFs with JVM aggregates
@@ -293,8 +294,8 @@ def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        c_cents = int(left["value"].mul(100).round().astype("int64").sum()) if len(left) else 0
-        p_cents = int(right["value"].mul(100).round().astype("int64").sum()) if len(right) else 0
+        c_cents = int(pd_to_units(left["value"], 100).sum()) if len(left) else 0
+        p_cents = int(pd_to_units(right["value"], 100).sum()) if len(right) else 0
         return pd.DataFrame(
             {
                 "user_id": [key[0]],

@@ -407,7 +407,14 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEQ_PATTERN = "view,click,purchase"
+# Token-anchored pattern (ADVICE r2): tokens are joined with a DOUBLE
+# separator ",," and the whole sequence wrapped in single commas, so
+# every token is comma-delimited on both sides — "preview" can never
+# match "view". A match consumes only the LEFT comma of each ",,"
+# boundary pair, leaving the right comma as the anchor for the next
+# match, so back-to-back runs (v,c,p,v,c,p) still count as 2 without
+# regex lookahead (DuckDB's RE2 has none).
+_SEQ_PATTERN = ",view,,click,,purchase,"
 
 
 @register(
@@ -416,7 +423,8 @@ _SEQ_PATTERN = "view,click,purchase"
     WITH seqs AS (
       SELECT user_id,
              count(*)::BIGINT AS n_events,
-             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+             ',' || string_agg(event_type, ',,' ORDER BY ts, event_id) || ','
+               AS seq
       FROM events GROUP BY user_id)
     SELECT user_id, n_events,
            len(regexp_extract_all(seq, '{_SEQ_PATTERN}'))::INT AS n_matches
@@ -441,12 +449,18 @@ def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sessionized splitting first (q_win_session's shape).
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    seq = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda s: s["event_type"],
+    seq = F.concat(
+        F.lit(","),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ",,",
         ),
-        ",",
+        F.lit(","),
     )
     seqs = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), seq.alias("seq")

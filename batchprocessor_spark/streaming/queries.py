@@ -572,7 +572,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTES
+                       >= INTERVAL 30 MINUTES
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
@@ -595,7 +595,11 @@ def q_stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow drain the sessionization equals the batch gaps-based
     definition, which the oracle states with lag + running-sum
     session numbering (Spark's session_window end = last event + gap;
-    only start/count are emitted, which both definitions share)."""
+    only start/count are emitted, which both definitions share).
+    Boundary convention: session_window is end-EXCLUSIVE, so a gap of
+    exactly 30:00 starts a NEW session — the oracle's new-session
+    predicate is therefore ``>= INTERVAL 30 MINUTES``, the same
+    convention as the batch twin q_win_session (ADVICE r2)."""
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from batchprocessor_spark.functions.exactmath import pd_to_units
+
 OUTPUT_SCHEMA = "user_id BIGINT, event_count BIGINT, value_sum DOUBLE, closed BOOLEAN"
 # State accumulates VALUE IN EXACT INTEGER CENTS, not a double: double
 # accumulation order differs between micro-batch splits (and from any
@@ -51,7 +53,7 @@ def _make_update_fn(expire_after_s: float | None):
         count, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             count += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            cents += int(pd_to_units(pdf["value"], 100).sum())
         state.update((count, cents))
         if expire_after_s is not None:
             state.setTimeoutDuration(int(expire_after_s * 1000))
@@ -127,7 +129,7 @@ def running_user_counters_tws(events_stream: DataFrame) -> DataFrame:
             for pdf in rows:
                 c += len(pdf)
                 # exact cents lane, same as _make_update_fn
-                s += int(pdf["value"].mul(100).round().astype("int64").sum())
+                s += int(pd_to_units(pdf["value"], 100).sum())
             self._st.update((c, s))
             yield pd.DataFrame(
                 {
