@@ -3,17 +3,21 @@ with typed metadata structs, integrity hashing, and the Pandas-UDF
 plumbing for decode/feature-extraction.
 
 Design: media is a `binary` column + a metadata struct (mime, size,
-checksum). Decoding sits behind a FEATURE PROBE (`_pil_image`): when
-PIL is importable and the payload is an image, the real decoder runs;
-otherwise a clearly-marked deterministic stub. Either way the Spark
-contract — schema, Arrow batch shape, partitioning — is identical and
-tested, so installing a media library changes behavior, not plumbing.
+checksum). Decoding is REAL for the uncompressed raster formats a
+pure-numpy parser can handle — P6 PPM and 24-bit BMP (`decode_image`,
+including header comments, bottom-up rows, BGR order, and 4-byte row
+padding) — with a FEATURE PROBE (`_pil_image`) adding compressed
+formats when PIL is importable, and a deterministic fallback only for
+genuinely opaque payloads. The Spark contract — schema, Arrow batch
+shape, partitioning — is identical on every path and tested, so the
+environment changes which decoder runs, never the plumbing.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -110,11 +114,119 @@ _UNPROBED = object()
 _PIL_PROBE: object = _UNPROBED
 
 
+def make_ppm_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """A real binary P6 PPM image with deterministic pixels
+    v(x, y, c) = (doc_id·31 + (y·width + x)·3 + c) mod 256 — the
+    fixture side of the decode tests: the BYTES are a fully valid
+    image any PPM reader opens, and the closed-form pixel law lets a
+    SQL oracle recompute the decoded statistics exactly."""
+    n = width * height * 3
+    px = ((doc_id * 31 + np.arange(n)) % 256).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (width, height) + px.tobytes()
+
+
+def make_bmp_bytes(doc_id: int, width: int, height: int) -> bytes:
+    """The SAME deterministic pixels as make_ppm_bytes, serialized as
+    a real 24-bit uncompressed BMP: BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER, rows bottom-up, channels BGR, each row padded to
+    a 4-byte boundary — the quirks a real-world decoder must undo."""
+    import struct
+
+    n = width * height * 3
+    rgb = ((doc_id * 31 + np.arange(n)) % 256).astype(np.uint8).reshape(
+        height, width, 3
+    )
+    bgr_bottom_up = rgb[::-1, :, ::-1]
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    raster = b"".join(
+        bgr_bottom_up[r].tobytes() + b"\0" * pad for r in range(height)
+    )
+    offset = 14 + 40
+    file_size = offset + len(raster)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + info + raster
+
+
+def _ppm_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy P6 PPM parser: magic, '#' comments, whitespace-split
+    width/height/maxval tokens, then the binary raster. Returns
+    (width, height, h×w×3 uint8 RGB array)."""
+    buf = bytes(payload)
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit)")
+    pos += 1  # exactly one whitespace byte separates header and raster
+    n = width * height * 3
+    raster = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    return width, height, raster.reshape(height, width, 3)
+
+
+def _bmp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy 24-bit BMP parser: validates the BITMAPINFOHEADER,
+    strips per-row 4-byte padding, flips the bottom-up row order and
+    the BGR channel order. Returns (width, height, RGB array)."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    try:
+        offset = struct.unpack_from("<I", buf, 10)[0]
+        hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", buf, 14
+        )
+    except struct.error as e:  # truncated header → same contract as PPM
+        raise ValueError(f"truncated BMP header: {e}") from e
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, :row_bytes]
+    img = rows.reshape(height, width, 3)
+    if bottom_up:
+        img = img[::-1]
+    return width, height, img[:, :, ::-1]
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Real raster decode for the formats a pure-numpy parser covers,
+    dispatched on magic bytes. Raises ValueError on anything else —
+    callers decide whether to fall back (see _decode_payload)."""
+    head = bytes(payload[:2])
+    if head == b"P6":
+        return _ppm_decode(payload)
+    if head == b"BM":
+        return _bmp_decode(payload)
+    raise ValueError("unrecognized image format")
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decoder for non-image payloads (or when no media library
-    is installed): a deterministic fake derived from the payload bytes
-    so tests are reproducible — the Spark plumbing around it is real.
-    """
+    """Deterministic fallback featurizer for genuinely OPAQUE payloads
+    (no recognizable raster magic, no PIL): features derived from the
+    payload bytes so tests are reproducible — the Spark plumbing
+    around it is identical to the real-decode paths."""
     n = len(payload)
     width, height = (n % 640) + 1, (n % 480) + 1
     # Deterministic fake features: byte histogram over 8 buckets.
@@ -125,10 +237,21 @@ def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_payload(payload: bytes, mime: str) -> tuple[int, int, list[float]]:
-    """Decode one payload: real PIL decode when a media library is
-    present AND the payload is an image; the deterministic stub
-    otherwise. Same (width, height, 8-dim feature) contract on both
-    paths, so swapping environments never changes the schema."""
+    """Decode one payload, best decoder first: the pure-numpy raster
+    parsers (PPM/BMP — real pixel math, no library needed), then PIL
+    for compressed formats when importable, then the deterministic
+    fallback for opaque payloads. Same (width, height, 8-dim feature)
+    contract on every path, so the environment never changes the
+    schema."""
+    try:
+        width, height, img = decode_image(payload)
+        px = img.astype(np.float64)
+        feats = [float(px[:, :, c].mean()) for c in range(3)]
+        feats += [float(px[:, :, c].std()) for c in range(3)]
+        feats += [float(px.min()), float(px.max())]
+        return width, height, feats
+    except ValueError:
+        pass
     image_mod = _pil_image()
     if image_mod is not None and mime.startswith("image/"):
         import io
@@ -312,6 +435,116 @@ def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
 
 
+IMAGE_STAT_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_px BIGINT, "
+    "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+)
+
+
+def image_media_table(spark: SparkSession, sf_dir: str, fmt: str = "ppm") -> DataFrame:
+    """(doc_id, payload) with payload a REAL binary image — P6 PPM or
+    24-bit BMP bytes built per doc by the deterministic pixel law in
+    make_ppm_bytes/make_bmp_bytes. This is the fixture side: the
+    testdata tables carry no raster column, so the engine synthesizes
+    valid image files whose decoded statistics a SQL oracle can state
+    in closed form. Dimensions vary per doc (width = doc_id%16+4,
+    height = doc_id%8+4) so the parsers see non-square, odd-stride
+    images (BMP row padding actually engages)."""
+    maker = {"ppm": make_ppm_bytes, "bmp": make_bmp_bytes}[fmt]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        maker(int(i), int(i) % 16 + 4, int(i) % 8 + 4) for i in ids
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition("doc_id").mapInPandas(
+        gen, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel math over mapInPandas: every payload goes through
+    decode_image (actual header parse + raster reshape), then numpy
+    per-channel integer sums and float means. Arrow-batched, narrow,
+    shuffle-free — the decode→featurize shape at any scale."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_px",
+                "sum_r", "sum_g", "sum_b", "mean_r", "mean_g", "mean_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, img = decode_image(payload)
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n_px = w * h
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(n_px)
+                for c, name in enumerate(("r", "g", "b")):
+                    out[f"sum_{name}"].append(int(sums[c]))
+                    out[f"mean_{name}"].append(sums[c] / n_px)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=IMAGE_STAT_SCHEMA)
+
+
+# Shared closed-form oracle for both raster-decode queries: the pixel
+# law v(k) = (doc_id·31 + k) mod 256 over byte index k = (y·w + x)·3+c
+# is re-enumerated in SQL; the engine side must recover EXACTLY these
+# sums from the binary payload — through two different file layouts
+# (PPM: raster order; BMP: bottom-up BGR padded rows). Means divide
+# two exact <2^53 integers: one correctly-rounded IEEE op per engine.
+_IMAGE_DECODE_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 16 + 4)::BIGINT AS w, (doc_id % 8 + 4)::BIGINT AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h * 3)) AS k FROM dims),
+    vals AS (
+      SELECT doc_id, w, h, k % 3 AS c, (doc_id * 31 + k) % 256 AS v FROM px)
+    SELECT doc_id, w::INT AS width, h::INT AS height, (w * h)::BIGINT AS n_px,
+           sum(CASE WHEN c = 0 THEN v END)::BIGINT AS sum_r,
+           sum(CASE WHEN c = 1 THEN v END)::BIGINT AS sum_g,
+           sum(CASE WHEN c = 2 THEN v END)::BIGINT AS sum_b,
+           sum(CASE WHEN c = 0 THEN v END)::BIGINT / (w * h) AS mean_r,
+           sum(CASE WHEN c = 1 THEN v END)::BIGINT / (w * h) AS mean_g,
+           sum(CASE WHEN c = 2 THEN v END)::BIGINT / (w * h) AS mean_b
+    FROM vals GROUP BY doc_id, w, h
+"""
+
+
+@register("q_llm_multimodal_decode_ppm", oracle=_IMAGE_DECODE_ORACLE, category="multimodal")
+def q_llm_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: valid binary P6 PPM files →
+    pure-numpy header/raster parse (decode_image) → per-channel pixel
+    statistics. The oracle recomputes the statistics from the pixel
+    law, so the driver value-checks genuine pixel math — width/height
+    from the parsed header, channel sums from the decoded array — not
+    a stub's closed form."""
+    return image_stats(image_media_table(spark, sf_dir, "ppm"))
+
+
+@register("q_llm_multimodal_decode_bmp", oracle=_IMAGE_DECODE_ORACLE, category="multimodal")
+def q_llm_multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decoded statistics as the PPM query but through the
+    24-bit BMP layout — bottom-up rows, BGR channel order, 4-byte row
+    padding — which the parser must all undo to reproduce the oracle's
+    sums. Sharing the oracle with q_llm_multimodal_decode_ppm pins
+    that both file formats decode to the SAME image."""
+    return image_stats(image_media_table(spark, sf_dir, "bmp"))
+
+
 @register(
     "q_llm_multimodal_decode",
     # The stub decoder is closed-form over the payload bytes (the
@@ -332,11 +565,13 @@ def q_llm_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="multimodal",
 )
 def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline: binary media table →
-    mapInPandas decode (stubbed, deterministic) → typed feature rows.
-    The oracle reproduces the stub's closed form, making the Arrow
-    plumbing driver-checked; pytest additionally pins the exact
-    output for a fixed payload."""
+    """End-to-end multimodal pipeline over OPAQUE payloads (utf-8 text
+    bytes, no raster magic): binary media table → mapInPandas decode →
+    typed feature rows via the deterministic fallback featurizer. The
+    oracle reproduces the fallback's closed form, making the Arrow
+    plumbing driver-checked; the REAL decoders are exercised (and
+    driver-checked) by q_llm_multimodal_decode_ppm/_bmp, which feed
+    actual image files through the same plumbing."""
     media = media_table(spark, sf_dir).repartition("doc_id")
     feats = decode_media(media)
     return feats.select(

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.operators.skew import (
+    capped_bucket_pairs,
+    hot_key_salted_equi_join,
+)
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table, spread
 
@@ -28,6 +32,15 @@ _SHINGLE_WIDTH = 3
 # tuning at petabyte scale would band r=4 to shrink candidate counts.
 _NUM_HASHES = 16
 _JACCARD_THRESHOLD = 0.5
+# Skew guards on the two 100 TB hot paths (tests/test_skew.py pins the
+# adversarial regime; fixture maxima — bucket 22 docs, shingle df 25 at
+# sf0.1 — sit far below both, so fixture outputs are unaffected):
+# - LSH buckets larger than _MAX_BUCKET_DOCS emit a star instead of all
+#   pairs (see skew.capped_bucket_pairs);
+# - shingles held by more than _HOT_SHINGLE_DF docs go through the
+#   salted exact join (see skew.hot_key_salted_equi_join).
+_MAX_BUCKET_DOCS = 1024
+_HOT_SHINGLE_DF = 256
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -70,8 +83,11 @@ def _jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> Data
     if candidates is not None:
         a = a.join(candidates.select("d1").distinct(), "d1", "left_semi")
         b = b.join(candidates.select("d2").distinct(), "d2", "left_semi")
+    # Hot-shingle salting: a boilerplate trigram held by 20% of docs
+    # makes this self-join's one reducer quadratic; salting spreads it
+    # with output parity (exact inter counts need every co-occurrence).
     inter = (
-        a.join(b, "shingle")
+        hot_key_salted_equi_join(a, b, "shingle", _HOT_SHINGLE_DF)
         .where(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -157,69 +173,101 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_sets(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
-    """(doc_id, sh: array<string>, n) — the distinct shingle SET per
-    document as one array row. Built entirely with array expressions
-    (no explode, no shuffle): the narrow per-doc representation that
-    signature computation and pair verification both run on."""
+def shingle_sets(
+    docs: DataFrame, width: int = _SHINGLE_WIDTH, hashed: bool = False
+) -> DataFrame:
+    """(doc_id, sh, n) — the distinct shingle SET per document as one
+    array row. Built entirely with array expressions (no explode, no
+    shuffle): the narrow per-doc representation that signature
+    computation and pair verification both run on.
+
+    ``hashed=True`` replaces each shingle string with its xxhash64
+    (array<long> instead of array<string>): everything downstream —
+    minhash seeds, band keys, intersection counts — needs only SET
+    IDENTITY, and long arrays deserialize far cheaper from the
+    localCheckpointed intermediate the minhash queries share. A 64-bit
+    collision would merge two shingles within one doc's set
+    (P < 1e-11 even for 10^5-shingle docs), is deterministic, and the
+    exact-jaccard oracle parity tests would surface it."""
     words = F.split(F.col("text"), " ")
     cnt = F.size(words) - (width - 1)
+
+    def gram(i):
+        s = F.array_join(F.slice(words, i, width), " ")
+        return F.xxhash64(s) if hashed else s
+
+    elem_t = "array<long>" if hashed else "array<string>"
     # Same sequence(1, 0)-descends guard as shingles().
     sh = F.array_distinct(
-        F.when(
-            cnt >= 1,
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.array_join(F.slice(words, i, width), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        F.when(cnt >= 1, F.transform(F.sequence(F.lit(1), cnt), gram)).otherwise(
+            F.array().cast(elem_t)
+        )
     )
     return _spread(docs).select("doc_id", sh.alias("sh")).withColumn("n", F.size("sh"))
 
 
-def minhash_candidates(sets: DataFrame, band_rows: int, num_bands: int) -> DataFrame:
+def minhash_candidates(
+    sets: DataFrame,
+    band_rows: int,
+    num_bands: int,
+    max_bucket: int | None = _MAX_BUCKET_DOCS,
+) -> DataFrame:
     """(d1, d2) LSH candidate pairs from banded minhash signatures.
 
     `num_bands` bands of `band_rows` minhashes each; a pair becomes a
     candidate iff ALL `band_rows` minhashes of some band agree
     (p = 1-(1-j^r)^b at Jaccard j). Each band key is one xxhash64 over
     its minhash slice, so the bucket self-join is an equi-join on
-    (band, key) regardless of r — never a cartesian.
+    (band, key) regardless of r — never a cartesian. Buckets larger
+    than ``max_bucket`` (a mass-duplicated boilerplate cluster — the
+    only way r>1 buckets get huge, since unrelated docs collide with
+    p≈2^-64) are star-linked instead of pair-exploded, keeping the
+    join output linear in the cluster size while the anchor edges
+    still verify and connect the cluster (skew.capped_bucket_pairs).
 
-    Each minhash is array_min(transform(shingle_set, xxhash64)) —
-    computed on the per-doc array, NO explode/groupBy. NB: the
-    transform lambda must take exactly ONE parameter — F.transform
-    passes the array index to a second parameter, which would silently
-    shadow the hash seed.
+    All nh = band_rows × num_bands minhashes come from ONE aggregate
+    pass over the per-doc shingle array — fold state is the running
+    nh-vector of minima, merged per element with zip_with/least — NO
+    explode/groupBy, and a single compiled lambda instead of the nh
+    separate array_min(transform(...)) traversals of the naive form
+    (which cost ~nh× the codegen and made the cold run ~3× the warm
+    one). Values are identical: elementwise min commutes with the
+    fold. NB: the transform lambda computing the per-element hash
+    vector must take exactly ONE parameter — F.transform passes the
+    array index to a second parameter, which would silently shadow
+    the hash seed.
 
     Docs with zero shingles (shorter than the shingle width) are
     excluded before banding: for r>1 their band key would be a
     constant (xxhash64 of r nulls), putting every empty doc in one
     O(n²) bucket.
     """
-
-    def min_hash(i: int):
-        return F.array_min(F.transform("sh", lambda x: F.xxhash64(x, F.lit(i))))
-
+    nh = band_rows * num_bands
+    mh = F.aggregate(
+        "sh",
+        F.expr(f"array_repeat(CAST(9223372036854775807 AS LONG), {nh})"),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(x, F.lit(i)) for i in range(nh)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    # Materialize the signature vector as its own projection so the
+    # band keys index an already-computed column, not nh re-runs of
+    # the fold (higher-order expressions are opaque to Catalyst's
+    # common-subexpression elimination).
+    sigs = sets.where(F.col("n") > 0).select("doc_id", mh.alias("__mh"))
     if band_rows == 1:
-        keys = F.array(*[min_hash(b) for b in range(num_bands)])
+        keys = F.col("__mh")
     else:
-        keys = F.array(
-            *[
-                F.xxhash64(*[min_hash(b * band_rows + r) for r in range(band_rows)])
-                for b in range(num_bands)
-            ]
+        keys = F.transform(
+            F.sequence(F.lit(0), F.lit(num_bands - 1)),
+            lambda b: F.xxhash64(
+                *[F.get("__mh", b * band_rows + F.lit(r)) for r in range(band_rows)]
+            ),
         )
-    bands = sets.where(F.col("n") > 0).select(
-        "doc_id", F.posexplode(keys).alias("band", "bkey")
-    )
-    return (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "bkey"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
-        .distinct()
-    )
+    bands = sigs.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+    return capped_bucket_pairs(bands, ["band", "bkey"], "doc_id", max_bucket)
 
 
 def _verify_candidates(sets: DataFrame, candidates: DataFrame) -> DataFrame:
@@ -260,10 +308,29 @@ def q_llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path for moderate thresholds, and
     q_llm_dedup_minhash_banded is the tuning for high ones.
     """
-    # Cache: the sets table feeds signature banding AND both sides of
-    # the verification join — 3 consumers of an expensive projection.
-    sets = shingle_sets(load_table(spark, sf_dir, "documents")).cache()
-    return _verify_candidates(sets, minhash_candidates(sets, 1, _NUM_HASHES))
+    return _minhash_pipeline(spark, sf_dir, 1, _NUM_HASHES)
+
+
+def _minhash_pipeline(
+    spark: SparkSession, sf_dir: str, band_rows: int, num_bands: int
+) -> DataFrame:
+    """Shared executor for both minhash queries: the sets table feeds
+    signature banding AND both sides of the verification join, so it
+    is cached (columnar, fast multi-consumer scans), the pipeline runs
+    EAGERLY once, and the cache is unpersisted in a finally — the
+    returned DataFrame is a localCheckpoint of the (small, verified)
+    output, so nothing stays pinned in the session CacheManager after
+    the builder returns (tests/test_no_cache_leak.py). hashed=True
+    shingle sets keep every downstream op on long arrays."""
+    sets = shingle_sets(
+        load_table(spark, sf_dir, "documents"), hashed=True
+    ).cache()
+    try:
+        return _verify_candidates(
+            sets, minhash_candidates(sets, band_rows, num_bands)
+        ).localCheckpoint()
+    finally:
+        sets.unpersist()
 
 
 # Banded-variant tuning: b bands of r rows give the candidate
@@ -296,8 +363,8 @@ def q_llm_dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     r=1; at the adversarial j≈0.5 boundary r=1 remains the safe
     choice.
     """
-    sets = shingle_sets(load_table(spark, sf_dir, "documents")).cache()
-    return _verify_candidates(sets, minhash_candidates(sets, _BAND_ROWS, _NUM_BANDS))
+    # Same scoped-cache pipeline as q_llm_dedup_minhash.
+    return _minhash_pipeline(spark, sf_dir, _BAND_ROWS, _NUM_BANDS)
 
 
 # SimHash bit width: 15 hex chars of md5 = 60 bits, chosen so the

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.operators.skew import capped_bucket_pairs
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table, spread
 
@@ -212,7 +213,12 @@ def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, 
     over fully-distributed steps, nothing data-sized ever collected.
     """
     spark = emb.sparkSession
-    emb = emb.cache()  # read once; every iteration scans it
+    # Read once; every iteration scans it. localCheckpoint, not
+    # cache(): cached plans stay pinned in the session CacheManager
+    # until an explicit unpersist (a leak across a long-lived Engine),
+    # while checkpoint blocks are reclaimed by the ContextCleaner once
+    # the returned plan is garbage-collected.
+    emb = emb.localCheckpoint()
     dim = len(emb.select("v").first()["v"])
     centroids = [list(r.v) for r in emb.orderBy("vec_id").limit(k).collect()]
     for _ in range(iters):
@@ -513,19 +519,25 @@ def lsh_band_keys(emb: DataFrame) -> DataFrame:
     )
 
 
+_LSH_MAX_BUCKET = 1024
+
+
 def lsh_candidate_pairs(emb: DataFrame) -> DataFrame:
     """Candidate (v1, v2) pairs sharing at least one LSH band key.
     Signature computation is a narrow Arrow-batched map (see
     lsh_band_keys); candidate generation is an equi-join on
-    (band, key) — never a cross product."""
-    bands = lsh_band_keys(emb)
-    a = bands.select(F.col("vec_id").alias("v1"), "band", "key")
-    b = bands.select(F.col("vec_id").alias("v2"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("v1") < F.col("v2"))
-        .select("v1", "v2")
-        .distinct()
+    (band, key) — never a cross product.
+
+    Skew guard: a mass-duplicated embedding (or the all-zero vector,
+    which hashes to key 0 in EVERY band) floods one bucket; buckets
+    past _LSH_MAX_BUCKET are star-linked to their min-id anchor
+    instead of pair-exploded (skew.capped_bucket_pairs), so candidate
+    volume stays linear in the cluster size and verification still
+    connects the cluster. capped_bucket_pairs consumes the band table
+    exactly once (one groupBy shuffle), so the 1920-plane signature
+    matmul also runs exactly once — no materialization needed."""
+    return capped_bucket_pairs(
+        lsh_band_keys(emb), ["band", "key"], "vec_id", _LSH_MAX_BUCKET, "v1", "v2"
     )
 
 

@@ -86,6 +86,122 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def capped_bucket_pairs(
+    bands: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int | None,
+    out1: str = "d1",
+    out2: str = "d2",
+) -> DataFrame:
+    """All (id, id') pairs co-bucketed under ``key_cols`` with
+    ``out1 < out2`` — LSH candidate generation — with a HOT-BUCKET
+    CAP: buckets holding more than ``cap`` ids emit only a STAR
+    (min-id anchor → every other member, O(k) edges) instead of all
+    O(k²) pairs.
+
+    Why: one degenerate bucket (boilerplate text, identical vectors)
+    otherwise turns candidate generation quadratic — the 100 TB LSH
+    failure mode AQE cannot fix, because the blowup is the OUTPUT,
+    not a skewed shuffle partition. The star keeps every member of
+    the hot bucket CONNECTED to the same anchor, so verification
+    still marks the cluster and connected-component resolution
+    recovers it whole; only redundant intra-cluster pair listings are
+    dropped, and only for buckets past the cap (fixture maxima are
+    ~22 docs vs the 1024 default, so capped and uncapped outputs
+    coincide there — the adversarial regime is pinned in
+    tests/test_skew.py).
+
+    Shape: ONE shuffle (groupBy bucket → sorted id array), then pure
+    array math — ≤cap buckets expand to ordered pairs with a nested
+    transform, larger ones to the anchor star — and one distinct.
+    That replaces the classic two-sided bucket self-join (two
+    shuffles) AND needs no separate stats pass for hot detection: the
+    per-bucket size is sitting right there in the array. Memory note:
+    an oversized bucket materializes its member list as one row
+    (8 B × k); a mass-duplication pathology big enough to hurt there
+    (~100 M identical docs) is removed by the exact-dedup stage that
+    precedes near-dup in the curation pipeline. ``cap=None`` keeps
+    the textbook self-join as the exactness baseline.
+    """
+    if cap is None:
+        x = bands.select(*key_cols, F.col(id_col).alias(out1))
+        y = bands.select(*key_cols, F.col(id_col).alias(out2))
+        return (
+            x.join(y, key_cols)
+            .where(F.col(out1) < F.col(out2))
+            .select(out1, out2)
+            .distinct()
+        )
+    grouped = (
+        bands.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    ids = F.col("__ids")
+    n = F.size(ids)
+    # Sorted ids ⇒ out1 < out2 by construction in both branches.
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), n),
+                lambda y: F.struct(x.alias(out1), y.alias(out2)),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(ids, 2, n),
+        lambda y: F.struct(F.element_at(ids, 1).alias(out1), y.alias(out2)),
+    )
+    return (
+        grouped.select(
+            F.explode(F.when(n <= cap, all_pairs).otherwise(star)).alias("__p")
+        )
+        .select(F.col(f"__p.{out1}").alias(out1), F.col(f"__p.{out2}").alias(out2))
+        .distinct()
+    )
+
+
+def hot_key_salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_threshold: int = 256,
+    salt_n: int = 16,
+) -> DataFrame:
+    """Inner equi-join with PER-KEY salting of hot keys only — the
+    result is row-for-row identical to ``left.join(right, key)``
+    (proven in tests/test_skew.py), unlike capped_bucket_pairs, which
+    trades completeness for boundedness.
+
+    Keys whose RIGHT-side multiplicity exceeds ``hot_threshold`` are
+    split: left hot rows take a deterministic salt from a hash of all
+    their columns, right hot rows are replicated ``salt_n``×, and the
+    hot join runs on (key, salt) — so a key held by 20% of all rows
+    lands on ``salt_n`` reducers instead of one, each matching 1/salt_n
+    of the left side. Cold keys never pay replication. This is the
+    exact-semantics skew shape for inverted-index self-joins (shingle
+    → doc-pair expansion), where the quadratic per-key output is
+    REQUIRED by the query and the only freedom is spreading it."""
+    counts = right.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    hot = F.broadcast(counts.where(F.col("__n") > hot_threshold).select(key))
+    cold = left.join(hot, key, "left_anti").join(
+        right.join(hot, key, "left_anti"), key
+    )
+    salt = (F.abs(F.xxhash64(*left.columns)) % salt_n).cast("int")
+    left_hot = left.join(hot, key, "left_semi").withColumn("__salt", salt)
+    right_hot = right.join(hot, key, "left_semi").crossJoin(
+        F.broadcast(
+            right.sparkSession.range(salt_n).select(
+                F.col("id").cast("int").alias("__salt")
+            )
+        )
+    )
+    hot_joined = left_hot.join(right_hot, [key, "__salt"]).drop("__salt")
+    return cold.unionByName(hot_joined)
+
+
 def _register_query():
     """Deferred so this module keeps zero import-time Spark deps for
     the pure helpers above."""

@@ -53,15 +53,17 @@ def test_lsh_candidates_prune_pair_space(spark):
     assert ncand < 0.10 * n * (n - 1) / 2, (ncand, n)
 
 
-def test_lsh_pairgen_is_bucket_equijoin(spark):
-    """Candidate generation must join on (band, key) buckets — never a
-    data×data product — and signatures must come from the Arrow-batched
-    numpy map (closure-carried planes), not a planes join."""
+def test_lsh_pairgen_is_bucket_groupby(spark):
+    """Candidate generation must group rows by (band, key) bucket —
+    ONE shuffle, never a data×data product — and signatures must come
+    from the Arrow-batched numpy map (closure-carried planes), not a
+    planes join (see skew.capped_bucket_pairs for why the bucket
+    groupBy replaced the two-sided bucket self-join)."""
     df = REGISTRY["q_llm_simsearch_neardup_lsh"].builder(spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     import re
 
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band", plan), plan
+    assert re.search(r"HashAggregate\(keys=\[band", plan), plan
     assert "MapInPandas" in plan, plan

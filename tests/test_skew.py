@@ -1,12 +1,153 @@
-"""Skew-salted join and bucketed co-located join tests."""
+"""Skew-salted join, bucketed co-located join, and adversarial
+hot-bucket tests for the LSH/shingle candidate paths (the 100 TB skew
+story: one boilerplate cluster or hot trigram must not turn candidate
+generation quadratic, and exact joins must keep parity under salting)."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from batchprocessor_spark.operators.skew import salted_join
+from batchprocessor_spark.operators.dedup import (
+    _verify_candidates,
+    minhash_candidates,
+    shingle_sets,
+    shingles,
+)
+from batchprocessor_spark.operators.skew import (
+    capped_bucket_pairs,
+    hot_key_salted_equi_join,
+    salted_join,
+)
 from batchprocessor_spark.sources.bucketing import bucketed_join, save_bucketed
+
+# Adversarial corpus: a 20% mass-duplicated boilerplate cluster (the
+# LSH hot-bucket regime — every band bucket holds the whole cluster)
+# plus a hot trigram planted in 20% of the remaining docs (the
+# inverted-index hot-shingle regime VERDICT r2 flagged).
+_N_DOCS = 300
+_CLUSTER = 60
+_BOILER = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _adversarial_docs(spark):
+    rows = [(i, _BOILER) for i in range(_CLUSTER)]
+    for i in range(_CLUSTER, _N_DOCS):
+        words = [f"w{i}x{j}" for j in range(12)]
+        if i % 5 == 0:
+            words[3:3] = ["common", "hot", "phrase"]
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_minhash_hot_bucket_capped(spark):
+    """A 60-doc identical cluster floods every r=1 band bucket; the
+    cap must replace its C(60,2)=1770 pair explosion with 59 anchor
+    edges while leaving every other candidate pair untouched."""
+    sets = shingle_sets(_adversarial_docs(spark))
+    capped = {(r.d1, r.d2) for r in minhash_candidates(sets, 1, 16, max_bucket=16).collect()}
+    uncapped = {(r.d1, r.d2) for r in minhash_candidates(sets, 1, 16, max_bucket=None).collect()}
+
+    def in_cluster(p):
+        return p[0] < _CLUSTER and p[1] < _CLUSTER
+
+    assert {p for p in uncapped if in_cluster(p)} == {
+        (i, j) for i in range(_CLUSTER) for j in range(i + 1, _CLUSTER)
+    }
+    # Star: anchor (min doc_id 0) → every other member, nothing else.
+    assert {p for p in capped if in_cluster(p)} == {
+        (0, j) for j in range(1, _CLUSTER)
+    }
+    # The planted trigram hashes low enough to be the band minimum for
+    # most planted docs at once, so they form a SECOND hot bucket
+    # family (sizes 26/21/8 with the pinned hashes): oversized planted
+    # buckets get starred, small ones keep their pairs. Stars can only
+    # REMOVE same-bucket pairs, never invent ones — so the capped
+    # planted-planted pairs are a strict subset of the uncapped ones.
+    planted = {i for i in range(_CLUSTER, _N_DOCS) if i % 5 == 0}
+
+    def both_planted(p):
+        return p[0] in planted and p[1] in planted
+
+    capped_planted = {p for p in capped if both_planted(p)}
+    uncapped_planted = {p for p in uncapped if both_planted(p)}
+    assert capped_planted < uncapped_planted
+    # Pairs touching neither hot family are byte-identical.
+    def cold(p):
+        return not in_cluster(p) and not both_planted(p)
+
+    assert {p for p in capped if cold(p)} == {p for p in uncapped if cold(p)}
+
+
+def test_minhash_capped_star_verifies_and_connects(spark):
+    """The anchor edges are real near-dup pairs (jaccard 1.0), so
+    exact verification keeps all of them — connected-component
+    resolution still recovers the whole cluster from the star."""
+    sets = shingle_sets(_adversarial_docs(spark))
+    verified = _verify_candidates(
+        sets, minhash_candidates(sets, 1, 16, max_bucket=16)
+    )
+    cluster_edges = {
+        (r.d1, r.d2): r.jaccard
+        for r in verified.collect()
+        if r.d1 < _CLUSTER and r.d2 < _CLUSTER
+    }
+    assert set(cluster_edges) == {(0, j) for j in range(1, _CLUSTER)}
+    assert all(j == 1.0 for j in cluster_edges.values())
+
+
+def test_hot_shingle_salted_join_parity(spark):
+    """hot_key_salted_equi_join must be row-for-row identical to the
+    plain inverted-index self-join while the corpus really has hot
+    keys (boilerplate shingles df=60, planted trigram df=48 — both
+    past the threshold)."""
+    sh = shingles(_adversarial_docs(spark))
+    n_hot = sh.groupBy("shingle").count().where(F.col("count") > 10).count()
+    assert n_hot >= 5, f"fixture lost its hot shingles ({n_hot})"
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    plain = sorted(
+        map(tuple, a.join(b, "shingle").select("shingle", "d1", "d2").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            hot_key_salted_equi_join(a, b, "shingle", hot_threshold=10, salt_n=4)
+            .select("shingle", "d1", "d2")
+            .collect(),
+        )
+    )
+    assert plain == salted
+
+
+def test_vector_lsh_hot_bucket_capped(spark):
+    """40 identical embeddings co-bucket in all 160 bands; the capped
+    pair generation must emit exactly the 39 anchor edges for the
+    cluster instead of C(40,2)=780."""
+    import math
+
+    from batchprocessor_spark.operators.similarity import lsh_band_keys
+
+    rows = []
+    dup = [math.sin(7 * d + 1) for d in range(16)]
+    for i in range(40):
+        rows.append((i, dup))
+    for i in range(40, 200):
+        rows.append((i, [math.sin(11 * i + 3 * d + 2) for d in range(16)]))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, v ARRAY<DOUBLE>")
+    bands = lsh_band_keys(emb)
+    pairs = {
+        (r.v1, r.v2)
+        for r in capped_bucket_pairs(
+            bands, ["band", "key"], "vec_id", 8, "v1", "v2"
+        ).collect()
+    }
+    in_cluster = {p for p in pairs if p[0] < 40 and p[1] < 40}
+    assert in_cluster == {(0, j) for j in range(1, 40)}
+    uncapped = capped_bucket_pairs(
+        bands, ["band", "key"], "vec_id", None, "v1", "v2"
+    ).count()
+    assert len(pairs) < uncapped
 
 
 def test_salted_join_equals_plain_join(spark):
