@@ -315,3 +315,116 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@register(
+    "q_sql_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)
+             ::BIGINT AS revenue_u,
+           count(*)::BIGINT AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue_u DESC, n.n_name
+    """,
+    category="scan",
+)
+def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) through the PURE-SQL front
+    end: six-table join with the customer-and-supplier-share-a-nation
+    constraint, region filter, one-year order window; revenue in the
+    exact 1e-4-dollar lane. Same statement in DuckDB's dialect is the
+    oracle.
+
+    Scale posture (gated in tests/test_plans.py): region/nation/
+    supplier/customer are dimension-sized and broadcast; lineitem ⋈
+    orders is the one large join; the date filter reaches the orders
+    parquet scan as PushedFilters. SQL text vs DataFrame builder
+    changes nothing physical — which is the point of the twin."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT) AS revenue_u,
+               count(*) AS n_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue_u DESC, n.n_name
+        """
+    )
+
+
+@register(
+    "q_sql_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 10000)::BIGINT)
+             ::BIGINT AS revenue_u,
+           round(c.c_acctbal * 100)::BIGINT AS acctbal_c,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue_u DESC, c.c_custkey
+    LIMIT 20
+    """,
+    category="scan",
+)
+def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting) through the PURE-SQL front
+    end: customers ranked by revenue lost to returned line items in a
+    quarter — top 20. Money in the exact integer lanes (1e-4 dollars
+    for revenue, cents for the balance).
+
+    Scale posture (gated): l_returnflag and the date window reach the
+    scans as PushedFilters; nation broadcasts; the top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT) AS revenue_u,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c,
+               n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue_u DESC, c.c_custkey
+        LIMIT 20
+        """
+    )

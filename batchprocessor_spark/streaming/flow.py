@@ -84,6 +84,9 @@ class FlowStats:
     dlq_batches: int = 0
     dlq_items: int = 0
     in_flight: int = 0
+    # Semaphore QUEUE length (V2/Stat.java's semaphoreQueueLength):
+    # callers blocked in submit_batch waiting for a flush permit.
+    sem_waiters: int = 0
     workers: dict = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
@@ -99,6 +102,10 @@ class FlowStats:
                 "dlq_batches": 0,
                 "dlq_items": 0,
                 "busy": False,
+                # Buffer-occupancy gauge: items of the chunk this
+                # worker is currently flushing (0 when idle) — the
+                # per-worker analogue of V2/Stat.java's bufferSize.
+                "current_items": 0,
             },
         )
 
@@ -112,6 +119,7 @@ class FlowStats:
                 "dlq_batches": self.dlq_batches,
                 "dlq_items": self.dlq_items,
                 "in_flight": self.in_flight,
+                "sem_waiters": self.sem_waiters,
                 "workers": {k: dict(v) for k, v in self.workers.items()},
             }
 
@@ -162,8 +170,14 @@ class FlowController:
             chunk = pdf.iloc[lo : lo + bs]
             # Acquire the permit on the CALLER thread (backpressure on
             # the micro-batch loop), release when the flush completes —
-            # same shape as V1/InnerEventHandler.java:78-95.
+            # same shape as V1/InnerEventHandler.java:78-95. The
+            # waiter count around the blocking acquire is the
+            # semaphore-queue gauge of the reference Stat tree.
+            with self.stats._lock:
+                self.stats.sem_waiters += 1
             self._sem.acquire()
+            with self.stats._lock:
+                self.stats.sem_waiters -= 1
             fut = self._pool.submit(self._flush_with_retry, chunk)
             fut.add_done_callback(lambda _f: self._sem.release())
             futures.append(fut)
@@ -180,13 +194,17 @@ class FlowController:
         me = threading.current_thread().name
         with self.stats._lock:
             self.stats.in_flight += 1
-            self.stats.worker(me)["busy"] = True
+            w = self.stats.worker(me)
+            w["busy"] = True
+            w["current_items"] = len(chunk)
         try:
             self._flush_with_retry0(chunk, me)
         finally:
             with self.stats._lock:
                 self.stats.in_flight -= 1
-                self.stats.worker(me)["busy"] = False
+                w = self.stats.worker(me)
+                w["busy"] = False
+                w["current_items"] = 0
 
     def _flush_with_retry0(self, chunk: pd.DataFrame, me: str) -> None:
         attempts = 0

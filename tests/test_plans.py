@@ -245,6 +245,25 @@ def test_sql_front_end_same_physical_strategy(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def test_sql_q5_twin_physical_strategy(spark):
+    """Pure-SQL TPC-H Q5: dims broadcast, fact join hash/SMJ, date
+    filter pushed to the orders scan, never a nested loop."""
+    plan = plan_of(spark, "q_sql_local_supplier_volume")
+    assert "PushedFilters" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_sql_q10_twin_physical_strategy(spark):
+    """Pure-SQL TPC-H Q10: pushed returnflag/date filters, broadcast
+    nation, TakeOrderedAndProject top-20 (no global sort)."""
+    plan = plan_of(spark, "q_sql_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters" in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_running_distinct_single_exchange(spark):
     """Both windows of the running-distinct query must share the one
     user_id hash exchange (prefix-partitioning reuse)."""

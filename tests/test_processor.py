@@ -119,6 +119,53 @@ def test_interval_force_flush(spark):
     p.close()
 
 
+def test_stat_tree_under_concurrent_flushes():
+    """Reference Stat-tree shape (V2/Stat.java:58-124) observed LIVE:
+    with concurrency 2 and three pending chunks, the snapshot must
+    show 2 busy workers (each with its in-flight chunk size as the
+    buffer gauge), in_flight == 2, and one caller blocked on the
+    semaphore (sem_waiters == 1); after drain every gauge returns to
+    zero and per-worker counters sum to the global ones."""
+    import pandas as pd
+
+    gate = threading.Event()
+
+    def sink(chunk):
+        gate.wait(30)
+
+    fc = FlowController(sink, FlowControlConfig(batch_size=20, concurrency=2))
+    pdf = pd.DataFrame({"id": range(50), "payload": ["x"] * 50})
+    futures: list = []
+    t = threading.Thread(target=lambda: futures.extend(fc.submit_batch(pdf)))
+    t.start()
+    deadline = time.monotonic() + 10
+    snap = None
+    while time.monotonic() < deadline:
+        snap = fc.stats.snapshot()
+        if snap["in_flight"] == 2 and snap["sem_waiters"] == 1:
+            break
+        time.sleep(0.02)
+    else:
+        raise AssertionError(f"never reached steady contention: {snap}")
+    busy = [w for w in snap["workers"].values() if w["busy"]]
+    assert len(busy) == 2, snap
+    assert sorted(w["current_items"] for w in busy) == [20, 20], snap
+    gate.set()
+    t.join(10)
+    FlowController.wait(futures)
+    final = fc.stats.snapshot()
+    assert final["in_flight"] == 0 and final["sem_waiters"] == 0
+    assert final["flushed_items"] == 50 and final["flushed_batches"] == 3
+    assert all(
+        not w["busy"] and w["current_items"] == 0
+        for w in final["workers"].values()
+    )
+    assert (
+        sum(w["flushed_items"] for w in final["workers"].values())
+        == final["flushed_items"]
+    )
+
+
 def test_reject_on_full(spark):
     """O13 reject mode: when pending exceeds queue_size, try_put
     returns False (and put raises) instead of blocking."""
