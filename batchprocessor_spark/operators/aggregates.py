@@ -616,3 +616,34 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(event_id)").alias("xor_fingerprint"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register("q_agg_approx_pct", oracle=None, category="aggregate")
+def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per return flag: percentile_approx
+    (Greenwald-Khanna sketch) at p50/p95/p99 over the exact cents
+    lane, emitted as scalar columns. Rows-only by nature — the sketch
+    is engine-specific, so like q_agg_approx there is no value oracle;
+    tests/test_llm_quality.py pins ≤1% relative error against the
+    exact per-group percentiles at the same accuracy parameter.
+
+    Scale posture: GK sketches are mergeable — map-side partial
+    sketches combine associatively, ONE shuffle of sketch state (not
+    data), constant memory per group. The exact q_win_dist_functions /
+    F.percentile need a per-group sort; this is what replaces them at
+    100 TB."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", to_units(F.col("l_extendedprice"), 100).alias("cents")
+    )
+    pcts = F.percentile_approx("cents", [0.5, 0.95, 0.99], 10000)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pcts.alias("p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p50_c"),
+            F.col("p")[1].alias("p95_c"),
+            F.col("p")[2].alias("p99_c"),
+            "n",
+        )
+    )

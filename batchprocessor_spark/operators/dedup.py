@@ -1080,3 +1080,56 @@ def q_llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.when(F.col("hit").isNull(), 1).otherwise(0).alias("admitted")
     )
+
+
+@register(
+    "q_llm_dedup_fuzzy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             lower(string_split(text, ' ')[1]) AS w0,
+             substr(text, 1, 40) AS pfx,
+             length(substr(text, 1, 40)) // 8 AS band
+      FROM documents)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           levenshtein(a.pfx, b.pfx)::INT AS dist
+    FROM t a
+    JOIN t b ON a.w0 = b.w0 AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+    category="dedup",
+)
+def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs — the classic
+    record-linkage shape: BLOCK on (lowercased first word, 8-char
+    length band of the 40-char prefix), then exact levenshtein ≤ 8 on
+    the prefixes inside each block. Blocking is the declared recall
+    trade (pairs split across blocks are not compared — that is what
+    makes fuzzy matching tractable at all); the oracle states the
+    SAME blocking, so parity is exact.
+
+    Scale posture: candidate generation is one equi self-join on the
+    block key — the quadratic cost is Σ O(block²), bounded by the
+    blocking granularity — and a hot block (every doc starting with
+    'the' at the same length band) goes through the salted exact join
+    (skew.hot_key_salted_equi_join), spreading one key over salt_n
+    reducers with row-identical output. levenshtein is JVM-side
+    codegen, no Python in the hot path."""
+    t = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.concat_ws(
+            "|",
+            F.lower(F.split(F.col("text"), " ").getItem(0)),
+            F.floor(F.length(F.substring("text", 1, 40)) / 8).cast("string"),
+        ).alias("blk"),
+    )
+    a = t.select(F.col("doc_id").alias("d1"), F.col("pfx").alias("p1"), "blk")
+    b = t.select(F.col("doc_id").alias("d2"), F.col("pfx").alias("p2"), "blk")
+    dist = F.levenshtein("p1", "p2")
+    return (
+        hot_key_salted_equi_join(a, b, "blk", _HOT_SHINGLE_DF)
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", dist.cast("int").alias("dist"))
+        .where(F.col("dist") <= 8)
+    )

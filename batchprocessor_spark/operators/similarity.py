@@ -717,3 +717,82 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= _HARDNEG_K
     )
+
+
+# SemDeDup-style semantic dedup cluster count. 8 deterministic
+# centroids keep the SQL oracle tractable; production sizing is
+# k ≈ n/expected-cluster-size so Σ O(n_b²) stays near-linear.
+_SEMDEDUP_K = 8
+# Lower than the global near-dup 0.5: with toy centroids the tightest
+# WITHIN-cluster pairs sit at sim ≈ 0.46-0.53 across the fixture SFs,
+# so 0.45 keeps the query's output non-trivial at every scale the
+# driver checks (a 0-row result would make parity vacuous).
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+@register(
+    "q_llm_dedup_semantic",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_SEMDEDUP_K}),
+    d AS (SELECT v.vec_id, c.cid,
+                 list_dot_product(c.cv, c.cv)
+                   - 2 * list_dot_product(v.v, c.cv) AS dd
+          FROM v CROSS JOIN c),
+    a AS (SELECT vec_id, cid FROM d
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dd, cid) = 1),
+    p AS (SELECT a1.cid, a1.vec_id AS v1, a2.vec_id AS v2
+          FROM a a1 JOIN a a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id)
+    SELECT p.cid::BIGINT AS cid, p.v1, p.v2,
+           round(list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+    FROM p JOIN v x ON p.v1 = x.vec_id JOIN v y ON p.v2 = y.vec_id
+    WHERE list_dot_product(x.v, y.v)
+          / (sqrt(list_dot_product(x.v, x.v))
+             * sqrt(list_dot_product(y.v, y.v))) > {_SEMDEDUP_THRESHOLD}
+    """,
+    category="similarity",
+)
+def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al., arXiv:2303.09540):
+    cluster the embedding space, then search for near-duplicates ONLY
+    within each cluster — the cluster-then-prune decomposition that
+    makes semantic dedup near-linear at corpus scale (Σ O(n_b²)
+    instead of O(n²), same shape as q_llm_simsearch_neardup_bucketed
+    but with the clustering as part of the query).
+
+    Clustering here is ONE deterministic assignment pass against the
+    _SEMDEDUP_K lowest-vec_id embeddings as centroids (kmeans_assign's
+    broadcast-argmin, zero shuffle) — deliberately SQL-expressible so
+    the ENTIRE pipeline (assignment → per-cluster pair join → exact
+    cosine > _SEMDEDUP_THRESHOLD) carries a full value oracle; swap in kmeans_fit for
+    iteratively-refined centroids (rows-only, same downstream shape).
+
+    Scale posture: centroid argmin is a narrow map over a broadcast;
+    the pair join is an equi-join on cid; verification only touches
+    co-clustered pairs. Emitted cid is the cluster each pair shares."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    centroids = [
+        list(r.v)
+        for r in emb.where(F.col("vec_id") < _SEMDEDUP_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assigned = kmeans_assign(emb, centroids).select(
+        F.col("cid").cast("long").alias("cid"), "vec_id", "v"
+    )
+    a = assigned.select("cid", F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    b = assigned.select("cid", F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "cid")
+        .where(F.col("v1") < F.col("v2"))
+        .select("cid", "v1", "v2", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") > _SEMDEDUP_THRESHOLD)
+    )

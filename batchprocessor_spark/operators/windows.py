@@ -291,3 +291,46 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "q_win_dist_functions",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           ntile(10) OVER w AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY round(c_acctbal * 100)::BIGINT, c_custkey)
+    """,
+    category="window",
+)
+def q_win_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions per market segment:
+    percent_rank ((rank-1)/(n-1)), cume_dist (rows ≤ current / n) and
+    decile buckets, on a TOTAL order (balance cents, then custkey) so
+    the driver's value hash is stable.
+
+    Float discipline: both functions divide two exact small integers —
+    one correctly-rounded IEEE op per engine, so the doubles are
+    bit-identical and emitted UNROUNDED. Ordering uses integer cents:
+    double-typed keys order the same, but the integer key keeps the
+    frame math visibly exact.
+
+    Scale: one shuffle on c_mktsegment, per-partition sort — the
+    standard window shape; segment cardinality is low but each
+    partition streams, nothing materializes beyond the sort."""
+    from batchprocessor_spark.functions.exactmath import to_units
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        to_units(F.col("c_acctbal"), 100), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -33,6 +33,37 @@ def test_approx_count_distinct_within_5pct(spark):
         assert abs(est - exact[flag]) / exact[flag] < 0.05, (flag, est, exact[flag])
 
 
+def test_approx_percentiles_within_1pct(spark):
+    """q_agg_approx_pct's GK sketches vs exact per-group percentiles:
+    at accuracy 10000 the relative error budget is 1%."""
+    rows = {
+        r.l_returnflag: r
+        for r in REGISTRY["q_agg_approx_pct"].builder(spark, SF_ORACLE).collect()
+    }
+    from batchprocessor_spark.functions.exactmath import to_units
+
+    exact = {
+        r.l_returnflag: r
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .select(
+            "l_returnflag",
+            to_units(F.col("l_extendedprice"), 100).alias("cents"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("cents", F.lit(0.5)).alias("p50"),
+            F.percentile("cents", F.lit(0.95)).alias("p95"),
+            F.percentile("cents", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for flag, r in rows.items():
+        e = exact[flag]
+        for est, true in ((r.p50_c, e.p50), (r.p95_c, e.p95), (r.p99_c, e.p99)):
+            assert abs(est - true) / true < 0.01, (flag, est, true)
+
+
 def test_simhash_separates_near_dups(spark):
     """Near-dup pairs (exact Jaccard > 0.5) must have dramatically
     smaller SimHash Hamming distance than the average random pair."""
