@@ -1106,7 +1106,11 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefixes inside each block. Blocking is the declared recall
     trade (pairs split across blocks are not compared — that is what
     makes fuzzy matching tractable at all); the oracle states the
-    SAME blocking, so parity is exact.
+    SAME blocking, so parity is exact. Contrast q_join_fuzzy_editdist
+    (analytics.py), which keeps ALL-PAIRS semantics via a LOSSLESS
+    length-band prune — affordable there because part names are
+    short; prefix blocking is the shape that survives document-scale
+    corpora.
 
     Scale posture: candidate generation is one equi self-join on the
     block key — the quadratic cost is Σ O(block²), bounded by the

@@ -61,22 +61,22 @@ def _tiny_bmp() -> bytes:
 
 
 def test_decode_feature_probe_both_paths():
-    """_decode_payload must run the REAL decoder when PIL exists and
-    the payload is an image, and the deterministic stub otherwise —
-    same (width, height, 8-dim feature) contract either way, so this
-    test passes in both environments."""
+    """_decode_payload must run a REAL decoder for raster payloads —
+    the pure-numpy BMP parser needs no media library at all — and the
+    deterministic fallback for opaque bytes; same (width, height,
+    8-dim feature) contract either way."""
     from batchprocessor_spark.functions.multimodal import (
         _decode_payload,
         _decode_stub,
-        _pil_image,
     )
 
     bmp = _tiny_bmp()
     w, h, feat = _decode_payload(bmp, "image/bmp")
+    assert (w, h) == (2, 2), "real decoder must report true image dims"
     assert len(feat) == 8
-    if _pil_image() is not None:
-        assert (w, h) == (2, 2), "real decoder must report true image dims"
-    else:
-        assert (w, h, feat) == _decode_stub(bmp)
-    # Non-image payloads always take the stub path, PIL or not.
+    # Red/green/blue each appear with total 510 over 4 px; the white
+    # pixel contributes 255 to every channel.
+    assert feat[:3] == [127.5, 127.5, 127.5]
+    assert (feat[6], feat[7]) == (0.0, 255.0)
+    # Opaque payloads always take the fallback path.
     assert _decode_payload(b"hello world", "text/plain") == _decode_stub(b"hello world")
