@@ -784,12 +784,23 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
+    # Norms precomputed per VECTOR, not per pair: the pair stage costs
+    # one dot-product fold instead of three (3× fewer interpreted
+    # array-lambda evaluations over Σ O(n_b²) pairs — measured 6.5 s →
+    # ~2 s at sf0.1).
     assigned = kmeans_assign(emb, centroids).select(
-        F.col("cid").cast("long").alias("cid"), "vec_id", "v"
+        F.col("cid").cast("long").alias("cid"),
+        "vec_id",
+        "v",
+        l2_norm(F.col("v")).alias("nrm"),
     )
-    a = assigned.select("cid", F.col("vec_id").alias("v1"), F.col("v").alias("va"))
-    b = assigned.select("cid", F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("v1"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, "cid")
         .where(F.col("v1") < F.col("v2"))

@@ -264,6 +264,33 @@ def test_sql_q10_twin_physical_strategy(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
 
 
+def test_fuzzy_dedup_is_blocked_equijoin(spark):
+    """Fuzzy dedup must join on the block key — levenshtein runs as a
+    post-join projection, never as a join condition that forces a
+    nested loop over all DOC pairs. The one permitted nested loop is
+    hot_key_salted_equi_join's salt replication: a cross join against
+    a BROADCAST of salt_n literal rows, data-size-independent."""
+    import re
+
+    plan = plan_of(spark, "q_llm_dedup_fuzzy")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[blk", plan), plan
+    assert "levenshtein" in plan, plan
+    assert plan.count("NestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """Semantic dedup: centroid assignment is a broadcast argmin (the
+    only nested-loop is the 1-row centroid-array cross join), and the
+    pair stage is an equi-join on the cluster id."""
+    plan = plan_of(spark, "q_llm_dedup_semantic")
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cid", plan), plan
+    # The centroid broadcast is a single collected row; no data×data product.
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_running_distinct_single_exchange(spark):
     """Both windows of the running-distinct query must share the one
     user_id hash exchange (prefix-partitioning reuse)."""
