@@ -433,22 +433,36 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .select("label", F.transform("pc", lambda s: s.cx).alias("centroid"))
     )
     q = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        l2_norm(F.col("v")).alias("qn"),
     )
     probe_w = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("label"))
     probes = (
         F.broadcast(q)
         .crossJoin(F.broadcast(centroids))
-        .select("qid", "qv", "label", cosine(F.col("qv"), F.col("centroid")).alias("csim"))
+        .select(
+            "qid", "qv", "qn", "label",
+            cosine(F.col("qv"), F.col("centroid")).alias("csim"),
+        )
         .withColumn("prnk", F.row_number().over(probe_w))
         .where(F.col("prnk") <= nprobe)
-        .select("qid", "qv", "label")
+        .select("qid", "qv", "qn", "label")
     )
+    # Corpus norms computed once per vector, not once per
+    # (query, vector) scoring pair — same prenorm discipline as the
+    # pair-join queries (one fold per score instead of three).
     scored = (
         F.broadcast(probes)
-        .join(emb, "label")
+        .join(emb.withColumn("nrm", l2_norm(F.col("v"))), "label")
         .where(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_prenorm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= _TOP_K)
