@@ -352,3 +352,61 @@ def test_exact_kth_matches_sorted(spark, vals, data):
     df = spark.createDataFrame([("g", v) for v in vals], "grp STRING, u BIGINT")
     out = exact_kth_units(df, "grp", "u", {("g", 1): k})
     assert out[("g", 1)] == sorted(vals)[k - 1]
+
+
+@given(
+    doc_id=st.integers(0, 2**31),
+    width=st.integers(1, 40),
+    height=st.integers(1, 24),
+)
+@SETTINGS
+def test_raster_codecs_roundtrip(doc_id, width, height):
+    """Both serializations of the pixel law decode to the identical
+    array for ANY (doc_id, width, height) — BMP's bottom-up BGR
+    padded layout fully undone (pure-python property, no Spark)."""
+    import numpy as np
+
+    from batchprocessor_spark.functions.multimodal import (
+        decode_image,
+        make_bmp_bytes,
+        make_ppm_bytes,
+    )
+
+    pw, ph, pimg = decode_image(make_ppm_bytes(doc_id, width, height))
+    bw, bh, bimg = decode_image(make_bmp_bytes(doc_id, width, height))
+    assert (pw, ph) == (bw, bh) == (width, height)
+    assert np.array_equal(pimg, bimg)
+    expect = ((doc_id * 31 + np.arange(width * height * 3)) % 256).astype(np.uint8)
+    assert np.array_equal(pimg.reshape(-1), expect)
+
+
+@given(
+    units=st.integers(-10**9, 10**9),
+    half=st.booleans(),
+)
+@SETTINGS
+def test_pd_to_units_half_away_rounding(units, half):
+    """pd_to_units must round half-AWAY-from-zero like F.round/DuckDB
+    round — exercised on exact .5 boundaries where numpy's default
+    half-to-even diverges (the ADVICE r2 one-cent-mismatch class).
+    Inputs are constructed IN cents so the scaled value is exactly
+    representable and the expectation is unambiguous."""
+    import pandas as pd
+
+    from batchprocessor_spark.functions.exactmath import pd_to_units
+
+    if half:
+        # x = (units + 0.5)/100 dollars: scaled value sits exactly on
+        # the .5 boundary when representable; half-away expectation.
+        scaled = units + (0.5 if units >= 0 else -0.5)
+        value = scaled / 100.0
+        expect = int(scaled + (0.5 if scaled >= 0 else -0.5))
+        # Only assert when the decimal survived the float round-trip
+        # exactly (otherwise the input wasn't a true boundary case).
+        if value * 100.0 != scaled:
+            return
+    else:
+        value = units / 100.0
+        expect = round(value * 100.0)
+    got = pd_to_units(pd.Series([value]), 100)[0]
+    assert got == expect, (value, got, expect)
