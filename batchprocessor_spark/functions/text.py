@@ -785,3 +785,65 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_oov") / F.sum("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "q_llm_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, token, count(*)::BIGINT AS c
+      FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             sum(c)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_types,
+             sum(c::DOUBLE * log2(c::DOUBLE)) AS sum_clogc
+      FROM cnt GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           n_types::DOUBLE / n_tokens AS type_token_ratio,
+           round(log2(n_tokens::DOUBLE) - sum_clogc / n_tokens, 6) AS entropy_bits
+    FROM agg
+    """,
+    category="text",
+)
+def q_llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (bits/token) and type-token ratio —
+    the information-density diagnostics a corpus-quality pipeline uses
+    to flag degenerate/templated text (low entropy) next to the
+    repetition and boilerplate detectors.
+
+    Shape: explode to (doc, token) → count → per-doc aggregate, i.e.
+    two shuffles both keyed by doc_id (the second reuses the first's
+    partitioning). Entropy uses the algebraic form
+    log2(N) − Σ c·log2(c) / N so only ONE pass over the count table is
+    needed (no per-row p=c/N materialization). type_token_ratio is a
+    single IEEE divide of exact integers (bit-identical cross-engine);
+    entropy sums doubles whose order differs between engines, so it is
+    rounded to 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("sum_clogc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias("type_token_ratio"),
+        F.round(
+            F.log2(F.col("n_tokens").cast("double")) - F.col("sum_clogc") / F.col("n_tokens"), 6
+        ).alias("entropy_bits"),
+    )

@@ -647,3 +647,44 @@ def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, round(l_quantity)::BIGINT AS qty,
+             count(*)::BIGINT AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT l_returnflag, qty, cnt,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, qty ASC) AS rn
+      FROM counted)
+    SELECT l_returnflag, qty AS mode_qty, cnt AS mode_cnt
+    FROM ranked WHERE rn = 1
+    """,
+    category="aggregate",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: most frequent quantity value with
+    a smallest-value tie-break. Built as count-by-(group, value) → one
+    row_number window, NOT the built-in ``mode()`` (whose tie winner is
+    engine/partition-order dependent — unusable under a cross-engine
+    hash gate). Two shuffles, both on small (group, value) keys; the
+    window partitions by group over value-cardinality rows, never over
+    the fact table."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    counted = (
+        l.select("l_returnflag", F.round("l_quantity").cast("long").alias("qty"))
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), F.col("qty").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("mode_cnt"))
+    )

@@ -637,3 +637,39 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("checked"),
     ).select(F.lit("lineitem_qty_range").alias("rule"), "violations", "checked")
     return orders_rules.unionByName(orphans).unionByName(qty)
+
+
+@register(
+    "q_ml_ols_regression",
+    oracle="""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 2) AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    category="analytics",
+)
+def q_ml_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed simple OLS per group: price-on-quantity slope,
+    intercept, R² and mean fits via the regr_* aggregate family — one
+    partial-aggregate pass over the fact table (each regr_* reduces to
+    mergeable moment sums n/Σx/Σy/Σxy/Σx², so the plan is the same
+    partial+final HashAggregate as any sum: model fitting at 100 TB
+    without a single collect). Float discipline: moments are summed as
+    doubles on both engines, so outputs are rounded (same convention
+    as q_agg_stats' corr/covar lane)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
+    )

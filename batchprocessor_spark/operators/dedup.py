@@ -70,12 +70,15 @@ def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
     return _spread(docs).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
-def _jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact word-shingle Jaccard. Without candidates: inverted-index
-    self-join over all pairs sharing ≥1 shingle. With candidates: the
-    intersection is computed ONLY for the candidate pairs (shingles are
-    semi-joined down to candidate docs first), so verification cost
-    scales with |candidates|, not with shingle co-occurrence."""
+def _overlap_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """(d1, d2, inter, n1, n2) — exact word-shingle set-overlap
+    statistics for every doc pair sharing ≥1 shingle (or only the
+    ``candidates`` pairs). The shared core under Jaccard AND
+    containment scoring. Without candidates: inverted-index self-join.
+    With candidates: the intersection is computed ONLY for the
+    candidate pairs (shingles are semi-joined down to candidate docs
+    first), so verification cost scales with |candidates|, not with
+    shingle co-occurrence."""
     sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
@@ -94,9 +97,16 @@ def _jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> Data
     )
     if candidates is not None:
         inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    return inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1").join(
+        sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2"
+    )
+
+
+def _jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact word-shingle Jaccard per co-occurring pair (see
+    :func:`_overlap_pairs` for the join strategy)."""
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
-        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        _overlap_pairs(docs, candidates)
         .select(
             "d1",
             "d2",
@@ -170,6 +180,50 @@ def q_llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs(docs)
     return pairs.where(F.col("jaccard") > _JACCARD_THRESHOLD).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# Containment catches subset duplicates Jaccard misses: a short doc
+# fully embedded in a long one has containment 1.0 but Jaccard
+# n_small/n_large, which a 0.5-Jaccard gate never fires on when the
+# hosts differ >2× in length (the classic quote/boilerplate-inclusion
+# case in LLM corpus curation).
+_CONTAINMENT_THRESHOLD = 0.8
+
+_CONTAINMENT_ORACLE = f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT d1, d2,
+           round(inter::DOUBLE / least(s1.n, s2.n), 6) AS containment
+    FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE inter::DOUBLE / least(s1.n, s2.n) > {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("q_llm_dedup_containment", oracle=_CONTAINMENT_ORACLE, category="dedup")
+def q_llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate pairs: shingle containment |A∩B| / min(|A|,|B|)
+    > 0.8 — the asymmetric overlap score that flags a document embedded
+    inside a longer one (containment 1.0) where Jaccard stays low.
+    Shares the inverted-index + hot-shingle-salted overlap core with
+    the Jaccard query, so the 100 TB skew posture is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _overlap_pairs(docs).select(
+        "d1", "d2", (F.col("inter") / F.least("n1", "n2")).alias("containment")
+    )
+    return pairs.where(F.col("containment") > _CONTAINMENT_THRESHOLD).select(
+        "d1", "d2", F.round("containment", 6).alias("containment")
     )
 
 

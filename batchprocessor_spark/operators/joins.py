@@ -468,3 +468,78 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.round("l_quantity").cast("long")).alias("qty"),
     )
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, ts AS s,
+             ts + to_minutes(round(value)::BIGINT) AS e
+      FROM events),
+    win AS (
+      SELECT DISTINCT date_trunc('day', ts) AS ws,
+             date_trunc('day', ts) + INTERVAL 2 HOUR AS we
+      FROM events)
+    SELECT event_id,
+           (epoch_us(ws) // 1000000)::BIGINT AS day_s,
+           (epoch_us(least(e, we)) // 1000000
+            - epoch_us(greatest(s, ws)) // 1000000)::BIGINT AS overlap_s
+    FROM ev JOIN win ON s < we AND ws < e
+    """,
+    category="join",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: event activity intervals [ts, ts +
+    round(value) minutes) against daily maintenance windows
+    [day 00:00, day 02:00), strict overlap (zero-length touches
+    excluded), emitting the overlap duration in whole seconds.
+
+    Scale posture: a naive theta join (s < we AND ws < e) is a
+    broadcast-nested-loop — O(|A|·|B|) when BOTH interval sets are
+    large. Instead each side explodes into the hour buckets its
+    interval covers and the join becomes an EQUI join on the bucket
+    (one shuffle, hash/SMJ, AQE-skew-splittable), with a distinct to
+    collapse pairs that share several buckets and the exact overlap
+    predicate re-checked after. Bucket fan-out is bounded by
+    interval_span/bucket_width (≤9 here), the standard trade for
+    distributed interval joins.
+
+    Exactness: overlap seconds are computed as floor-to-second epoch
+    integers on both engines (unix_micros // 1e6), never float."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, cast(round(value) as int), 0)").alias("e"),
+    )
+    win = (
+        e.select(F.date_trunc("day", "ts").alias("ws"))
+        .distinct()
+        .select("ws", (F.col("ws") + F.expr("INTERVAL 2 HOURS")).alias("we"))
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    evb = ev.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.date_trunc("hour", "s"), F.date_trunc("hour", "e"), hour)),
+    )
+    winb = win.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.date_trunc("hour", "ws"), F.date_trunc("hour", "we"), hour)),
+    )
+    sec = lambda c: F.unix_micros(c) - (F.unix_micros(c) % 1_000_000)  # noqa: E731
+    return (
+        evb.join(winb, "bucket")
+        .select("event_id", "s", "e", "ws", "we")
+        .distinct()
+        .where((F.col("s") < F.col("we")) & (F.col("ws") < F.col("e")))
+        .select(
+            "event_id",
+            (F.unix_micros("ws") / F.lit(1_000_000)).cast("long").alias("day_s"),
+            (
+                (sec(F.least("e", "we")) - sec(F.greatest("s", "ws"))) / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("overlap_s"),
+        )
+    )

@@ -542,3 +542,79 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         (acc.cast("double") / F.lit(float(_EWMA_NORM))).alias("ewma_cents"),
     )
+
+
+# Trailing z-score window: 20 rows (current + 19 preceding).
+_Z_N = 20
+_Z_FLAG = 2.0
+
+
+@register(
+    "q_ts_zscore_anomaly",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             round(value * 100)::BIGINT AS cents
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, cents,
+             count(*) OVER win AS n,
+             sum(cents) OVER win AS s,
+             sum(cents * cents) OVER win AS sq
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_Z_N - 1} PRECEDING AND CURRENT ROW)),
+    z AS (
+      SELECT event_id, user_id, cents,
+             ({_Z_N} * cents - s)::DOUBLE
+               * sqrt({_Z_N}::DOUBLE * {_Z_N - 1})
+               / ({_Z_N}::DOUBLE * sqrt(({_Z_N} * sq - s * s)::DOUBLE)) AS zval
+      FROM w
+      WHERE n = {_Z_N} AND {_Z_N} * sq - s * s > 0)
+    SELECT event_id, user_id, cents, round(zval, 4) AS z
+    FROM z WHERE abs(zval) > {_Z_FLAG}
+    """,
+    category="timeseries",
+)
+def q_ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing 20-observation window of its user's value series; |z| > 2
+    flagged. The streaming-shaped sibling of q_anomaly_iqr (whose
+    fences are global per type).
+
+    Exactness (cross-engine hash gate): the window sums run in the
+    integer cents lane (sum ≤ 20·49e3, sum-of-squares ≤ 5e10 — far
+    under 2^53), so n·Σx², (Σx)² and n·x−Σx are EXACT integers on both
+    engines; z is then derived with the identical IEEE sequence
+    (two correctly-rounded sqrt, one multiply, one divide) from those
+    integers, making even the unrounded z bit-identical — the > 2
+    flag can never disagree at the boundary. One shuffle on user_id;
+    the frame is incremental (no per-row rescan)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(_Z_N - 1), 0)
+    )
+    n = F.lit(_Z_N)
+    w = c.select(
+        "event_id",
+        "user_id",
+        "cents",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("cents").over(win).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(win).alias("sq"),
+    )
+    var_n = n * F.col("sq") - F.col("s") * F.col("s")
+    zval = (
+        (n * F.col("cents") - F.col("s")).cast("double")
+        * F.sqrt(n.cast("double") * F.lit(_Z_N - 1))
+        / (n.cast("double") * F.sqrt(var_n.cast("double")))
+    )
+    return (
+        w.where((F.col("n") == _Z_N) & (var_n > 0))
+        .select("event_id", "user_id", "cents", zval.alias("zval"))
+        .where(F.abs("zval") > _Z_FLAG)
+        .select("event_id", "user_id", "cents", F.round("zval", 4).alias("z"))
+    )

@@ -296,3 +296,40 @@ def test_running_distinct_single_exchange(spark):
     user_id hash exchange (prefix-partitioning reuse)."""
     plan = plan_of(spark, "q_win_running_distinct")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_interval_overlap_is_bucketed_equijoin(spark):
+    """The interval-overlap join must plan as an EQUI join on the hour
+    bucket (hash-joinable, AQE-splittable) — never the
+    broadcast-nested-loop a raw theta overlap predicate produces."""
+    plan = plan_of(spark, "q_join_interval_overlap")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mode_windows_over_counts_not_facts(spark):
+    """Deterministic mode: the row_number window must run over the
+    (group, value) count table, after a partial+final hash aggregate
+    of the fact scan — the Window's child is the aggregate, so the
+    per-group sort touches value-cardinality rows, never fact rows."""
+    plan = plan_of(spark, "q_agg_mode")
+    assert "WindowGroupLimit" in plan or "Window" in plan, plan
+    win_child = plan.split("Window")[-1]
+    assert "HashAggregate" in win_child, plan
+
+
+def test_zscore_single_user_exchange(spark):
+    """The rolling z-score carries scan → window → filter on ONE
+    user_id exchange; the arithmetic is all codegen (no Python)."""
+    plan = plan_of(spark, "q_ts_zscore_anomaly")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_entropy_reuses_docid_partitioning(spark):
+    """Token entropy: the per-doc rollup must reuse the (doc_id,
+    token) count's hash partitioning — doc_id is a prefix of the
+    first shuffle's key, so Catalyst must not insert a second
+    exchange between the two aggregates."""
+    plan = plan_of(spark, "q_llm_token_entropy")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
