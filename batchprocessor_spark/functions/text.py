@@ -847,3 +847,99 @@ def q_llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(F.col("n_tokens").cast("double")) - F.col("sum_clogc") / F.col("n_tokens"), 6
         ).alias("entropy_bits"),
     )
+
+
+# Chunking: 50-word chunks, stride 40 (10-word overlap) — the
+# fixed-context packing a RAG / training tokenization stage uses.
+_CHUNK_WORDS = 50
+_CHUNK_STRIDE = 40
+
+
+@register(
+    "q_llm_chunk_documents",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    starts AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1, {_CHUNK_STRIDE})) AS start
+      FROM d)
+    SELECT doc_id,
+           ((start - 1) // {_CHUNK_STRIDE})::INT AS chunk_id,
+           least({_CHUNK_WORDS}, len(ws) - start + 1)::INT AS n_chunk_words,
+           array_to_string(list_slice(ws, start, start + {_CHUNK_WORDS} - 1), ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    category="text",
+)
+def q_llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: each document split into
+    50-word chunks with a 10-word overlap (stride 40) — the
+    context-window packing step before embedding or tokenizing a
+    corpus. Works entirely in JVM array expressions (split → sequence
+    of starts → slice per start → explode): no Python, no shuffle at
+    all — chunking is embarrassingly parallel and the plan is a single
+    codegen'd Project."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(ws), F.lit(_CHUNK_STRIDE)),
+        lambda start: F.struct(
+            ((start - 1) / F.lit(_CHUNK_STRIDE)).cast("int").alias("chunk_id"),
+            F.least(F.lit(_CHUNK_WORDS), F.size(ws) - start + 1)
+            .cast("int")
+            .alias("n_chunk_words"),
+            F.array_join(F.slice(ws, start, _CHUNK_WORDS), " ").alias("chunk_text"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_chunk_words", "c.chunk_text"
+    )
+
+
+# A passage repeated across this many documents is "boilerplate" at
+# fixture scale; production sets this orders of magnitude higher.
+_PASSAGE_MIN_DOCS = 2
+_PASSAGE_WIDTH = 5
+
+
+@register(
+    "q_llm_dup_passages",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM d),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+               || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+               AS passage
+      FROM w
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY passage IS NOT NULL)
+    SELECT passage, count(*)::BIGINT AS n_docs
+    FROM sh GROUP BY 1 HAVING count(*) >= {_PASSAGE_MIN_DOCS}
+    """,
+    category="dedup",
+)
+def q_llm_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-passage detection: word-5-gram passages
+    that appear in ≥8 distinct documents — the passage-granularity
+    exact-substring dedup signal (memorization risk / boilerplate)
+    that document-level dedup cannot see.
+
+    Shape: per-doc DISTINCT passages via array expressions (no
+    n²-explode), one count shuffle on the passage key, HAVING filter.
+    A hot passage is exactly ONE reducer row here (count only), so
+    unlike the pair-emitting joins this needs no salting at 100 TB —
+    map-side partial counts absorb the skew."""
+    from batchprocessor_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        shingles(docs, width=_PASSAGE_WIDTH)
+        .withColumnRenamed("shingle", "passage")
+        .groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= _PASSAGE_MIN_DOCS)
+    )

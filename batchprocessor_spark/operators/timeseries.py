@@ -618,3 +618,77 @@ def q_ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs("zval") > _Z_FLAG)
         .select("event_id", "user_id", "cents", F.round("zval", 4).alias("z"))
     )
+
+
+@register(
+    "q_ts_twap",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type,
+             round(value * 100)::BIGINT AS cents,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_segments,
+             sum(cents * dur_us) AS num,
+             sum(dur_us) AS den
+      FROM seg WHERE dur_us IS NOT NULL
+      GROUP BY 1)
+    SELECT event_type, n_segments,
+           (den // 1000000)::BIGINT AS total_s,
+           (num // den)::DOUBLE + (num % den)::DOUBLE / den::DOUBLE
+             AS twap_cents
+    FROM agg
+    """,
+    category="timeseries",
+)
+def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value is
+    weighted by how long it remained current (microseconds until the
+    next observation of the same type); the open last segment is
+    excluded. The canonical irregular-series average that a plain
+    avg() gets wrong.
+
+    Exactness: per-segment products cents·dur_us (≤1.3e17) fit a
+    long; the accumulators are decimal(38,0) so 100 TB sums cannot
+    overflow; and the final weighted mean is emitted via the integer
+    DIV/MOD descale (quotient ≤ max cents, remainder < den < 2^53 —
+    each exactly representable, same IEEE sequence both engines), so
+    the double is bit-identical WITHOUT rounding even though num
+    itself exceeds 2^53. One shuffle on event_type shared by the
+    lead() window and the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # timestampdiff works on TIMESTAMP_NTZ (the parquet-resolved type)
+    # and is timezone-independent, unlike unix_micros.
+    seg = (
+        e.select(
+            "event_type",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .select(
+            "event_type",
+            "cents",
+            F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dur_us"),
+        )
+        .where(F.col("dur_us").isNotNull())
+    )
+    agg = seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        dec_sum(F.col("cents") * F.col("dur_us")).alias("num"),
+        dec_sum(F.col("dur_us")).alias("den"),
+    )
+    return agg.select(
+        "event_type",
+        "n_segments",
+        F.expr("CAST(den DIV 1000000 AS BIGINT)").alias("total_s"),
+        (
+            F.expr("CAST(num DIV den AS DOUBLE)")
+            + F.expr("CAST(num % den AS DOUBLE)") / F.expr("CAST(den AS DOUBLE)")
+        ).alias("twap_cents"),
+    )

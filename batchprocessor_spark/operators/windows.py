@@ -334,3 +334,53 @@ def q_win_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cdist"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@register(
+    "q_win_ratio_to_report",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey, c.c_nationkey,
+             sum(round(c.c_acctbal * 100)::BIGINT) AS cents
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT c_nationkey,
+           n_regionkey,
+           (cents // 100)::DOUBLE + (cents % 100)::DOUBLE / 100 AS nation_bal,
+           ((10000 * cents) // sum(cents) OVER (PARTITION BY n_regionkey))::BIGINT
+             AS share_bp
+    FROM nat
+    """,
+    category="window",
+)
+def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's total
+    customer balance, as exact integer basis points — the
+    contribution-percentage window every BI layer ships
+    (RATIO_TO_REPORT in classic warehouses).
+
+    Shape: fact aggregates to (region, nation) cents first (one
+    shuffle), THEN the window runs over the tiny per-nation rollup —
+    never over fact rows. The share is (10000·part) DIV total: pure
+    integer ops, so the driver hash cannot wobble (a part/total double
+    divide of >2^53 cent sums would), and the nation balance descales
+    through the exact DIV/MOD lane."""
+    from batchprocessor_spark.functions.exactmath import dec_sum, descale
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nat = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(dec_sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        nat.withColumn("total", F.sum("cents").over(w))
+        .select(
+            "c_nationkey",
+            "n_regionkey",
+            descale("cents", 100).alias("nation_bal"),
+            F.expr("CAST((10000 * cents) DIV total AS BIGINT)").alias("share_bp"),
+        )
+    )

@@ -333,3 +333,30 @@ def test_entropy_reuses_docid_partitioning(spark):
     exchange between the two aggregates."""
     plan = plan_of(spark, "q_llm_token_entropy")
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_twap_single_exchange(spark):
+    """TWAP: the lead() window and the weighted aggregate share ONE
+    event_type hash exchange (the groupBy reuses the window's
+    partitioning)."""
+    plan = plan_of(spark, "q_ts_twap")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Document chunking must be a pure codegen'd Project+Generate —
+    embarrassingly parallel, zero exchanges, no Python."""
+    plan = plan_of(spark, "q_llm_chunk_documents")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ratio_to_report_windows_over_rollup(spark):
+    """Ratio-to-report: the nation dim broadcasts, and the share
+    window runs over the per-(region, nation) aggregate — the Window
+    operator's subtree must contain the HashAggregate, meaning it
+    sorts rollup rows, not customer rows."""
+    plan = plan_of(spark, "q_win_ratio_to_report")
+    assert "BroadcastHashJoin" in plan, plan
+    win_child = plan.split("Window")[-1]
+    assert "HashAggregate" in win_child, plan
