@@ -688,3 +688,32 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("l_returnflag", F.col("qty").alias("mode_qty"), F.col("cnt").alias("mode_cnt"))
     )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_totalprice > 100000)::BIGINT AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_filled,
+           min(o_custkey) AS first_cust
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    category="aggregate",
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family: filtered count (count_if),
+    universal and existential predicates (bool_and/bool_or, i.e.
+    every/any), and a DETERMINISTIC representative via min — never
+    any_value, whose pick is partition-order dependent and would fail
+    a cross-engine hash gate. All reduce to partial+final hash
+    aggregates (booleans fold map-side)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
+        F.min("o_custkey").alias("first_cust"),
+    )

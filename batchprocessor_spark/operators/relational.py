@@ -428,3 +428,59 @@ def q_sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@register(
+    "q_layout_bucketed",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*)::BIGINT AS n_lines,
+           sum(round(l.l_quantity)::BIGINT)::BIGINT AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    category="scan",
+)
+def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table layout + shuffle-free co-located join: orders and
+    lineitem written `bucketBy(8, key).sortBy(key)` into catalog
+    tables, then fact-fact joined reading the bucket layout — the join
+    needs NO exchange and NO sort (both gated in tests/test_plans.py:
+    exactly one Exchange in the whole plan, the aggregate's).
+
+    Scale posture: bucketing is how a 100 TB warehouse amortizes its
+    biggest joins — pay one clustered write, then every subsequent
+    join/aggregate on the bucket key is exchange-free. The MERGE hint
+    pins SMJ so the demonstration doesn't degrade to broadcast at
+    fixture scale."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    loc = tempfile.mkdtemp(prefix="bp_bucket_")
+    spark.sql("DROP TABLE IF EXISTS bp_orders_bucketed")
+    spark.sql("DROP TABLE IF EXISTS bp_lineitem_bucketed")
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{loc}/orders")
+        .mode("overwrite")
+        .saveAsTable("bp_orders_bucketed")
+    )
+    (
+        l.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{loc}/lineitem")
+        .mode("overwrite")
+        .saveAsTable("bp_lineitem_bucketed")
+    )
+    ob = spark.table("bp_orders_bucketed").hint("merge")
+    lb = spark.table("bp_lineitem_bucketed")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity").cast("long")).alias("qty"),
+        )
+    )

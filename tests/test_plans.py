@@ -360,3 +360,13 @@ def test_ratio_to_report_windows_over_rollup(spark):
     assert "BroadcastHashJoin" in plan, plan
     win_child = plan.split("Window")[-1]
     assert "HashAggregate" in win_child, plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Bucketed layout: the orders⋈lineitem SMJ over bucketBy(8, key)
+    tables must read the bucket layout directly — the ONLY exchange in
+    the plan is the final aggregate's (a sort may remain when a bucket
+    holds >1 file; the shuffle elimination is the scale win)."""
+    plan = plan_of(spark, "q_layout_bucketed")
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
