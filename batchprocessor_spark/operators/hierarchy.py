@@ -252,3 +252,131 @@ def q_hier_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "root_id",
         F.array_join(F.col("path"), "/").alias("path"),
     )
+
+
+# Fixed-point PageRank: ranks live in integer units of 1e-12 ("pico-
+# rank"), every step is integer DIV/MOD arithmetic — bit-identical
+# across engines by construction, so the driver hash gate needs no
+# float rounding at all. Mass lost to integer truncation is ≤ N·1e-12
+# per round (documented, deterministic on both sides).
+_PR_SCALE = 1_000_000_000_000
+_PR_ROUNDS = 5
+
+
+def _pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, _PR_ROUNDS + 1):
+        iters.append(f"""
+    dang{k} AS (
+      SELECT coalesce(sum(pr), 0)::BIGINT AS m FROM {prev}
+      WHERE node NOT IN (SELECT node FROM deg)),
+    infl{k} AS (
+      SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS s
+      FROM edges e JOIN {prev} p ON e.src = p.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY 1),
+    r{k} AS (
+      SELECT n.node,
+             ((15 * (SELECT b FROM base)
+               + 85 * (coalesce(i.s, 0) + (SELECT m FROM dang{k}) // (SELECT n FROM base)))
+              // 100)::BIGINT AS pr
+      FROM nodes n LEFT JOIN infl{k} i ON n.node = i.node)""")
+        prev = f"r{k}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+    base AS (SELECT ({_PR_SCALE} // count(*))::BIGINT AS b,
+                    count(*)::BIGINT AS n FROM nodes),
+    r0 AS (SELECT node, (SELECT b FROM base) AS pr FROM nodes),
+    {",".join(iters)}
+    SELECT node, pr FROM {prev}
+    """
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    category="graph",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (5 fixed iterations, damping 0.85, dangling
+    mass redistributed uniformly) over the supplier→customer sales
+    graph (distinct lineitem⋈orders edges; node ids namespaced
+    2·cust / 2·supp+1 since the key spaces overlap).
+
+    Per iteration: ONE shuffle join of ranks onto edges (on src) + ONE
+    aggregate onto dst + a 1-row dangling-mass aggregate crossJoined
+    back (broadcast, no driver collect inside the loop) — the standard
+    scale shape where work is O(|E|) per round and the driver holds
+    only loop control. localCheckpoint per round stops lineage growth
+    (same hygiene as pointer_jump_ancestry above). The only driver
+    scalar is N (node count, one count job), the same model-sized
+    allowance as k-means' centroids.
+
+    Exactness: fixed-point integer arithmetic (units of 1e-12) — every
+    contribution is pr DIV outdeg, every update
+    (15·base + 85·(inflow + dangling DIV N)) DIV 100 — so both engines
+    walk identical integer sequences and the result needs no float
+    rounding at all. Truncation loses ≤ N·1e-12 mass per round,
+    identically on both sides."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n_nodes = nodes.count()
+    base = _PR_SCALE // n_nodes
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("pr")).localCheckpoint()
+    for _ in range(_PR_ROUNDS):
+        with_deg = ranks.join(deg, "node", "left")
+        dang = with_deg.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("m")
+        )
+        contrib = (
+            edges.join(
+                with_deg.where(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    F.expr("pr DIV outdeg").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        nxt = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((15 * CAST({base} AS BIGINT)"
+                    f" + 85 * (coalesce(s, CAST(0 AS BIGINT)) + m DIV {n_nodes}))"
+                    " DIV 100 AS BIGINT)"
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        ranks.unpersist()
+        ranks = nxt
+    return ranks

@@ -54,3 +54,27 @@ def test_random_forest_matches_python(spark):
     for v in range(5, 300):
         parent[v] = rng.randrange(v)  # parents always lower → acyclic
     _run(spark, parent)
+
+
+def test_pagerank_invariants(spark):
+    """Fixed-point PageRank: mass is conserved up to integer
+    truncation (≤ N·(rounds+1) pico-units), every rank is positive,
+    and customers (who receive supplier mass + dangling share) hold
+    more total mass than suppliers (who only receive the teleport +
+    dangling share) on the bipartite sales graph."""
+    from batchprocessor_spark.operators.hierarchy import (
+        _PR_ROUNDS,
+        _PR_SCALE,
+        q_graph_pagerank,
+    )
+    from tests.conftest import SF_ORACLE
+
+    ranks = q_graph_pagerank(spark, SF_ORACLE).collect()
+    n = len(ranks)
+    total = sum(r.pr for r in ranks)
+    assert total <= _PR_SCALE
+    assert total >= _PR_SCALE - n * (_PR_ROUNDS + 1) * 100
+    assert all(r.pr > 0 for r in ranks)
+    cust = sum(r.pr for r in ranks if r.node % 2 == 0)
+    supp = total - cust
+    assert cust > supp
