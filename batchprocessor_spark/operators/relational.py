@@ -455,25 +455,15 @@ def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale."""
     import tempfile
 
+    from batchprocessor_spark.sources.bucketing import save_bucketed
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     loc = tempfile.mkdtemp(prefix="bp_bucket_")
     spark.sql("DROP TABLE IF EXISTS bp_orders_bucketed")
     spark.sql("DROP TABLE IF EXISTS bp_lineitem_bucketed")
-    (
-        o.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", f"{loc}/orders")
-        .mode("overwrite")
-        .saveAsTable("bp_orders_bucketed")
-    )
-    (
-        l.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", f"{loc}/lineitem")
-        .mode("overwrite")
-        .saveAsTable("bp_lineitem_bucketed")
-    )
+    save_bucketed(o, "bp_orders_bucketed", "o_orderkey", buckets=8, path=f"{loc}/orders")
+    save_bucketed(l, "bp_lineitem_bucketed", "l_orderkey", buckets=8, path=f"{loc}/lineitem")
     ob = spark.table("bp_orders_bucketed").hint("merge")
     lb = spark.table("bp_lineitem_bucketed")
     return (

@@ -19,14 +19,19 @@ def save_bucketed(
     buckets: int = 32,
     sort: bool = True,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by ``key``.
     Joins between tables bucketed the same way skip the shuffle; the
-    sort additionally skips the per-task sort of a sort-merge join."""
+    sort additionally skips the per-task sort of a sort-merge join.
+    ``path`` makes it an external table (data outside the session
+    warehouse dir — what library callers usually want)."""
     keys = [key] if isinstance(key, str) else key
     writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 
