@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.functions.exactmath import dec_sum, to_units
-from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.plans.registry import REGISTRY, register
 from batchprocessor_spark.sources.catalog import load_table
 
 
@@ -473,4 +473,102 @@ def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.round("l_quantity").cast("long")).alias("qty"),
         )
+    )
+
+
+# Guarantee q_agg_basic is registered even when this module is
+# imported standalone (outside operators/__init__'s ordered import).
+import batchprocessor_spark.operators.aggregates  # noqa: E402,F401
+
+
+@register(
+    "q_sql_pricing_summary",
+    # Same contract as q_agg_basic: reuse its oracle verbatim so the
+    # SQL-front-end twin is value-identical to the DataFrame builder.
+    oracle=REGISTRY["q_agg_basic"].oracle,
+    category="scan",
+)
+def q_sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the PURE SQL front end — the
+    SQL twin of the flagship q_agg_basic DataFrame builder, sharing
+    its exact scaled-integer money lane and its oracle verbatim.
+    Catalyst plans both to the same partial+final hash aggregate over
+    one pushed-down scan (plan equality gated in tests/test_plans.py).
+    """
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+                 sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     AS DECIMAL(38,0))) AS sp,
+                 sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     AS DECIMAL(38,0))) AS sdp,
+                 sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                     AS DECIMAL(38,0))) AS sch,
+                 sum(CAST(round(l_discount * 100) AS BIGINT)) AS sd,
+                 count(*) AS cnt
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+          GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus,
+               CAST(sq AS DOUBLE) AS sum_qty,
+               CAST(sp DIV 100 AS DOUBLE) + CAST(sp % 100 AS DOUBLE) / 100
+                 AS sum_base_price,
+               CAST(sdp DIV 10000 AS DOUBLE) + CAST(sdp % 10000 AS DOUBLE) / 10000
+                 AS sum_disc_price,
+               CAST(sch DIV 1000000 AS DOUBLE) + CAST(sch % 1000000 AS DOUBLE) / 1000000
+                 AS sum_charge,
+               CAST(sq AS DOUBLE) / cnt AS avg_qty,
+               (CAST(sp DIV 100 AS DOUBLE) + CAST(sp % 100 AS DOUBLE) / 100) / cnt
+                 AS avg_price,
+               (CAST(sd AS DOUBLE) / 100) / cnt AS avg_disc,
+               cnt AS count_order
+        FROM s
+        """
+    )
+
+
+@register(
+    "q_sql_forecast_revenue",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_lines,
+           sum(round(l_extendedprice * 100)::BIGINT
+               * round(l_discount * 100)::BIGINT)::BIGINT AS revenue_u
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    category="scan",
+)
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) through the pure SQL
+    front end: the canonical full-pushdown query — a single scan whose
+    date/discount/quantity conjunction must ALL reach the parquet
+    reader (gated in tests/test_plans.py), one global aggregate, no
+    join, no shuffle beyond the 1-row partial merge. Revenue in the
+    exact 1e-4-dollar lane (cents × discount-percent)."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
     )

@@ -64,3 +64,44 @@ _IN_SQL = """
 def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery (planned as a left-semi join on the subquery)."""
     return _sql(spark, sf_dir, _IN_SQL)
+
+
+@register(
+    "q_subq_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) t
+    WHERE c.c_nationkey = 7
+    """,
+    category="subquery",
+)
+def q_subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery: each nation-7 customer's two
+    most expensive orders (ties broken by key — a total order, or the
+    driver hash could legitimately differ). Spark decorrelates the
+    lateral into a join + per-key window group-limit — the per-row
+    "run a subquery" phrasing plans to the SAME rank-filter shape as
+    q_topk_per_group, NOT an O(rows × subquery) nested loop
+    (WindowGroupLimit gated in tests/test_plans.py)."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) t
+        WHERE c.c_nationkey = 7
+        """
+    )

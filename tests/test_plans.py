@@ -370,3 +370,33 @@ def test_bucketed_join_has_no_join_exchange(spark):
     plan = plan_of(spark, "q_layout_bucketed")
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sql_q1_twin_matches_dataframe_strategy(spark):
+    """Pure-SQL TPC-H Q1 and the q_agg_basic DataFrame builder must
+    share the physical strategy: one pushed-down scan, partial+final
+    hash aggregate, no join, no sort."""
+    for name in ("q_sql_pricing_summary", "q_agg_basic"):
+        plan = plan_of(spark, name)
+        assert "PushedFilters" in plan, (name, plan)
+        assert plan.count("HashAggregate") == 2, (name, plan)
+        assert "Join" not in plan and "Sort" not in plan, (name, plan)
+
+
+def test_sql_q6_twin_full_pushdown(spark):
+    """Pure-SQL TPC-H Q6: every conjunct reaches the parquet reader
+    and the plan is scan → partial agg → 1-row exchange → final agg —
+    no join anywhere."""
+    plan = plan_of(spark, "q_sql_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, plan
+    assert "Join" not in plan, plan
+
+
+def test_lateral_subquery_decorrelates_to_group_limit(spark):
+    """The LATERAL per-customer top-2 must decorrelate to the same
+    WindowGroupLimit shape as q_topk_per_group — never a per-row
+    nested-loop subquery execution."""
+    plan = plan_of(spark, "q_subq_lateral")
+    assert "WindowGroupLimit" in plan, plan
+    assert "NestedLoop" not in plan, plan
