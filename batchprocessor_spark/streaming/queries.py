@@ -698,3 +698,30 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(enriched)
+
+
+@register(
+    "q_stream_dedup_ttl",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    category="streaming",
+)
+def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark —
+    unlike q_stream_dedup_state's plain dropDuplicates (whose key
+    state grows FOREVER on an unbounded stream), state here is evicted
+    once the watermark passes a key's event time, which is the only
+    dedup that survives an unbounded 100 TB/day stream. The API
+    guarantees suppression of duplicates arriving within the delay and
+    permits re-emission beyond it; the fixture pins the deterministic
+    regime — a 35-day delay covers the events table's full 30-day
+    span, so every duplicate is in-window and the output equals the
+    exact DISTINCT oracle. Production chooses the delay to match the
+    real duplicate horizon (minutes, usually) and carries bounded
+    state ∝ keys-per-horizon instead of all-time keys."""
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(deduped, output_mode="append")
