@@ -572,3 +572,52 @@ def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@register(
+    "q_source_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, lang, NULL::BIGINT AS n_chars
+      FROM documents WHERE doc_id % 2 = 0),
+    v2 AS (
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE doc_id % 2 = 1),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           count(n_chars)::BIGINT AS n_with_chars,
+           coalesce(sum(n_chars), 0)::BIGINT AS chars
+    FROM merged GROUP BY lang
+    """,
+    category="scan",
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an old writer emitted
+    (doc_id, lang), a later one added n_chars; `mergeSchema` unifies
+    the footers at read time and the missing column surfaces as NULL
+    for old files — the additive-evolution contract every long-lived
+    ingest pipeline depends on. The aggregate separates row counts
+    from non-null counts so the NULL-fill behavior is value-pinned by
+    the oracle.
+
+    Scale posture: mergeSchema costs one footer read per file at
+    planning (fine for batch); production tables at 100 TB register
+    the evolved schema in a catalog instead, but the NULL-fill read
+    semantics are identical."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bp_evo_")
+    d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/b1")
+    d.where(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/b2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/b1", f"{tmp}/b2")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
+    )
