@@ -817,9 +817,11 @@ def q_llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     to flag degenerate/templated text (low entropy) next to the
     repetition and boilerplate detectors.
 
-    Shape: explode to (doc, token) → count → per-doc aggregate, i.e.
-    two shuffles both keyed by doc_id (the second reuses the first's
-    partitioning). Entropy uses the algebraic form
+    Shape: explode to (doc, token) → count → per-doc aggregate: two
+    shuffles, the first on (doc_id, token) with map-side combine, the
+    second moving only one row per (doc, partial) — deliberately NOT a
+    single doc_id repartition, which would shuffle every raw token
+    occurrence uncombined. Entropy uses the algebraic form
     log2(N) − Σ c·log2(c) / N so only ONE pass over the count table is
     needed (no per-row p=c/N materialization). type_token_ratio is a
     single IEEE divide of exact integers (bit-identical cross-engine);
@@ -924,7 +926,8 @@ _PASSAGE_WIDTH = 5
 )
 def q_llm_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-passage detection: word-5-gram passages
-    that appear in ≥8 distinct documents — the passage-granularity
+    that appear in ≥_PASSAGE_MIN_DOCS (2) distinct documents — the
+    passage-granularity
     exact-substring dedup signal (memorization risk / boilerplate)
     that document-level dedup cannot see.
 

@@ -475,7 +475,7 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT event_id, ts AS s,
-             ts + to_minutes(round(value)::BIGINT) AS e
+             ts + to_minutes(greatest(round(value)::BIGINT, 0)) AS e
       FROM events),
     win AS (
       SELECT DISTINCT date_trunc('day', ts) AS ws,
@@ -506,12 +506,20 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed interval joins.
 
     Exactness: overlap seconds are computed as floor-to-second epoch
-    integers on both engines (unix_micros // 1e6), never float."""
+    integers on both engines (unix_micros // 1e6), never float.
+    Durations clamp at zero (greatest(round(value), 0), both sides):
+    a negative duration would otherwise make Spark's ascending bucket
+    sequence throw while the oracle still emits rows — the clamp pins
+    one semantics for intervals, and zero-length ones are excluded by
+    the strict overlap predicate anyway."""
     e = load_table(spark, sf_dir, "events")
     ev = e.select(
         "event_id",
         F.col("ts").alias("s"),
-        F.expr("ts + make_interval(0, 0, 0, 0, 0, cast(round(value) as int), 0)").alias("e"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0,"
+            " greatest(cast(round(value) as int), 0), 0)"
+        ).alias("e"),
     )
     win = (
         e.select(F.date_trunc("day", "ts").alias("ws"))
@@ -527,7 +535,6 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.explode(F.sequence(F.date_trunc("hour", "ws"), F.date_trunc("hour", "we"), hour)),
     )
-    sec = lambda c: F.unix_micros(c) - (F.unix_micros(c) % 1_000_000)  # noqa: E731
     return (
         evb.join(winb, "bucket")
         .select("event_id", "s", "e", "ws", "we")
@@ -535,11 +542,12 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("s") < F.col("we")) & (F.col("ws") < F.col("e")))
         .select(
             "event_id",
-            (F.unix_micros("ws") / F.lit(1_000_000)).cast("long").alias("day_s"),
+            F.expr("unix_micros(ws) DIV 1000000").alias("day_s"),
+            # Same floor-each-then-subtract integer shape as the
+            # oracle's epoch_us(..) // 1e6 - epoch_us(..) // 1e6.
             (
-                (sec(F.least("e", "we")) - sec(F.greatest("s", "ws"))) / F.lit(1_000_000)
-            )
-            .cast("long")
-            .alias("overlap_s"),
+                F.expr("unix_micros(least(e, we)) DIV 1000000")
+                - F.expr("unix_micros(greatest(s, ws)) DIV 1000000")
+            ).alias("overlap_s"),
         )
     )

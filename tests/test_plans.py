@@ -326,13 +326,18 @@ def test_zscore_single_user_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
-def test_entropy_reuses_docid_partitioning(spark):
-    """Token entropy: the per-doc rollup must reuse the (doc_id,
-    token) count's hash partitioning — doc_id is a prefix of the
-    first shuffle's key, so Catalyst must not insert a second
-    exchange between the two aggregates."""
+def test_entropy_two_combined_exchanges_no_python(spark):
+    """Token entropy: exactly TWO exchanges — (doc_id, token) partial
+    counts, then one row per (doc, partial) for the rollup — each fed
+    by a map-side partial HashAggregate. hash(doc_id, token)
+    partitioning cannot serve a doc_id-only aggregate, so 2 is the
+    minimum for the combined shape (1 would mean shuffling raw
+    uncombined token rows); >2 means a lost combine. No Python
+    anywhere."""
     plan = plan_of(spark, "q_llm_token_entropy")
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("HashAggregate") == 4, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
 def test_twap_single_exchange(spark):
@@ -388,6 +393,7 @@ def test_sql_q6_twin_full_pushdown(spark):
     and the plan is scan → partial agg → 1-row exchange → final agg —
     no join anywhere."""
     plan = plan_of(spark, "q_sql_forecast_revenue")
+    assert "PushedFilters:" in plan, plan
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, plan
     assert "Join" not in plan, plan
