@@ -692,3 +692,67 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr("CAST(num % den AS DOUBLE)") / F.expr("CAST(den AS DOUBLE)")
         ).alias("twap_cents"),
     )
+
+
+@register(
+    "q_ts_downsample_m4",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS bucket,
+             round(value * 100)::BIGINT AS cents,
+             printf('%016d-%012d', epoch_us(ts), event_id) AS ord
+      FROM events)
+    SELECT event_type,
+           (epoch_us(bucket) // 1000000)::BIGINT AS bucket_s,
+           count(*)::BIGINT AS n,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           arg_min(cents, ord) AS first_cents,
+           arg_max(cents, ord) AS last_cents
+    FROM c GROUP BY 1, 2
+    """,
+    category="timeseries",
+)
+def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    bucket) keep min, max, first and last — the four points that make
+    a line-chart rendering of the bucket pixel-exact, the standard
+    lossy-but-visually-lossless reduction for shipping billions of
+    points to a dashboard.
+
+    One partial+final hash aggregate — min/max/min_by/max_by all fold
+    map-side, so the shuffle carries 4 values per (series, bucket)
+    regardless of input size. first/last are deterministic via the
+    (ts, event_id) total order encoded as a fixed-width string key
+    (lexicographic = numeric, and min_by/arg_min accept it on both
+    engines; bare first()/last() would be partition-order dependent
+    and fail the cross-engine hash gate)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.format_string(
+            "%016d-%012d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+        ).alias("ord"),
+    )
+    return (
+        c.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min_by("cents", "ord").alias("first_cents"),
+            F.max_by("cents", "ord").alias("last_cents"),
+        )
+        .select(
+            "event_type",
+            F.expr("unix_micros(bucket) DIV 1000000").alias("bucket_s"),
+            "n",
+            "min_cents",
+            "max_cents",
+            "first_cents",
+            "last_cents",
+        )
+    )

@@ -406,3 +406,13 @@ def test_lateral_subquery_decorrelates_to_group_limit(spark):
     plan = plan_of(spark, "q_subq_lateral")
     assert "WindowGroupLimit" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_m4_downsample_single_combined_aggregate(spark):
+    """M4 downsampling must be ONE partial+final hash aggregate — a
+    single exchange carrying 4 values per (series, bucket) — with no
+    Window operator (a rank-based first/last formulation would sort
+    fact rows)."""
+    plan = plan_of(spark, "q_ts_downsample_m4")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
