@@ -946,3 +946,94 @@ def q_llm_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= _PASSAGE_MIN_DOCS)
     )
+
+
+@register(
+    "q_llm_lm_perplexity",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS ws
+      FROM documents),
+    big AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM d, unnest(range(1, len(ws))) AS t(i)),
+    c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+    c1 AS (
+      SELECT w, count(*)::BIGINT AS c
+      FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+    v AS (SELECT count(*)::BIGINT AS v FROM c1),
+    scored AS (
+      SELECT b.doc_id,
+             -log2((c12.c + 1)::DOUBLE / (c1.c + (SELECT v FROM v))) AS nll
+      FROM big b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(nll), 6) AS avg_nll_bits,
+           round(pow(2, avg(nll)), 2) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    category="text",
+)
+def q_llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical quality scoring via corpus bigram-LM perplexity —
+    the CCNet-style filter: train add-one-smoothed bigram counts over
+    the corpus itself, score each document by its average per-bigram
+    negative log-likelihood (bits) and perplexity 2^avg. Outlier-high
+    perplexity = text unlike the corpus; outlier-low = degenerate
+    repetition. The model-based sibling of the heuristic quality
+    filters (q_llm_quality_filter, q_llm_adaptive_quality).
+
+    Shape: doc bigrams via array expressions (one explode, no
+    self-join), then two equi joins onto the model tables — the
+    bigram-count join shuffles on (w1, w2), the history-count join on
+    w1; both model tables are vocabulary-sized (≪ corpus). V arrives
+    as a broadcast 1-row literal. At 100 TB the model tables are
+    exactly the n-gram LM sharding used at web scale; a hot function
+    word is one shuffle key with map-side-combined counts, not an
+    output blowup. Floats: per-doc NLL sums vary in order between
+    engines ⇒ round(6); ppl exponentiates the already-agreed average
+    ⇒ round(2)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+    docs = d.select("doc_id", ws.alias("ws"))
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = docs.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll_bits"),
+        F.round(F.pow(F.lit(2.0), F.avg("nll")), 2).alias("ppl"),
+    )

@@ -416,3 +416,15 @@ def test_m4_downsample_single_combined_aggregate(spark):
     plan = plan_of(spark, "q_ts_downsample_m4")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_lm_perplexity_model_joins_stay_hash(spark):
+    """Bigram-LM scoring: doc bigrams equi-join the vocabulary-sized
+    model tables (hash/SMJ, never cartesian/nested-loop); the V scalar
+    broadcasts; no Python anywhere."""
+    plan = plan_of(spark, "q_llm_lm_perplexity")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row V crossJoin only
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
