@@ -821,3 +821,73 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "v1", "v2", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") > _SEMDEDUP_THRESHOLD)
     )
+
+
+# ε-neighborhood spatial join: pairs closer than _EPS in the first two
+# embedding dimensions. Grid cell side = ε so a pair within ε is
+# always in the same or an adjacent cell (3×3 neighborhood).
+_EPS = 0.05
+
+
+@register(
+    "q_sim_spatial_grid_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+      FROM embeddings)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          < {_EPS} * {_EPS}
+    """,
+    category="similarity",
+)
+def q_sim_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-neighbor spatial self-join (all pairs within ε in the first
+    two embedding dims) via GRID BUCKETING: one side explodes into its
+    3×3 cell neighborhood (cell side = ε, so every true pair shares a
+    join cell), the other keys its own cell, and the candidate join is
+    a pure EQUI join on (cx, cy) — each pair matches exactly once (the
+    probe's home cell), so no distinct is needed. The oracle states
+    the brute-force O(n²) theta join; the grid plan's cost is
+    Σ 9·O(cell²), the geohash/uniform-grid pattern every spatial
+    engine uses at scale. Exactness: cell ids floor(x/ε) and squared
+    distances run the identical IEEE sequence on both engines, and
+    the emitted distance is a correctly-rounded sqrt, so even the
+    boundary predicate cannot disagree."""
+    p = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cx = F.floor(F.col("x") / _EPS)
+    cy = F.floor(F.col("y") / _EPS)
+    probe = p.select(F.col("vec_id").alias("d2"), F.col("x").alias("x2"),
+                     F.col("y").alias("y2"), cx.alias("cx"), cy.alias("cy"))
+    offsets = spark.range(1).select(
+        F.explode(
+            F.expr("array(-1L, 0L, 1L)")
+        ).alias("dx")
+    ).crossJoin(
+        spark.range(1).select(F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dy"))
+    )
+    build = (
+        p.select(F.col("vec_id").alias("d1"), F.col("x").alias("x1"),
+                 F.col("y").alias("y1"), cx.alias("bcx"), cy.alias("bcy"))
+        .crossJoin(F.broadcast(offsets))
+        .select("d1", "x1", "y1",
+                (F.col("bcx") + F.col("dx")).alias("cx"),
+                (F.col("bcy") + F.col("dy")).alias("cy"))
+    )
+    # Explicit multiplies (not **2 → pow): the oracle multiplies, and
+    # pow(x, 2) is not guaranteed to equal x*x to the last ulp.
+    ddx = F.col("x1") - F.col("x2")
+    ddy = F.col("y1") - F.col("y2")
+    d2sq = ddx * ddx + ddy * ddy
+    return (
+        build.join(probe, ["cx", "cy"])
+        .where((F.col("d1") < F.col("d2")) & (d2sq < F.lit(_EPS * _EPS)))
+        .select("d1", "d2", F.round(F.sqrt(d2sq), 6).alias("dist"))
+    )

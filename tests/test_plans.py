@@ -428,3 +428,12 @@ def test_lm_perplexity_model_joins_stay_hash(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row V crossJoin only
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_spatial_grid_join_is_equijoin(spark):
+    """The ε-neighbor spatial join must be an EQUI join on grid cells
+    (the only nested-loop is the broadcast 9-row offset expansion) —
+    never a cartesian over the point set."""
+    plan = plan_of(spark, "q_sim_spatial_grid_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
