@@ -756,3 +756,91 @@ def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_cents",
         )
     )
+
+
+@register(
+    "q_ts_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    trended AS (
+      SELECT event_type, h, cents,
+             sum(cents) OVER win AS wsum,
+             count(*) OVER win AS wn
+      FROM hourly
+      WINDOW win AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+    detrended AS (
+      SELECT event_type, h, cents,
+             wsum::DOUBLE / 24 AS trend,
+             cents - wsum::DOUBLE / 24 AS dev
+      FROM trended WHERE wn = 24),
+    seasonal AS (
+      SELECT event_type, extract(hour FROM h) AS hod,
+             round(avg(dev), 6) AS s
+      FROM detrended GROUP BY 1, 2)
+    SELECT d.event_type,
+           (epoch_us(d.h) // 1000000)::BIGINT AS hour_s,
+           d.cents,
+           round(d.trend, 6) AS trend,
+           s.s AS seasonal,
+           round(d.dev - s.s, 6) AS residual
+    FROM detrended d
+    JOIN seasonal s
+      ON d.event_type = s.event_type AND extract(hour FROM d.h) = s.hod
+    """,
+    category="timeseries",
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (classical moving-average
+    method): hourly series per event type split into trend (centered
+    24-hour moving average, complete windows only), hour-of-day
+    seasonal profile (mean detrended deviation), and residual — the
+    anomaly-detection preprocessor that separates "3am is always
+    quiet" from "this 3am is anomalous".
+
+    Exactness: hourly sums are integer cents; the window trend is
+    exact-int-sum / 24 — ONE IEEE divide, bit-identical cross-engine
+    with no rounding; the seasonal mean averages doubles whose order
+    differs between engines, so it (and the residual built from it)
+    round to 6 dp. Shape: one event_type exchange shared by the window
+    and the hourly rollup, a tiny (type × 24) seasonal table joined
+    back broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    win = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 11)
+    trended = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.sum("cents").over(win).alias("wsum"),
+        F.count(F.lit(1)).over(win).alias("wn"),
+    )
+    detrended = trended.where(F.col("wn") == 24).select(
+        "event_type",
+        "h",
+        "cents",
+        (F.col("wsum").cast("double") / 24).alias("trend"),
+        (F.col("cents") - F.col("wsum").cast("double") / 24).alias("dev"),
+    )
+    seasonal = (
+        detrended.groupBy("event_type", F.hour("h").alias("hod"))
+        .agg(F.round(F.avg("dev"), 6).alias("s"))
+    )
+    return (
+        detrended.withColumn("hod", F.hour("h"))
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.expr("unix_micros(h) DIV 1000000").alias("hour_s"),
+            "cents",
+            F.round("trend", 6).alias("trend"),
+            F.col("s").alias("seasonal"),
+            F.round(F.col("dev") - F.col("s"), 6).alias("residual"),
+        )
+    )
