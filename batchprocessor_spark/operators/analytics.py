@@ -673,3 +673,120 @@ def q_ml_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
         F.round(F.regr_avgy(y, x), 2).alias("avg_y"),
     )
+
+
+@register(
+    "q_ml_naive_bayes",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+    test AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+    tr_tok AS (SELECT lang, unnest(ws) AS w FROM train),
+    clw AS (SELECT lang, w, count(*)::BIGINT AS c FROM tr_tok GROUP BY 1, 2),
+    cl AS (SELECT lang, count(*)::BIGINT AS n FROM tr_tok GROUP BY 1),
+    v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM tr_tok),
+    prior AS (
+      SELECT lang, log2(count(*)::DOUBLE
+                        / (SELECT count(*) FROM train)) AS lp
+      FROM train GROUP BY 1),
+    te_tok AS (SELECT doc_id, lang AS lang_actual, unnest(ws) AS w FROM test),
+    scored AS (
+      SELECT t.doc_id, t.lang_actual, p.lang,
+             any_value(p.lp)
+               + sum(log2((coalesce(clw.c, 0) + 1)::DOUBLE
+                          / (cl.n + (SELECT v FROM v)))) AS score
+      FROM te_tok t
+      CROSS JOIN prior p
+      JOIN cl ON cl.lang = p.lang
+      LEFT JOIN clw ON clw.lang = p.lang AND clw.w = t.w
+      GROUP BY t.doc_id, t.lang_actual, p.lang),
+    ranked AS (
+      SELECT doc_id, lang_actual, lang, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(score, 6) DESC, lang ASC) AS rn
+      FROM scored)
+    SELECT doc_id, lang_actual, lang AS lang_pred, score
+    FROM ranked WHERE rn = 1
+    """,
+    category="analytics",
+)
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes: train on even doc_ids
+    (per-language add-one-smoothed token log-likelihoods + log priors,
+    all computed as aggregates — the model IS three small tables),
+    score odd doc_ids against every language, emit the argmax. The
+    from-first-principles "ML training as a groupBy" companion to
+    k-means/OLS/PageRank.
+
+    Shape: model tables are vocabulary-sized, so scoring is test
+    tokens × |langs| (a broadcast 5-row expansion) with a BROADCAST
+    left join onto the (lang, token) count table — the corpus-scale
+    side never shuffles for the lookup; one aggregate to per-(doc,
+    lang) scores; argmax over a 5-row-per-doc window. Determinism:
+    per-doc score sums vary in order between engines, so scores round
+    to 6 dp BEFORE the argmax and ties break on language name — both
+    engines then walk the identical ranking."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    train = d.where(F.col("doc_id") % 2 == 0)
+    test = d.where(F.col("doc_id") % 2 == 1)
+    tr_tok = train.select("lang", F.explode("ws").alias("w"))
+    clw = tr_tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    cl = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    v = tr_tok.agg(F.countDistinct("w").alias("v"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n_docs"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(F.broadcast(n_train))
+        .select("lang", F.log2(F.col("nd").cast("double") / F.col("n_docs")).alias("lp"))
+    )
+    te_tok = test.select(
+        "doc_id", F.col("lang").alias("lang_actual"), F.explode("ws").alias("w")
+    )
+    scored = (
+        te_tok.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(cl), "lang")
+        .join(
+            F.broadcast(clw.withColumnsRenamed({"c": "c"})),
+            ["lang", "w"],
+            "left",
+        )
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang_actual", "lang")
+        .agg(
+            (
+                F.first("lp")
+                + F.sum(
+                    F.log2(
+                        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                        / (F.col("n") + F.col("v"))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round("score", 6).desc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang_actual",
+            F.col("lang").alias("lang_pred"),
+            F.round("score", 6).alias("score"),
+        )
+    )

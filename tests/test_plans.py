@@ -437,3 +437,13 @@ def test_spatial_grid_join_is_equijoin(spark):
     plan = plan_of(spark, "q_sim_spatial_grid_join")
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_naive_bayes_model_broadcasts(spark):
+    """Naive Bayes scoring: the (lang, token) likelihood lookup must
+    broadcast onto the test-token stream (model tables are
+    vocabulary-sized) — the corpus side never shuffles for the lookup;
+    no sort-merge join anywhere."""
+    plan = plan_of(spark, "q_ml_naive_bayes")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
