@@ -410,3 +410,167 @@ def test_pd_to_units_half_away_rounding(units, half):
         expect = round(value * 100.0)
     got = pd_to_units(pd.Series([value]), 100)[0]
     assert got == expect, (value, got, expect)
+
+
+HEAVY = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EV_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+
+
+def _write_events(spark, rows, tmpdir):
+    import os
+
+    df = (
+        spark.createDataFrame(rows, _EV_SCHEMA)
+        if rows
+        else spark.createDataFrame([], _EV_SCHEMA)
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmpdir, "events.parquet"))
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),                       # event_id (may collide)
+        st.integers(0, 3 * 86400 - 1),               # offset seconds in a 3-day span
+        st.integers(0, 999_999),                     # microsecond component
+        st.integers(0, 3),                           # user_id
+        st.sampled_from(["a", "b"]),                 # event_type
+        st.integers(-5, 200),                        # whole minutes / cents-free value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_events(raw):
+    """Distinct event_ids (the kernels assume a key), µs-precision ts."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows, seen = [], set()
+    for eid, off, us, uid, etype, minutes in raw:
+        if eid in seen:
+            continue
+        seen.add(eid)
+        ts = base + datetime.timedelta(seconds=off, microseconds=us)
+        rows.append((eid, ts, uid, etype, float(minutes)))
+    return rows
+
+
+@given(raw=events_strategy)
+@HEAVY
+def test_interval_overlap_vs_bruteforce(spark, raw, tmp_path):
+    """q_join_interval_overlap equals the brute-force O(n·w) python
+    overlap over random µs-precision intervals, including clamped
+    negative durations and boundary-touching windows."""
+    import datetime
+
+    from batchprocessor_spark.operators.joins import q_join_interval_overlap
+
+    rows = _mk_events(raw)
+    _write_events(spark, rows, str(tmp_path))
+    got = {
+        (r.event_id, r.day_s, r.overlap_s)
+        for r in q_join_interval_overlap(spark, str(tmp_path)).collect()
+    }
+    days = {ts.replace(hour=0, minute=0, second=0, microsecond=0) for _, ts, *_ in rows}
+    expect = set()
+    for eid, ts, _uid, _et, minutes in rows:
+        s = ts
+        e = ts + datetime.timedelta(minutes=max(int(round(minutes)), 0))
+        for d in days:
+            ws, we = d, d + datetime.timedelta(hours=2)
+            if s < we and ws < e:
+                us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+                expect.add(
+                    (
+                        eid,
+                        us(ws) // 1_000_000,
+                        us(min(e, we)) // 1_000_000 - us(max(s, ws)) // 1_000_000,
+                    )
+                )
+    assert got == expect
+
+
+@given(raw=events_strategy)
+@HEAVY
+def test_m4_downsample_vs_bruteforce(spark, raw, tmp_path):
+    """q_ts_downsample_m4 equals the python per-bucket min/max and the
+    (ts, event_id)-ordered first/last, with duplicate timestamps
+    resolved identically."""
+    from batchprocessor_spark.operators.timeseries import q_ts_downsample_m4
+
+    rows = _mk_events(raw)
+    _write_events(spark, rows, str(tmp_path))
+    got = {
+        (r.event_type, r.bucket_s, r.n, r.min_cents, r.max_cents, r.first_cents, r.last_cents)
+        for r in q_ts_downsample_m4(spark, str(tmp_path)).collect()
+    }
+    buckets = {}
+    for eid, ts, _uid, etype, minutes in rows:
+        bucket = ts.replace(minute=0, second=0, microsecond=0)
+        cents = int(round(minutes)) * 100
+        key = (etype, int(bucket.timestamp()))
+        buckets.setdefault(key, []).append(((int(ts.timestamp() * 1_000_000), eid), cents))
+    expect = set()
+    for (etype, bs), items in buckets.items():
+        cs = [c for _, c in items]
+        first = min(items)[1]
+        last = max(items)[1]
+        expect.add((etype, bs, len(items), min(cs), max(cs), first, last))
+    assert got == expect
+
+
+graph_strategy = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),  # (suppkey, custkey)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=graph_strategy)
+@HEAVY
+def test_pagerank_vs_python_fixed_point(spark, pairs, tmp_path):
+    """q_graph_pagerank's fixed-point integer recurrence is replicated
+    EXACTLY in python (same // arithmetic) on random bipartite graphs —
+    byte-identical ranks, no tolerance."""
+    import os
+    from collections import Counter
+
+    from batchprocessor_spark.operators.hierarchy import (
+        _PR_ROUNDS,
+        _PR_SCALE,
+        q_graph_pagerank,
+    )
+
+    lineitem = [(i, s) for i, (s, _c) in enumerate(pairs)]
+    orders = [(i, c) for i, (_s, c) in enumerate(pairs)]
+    spark.createDataFrame(lineitem, "l_orderkey BIGINT, l_suppkey BIGINT").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    spark.createDataFrame(orders, "o_orderkey BIGINT, o_custkey BIGINT").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "orders.parquet"))
+
+    got = {(r.node, r.pr) for r in q_graph_pagerank(spark, str(tmp_path)).collect()}
+
+    edges = {(s * 2 + 1, c * 2) for s, c in pairs}
+    nodes = sorted({v for e in edges for v in e})
+    deg = Counter(src for src, _ in edges)
+    n = len(nodes)
+    base = _PR_SCALE // n
+    pr = {v: base for v in nodes}
+    for _ in range(_PR_ROUNDS):
+        dang = sum(p for v, p in pr.items() if deg[v] == 0)
+        inflow = Counter()
+        for src, dst in edges:
+            inflow[dst] += pr[src] // deg[src]
+        pr = {
+            v: (15 * base + 85 * (inflow.get(v, 0) + dang // n)) // 100
+            for v in nodes
+        }
+    assert got == set(pr.items())
