@@ -758,11 +758,7 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         te_tok.crossJoin(F.broadcast(prior))
         .join(F.broadcast(cl), "lang")
-        .join(
-            F.broadcast(clw.withColumnsRenamed({"c": "c"})),
-            ["lang", "w"],
-            "left",
-        )
+        .join(F.broadcast(clw), ["lang", "w"], "left")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id", "lang_actual", "lang")
         .agg(

@@ -516,9 +516,12 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.select(
         "event_id",
         F.col("ts").alias("s"),
+        # Seconds (decimal) instead of the INT minutes slot: a value
+        # past 2^31 minutes would wrap the int cast while the BIGINT
+        # oracle kept it — seconds in BIGINT match the oracle exactly.
         F.expr(
-            "ts + make_interval(0, 0, 0, 0, 0,"
-            " greatest(cast(round(value) as int), 0), 0)"
+            "ts + make_interval(0, 0, 0, 0, 0, 0,"
+            " greatest(cast(round(value) as bigint), 0) * 60)"
         ).alias("e"),
     )
     win = (

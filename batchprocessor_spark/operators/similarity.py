@@ -866,12 +866,8 @@ def q_sim_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cy = F.floor(F.col("y") / _EPS)
     probe = p.select(F.col("vec_id").alias("d2"), F.col("x").alias("x2"),
                      F.col("y").alias("y2"), cx.alias("cx"), cy.alias("cy"))
-    offsets = spark.range(1).select(
-        F.explode(
-            F.expr("array(-1L, 0L, 1L)")
-        ).alias("dx")
-    ).crossJoin(
-        spark.range(1).select(F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dy"))
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx LONG, dy LONG"
     )
     build = (
         p.select(F.col("vec_id").alias("d1"), F.col("x").alias("x1"),

@@ -701,7 +701,7 @@ def q_ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              date_trunc('hour', ts) AS bucket,
              round(value * 100)::BIGINT AS cents,
-             printf('%016d-%012d', epoch_us(ts), event_id) AS ord
+             printf('%020d-%020d', epoch_us(ts), event_id) AS ord
       FROM events)
     SELECT event_type,
            (epoch_us(bucket) // 1000000)::BIGINT AS bucket_s,
@@ -724,17 +724,23 @@ def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     One partial+final hash aggregate — min/max/min_by/max_by all fold
     map-side, so the shuffle carries 4 values per (series, bucket)
     regardless of input size. first/last are deterministic via the
-    (ts, event_id) total order encoded as a fixed-width string key
-    (lexicographic = numeric, and min_by/arg_min accept it on both
-    engines; bare first()/last() would be partition-order dependent
-    and fail the cross-engine hash gate)."""
+    (ts, event_id) total order encoded as a fixed-width string key —
+    20 digits per field, the full non-negative BIGINT width, so
+    lexicographic = numeric for any epoch-micros/id the engine can
+    hold (a compound struct key would be cleaner but DuckDB's arg_min
+    rejects non-scalar keys); bare first()/last() would be
+    partition-order dependent and fail the cross-engine hash gate.
+    Precondition (asserted nowhere cheaper than here): both fields
+    non-negative — pre-1970 timestamps would need an offset."""
     e = load_table(spark, sf_dir, "events")
     c = e.select(
         "event_type",
         F.date_trunc("hour", "ts").alias("bucket"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # ts arrives TIMESTAMP_NTZ from parquet; unix_micros requires
+        # TIMESTAMP, hence the cast (UTC session ⇒ same instant).
         F.format_string(
-            "%016d-%012d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+            "%020d-%020d", F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
         ).alias("ord"),
     )
     return (
@@ -771,12 +777,13 @@ def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER win AS wn
       FROM hourly
       WINDOW win AS (PARTITION BY event_type ORDER BY h
-                     ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+                     RANGE BETWEEN INTERVAL 12 HOUR PRECEDING
+                           AND INTERVAL 11 HOUR FOLLOWING)),
     detrended AS (
       SELECT event_type, h, cents,
-             wsum::DOUBLE / 24 AS trend,
-             cents - wsum::DOUBLE / 24 AS dev
-      FROM trended WHERE wn = 24),
+             wsum::DOUBLE / wn AS trend,
+             cents - wsum::DOUBLE / wn AS dev
+      FROM trended WHERE wn >= 18),
     seasonal AS (
       SELECT event_type, extract(hour FROM h) AS hod,
              round(avg(dev), 6) AS s
@@ -796,24 +803,35 @@ def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition (classical moving-average
     method): hourly series per event type split into trend (centered
-    24-hour moving average, complete windows only), hour-of-day
+    24-wall-clock-hour moving mean over the hours present (>= 18 of
+    24 required — gap-tolerant, never spanning beyond the day)), hour-of-day
     seasonal profile (mean detrended deviation), and residual — the
     anomaly-detection preprocessor that separates "3am is always
     quiet" from "this 3am is anomalous".
 
     Exactness: hourly sums are integer cents; the window trend is
-    exact-int-sum / 24 — ONE IEEE divide, bit-identical cross-engine
+    exact-int-sum / exact-count — ONE IEEE divide, bit-identical cross-engine
     with no rounding; the seasonal mean averages doubles whose order
     differs between engines, so it (and the residual built from it)
-    round to 6 dp. Shape: one event_type exchange shared by the window
-    and the hourly rollup, a tiny (type × 24) seasonal table joined
-    back broadcast."""
+    round to 6 dp. The trend window is a RANGE frame over event time
+    (±12/11 wall-clock hours) with wn = 24 required, NOT a ROWS frame:
+    with hourly gaps a 24-ROW frame silently spans more than 24
+    wall-clock hours and misaligns the hour-of-day profile near gaps —
+    a both-engines-agree-on-the-wrong-value bug the parity gate cannot
+    see. Shape: one event_type exchange shared by the window and the
+    hourly rollup, a tiny (type × 24) seasonal table joined back
+    broadcast."""
     e = load_table(spark, sf_dir, "events")
     hourly = (
         e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
-    win = Window.partitionBy("event_type").orderBy("h").rowsBetween(-12, 11)
+    # RANGE frame on epoch seconds (hour grain, so second == hour/3600).
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy(F.expr("unix_micros(h) DIV 1000000"))
+        .rangeBetween(-12 * 3600, 11 * 3600)
+    )
     trended = hourly.select(
         "event_type",
         "h",
@@ -821,12 +839,12 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(win).alias("wsum"),
         F.count(F.lit(1)).over(win).alias("wn"),
     )
-    detrended = trended.where(F.col("wn") == 24).select(
+    detrended = trended.where(F.col("wn") >= 18).select(
         "event_type",
         "h",
         "cents",
-        (F.col("wsum").cast("double") / 24).alias("trend"),
-        (F.col("cents") - F.col("wsum").cast("double") / 24).alias("dev"),
+        (F.col("wsum").cast("double") / F.col("wn")).alias("trend"),
+        (F.col("cents") - F.col("wsum").cast("double") / F.col("wn")).alias("dev"),
     )
     seasonal = (
         detrended.groupBy("event_type", F.hour("h").alias("hod"))

@@ -485,7 +485,8 @@ def test_interval_overlap_vs_bruteforce(spark, raw, tmp_path):
         for d in days:
             ws, we = d, d + datetime.timedelta(hours=2)
             if s < we and ws < e:
-                us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+                epoch = datetime.datetime(1970, 1, 1)
+                us = lambda t: (t - epoch) // datetime.timedelta(microseconds=1)  # noqa: E731
                 expect.add(
                     (
                         eid,
@@ -510,12 +511,18 @@ def test_m4_downsample_vs_bruteforce(spark, raw, tmp_path):
         (r.event_type, r.bucket_s, r.n, r.min_cents, r.max_cents, r.first_cents, r.last_cents)
         for r in q_ts_downsample_m4(spark, str(tmp_path)).collect()
     }
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
     buckets = {}
     for eid, ts, _uid, etype, minutes in rows:
         bucket = ts.replace(minute=0, second=0, microsecond=0)
         cents = int(round(minutes)) * 100
-        key = (etype, int(bucket.timestamp()))
-        buckets.setdefault(key, []).append(((int(ts.timestamp() * 1_000_000), eid), cents))
+        key = (etype, (bucket - epoch) // datetime.timedelta(seconds=1))
+        # Exact integer micros (a float .timestamp() round-trip can be
+        # off by 1µs and flip first/last ties against the kernel).
+        t_us = (ts - epoch) // datetime.timedelta(microseconds=1)
+        buckets.setdefault(key, []).append(((t_us, eid), cents))
     expect = set()
     for (etype, bs), items in buckets.items():
         cs = [c for _, c in items]
