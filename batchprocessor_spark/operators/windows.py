@@ -384,3 +384,70 @@ def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((10000 * cents) DIV total AS BIGINT)").alias("share_bp"),
         )
     )
+
+
+# Trailing rolling-median window: current row + 20 predecessors.
+_RMED_N = 21
+
+
+@register(
+    "q_win_rolling_median",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id,
+             round(value * 100)::BIGINT AS cents,
+             ts
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, cents,
+             list_sort(list(cents) OVER win) AS window_vals
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_RMED_N - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, cents,
+           window_vals[(len(window_vals) + 1) // 2] AS med_cents
+    FROM w WHERE len(window_vals) = {_RMED_N}
+    """,
+    category="window",
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing rolling median (lower median of the last 21
+    observations per user) — the robust smoother that a mean-based
+    rolling window cannot provide (one outlier drags a mean for 21
+    rows; a median shrugs it off).
+
+    Spark has no median window function, so the frame's values are
+    collected as an array per row (bounded: 21 elements), sorted, and
+    indexed — all JVM array expressions over ONE user_id exchange, no
+    Python, no self-join. At 100 TB the state per row is the O(N)
+    frame — fine for small N; a large-N rolling median would switch
+    to the two-heap / indexable-skiplist streaming form inside
+    applyInPandas. Exactness: integer cents, odd window, LOWER median
+    (element (n+1)//2 of the sorted frame) — no interpolation, so the
+    result is an exact integer on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-(_RMED_N - 1), 0)
+    )
+    vals = F.array_sort(F.collect_list("cents").over(win))
+    return (
+        c.select(
+            "event_id",
+            "user_id",
+            "cents",
+            vals.alias("window_vals"),
+        )
+        .where(F.size("window_vals") == _RMED_N)
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.element_at("window_vals", (_RMED_N + 1) // 2).alias("med_cents"),
+        )
+    )

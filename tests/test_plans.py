@@ -447,3 +447,12 @@ def test_naive_bayes_model_broadcasts(spark):
     plan = plan_of(spark, "q_ml_naive_bayes")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_median_single_exchange_no_python(spark):
+    """Rolling median: one user_id exchange carries collect+sort+index
+    — all JVM array expressions, no Python, no self-join."""
+    plan = plan_of(spark, "q_win_rolling_median")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
