@@ -717,3 +717,97 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_filled"),
         F.min("o_custkey").alias("first_cust"),
     )
+
+
+@register(
+    "q_agg_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity) AS rx,
+             rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY l_extendedprice) AS ry,
+             count(*) OVER (PARTITION BY l_returnflag) AS cnt_w
+      FROM lineitem)
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           round(corr(rx, ry), 6) AS spearman
+    FROM r GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group: Pearson correlation of the
+    two variables' within-group ranks — the monotonic-association
+    measure that is robust to outliers and nonlinearity where plain
+    corr (q_agg_stats) is not. Ties get identical min-ranks via
+    rank(), identically on both engines, so the rank columns are
+    exact integers; only the final correlation is rounded (same
+    convention as q_agg_stats). Shape: two rank windows sharing ONE
+    group exchange, then the same partial+final corr aggregate."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    r = l.select(
+        "l_returnflag",
+        F.rank().over(wq).alias("rx"),
+        F.rank().over(wp).alias("ry"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman"),
+    )
+
+
+@register(
+    "q_agg_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, count(*)::BIGINT AS o
+      FROM documents GROUP BY 1, 2),
+    margins AS (
+      SELECT o.lang, o.source, o.o,
+             sum(o.o) OVER (PARTITION BY o.lang) AS row_n,
+             sum(o.o) OVER (PARTITION BY o.source) AS col_n,
+             sum(o.o) OVER () AS total
+      FROM obs o),
+    cells AS (
+      SELECT (o - row_n::DOUBLE * col_n / total)
+             * (o - row_n::DOUBLE * col_n / total)
+             / (row_n::DOUBLE * col_n / total) AS term
+      FROM margins)
+    SELECT count(*)::BIGINT AS n_cells,
+           round(sum(term), 6) AS chi2
+    FROM cells
+    """,
+    category="aggregate",
+)
+def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for lang × source independence — the
+    contingency-table drift test a corpus pipeline runs to detect
+    source/language composition shifts. Only OBSERVED cells enter
+    (absent combinations contribute E, not (0-E)²/E — the standard
+    observed-cells formulation, stated identically in the oracle).
+    Observed counts and margins are exact integers from one count
+    aggregate + margin windows over the tiny cell table; each cell's
+    expected value derives via the identical IEEE sequence, and only
+    the final sum (whose order differs between engines) is rounded."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("total"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("total")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return margins.select(term.alias("term")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("term"), 6).alias("chi2"),
+    )
