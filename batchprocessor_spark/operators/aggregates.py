@@ -745,7 +745,16 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank(), identically on both engines, so the rank columns are
     exact integers; only the final correlation is rounded (same
     convention as q_agg_stats). Shape: two rank windows sharing ONE
-    group exchange, then the same partial+final corr aggregate."""
+    group exchange, then the same partial+final corr aggregate.
+
+    Scale caveat (stated, not hidden): ranking WITHIN a group puts the
+    whole group in one window partition — fine for high-cardinality
+    grouping keys, a skew risk for 3-value keys like l_returnflag at
+    100 TB. The remedy for low-cardinality groups over DISCRETE values
+    is histogram ranks (per-(group, value) counts + a cumulative over
+    the tiny value table, the q_agg_median_distributed machinery);
+    this query keeps the window form because it is also exercising
+    rank()'s tie semantics."""
     from pyspark.sql import Window
 
     l = load_table(spark, sf_dir, "lineitem")
