@@ -510,3 +510,91 @@ def q_llm_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("doc_id", F.col("k").cast("int").alias("k"), neg.alias("neg_id"))
     )
+
+
+# Token budget for the mixture-allocation query (α = 0.5 temperature).
+_BUDGET_TOKENS = 1_000_000
+
+
+@register(
+    "q_llm_budget_allocation",
+    oracle=f"""
+    WITH src AS (
+      SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) AS wt FROM src),
+    tot AS (
+      SELECT source, n_tokens, wt,
+             max(run) OVER () AS total
+      FROM (SELECT source, n_tokens, wt,
+                   sum(wt) OVER (ORDER BY source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS run
+            FROM w)),
+    shares AS (
+      SELECT source, n_tokens,
+             floor({_BUDGET_TOKENS} * wt / total)::BIGINT AS base,
+             {_BUDGET_TOKENS} * wt / total
+               - floor({_BUDGET_TOKENS} * wt / total) AS frac
+      FROM tot),
+    awarded AS (
+      SELECT source, n_tokens, base, frac,
+             {_BUDGET_TOKENS} - sum(base) OVER () AS deficit,
+             row_number() OVER (ORDER BY frac DESC, source ASC) AS rn
+      FROM shares)
+    SELECT source, n_tokens,
+           (base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END)::BIGINT AS quota
+    FROM awarded
+    """,
+    category="sampling",
+)
+def q_llm_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token-budget allocation: each source gets a
+    quota ∝ sqrt(its token mass) (α=0.5 temperature) out of a fixed
+    1M-token budget, with LARGEST-REMAINDER rounding so the integer
+    quotas sum to the budget EXACTLY — the allocation step between
+    temperature weighting (q_llm_sample_temperature decides which
+    rows) and packing (q_llm_pack_sequences decides how they fit).
+
+    Determinism: the weight total is accumulated over sources in NAME
+    order via an ordered running-sum window — a plain sum() would let
+    each engine add the ~20 doubles in a different order and diverge
+    in the last ulp, which floor() then amplifies to ±1 whole token;
+    the ordered accumulation makes every float identical cross-engine
+    BEFORE floor, so quotas need no rounding at all. All tables here
+    are source-cardinality (tiny); the only corpus-scale work is the
+    token-count aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens")
+    )
+    w = src.select("source", "n_tokens", F.sqrt(F.col("n_tokens").cast("double")).alias("wt"))
+    run_w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    tot = w.select(
+        "source", "n_tokens", "wt", F.sum("wt").over(run_w).alias("run")
+    ).select("source", "n_tokens", "wt", F.max("run").over(all_w).alias("total"))
+    share = (F.lit(_BUDGET_TOKENS) * F.col("wt") / F.col("total"))
+    shares = tot.select(
+        "source",
+        "n_tokens",
+        F.floor(share).cast("long").alias("base"),
+        (share - F.floor(share)).alias("frac"),
+    )
+    awarded = shares.select(
+        "source",
+        "n_tokens",
+        "base",
+        (F.lit(_BUDGET_TOKENS) - F.sum("base").over(all_w)).alias("deficit"),
+        F.row_number()
+        .over(Window.orderBy(F.col("frac").desc(), F.col("source").asc()))
+        .alias("rn"),
+    )
+    return awarded.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base") + F.when(F.col("rn") <= F.col("deficit"), 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
