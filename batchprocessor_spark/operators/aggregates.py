@@ -724,11 +724,12 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT l_returnflag,
-             rank() OVER (PARTITION BY l_returnflag
-                          ORDER BY l_quantity) AS rx,
-             rank() OVER (PARTITION BY l_returnflag
-                          ORDER BY l_extendedprice) AS ry,
-             count(*) OVER (PARTITION BY l_returnflag) AS cnt_w
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1)
+                 / 2.0 AS rx,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1)
+                 / 2.0 AS ry
       FROM lineitem)
     SELECT l_returnflag,
            count(*)::BIGINT AS n,
@@ -739,12 +740,16 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per group: Pearson correlation of the
-    two variables' within-group ranks — the monotonic-association
-    measure that is robust to outliers and nonlinearity where plain
-    corr (q_agg_stats) is not. Ties get identical min-ranks via
-    rank(), identically on both engines, so the rank columns are
-    exact integers; only the final correlation is rounded (same
-    convention as q_agg_stats). Shape: two rank windows sharing ONE
+    two variables' within-group MIDRANKS (average ranks) — the
+    monotonic-association measure that is robust to outliers and
+    nonlinearity where plain corr (q_agg_stats) is not. Midranks, not
+    min-ranks: with ties (l_quantity has ~50 distinct values) Pearson
+    over min-ranks is a different, biased statistic — textbook
+    Spearman assigns each tie group the mean of its ranks, built here
+    as rank() + (tie_count − 1)/2, deterministic on both engines
+    (rank and tie_count are exact integers; the /2 halves are exact
+    doubles); only the final correlation is rounded (same convention
+    as q_agg_stats). Shape: rank + tie-count windows sharing ONE
     group exchange, then the same partial+final corr aggregate.
 
     Scale caveat (stated, not hidden): ranking WITHIN a group puts the
@@ -760,10 +765,13 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    tq = Window.partitionBy("l_returnflag", "l_quantity")
+    tp = Window.partitionBy("l_returnflag", "l_extendedprice")
+    half = lambda w: (F.count(F.lit(1)).over(w) - 1) / 2.0  # noqa: E731
     r = l.select(
         "l_returnflag",
-        F.rank().over(wq).alias("rx"),
-        F.rank().over(wp).alias("ry"),
+        (F.rank().over(wq) + half(tq)).alias("rx"),
+        (F.rank().over(wp) + half(tp)).alias("ry"),
     )
     return r.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -777,12 +785,17 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH obs AS (
       SELECT lang, source, count(*)::BIGINT AS o
       FROM documents GROUP BY 1, 2),
+    grid AS (
+      SELECT l.lang, s.source, coalesce(obs.o, 0)::BIGINT AS o
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN (SELECT DISTINCT source FROM documents) s
+      LEFT JOIN obs ON obs.lang = l.lang AND obs.source = s.source),
     margins AS (
-      SELECT o.lang, o.source, o.o,
-             sum(o.o) OVER (PARTITION BY o.lang) AS row_n,
-             sum(o.o) OVER (PARTITION BY o.source) AS col_n,
-             sum(o.o) OVER () AS total
-      FROM obs o),
+      SELECT g.lang, g.source, g.o,
+             sum(g.o) OVER (PARTITION BY g.lang) AS row_n,
+             sum(g.o) OVER (PARTITION BY g.source) AS col_n,
+             sum(g.o) OVER () AS total
+      FROM grid g),
     cells AS (
       SELECT (o - row_n::DOUBLE * col_n / total)
              * (o - row_n::DOUBLE * col_n / total)
@@ -795,20 +808,30 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregate",
 )
 def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-square statistic for lang × source independence — the
-    contingency-table drift test a corpus pipeline runs to detect
-    source/language composition shifts. Only OBSERVED cells enter
-    (absent combinations contribute E, not (0-E)²/E — the standard
-    observed-cells formulation, stated identically in the oracle).
-    Observed counts and margins are exact integers from one count
-    aggregate + margin windows over the tiny cell table; each cell's
-    expected value derives via the identical IEEE sequence, and only
-    the final sum (whose order differs between engines) is rounded."""
+    """Pearson chi-square statistic for lang × source independence —
+    the contingency-table drift test a corpus pipeline runs to detect
+    source/language composition shifts. The FULL grid enters: absent
+    (lang, source) combinations are materialized with O = 0 via a
+    distinct-langs × distinct-sources cross join (tiny) so each
+    contributes its (0−E)²/E = E term — dropping them understates χ²
+    exactly when composition drift empties cells, the event this test
+    exists to detect. Observed counts and margins are exact integers
+    from one count aggregate + margin windows over the grid; each
+    cell's expected value derives via the identical IEEE sequence,
+    and only the final sum (whose order differs between engines) is
+    rounded."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    margins = obs.select(
+    grid = (
+        d.select("lang")
+        .distinct()
+        .crossJoin(d.select("source").distinct())
+        .join(obs, ["lang", "source"], "left")
+        .select("lang", "source", F.coalesce("o", F.lit(0)).cast("long").alias("o"))
+    )
+    margins = grid.select(
         "o",
         F.sum("o").over(Window.partitionBy("lang")).alias("row_n"),
         F.sum("o").over(Window.partitionBy("source")).alias("col_n"),

@@ -475,7 +475,8 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT event_id, ts AS s,
-             ts + to_minutes(greatest(round(value)::BIGINT, 0)) AS e
+             ts + to_minutes(least(greatest(round(value)::BIGINT, 0),
+                                   1000000000)) AS e
       FROM events),
     win AS (
       SELECT DISTINCT date_trunc('day', ts) AS ws,
@@ -516,12 +517,16 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = e.select(
         "event_id",
         F.col("ts").alias("s"),
-        # Seconds (decimal) instead of the INT minutes slot: a value
-        # past 2^31 minutes would wrap the int cast while the BIGINT
-        # oracle kept it — seconds in BIGINT match the oracle exactly.
+        # Seconds instead of the INT minutes slot (whose cast wraps at
+        # 2^31 minutes). make_interval's secs parameter is
+        # DECIMAL(18,6), so durations are ALSO capped at 10^9 minutes
+        # on BOTH sides (a 1900-year interval; past the decimal's
+        # range the implicit cast would return NULL and silently drop
+        # rows that the oracle kept).
         F.expr(
             "ts + make_interval(0, 0, 0, 0, 0, 0,"
-            " greatest(cast(round(value) as bigint), 0) * 60)"
+            " least(greatest(cast(round(value) as bigint), 0),"
+            " 1000000000) * 60)"
         ).alias("e"),
     )
     win = (

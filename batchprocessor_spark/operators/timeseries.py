@@ -827,9 +827,11 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
     # RANGE frame on epoch seconds (hour grain, so second == hour/3600).
+    # cast: h is NTZ whenever ts resolves NTZ (date_trunc preserves it)
+    # and unix_micros rejects NTZ — same guard as q_ts_downsample_m4.
     win = (
         Window.partitionBy("event_type")
-        .orderBy(F.expr("unix_micros(h) DIV 1000000"))
+        .orderBy(F.expr("unix_micros(cast(h as timestamp)) DIV 1000000"))
         .rangeBetween(-12 * 3600, 11 * 3600)
     )
     trended = hourly.select(
@@ -855,7 +857,7 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(seasonal), ["event_type", "hod"])
         .select(
             "event_type",
-            F.expr("unix_micros(h) DIV 1000000").alias("hour_s"),
+            F.expr("unix_micros(cast(h as timestamp)) DIV 1000000").alias("hour_s"),
             "cents",
             F.round("trend", 6).alias("trend"),
             F.col("s").alias("seasonal"),

@@ -397,7 +397,7 @@ _RMED_N = 21
       SELECT event_id, user_id,
              round(value * 100)::BIGINT AS cents,
              ts
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     w AS (
       SELECT event_id, user_id, cents,
              list_sort(list(cents) OVER win) AS window_vals
@@ -426,7 +426,10 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     (element (n+1)//2 of the sorted frame) — no interpolation, so the
     result is an exact integer on both engines."""
     e = load_table(spark, sf_dir, "events")
-    c = e.select(
+    # NULL values are filtered BEFORE the window on both sides:
+    # collect_list drops NULLs while DuckDB's list() keeps them, so an
+    # unfiltered NULL would silently shrink Spark's frame only.
+    c = e.where(F.col("value").isNotNull()).select(
         "event_id",
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
