@@ -782,13 +782,16 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_chi_square",
     oracle="""
-    WITH obs AS (
+    WITH clean AS (
+      SELECT lang, source FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL),
+    obs AS (
       SELECT lang, source, count(*)::BIGINT AS o
-      FROM documents GROUP BY 1, 2),
+      FROM clean GROUP BY 1, 2),
     grid AS (
       SELECT l.lang, s.source, coalesce(obs.o, 0)::BIGINT AS o
-      FROM (SELECT DISTINCT lang FROM documents) l
-      CROSS JOIN (SELECT DISTINCT source FROM documents) s
+      FROM (SELECT DISTINCT lang FROM clean) l
+      CROSS JOIN (SELECT DISTINCT source FROM clean) s
       LEFT JOIN obs ON obs.lang = l.lang AND obs.source = s.source),
     margins AS (
       SELECT g.lang, g.source, g.o,
@@ -819,10 +822,16 @@ def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one count aggregate + margin windows over the grid; each
     cell's expected value derives via the identical IEEE sequence,
     and only the final sum (whose order differs between engines) is
-    rounded."""
+    rounded. NULL lang/source rows are excluded up front (both
+    engines): a NULL category would form distinct-side grid rows that
+    never match obs (equi-join NULL semantics), silently zeroing that
+    category's observed counts and skewing every margin — the test
+    requires non-null categories and now enforces it."""
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
     grid = (
         d.select("lang")

@@ -502,9 +502,13 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval covers and the join becomes an EQUI join on the bucket
     (one shuffle, hash/SMJ, AQE-skew-splittable), with a distinct to
     collapse pairs that share several buckets and the exact overlap
-    predicate re-checked after. Bucket fan-out is bounded by
-    interval_span/bucket_width (≤9 here), the standard trade for
-    distributed interval joins.
+    predicate re-checked after. Bucket fan-out is HARD-bounded at 49
+    rows per interval: intervals longer than 48 h are split off into a
+    long-tail side that joins windows with the exact theta predicate
+    via broadcast — a pathological duration (the clamp admits up to
+    10^9 minutes) can therefore never explode ~16M bucket rows; it
+    costs one broadcast row instead. Both paths re-check the same
+    exact overlap predicate, so the split is output-invariant.
 
     Exactness: overlap seconds are computed as floor-to-second epoch
     integers on both engines (unix_micros // 1e6), never float.
@@ -535,7 +539,10 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ws", (F.col("ws") + F.expr("INTERVAL 2 HOURS")).alias("we"))
     )
     hour = F.expr("INTERVAL 1 HOUR")
-    evb = ev.withColumn(
+    cap = F.expr("INTERVAL 48 HOURS")
+    short = ev.where(F.col("e") <= F.col("s") + cap)
+    long_tail = ev.where(F.col("e") > F.col("s") + cap)
+    evb = short.withColumn(
         "bucket",
         F.explode(F.sequence(F.date_trunc("hour", "s"), F.date_trunc("hour", "e"), hour)),
     )
@@ -543,10 +550,15 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.explode(F.sequence(F.date_trunc("hour", "ws"), F.date_trunc("hour", "we"), hour)),
     )
+    pairs_short = evb.join(winb, "bucket").select("event_id", "s", "e", "ws", "we").distinct()
+    # Long-tail intervals (>48 h) are rare by construction; broadcast
+    # them against the window set with the exact theta predicate —
+    # bounded work regardless of duration magnitude.
+    pairs_long = F.broadcast(long_tail).join(
+        win, (F.col("s") < F.col("we")) & (F.col("ws") < F.col("e"))
+    ).select("event_id", "s", "e", "ws", "we")
     return (
-        evb.join(winb, "bucket")
-        .select("event_id", "s", "e", "ws", "we")
-        .distinct()
+        pairs_short.unionByName(pairs_long)
         .where((F.col("s") < F.col("we")) & (F.col("ws") < F.col("e")))
         .select(
             "event_id",

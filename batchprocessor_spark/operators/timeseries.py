@@ -814,7 +814,7 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no rounding; the seasonal mean averages doubles whose order
     differs between engines, so it (and the residual built from it)
     round to 6 dp. The trend window is a RANGE frame over event time
-    (±12/11 wall-clock hours) with wn = 24 required, NOT a ROWS frame:
+    (±12/11 wall-clock hours) with wn >= 18 required, NOT a ROWS frame:
     with hourly gaps a 24-ROW frame silently spans more than 24
     wall-clock hours and misaligns the hour-of-day profile near gaps —
     a both-engines-agree-on-the-wrong-value bug the parity gate cannot

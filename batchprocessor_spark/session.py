@@ -41,6 +41,10 @@ def get_spark(
         # Arrow for any pandas-UDF exchange (vectorized, not per-row).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default; read as raw nanos once here so readers stay
+        # side-effect-free (catalog converts to micros with integer div).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -56,7 +56,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not os.path.exists(path):
         path = os.path.join(sf_dir, name)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            # Session factory (session.get_spark) sets this at build
+            # time; sessions constructed elsewhere (driver harness,
+            # bare tests) still need it — runtime-settable legacy conf.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

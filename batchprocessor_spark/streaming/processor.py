@@ -234,16 +234,32 @@ class BatchProcessor:
         """O3: bulk ingest (chunked internally by spool_size). Bulk
         path: one lock acquisition and one capacity check per spool
         chunk instead of per item — put() costs dominate bulk loads
-        otherwise."""
+        otherwise.
+
+        Reject mode is ALL-OR-NOTHING: with ``block_on_full=False`` the
+        whole collection is capacity-checked under the buffer lock
+        before anything is inserted, so a raised ``BufferFullError``
+        guarantees zero items were accepted. (The reference's v1
+        ``tryPutAll`` can partially insert and then fail —
+        V1/DisruptorBatchProcessor.java:184-185 TODO — a hazard
+        SURVEY §2.1 O3 says not to replicate.)"""
         if self._state != State.STARTED:
             raise RuntimeError(f"put_many() in state {self._state}")
         i, n = 0, len(items)
-        while i < n:
-            while self._pending() >= self.config.queue_size:
-                if not self.config.block_on_full:
+        if not self.config.block_on_full:
+            # Atomic admission decision: once this check passes, no
+            # later capacity check can raise, so a BufferFullError
+            # guarantees zero items inserted. (Concurrent producers may
+            # soft-overshoot queue_size — same check-then-insert window
+            # put() has; flushes only ever DECREASE pending.)
+            with self._buffer_lock:
+                if self._pending() + n > self.config.queue_size:
                     raise BufferFullError(
-                        f"pending {self._pending()} >= queue_size {self.config.queue_size}"
+                        f"pending {self._pending()} + {n} items > "
+                        f"queue_size {self.config.queue_size}; rejected atomically"
                     )
+        while i < n:
+            while self.config.block_on_full and self._pending() >= self.config.queue_size:
                 time.sleep(0.01)
             with self._buffer_lock:
                 room = self.config.spool_size - len(self._buffer)

@@ -198,6 +198,46 @@ def test_reject_on_full(spark):
     p.close()
 
 
+def test_put_many_reject_atomic(spark):
+    """O3 reject mode is all-or-nothing: a bulk put that exceeds
+    remaining capacity raises BufferFullError having inserted ZERO
+    items — no partial spool (the v1 partial-put hazard
+    V1/DisruptorBatchProcessor.java:184-185 that SURVEY §2.1 O3 says
+    not to replicate)."""
+    gate = threading.Event()
+
+    def blocking_sink(chunk):
+        gate.wait(30)
+
+    p = make_processor(
+        spark,
+        blocking_sink,
+        batch_size=10,
+        queue_size=20,
+        concurrency=1,
+        block_on_full=False,
+        spool_size=5,
+    )
+    p.start()
+    # Fill to 15 pending: room for 5 more, not 10.
+    p.put_many([(i, "x") for i in range(15)])
+    before = p.stat()["pending"]
+    assert before == 15
+    from batchprocessor_spark.streaming.processor import BufferFullError
+
+    with pytest.raises(BufferFullError):
+        p.put_many([(100 + i, "x") for i in range(10)])
+    # Atomic reject: nothing from the failed bulk was accepted, even
+    # though the first chunk (5 items) would have fit.
+    assert p.stat()["pending"] == before, "partial insert on rejected put_many"
+    # A bulk that exactly fits still succeeds.
+    p.put_many([(200 + i, "x") for i in range(5)])
+    assert p.stat()["pending"] == 20
+    gate.set()
+    p.stop()
+    p.close()
+
+
 def test_stat_shape(spark):
     sink = CountingSink()
     p = make_processor(spark, sink, batch_size=10, spool_size=10)
