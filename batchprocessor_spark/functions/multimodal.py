@@ -301,6 +301,10 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
         T.StructField("n_bytes", T.LongType()),
+        # Deterministic content fingerprint (sum of byte values):
+        # cheap to recompute relationally, which is what lets
+        # q_llm_multimodal_frames carry a DuckDB value oracle.
+        T.StructField("bytesum", T.LongType()),
     ]
 )
 
@@ -337,7 +341,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"doc_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            out = {
+                "doc_id": [], "frame_idx": [], "frame": [],
+                "n_bytes": [], "bytesum": [],
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
@@ -346,22 +353,46 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                     out["frame_idx"].append(i)
                     out["frame"].append(frame)
                     out["n_bytes"].append(len(frame))
+                    out["bytesum"].append(sum(frame))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-@register("q_llm_multimodal_frames", oracle=None, category="multimodal")
+@register(
+    "q_llm_multimodal_frames",
+    # Replay the deterministic stub chain relationally: payload =
+    # utf8(text) truncated/padded to 64*48 = 3072 bytes, 4 frames of
+    # 768 bytes each; the first frame's byte-sum is the sum of ASCII
+    # codes of chars 1..768 (NUL padding contributes 0; ascii of an
+    # out-of-range substr is 0 in DuckDB, matching the padding).
+    oracle="""
+    WITH b AS (
+      SELECT d.doc_id, ascii(substr(d.text, i.i::INT, 1)) AS byte
+      FROM documents d, range(1, 769) i(i))
+    SELECT doc_id, 4::BIGINT AS n_frames, 3072::BIGINT AS total_bytes,
+           sum(byte)::BIGINT AS first_frame_bytesum
+    FROM b GROUP BY doc_id
+    """,
+    category="multimodal",
+)
 def q_llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + frame-sample chain: media → resize(64×48) →
     4-frame sampling → per-doc frame stats. One row in, four rows out
-    through Arrow-batched Python — the video-ingest shape."""
+    through Arrow-batched Python — the video-ingest shape. Now
+    value-oracled (was rows-only): the stub decode is deterministic,
+    so frame count, total bytes and the first frame's byte-sum
+    fingerprint are all recomputable in SQL from the source text —
+    the oracle drives the whole mapInPandas fan-out chain, not just
+    its row count."""
     media = media_table(spark, sf_dir).repartition("doc_id")
     frames = sample_frames(resize_media(media, 64, 48), n_frames=4)
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.max(F.when(F.col("frame_idx") == 0, F.md5("frame"))).alias("first_frame_md5"),
+        F.max(F.when(F.col("frame_idx") == 0, F.col("bytesum"))).alias(
+            "first_frame_bytesum"
+        ),
     )
 
 

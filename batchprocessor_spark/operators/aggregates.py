@@ -618,32 +618,57 @@ def q_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_pct", oracle=None, category="aggregate")
+@register(
+    "q_agg_approx_pct",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(cents, 0.50), 4) AS p50_exact_c,
+           round(quantile_cont(cents, 0.95), 4) AS p95_exact_c,
+           round(quantile_cont(cents, 0.99), 4) AS p99_exact_c,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok,
+           count(*)::BIGINT AS n
+    FROM (SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents
+          FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
 def q_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per return flag: percentile_approx
     (Greenwald-Khanna sketch) at p50/p95/p99 over the exact cents
-    lane, emitted as scalar columns. Rows-only by nature — the sketch
-    is engine-specific, so like q_agg_approx there is no value oracle;
-    tests/test_llm_quality.py pins ≤1% relative error against the
-    exact per-group percentiles at the same accuracy parameter.
+    lane. The sketch values themselves are engine-specific (like
+    q_agg_approx), so the DERIVED projection carries the value
+    oracle: the exact interpolated percentiles (deterministic — both
+    engines interpolate at rank p·(n−1) over integer cents; rounded
+    4 dp) plus ok-flags asserting the sketch landed within 1%
+    relative error of exact. The oracle emits literal TRUE for the
+    flags — if Spark's sketch ever drifts out of bounds the flag goes
+    false and the hash mismatches, which converts the former
+    rows-only pytest bound into a driver-checked value row.
 
     Scale posture: GK sketches are mergeable — map-side partial
     sketches combine associatively, ONE shuffle of sketch state (not
     data), constant memory per group. The exact q_win_dist_functions /
     F.percentile need a per-group sort; this is what replaces them at
-    100 TB."""
+    100 TB. (The exact percentile columns here are fixture-scale
+    oracle scaffolding, not the scale path.)"""
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", to_units(F.col("l_extendedprice"), 100).alias("cents")
     )
-    pcts = F.percentile_approx("cents", [0.5, 0.95, 0.99], 10000)
+    sketch = F.percentile_approx("cents", [0.5, 0.95, 0.99], 10000)
+    exact = F.percentile("cents", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    ok = lambda i: (  # noqa: E731
+        F.abs(F.col("s")[i] - F.col("e")[i]) <= 0.01 * F.abs(F.col("e")[i])
+    ).alias(f"p{(50, 95, 99)[i]}_ok")
     return (
         l.groupBy("l_returnflag")
-        .agg(pcts.alias("p"), F.count(F.lit(1)).alias("n"))
+        .agg(sketch.alias("s"), exact.alias("e"), F.count(F.lit(1)).alias("n"))
         .select(
             "l_returnflag",
-            F.col("p")[0].alias("p50_c"),
-            F.col("p")[1].alias("p95_c"),
-            F.col("p")[2].alias("p99_c"),
+            F.round(F.col("e")[0], 4).alias("p50_exact_c"),
+            F.round(F.col("e")[1], 4).alias("p95_exact_c"),
+            F.round(F.col("e")[2], 4).alias("p99_exact_c"),
+            ok(0), ok(1), ok(2),
             "n",
         )
     )

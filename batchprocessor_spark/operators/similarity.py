@@ -299,12 +299,63 @@ def kmeans_assign(emb: DataFrame, centroids: list) -> DataFrame:
     )
 
 
-@register("q_ml_kmeans", oracle=None, category="similarity")
+def _kmeans_oracle(k: int = 10, iters: int = 5) -> str:
+    """Unrolled Lloyd's k-means as DuckDB SQL: init = the k lowest
+    vec_ids, then ``iters`` rounds of (argmin assignment with
+    lower-cid tie-break) → (per-dimension mean centroid, previous
+    centroid kept for empty clusters), then a final assignment against
+    the final centroids — exactly kmeans_fit's loop. Cross-engine
+    float freedom is only the ~1e-15 summation-order noise in the
+    centroid means; assignments are robust to it while no vector sits
+    exactly equidistant, and the inertia sum rounds at 2 dp."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        f" vec AS cv FROM v ORDER BY vec_id LIMIT {k}),",
+    ]
+    assign = (
+        "{name} AS (\n"
+        "  SELECT vec_id, vec, cid FROM (\n"
+        "    SELECT v.vec_id, v.vec, c.cid,\n"
+        "           row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
+        "             list_dot_product(c.cv, c.cv)\n"
+        "             - 2 * list_dot_product(v.vec, c.cv), c.cid) AS rn\n"
+        "    FROM v CROSS JOIN {prev} c) WHERE rn = 1),"
+    )
+    for it in range(1, iters + 1):
+        parts.append(assign.format(name=f"a{it}", prev=f"c{it - 1}"))
+        parts.append(
+            f"m{it} AS (\n"
+            f"  SELECT cid, list(cx ORDER BY i) AS cv FROM (\n"
+            f"    SELECT cid, i, avg(x) AS cx FROM (\n"
+            f"      SELECT cid, generate_subscripts(vec, 1) AS i,\n"
+            f"             unnest(vec) AS x FROM a{it})\n"
+            f"    GROUP BY cid, i) GROUP BY cid),"
+        )
+        parts.append(
+            f"c{it} AS (\n"
+            f"  SELECT p.cid, coalesce(m.cv, p.cv) AS cv\n"
+            f"  FROM c{it - 1} p LEFT JOIN m{it} m ON m.cid = p.cid),"
+        )
+    parts.append(assign.format(name="af", prev=f"c{iters}")[:-1])
+    parts.append(
+        f"SELECT a.cid, count(*)::BIGINT AS cluster_size,\n"
+        f"       round(sum(list_dot_product(a.vec, a.vec)\n"
+        f"                 - 2 * list_dot_product(a.vec, c.cv)\n"
+        f"                 + list_dot_product(c.cv, c.cv)), 2) AS inertia\n"
+        f"FROM af a JOIN c{iters} c ON c.cid = a.cid GROUP BY a.cid"
+    )
+    return "\n".join(parts)
+
+
+@register("q_ml_kmeans", oracle=_kmeans_oracle(), category="similarity")
 def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embeddings (k=10, 5 Lloyd
     iterations, deterministic init) — cluster sizes plus rounded
-    within-cluster dispersion. Rows-only oracle (iterative, not
-    SQL-expressible); determinism makes the row hash stable."""
+    within-cluster dispersion. Now value-oracled (was rows-only):
+    the deterministic init makes the whole 5-iteration trajectory
+    replayable as unrolled SQL (see _kmeans_oracle), so the driver
+    value-checks the full iterative algorithm, not just row counts."""
     emb = spread(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", as_double("embedding").alias("v")
@@ -389,15 +440,56 @@ def q_ml_kmeans_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_llm_simsearch_ivf", oracle=None, category="similarity")
+_IVF_ORACLE = f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+               FROM embeddings),
+    cent AS (
+      SELECT label, list(cx ORDER BY i) AS centroid FROM (
+        SELECT label, i, avg(x) AS cx FROM (
+          SELECT label, generate_subscripts(vec, 1) AS i,
+                 unnest(vec) AS x
+          FROM v)
+        GROUP BY label, i)
+      GROUP BY label),
+    q AS (SELECT vec_id AS qid, vec AS qv FROM v
+          WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+      SELECT qid, qv, label FROM (
+        SELECT q.qid, q.qv, c.label,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(q.qv, c.centroid)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.centroid, c.centroid)))
+                 DESC, c.label) AS prnk
+        FROM q CROSS JOIN cent c) WHERE prnk <= 3),
+    scored AS (
+      SELECT p.qid, e.vec_id,
+             round(list_dot_product(p.qv, e.vec)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(e.vec, e.vec))), 6) AS sim
+      FROM probes p JOIN v e ON e.label = p.label AND e.vec_id <> p.qid)
+    SELECT qid, vec_id, sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}
+"""
+
+
+@register("q_llm_simsearch_ivf", oracle=_IVF_ORACLE, category="similarity")
 def q_llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k with nprobe=3 of 10 cells — the
-    scale path that scores only probed cells. Rows-only oracle; the
-    companion pytest pins the mechanism: probing ALL cells must equal
-    brute force exactly (and nprobe=3 gives ≈ nprobe/k recall on this
-    deliberately structure-free fixture data).
-    q_llm_simsearch_ivf_full is the driver-checked version of that
-    exactness claim."""
+    scale path that scores only probed cells. Now value-oracled (was
+    rows-only): the cell index here is the fixture's deterministic
+    `label` column, so DuckDB can replay the whole path — per-label
+    mean centroids, cosine probe ranking (label tie-break), scoring
+    only probed cells, group top-k. Scored sims round at 6 dp on
+    bitwise-identical sequential dot folds; the only cross-engine
+    float freedom is the ~1e-15 centroid noise steering probe CHOICE,
+    harmless while inter-centroid csims differ at ≫1e-9 (they differ
+    at ~1e-3 on this fixture). The companion pytest still pins the
+    mechanism (nprobe=all == brute force; recall ≈ nprobe/k), and
+    q_llm_simsearch_ivf_full is the driver-checked exactness twin."""
     return ivf_topk(spark, sf_dir, nprobe=3)
 
 

@@ -6,6 +6,7 @@ import pytest
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+SF_ORACLE_BIG = os.environ.get("SPARK_GRAFT_ORACLE_SF_BIG", "/root/testdata/sf0.1")
 
 
 @pytest.fixture(scope="session")
