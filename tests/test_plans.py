@@ -299,12 +299,20 @@ def test_running_distinct_single_exchange(spark):
 
 
 def test_interval_overlap_is_bucketed_equijoin(spark):
-    """The interval-overlap join must plan as an EQUI join on the hour
-    bucket (hash-joinable, AQE-splittable) — never the
-    broadcast-nested-loop a raw theta overlap predicate produces."""
+    """The interval-overlap join must plan the BULK path as an EQUI
+    join on the hour bucket (hash-joinable, AQE-splittable) — never a
+    broadcast-nested-loop over data-sized sides. Exactly ONE BNL is
+    permitted: the >48 h long-tail fallback, whose build side is the
+    duration-filtered (rare-by-construction) interval set broadcast
+    against the window table — the r4 fan-out cap (ADVICE r3) that
+    keeps a pathological duration from exploding the bucket
+    sequence."""
     plan = plan_of(spark, "q_join_interval_overlap")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # The long-tail filter must actually guard that branch: the
+    # 48-hour horizon appears as a pushed filter in the plan.
+    assert "INTERVAL '48' HOUR" in plan, plan
 
 
 def test_mode_windows_over_counts_not_facts(spark):

@@ -47,9 +47,9 @@ def test_lsh_candidates_prune_pair_space(spark):
     n = emb.count()
     ncand = lsh_candidate_pairs(emb).count()
     # Structure-free data at a 0.5 threshold is LSH's worst case; the
-    # 160×12 banding must still keep the candidate space under 10% of
-    # all pairs (measured ≈ 0.055·n²/2 with the pinned seed), so the
-    # verify stage costs ~1/18th of brute force.
+    # 480×13 banding must still keep the candidate space under 10% of
+    # all pairs (measured ≈ 0.084·n²/2 with the pinned seed), so the
+    # verify stage costs ~1/12th of brute force.
     assert ncand < 0.10 * n * (n - 1) / 2, (ncand, n)
 
 

@@ -207,3 +207,58 @@ def test_bucketed_join_has_no_exchange(spark, warehouse):
         assert joined.count() == plain.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The complement to the manual salted path (q_join_skew_salted):
+    AQE's runtime skew-join split. An adversarially skewed fact-fact
+    SMJ (one key holding ~90% of the left side) with the skew
+    thresholds scaled to fixture size must (a) show the skew=true
+    handling in the final adaptive plan and (b) produce exactly the
+    plain-join result — AQE re-plans the physical split, never the
+    semantics."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Scale the skew detector to fixture bytes: default factor 5 ×
+        # median plus a 64 KB floor instead of the production 256 MB.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        # Force SMJ: both sides are "facts" (no broadcast demotion).
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        # 90% of left rows share key 0; the rest are unique keys.
+        left = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(2000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        # Materialize THIS DataFrame (count() would build a separate
+        # QueryExecution) so the adaptive plan is final when read.
+        got = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        # Expected count, exact: key 0 -> 0.9n left rows x 2 right rows;
+        # left keys 1..999 divisible by nothing special: left unique keys
+        # are id values not divisible into the hot mass — id%10==9 keeps
+        # id itself as key; of those, keys < 1000 (i.e. id in 9..999
+        # ending in 9) match 2 right rows each.
+        hot = (9 * n // 10) * 2
+        cold_matches = sum(2 for i in range(n) if i % 10 == 9 and 0 < i < 1000)
+        assert got == hot + cold_matches, (got, hot, cold_matches)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
