@@ -48,6 +48,56 @@ HEADLINE = [
 ]
 
 
+def calibrate() -> float:
+    """Pure-python CPU microbenchmark (fixed work: hash 2M ints) run
+    before and after the suite. Its wall time scales with ambient host
+    load, so the reported ``noise_factor`` = measured / reference lets
+    a reader normalize round-over-round medians taken on busy vs quiet
+    hosts (BENCH.md documents 2-5x ambient noise; VERDICT r3 #8).
+    Reference ≈ the quiet-host time of this loop on the round-1
+    hardware."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc ^= hash((i, i >> 3))
+    if acc == 42:  # keep the loop un-eliminable
+        print("", end="")
+    return time.perf_counter() - t0
+
+
+# Quiet-host seconds for calibrate() on the reference hardware
+# (measured 0.65-0.77 on the round-4 host at rest); the emitted
+# noise_factor is measured/REF (≈1.0 = quiet, >1 = loaded).
+_CALIBRATE_REF_S = 0.68
+
+
+def calibrate_spark(spark) -> float:
+    """Fixed-work ALL-CORES Spark job (hash-agg over 200M synthetic
+    rows). The python loop above measures single-core ambient load,
+    but the headline queries run 32-way — executor-thread contention
+    shows up here and not there. spark_noise_factor normalizes for
+    it."""
+    from pyspark.sql import functions as F  # local: bench imports stay light
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 200_000_000, 1, 64)
+        .select((F.col("id") % 1_000_000).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c"))
+        .collect()
+    )
+    return time.perf_counter() - t0
+
+
+# Quiet-host seconds for calibrate_spark() on the reference hardware
+# (best observed 4.7 on the round-4 shared host; 4.0 estimates the
+# unloaded floor). The ABSOLUTE factor is approximate — what matters
+# is that REF stays fixed so round-over-round factors are comparable.
+_CALIBRATE_SPARK_REF_S = 4.0
+
+
 def run_once(spark, builder, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = builder(spark, sf_dir)
@@ -69,6 +119,8 @@ def main() -> None:
     run_once(spark, registry["q_agg_basic"].builder, sf_dir)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    cal_before = calibrate()
+    scal_before = calibrate_spark(spark)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
@@ -79,6 +131,10 @@ def main() -> None:
         runs_str = "/".join(f"{r:.3f}" for r in runs)
         print(f"# {name}: median {timings[name]:.3f}s of [{runs_str}]", file=sys.stderr)
 
+    cal_after = calibrate()
+    scal_after = calibrate_spark(spark)
+    cal = statistics.median([cal_before, cal_after])
+    scal = statistics.median([scal_before, scal_after])
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -88,6 +144,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Ambient-load calibration: pure-python fixed work run
+                # before/after the suite; noise_factor ≈ 1.0 on a quiet
+                # host, >1 when the host is loaded — divide `value` by
+                # it to compare rounds taken under different load.
+                "calibration_sec": round(cal, 3),
+                "noise_factor": round(cal / _CALIBRATE_REF_S, 2),
+                "spark_calibration_sec": round(scal, 3),
+                "spark_noise_factor": round(scal / _CALIBRATE_SPARK_REF_S, 2),
             }
         )
     )
