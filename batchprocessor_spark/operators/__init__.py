@@ -5,6 +5,7 @@ from batchprocessor_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
     dedup,
+    graph,
     hierarchy,
     joins,
     layout,

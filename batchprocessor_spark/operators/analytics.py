@@ -786,3 +786,66 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
         )
     )
+
+
+@register(
+    "q_dq_drift_psi",
+    oracle="""
+    WITH halves AS (
+      SELECT lang, doc_id % 2 = 0 AS is_even FROM documents
+      WHERE lang IS NOT NULL),
+    counts AS (
+      SELECT lang,
+             sum(CASE WHEN is_even THEN 1 ELSE 0 END)::BIGINT AS n_even,
+             sum(CASE WHEN is_even THEN 0 ELSE 1 END)::BIGINT AS n_odd
+      FROM halves GROUP BY lang),
+    tot AS (
+      SELECT sum(n_even)::BIGINT AS te, sum(n_odd)::BIGINT AS to_,
+             count(*)::BIGINT AS nl
+      FROM counts)
+    SELECT lang, n_even, n_odd,
+           round(((n_even + 1)::DOUBLE / (te + nl)
+                  - (n_odd + 1)::DOUBLE / (to_ + nl))
+                 * ln(((n_even + 1)::DOUBLE / (te + nl))
+                      / ((n_odd + 1)::DOUBLE / (to_ + nl))), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+    category="analytics",
+)
+def q_dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots (stand-in: even vs odd doc_ids) over the language
+    distribution — the composition-drift alarm a data-quality layer
+    fires between ingestion batches. Per language: counts in both
+    halves and the PSI contribution (p_a − p_b)·ln(p_a/p_b) with
+    add-one (Laplace) smoothing so a language absent from one half
+    contributes a finite, correctly-signed term instead of ±∞. Total
+    PSI is the sum of terms; >0.25 is the conventional "major shift"
+    alarm.
+
+    Exactness: both halves' counts and totals are exact integers from
+    ONE aggregate; each term is the identical IEEE expression on both
+    engines, rounded at 6. Shape: one map-side-combined shuffle on
+    lang, a 1-row totals broadcast — the 100 TB plan unchanged."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    counts = d.groupBy("lang").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 0).otherwise(1))
+        .cast("long")
+        .alias("n_odd"),
+    )
+    tot = counts.agg(
+        F.sum("n_even").cast("long").alias("te"),
+        F.sum("n_odd").cast("long").alias("to_"),
+        F.count(F.lit(1)).cast("long").alias("nl"),
+    )
+    pa = (F.col("n_even") + 1).cast("double") / (F.col("te") + F.col("nl"))
+    pb = (F.col("n_odd") + 1).cast("double") / (F.col("to_") + F.col("nl"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_even",
+        "n_odd",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

@@ -1,0 +1,234 @@
+"""Graph analytics over derived graphs (engine extension — the
+reference has no graph surface at all; SURVEY.md §2.4 extension
+family beside q_graph_pagerank and the dedup connected components).
+
+The vertex/edge fixture is the ε-neighbor graph over the embeddings'
+first two dimensions (edges from operators.similarity.spatial_eps_pairs
+— a grid-bucketed equi-join, never O(n²)), which is sparse, scale-free
+-ish, and fully deterministic, so every query here carries an exact
+DuckDB value oracle (the oracle states the brute-force edge build).
+
+Scale posture: triangle counting uses the degree-ordered orientation
+(Cohen's MapReduce algorithm / Suri-Vassilvitskii "Counting triangles
+and the curse of the last reducer"): orienting each edge from its
+lower-(degree, id) endpoint bounds per-vertex out-degree by O(sqrt(m)),
+so the wedge join is O(m^1.5) worst-case instead of Σdeg² — the hot
+vertex never becomes the last reducer. Everything is equi-joins +
+aggregates: one shuffle per hop, AQE-splittable, no driver data paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.operators.similarity import spatial_eps_pairs
+from batchprocessor_spark.plans.registry import register
+
+# ε for the embedding-space neighbor graph: sparse but connected-ish at
+# every fixture SF (sf0.01: ~5k edges / 500 nodes; sf0.1: ~80k / 2000).
+_GRAPH_EPS = 0.05
+
+# Brute-force ε-edge list in SQL (the oracle side; Spark builds the
+# same set with the grid equi-join).
+_EDGE_SQL = f"""
+    pts AS (
+      SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+      FROM embeddings),
+    e AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM pts a JOIN pts b
+        ON a.vec_id < b.vec_id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           < {_GRAPH_EPS} * {_GRAPH_EPS}),
+    deg AS (
+      SELECT v, count(*)::BIGINT AS d FROM (
+        SELECT d1 AS v FROM e UNION ALL SELECT d2 FROM e)
+      GROUP BY v),
+    o AS (
+      -- orient each edge from its lower-(degree, id) endpoint
+      SELECT CASE WHEN (da.d, e.d1) < (db.d, e.d2) THEN e.d1 ELSE e.d2 END AS src,
+             CASE WHEN (da.d, e.d1) < (db.d, e.d2) THEN e.d2 ELSE e.d1 END AS dst
+      FROM e JOIN deg da ON da.v = e.d1 JOIN deg db ON db.v = e.d2)
+"""
+
+
+def _eps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (d1 < d2) ε-graph edge list via the grid equi-join."""
+    return spatial_eps_pairs(spark, sf_dir, _GRAPH_EPS).select("d1", "d2")
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation: src is the lower-(degree, id)
+    endpoint, so out-degree is O(sqrt(m)) — the wedge join's skew
+    bound. One degree aggregate + two broadcast-sized joins (the
+    degree table is |V| rows)."""
+    deg = (
+        edges.select(F.col("d1").alias("v"))
+        .unionAll(edges.select(F.col("d2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(
+            F.broadcast(deg.select(F.col("v").alias("d1"), F.col("d").alias("da"))),
+            "d1",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("d2"), F.col("d").alias("db"))),
+            "d2",
+        )
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("d1") < F.col("d2"))
+    )
+    return e.select(
+        F.when(lower_first, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+        F.when(lower_first, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+    )
+
+
+@register(
+    "q_graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    w AS (
+      SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      FROM o o1 JOIN o o2 ON o1.dst = o2.src),
+    t AS (
+      SELECT w.a, w.b, w.c
+      FROM w JOIN o o3 ON o3.src = w.a AND o3.dst = w.c)
+    SELECT v AS vec_id, count(*)::BIGINT AS n_triangles FROM (
+      SELECT a AS v FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+    GROUP BY v
+    """,
+    category="graph",
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the ε-neighbor graph — the
+    local clustering signal a dedup/community pipeline uses to tell
+    tight duplicate clusters from chains of borderline pairs.
+
+    Algorithm: degree-ordered orientation (see module docstring) →
+    wedge equi-join on the middle vertex → close each wedge with one
+    more equi-join on the oriented (a, c) edge (with the total order,
+    a ≺ b ≺ c, so the closing edge is always oriented a→c — each
+    triangle is found exactly once) → scatter each triangle to its 3
+    vertices and count. Edges come from the grid-bucketed ε-join,
+    never a cross product. Exactness: pure integer counting on a
+    deterministic edge set (the IEEE distance predicate is identical
+    cross-engine), so the oracle is exact with no rounding at all."""
+    o = _oriented(_eps_edges(spark, sf_dir))
+    w = o.alias("o1").join(
+        o.alias("o2"), F.col("o1.dst") == F.col("o2.src")
+    ).select(
+        F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c")
+    )
+    t = w.join(
+        o.alias("o3"),
+        (F.col("a") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+    ).select("a", "b", "c")
+    verts = (
+        t.select(F.col("a").alias("v"))
+        .unionAll(t.select(F.col("b").alias("v")))
+        .unionAll(t.select(F.col("c").alias("v")))
+    )
+    return verts.groupBy(F.col("v").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@register(
+    "q_graph_link_prediction",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    nbr AS (
+      SELECT d1 AS v, d2 AS n FROM e UNION ALL SELECT d2, d1 FROM e),
+    w AS (
+      -- two-hop pairs through a shared neighbor, canonical a < c
+      SELECT least(x.v, y.v) AS a, greatest(x.v, y.v) AS c,
+             count(*)::BIGINT AS common
+      FROM nbr x JOIN nbr y ON x.n = y.n AND x.v < y.v
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.a, w.c, w.common
+      FROM w LEFT JOIN e ON e.d1 = w.a AND e.d2 = w.c
+      WHERE e.d1 IS NULL),
+    deg2 AS (
+      SELECT v, count(*)::BIGINT AS d FROM nbr GROUP BY v),
+    scored AS (
+      SELECT c.a, c.c, c.common,
+             round(c.common::DOUBLE / (da.d + dc.d - c.common), 6) AS jaccard
+      FROM cand c JOIN deg2 da ON da.v = c.a JOIN deg2 dc ON dc.v = c.c)
+    SELECT a AS v1, c AS v2, common, jaccard, rnk FROM (
+      SELECT a, c, common, jaccard,
+             row_number() OVER (ORDER BY jaccard DESC, a, c) AS rnk
+      FROM scored) WHERE rnk <= 20
+    """,
+    category="graph",
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the ε-graph: the top-20
+    NON-adjacent vertex pairs ranked by |N(a)∩N(c)| / |N(a)∪N(c)| —
+    the "these two documents share most of their near-dup neighbors
+    but were never directly paired" signal that surfaces transitive
+    duplicates candidate generation missed.
+
+    Shape: two-hop pairs via an equi-join of the symmetric adjacency
+    list on the shared neighbor (one shuffle; the per-neighbor fan-out
+    is the ε-graph's bounded cell occupancy), minus existing edges via
+    a left-anti join, scored with a broadcast degree table, ranked by
+    a global top-20 (TakeOrderedAndProject — no full sort). Exactness:
+    integer common/degree counts; ONE rounded divide per pair."""
+    e = _eps_edges(spark, sf_dir)
+    nbr = e.select(F.col("d1").alias("v"), F.col("d2").alias("n")).unionAll(
+        e.select(F.col("d2").alias("v"), F.col("d1").alias("n"))
+    )
+    w = (
+        nbr.alias("x")
+        .join(
+            nbr.alias("y"),
+            (F.col("x.n") == F.col("y.n")) & (F.col("x.v") < F.col("y.v")),
+        )
+        .groupBy(
+            F.least(F.col("x.v"), F.col("y.v")).alias("a"),
+            F.greatest(F.col("x.v"), F.col("y.v")).alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = w.join(
+        e,
+        (F.col("a") == F.col("d1")) & (F.col("c") == F.col("d2")),
+        "left_anti",
+    )
+    deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    scored = (
+        cand.join(
+            F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))), "a"
+        )
+        .join(
+            F.broadcast(deg.select(F.col("v").alias("c"), F.col("d").alias("dc"))), "c"
+        )
+        .select(
+            "a",
+            "c",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("dc") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("jaccard").desc(), F.col("a"), F.col("c"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 20)
+        .select(
+            F.col("a").alias("v1"), F.col("c").alias("v2"), "common", "jaccard", "rnk"
+        )
+    )

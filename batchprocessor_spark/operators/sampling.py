@@ -598,3 +598,134 @@ def q_llm_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("base") + F.when(F.col("rn") <= F.col("deficit"), 1).otherwise(0)
         ).cast("long").alias("quota"),
     )
+
+
+_LB_GRID = 32     # length buckets: round n_words up to a multiple of 32
+_LB_BATCH = 16    # docs per training batch inside a bucket
+_LB_SEED = "lbb1:"
+
+
+@register(
+    "q_llm_length_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_words
+      FROM documents),
+    bucketed AS (
+      SELECT doc_id, n_words,
+             ((n_words + {_LB_GRID} - 1) // {_LB_GRID}) * {_LB_GRID} AS bucket,
+             row_number() OVER (
+               PARTITION BY ((n_words + {_LB_GRID} - 1) // {_LB_GRID}) * {_LB_GRID}
+               ORDER BY md5('{_LB_SEED}' || doc_id::VARCHAR), doc_id) AS rn
+      FROM d),
+    batches AS (
+      SELECT bucket, (rn - 1) // {_LB_BATCH} AS batch_id,
+             count(*)::BIGINT AS batch_n,
+             max(n_words)::BIGINT AS batch_max,
+             sum(n_words)::BIGINT AS batch_tokens
+      FROM bucketed GROUP BY 1, 2)
+    SELECT bucket, count(*)::BIGINT AS n_batches,
+           sum(batch_n)::BIGINT AS n_docs,
+           sum(batch_tokens)::BIGINT AS real_tokens,
+           sum(batch_n * batch_max)::BIGINT AS padded_tokens,
+           round(sum(batch_tokens)::DOUBLE / sum(batch_n * batch_max), 6)
+             AS efficiency
+    FROM batches GROUP BY bucket
+    """,
+    category="sampling",
+)
+def q_llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing: documents bucketed by word count
+    (rounded up to the 32-token grid), deterministically shuffled
+    within each bucket (seeded md5 order), cut into 16-doc batches,
+    and each batch padded to its own max length — the padding-
+    efficiency layout every training data loader uses. Emits per
+    bucket: batch count, doc count, real vs padded token totals and
+    the efficiency ratio — the number you tune bucket width against.
+
+    Shape: ONE shuffle (window by bucket), integer everything (the
+    efficiency ratio is the only divide, rounded at 6); at 100 TB the
+    per-bucket window is the standard skew-safe layout because bucket
+    populations are balanced by construction."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    bucket = (
+        (F.col("n_words") + _LB_GRID - 1).cast("long") / _LB_GRID
+    ).cast("long") * _LB_GRID
+    shuffled = d.select(
+        "doc_id",
+        "n_words",
+        bucket.alias("bucket"),
+        F.md5(F.concat(F.lit(_LB_SEED), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("hk", "doc_id")
+    )
+    batches = (
+        shuffled.withColumn("rn", rn)
+        .groupBy("bucket", ((F.col("rn") - 1) / _LB_BATCH).cast("long").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("batch_n"),
+            F.max("n_words").alias("batch_max"),
+            F.sum("n_words").alias("batch_tokens"),
+        )
+    )
+    return batches.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.sum("batch_n").alias("n_docs"),
+        F.sum("batch_tokens").alias("real_tokens"),
+        F.sum(F.col("batch_n") * F.col("batch_max")).alias("padded_tokens"),
+        F.round(
+            F.sum("batch_tokens").cast("double")
+            / F.sum(F.col("batch_n") * F.col("batch_max")),
+            6,
+        ).alias("efficiency"),
+    )
+
+
+_IL_SEED = "ilv1:"
+_IL_TAKE = 200
+
+
+@register(
+    "q_llm_dataset_interleave",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_IL_SEED}' || doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    SELECT pos, source, doc_id FROM (
+      SELECT doc_id, source, rn,
+             row_number() OVER (ORDER BY rn, source, doc_id) AS pos
+      FROM d) WHERE pos <= {_IL_TAKE}
+    """,
+    category="sampling",
+)
+def q_llm_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-source interleave: each source's documents
+    get a seeded within-source shuffle order, and the global training
+    order round-robins across sources by that per-source position
+    (ties across sources break on source name) — the mixture
+    scheduler that feeds a trainer a stable, resumable blend instead
+    of source-contiguous runs. Emits the first {_IL_TAKE} positions.
+
+    Shape: one window per source (balanced partitions), then a global
+    top-{_IL_TAKE} by (rn, source) — TakeOrderedAndProject, no full
+    sort; the schedule is reproducible from (seed, doc_id) alone, so
+    a resumed epoch continues exactly where it stopped."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(_IL_SEED), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("hk", "doc_id"))
+    pos = F.row_number().over(Window.orderBy("rn", "source", "doc_id"))
+    return (
+        d.withColumn("rn", rn)
+        .withColumn("pos", pos)
+        .where(F.col("pos") <= _IL_TAKE)
+        .select("pos", "source", "doc_id")
+    )

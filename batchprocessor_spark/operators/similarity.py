@@ -956,13 +956,20 @@ def q_sim_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     distances run the identical IEEE sequence on both engines, and
     the emitted distance is a correctly-rounded sqrt, so even the
     boundary predicate cannot disagree."""
+    return spatial_eps_pairs(spark, sf_dir, _EPS)
+
+
+def spatial_eps_pairs(spark: SparkSession, sf_dir: str, eps: float) -> DataFrame:
+    """(d1 < d2, dist) pairs within ``eps`` in the first two embedding
+    dims, via the 3×3 grid equi-join (see q_sim_spatial_grid_join's
+    docstring; also the ε-graph edge list for operators/graph.py)."""
     p = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.element_at("embedding", 1).cast("double").alias("x"),
         F.element_at("embedding", 2).cast("double").alias("y"),
     )
-    cx = F.floor(F.col("x") / _EPS)
-    cy = F.floor(F.col("y") / _EPS)
+    cx = F.floor(F.col("x") / eps)
+    cy = F.floor(F.col("y") / eps)
     probe = p.select(F.col("vec_id").alias("d2"), F.col("x").alias("x2"),
                      F.col("y").alias("y2"), cx.alias("cx"), cy.alias("cy"))
     offsets = spark.createDataFrame(
@@ -983,6 +990,113 @@ def q_sim_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2sq = ddx * ddx + ddy * ddy
     return (
         build.join(probe, ["cx", "cy"])
-        .where((F.col("d1") < F.col("d2")) & (d2sq < F.lit(_EPS * _EPS)))
+        .where((F.col("d1") < F.col("d2")) & (d2sq < F.lit(eps * eps)))
         .select("d1", "d2", F.round(F.sqrt(d2sq), 6).alias("dist"))
     )
+
+
+def _pca_oracle(iters: int = 3) -> str:
+    """Unrolled power iteration for the top principal component in
+    DuckDB SQL, mirroring q_emb_pca_power step for step: per-dim mean,
+    v0 = 1/sqrt(dim), then ``iters`` rounds of u = Σ sᵢ(xᵢ − m) =
+    Σ sᵢxᵢ − (Σsᵢ)m with s = x·v − m·v, v ← u/‖u‖. Cross-engine float
+    freedom is only aggregate summation order (~1e-15), which power
+    iteration contracts rather than amplifies; loadings/λ round at 6."""
+    # AS MATERIALIZED everywhere: DuckDB inlines CTE references by
+    # default, which re-evaluates the whole iteration chain once per
+    # reference — exponential across unrolled rounds (>2 min); with
+    # materialization the oracle runs in ~1 s.
+    parts = [
+        "WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec"
+        " FROM embeddings),",
+        "ex AS MATERIALIZED (SELECT vec_id, generate_subscripts(vec, 1) AS i,"
+        " unnest(vec) AS x FROM v),",
+        "m AS MATERIALIZED (SELECT i, avg(x) AS mu FROM ex GROUP BY i),",
+        "mlist AS MATERIALIZED (SELECT list(mu ORDER BY i) AS ml FROM m),",
+        "dim AS MATERIALIZED (SELECT count(*)::BIGINT AS d FROM m),",
+        "v0 AS MATERIALIZED (SELECT i, 1.0 / sqrt((SELECT d FROM dim)) AS val"
+        " FROM m),",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"v{k - 1}"
+        parts.append(
+            f"vl{k} AS MATERIALIZED (SELECT list(val ORDER BY i) AS vv FROM {prev}),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT vec_id,"
+            f" list_dot_product(vec, (SELECT vv FROM vl{k}))"
+            f" - list_dot_product((SELECT ml FROM mlist), (SELECT vv FROM vl{k}))"
+            f" AS s FROM v),"
+        )
+        parts.append(
+            f"u{k} AS MATERIALIZED (SELECT ex.i,"
+            f" sum(s{k}.s * ex.x) - (SELECT sum(s) FROM s{k}) * m.mu AS u"
+            f" FROM ex JOIN s{k} USING (vec_id) JOIN m ON m.i = ex.i"
+            f" GROUP BY ex.i, m.mu),"
+        )
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT sqrt(sum(u * u)) AS nrm FROM u{k}),"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT i, u / (SELECT nrm FROM n{k}) AS val FROM u{k}),"
+        )
+    parts[-1] = parts[-1][:-1]  # last CTE loses its trailing comma
+    parts.append(
+        f"SELECT i::INT AS pos, round(val, 6) AS loading,"
+        f" round((SELECT nrm FROM n{iters}), 6) AS eigval FROM v{iters}"
+    )
+    return "\n".join(parts)
+
+
+@register("q_emb_pca_power", oracle=_pca_oracle(), category="similarity")
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed
+    power iteration (3 rounds, deterministic all-ones init) — the
+    dominant-direction diagnostic an embedding pipeline runs to catch
+    anisotropy/collapsed dimensions. Covariance is never materialized:
+    cov·v = Σ sᵢ(xᵢ − m) with sᵢ = xᵢ·v − m·v needs one pass per round
+    computing 64 per-dimension sums + one scalar sum (all map-side
+    combined), and only the 64-value model state ever reaches the
+    driver — the same model-sized-collect discipline as kmeans_fit.
+    Output: (pos, loading, eigval), loadings rounded at 6.
+
+    Oracle: the identical unrolled iteration in SQL (_pca_oracle);
+    the only cross-engine float freedom is aggregate summation order,
+    which the iteration contracts."""
+    import math
+
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    ).localCheckpoint()
+    mu_rows = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mu"))
+        .orderBy("pos")
+        .collect()
+    )
+    mu = [r.mu for r in mu_rows]
+    dim = len(mu)
+    v = [1.0 / math.sqrt(dim)] * dim
+    nrm = 0.0
+    for _ in range(3):
+        vlit = F.array(*[F.lit(x) for x in v])
+        mv = 0.0
+        for a, b in zip(mu, v):
+            mv += a * b
+        s = (dot(F.col("v"), vlit) - F.lit(mv)).alias("s")
+        rows = emb.select(s, "v")
+        agg = rows.agg(
+            F.sum("s").alias("ssum"),
+            *[F.sum(F.col("s") * F.col("v")[i]).alias(f"u{i}") for i in range(dim)],
+        ).collect()[0]
+        u = [agg[f"u{i}"] - agg["ssum"] * mu[i] for i in range(dim)]
+        acc = 0.0
+        for x in u:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        v = [x / nrm for x in u]
+    out = [(i + 1, round(v[i], 6), round(nrm, 6)) for i in range(dim)]
+    return spark.createDataFrame(out, "pos INT, loading DOUBLE, eigval DOUBLE")

@@ -864,3 +864,204 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dev") - F.col("s"), 6).alias("residual"),
         )
     )
+
+
+@register(
+    "q_ts_cross_correlation",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    grid AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                    (SELECT h1 FROM bounds),
+                                    INTERVAL 1 HOUR)) AS h),
+    v AS (SELECT h, count(*)::BIGINT AS c FROM b
+          WHERE event_type = 'view' GROUP BY h),
+    p AS (SELECT h, count(*)::BIGINT AS c FROM b
+          WHERE event_type = 'purchase' GROUP BY h),
+    sv AS (SELECT g.h, coalesce(v.c, 0) AS x FROM grid g LEFT JOIN v ON v.h = g.h),
+    sp AS (SELECT g.h, coalesce(p.c, 0) AS y FROM grid g LEFT JOIN p ON p.h = g.h),
+    lags AS (SELECT unnest(range(6))::BIGINT AS lag_h),
+    joined AS (
+      SELECT l.lag_h, sv.x, sp.y
+      FROM lags l
+      JOIN sv ON TRUE
+      JOIN sp ON sp.h = sv.h + to_hours(l.lag_h)),
+    m AS (
+      SELECT lag_h, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM joined GROUP BY lag_h)
+    SELECT lag_h, n,
+           round((n * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS r
+    FROM m
+    """,
+    category="timeseries",
+)
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly 'view' and
+    'purchase' count series (lags 0–5 h, view leading) — the
+    lead/lag discovery a metrics pipeline runs to find which signal
+    anticipates which. Series are densified onto the full hourly grid
+    (missing hours count 0) so alignment is positional in TIME, not
+    in observation index.
+
+    Exactness: all five moment sums (Σx, Σy, Σxy, Σx², Σy²) are
+    integers (window-free, one map-side-combined aggregate per lag),
+    so Pearson r reduces to ONE float expression over exact integers
+    — bit-identical cross-engine, rounded at 6 dp. Shape: the grid is
+    generated, counts are one shuffle each, the lag join is an equi
+    join on the shifted hour, and the final aggregate is 6 groups."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    b = e.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    v = b.where(F.col("event_type") == "view").groupBy("h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = b.where(F.col("event_type") == "purchase").groupBy("h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sv = grid.join(v, "h", "left").select("h", F.coalesce("c", F.lit(0)).alias("x"))
+    sp = grid.join(p, "h", "left").select(
+        F.col("h").alias("hp"), F.coalesce("c", F.lit(0)).alias("y")
+    )
+    lags = spark.range(6).select(F.col("id").alias("lag_h"))
+    joined = (
+        sv.crossJoin(F.broadcast(lags))
+        .join(
+            sp,
+            F.col("hp")
+            == F.col("h") + F.expr("make_interval(0, 0, 0, 0, lag_h)"),
+        )
+    )
+    m = joined.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "lag_h", "n", F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("r")
+    )
+
+
+@register(
+    "q_ts_changepoint",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             round(value * 100)::BIGINT AS cents
+      FROM events),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    grid AS (
+      SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                    (SELECT h1 FROM bounds),
+                                    INTERVAL 1 HOUR)) AS h),
+    hourly AS (
+      SELECT event_type, h, sum(cents)::BIGINT AS cents
+      FROM b GROUP BY 1, 2),
+    dense AS (
+      SELECT t.event_type, g.h, coalesce(x.cents, 0) AS cents
+      FROM grid g
+      CROSS JOIN (SELECT DISTINCT event_type FROM b) t
+      LEFT JOIN hourly x ON x.event_type = t.event_type AND x.h = g.h),
+    pre AS (
+      SELECT event_type, h,
+             sum(cents) OVER (PARTITION BY event_type ORDER BY h
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS s,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             sum(cents) OVER (PARTITION BY event_type)::BIGINT AS stot,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      FROM dense),
+    stats AS (
+      SELECT event_type, h, n,
+             abs(s::DOUBLE / t - (stot - s)::DOUBLE / (n - t))
+             * sqrt(t::DOUBLE * (n - t) / n) AS stat
+      FROM pre WHERE t < n)
+    SELECT event_type,
+           (epoch_us(h) // 1000000)::BIGINT AS cp_hour_s,
+           round(stat, 6) AS stat, n FROM (
+      SELECT event_type, h, n, stat,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY stat DESC, h) AS rn
+      FROM stats) WHERE rn = 1
+    """,
+    category="timeseries",
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type (binary
+    segmentation / scaled CUSUM form): over the DENSE hourly series
+    of value totals, score every split point with the weighted mean
+    shift |mean_left − mean_right| · sqrt(t·(n−t)/n) and report the
+    argmax hour — the drift monitor a metrics pipeline runs per
+    series. Densification matters: gap hours are real zeros; scoring
+    only observed hours would shift every split index.
+
+    Exactness: prefix/total sums are window sums over integer cents
+    (exact); each split's statistic derives from those integers via
+    the identical IEEE expression on both engines, so the argmax
+    (tie-broken on earliest hour) cannot disagree. Shape: one
+    event_type exchange shared by the windows, grid generated, no
+    driver data path; the argmax is a WindowGroupLimit rn=1."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    b = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        to_units(F.col("value"), 100).alias("cents"),
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    hourly = b.groupBy("event_type", "h").agg(
+        dec_sum(F.col("cents")).cast("long").alias("cents")
+    )
+    types = b.select("event_type").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("event_type")
+    pre = dense.select(
+        "event_type",
+        "h",
+        F.sum("cents").over(wcum).cast("long").alias("s"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("h")).alias("t"),
+        F.sum("cents").over(wall).cast("long").alias("stot"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    stat = F.abs(
+        F.col("s").cast("double") / F.col("t")
+        - (F.col("stot") - F.col("s")).cast("double") / (F.col("n") - F.col("t"))
+    ) * F.sqrt(F.col("t").cast("double") * (F.col("n") - F.col("t")) / F.col("n"))
+    stats = pre.where(F.col("t") < F.col("n")).select(
+        "event_type", "h", "n", stat.alias("stat")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("stat").desc(), "h")
+    )
+    return (
+        stats.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.expr("unix_micros(cast(h as timestamp)) DIV 1000000").alias("cp_hour_s"),
+            F.round("stat", 6).alias("stat"),
+            "n",
+        )
+    )
