@@ -621,3 +621,51 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").alias("n_with_chars"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).alias("chars"),
     )
+
+
+@register(
+    "q_layout_partition_pruned",
+    oracle="""
+    SELECT year(o_orderdate)::INT AS o_year, o_orderstatus,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+    """,
+    category="scan",
+)
+def q_layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + DYNAMIC partition pruning: orders
+    written ``partitionBy(o_year)`` to a scratch location, then joined
+    against a tiny year dimension whose filter is only known at run
+    time — Catalyst inserts a dynamicpruning subquery into the fact
+    scan's PartitionFilters, so only the 2 matching year directories
+    are read (gated in tests/test_plans.py). This is the OTHER half
+    of the 100 TB layout story next to bucketing (q_layout_bucketed):
+    bucketing kills the join exchange, partitioning kills the scan —
+    a date-partitioned fact at scale is read 2/7ths instead of 7/7ths
+    by exactly this mechanism.
+
+    The year dim is a bounded constant table (same pattern as
+    q_join_range_bands's banding table); the oracle states the
+    equivalent static filter semantics."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    loc = tempfile.mkdtemp(prefix="bp_part_")
+    o.write.mode("overwrite").partitionBy("o_year").parquet(f"{loc}/orders_by_year")
+    fact = spark.read.parquet(f"{loc}/orders_by_year")
+    years = spark.createDataFrame(
+        [(1996, "target"), (1997, "target"), (1990, "cold")],
+        "y INT, tag STRING",
+    ).where(F.col("tag") == "target")
+    return (
+        fact.join(years, fact.o_year == years.y)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"), "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -464,3 +464,47 @@ def test_rolling_median_single_exchange_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_partition_pruned_scan_has_dpp(spark):
+    """q_layout_partition_pruned must show a dynamicpruning subquery in
+    the fact scan's PartitionFilters — proof the year directories are
+    pruned by the joined dim at RUN time, not scanned and filtered."""
+    df = REGISTRY["q_layout_partition_pruned"].builder(spark, SF_ORACLE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(" in plan, plan
+    assert "dynamicpruning#" in plan, plan
+
+
+def test_triangle_count_is_equijoin_only(spark):
+    """Triangle counting must stay equi-join shaped end-to-end: the
+    epsilon-edge build is the 3x3 grid equi-join and the wedge/close
+    hops are hash/SMJ equi-joins — never a cartesian or data-sized
+    nested loop (the offsets crossJoin is a broadcast of 9 rows)."""
+    plan = plan_of(spark, "q_graph_triangle_count")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_changepoint_windows_share_one_series_exchange(spark):
+    """q_ts_changepoint's prefix/total windows and final argmax must
+    all run on the event_type partitioning — the dense grid join and
+    the three window specs may not multiply exchanges on the series
+    key beyond the hash aggregate + one window exchange."""
+    plan = plan_of(spark, "q_ts_changepoint")
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    # every hashpartitioning exchange must be on event_type (plus at
+    # most the pre-aggregate on (event_type, h))
+    parts = re.findall(r"Exchange hashpartitioning\(([^,)]+)", plan)
+    assert parts and all(p.startswith("event_type") for p in parts), (parts, plan)
+
+
+def test_cross_correlation_is_integer_moments(spark):
+    """q_ts_cross_correlation must reduce to ONE final hash aggregate
+    of integer moment sums per lag (partial+final), with the lag fan
+    -out as a broadcast of 6 rows — no window, no sort of the series."""
+    plan = plan_of(spark, "q_ts_cross_correlation")
+    assert "Window" not in plan, plan
+    assert plan.count("Sort ") <= 2, plan  # SMJ sorts only, no global sort
