@@ -176,10 +176,14 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: two-hop pairs via an equi-join of the symmetric adjacency
     list on the shared neighbor (one shuffle; the per-neighbor fan-out
-    is the ε-graph's bounded cell occupancy), minus existing edges via
-    a left-anti join, scored with a broadcast degree table, ranked by
-    a global top-20 (TakeOrderedAndProject — no full sort). Exactness:
-    integer common/degree counts; ONE rounded divide per pair."""
+    is the ε-graph's bounded cell occupancy — on a corpus with
+    mass-duplicated regions the hot-neighbor cap of
+    skew.capped_bucket_pairs applies, same as the LSH buckets), minus
+    existing edges via a left-anti join, scored with a broadcast
+    degree table, ranked by orderBy+limit — TakeOrderedAndProject
+    (per-partition heaps + 20-row driver merge), never a global-order
+    window. Exactness: integer common/degree counts; ONE rounded
+    divide per pair."""
     e = _eps_edges(spark, sf_dir)
     nbr = e.select(F.col("d1").alias("v"), F.col("d2").alias("n")).unionAll(
         e.select(F.col("d2").alias("v"), F.col("d1").alias("n"))
@@ -222,13 +226,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    head = scored.orderBy(F.col("jaccard").desc(), F.col("a"), F.col("c")).limit(20)
     rnk = F.row_number().over(
         Window.orderBy(F.col("jaccard").desc(), F.col("a"), F.col("c"))
     )
-    return (
-        scored.withColumn("rnk", rnk)
-        .where(F.col("rnk") <= 20)
-        .select(
-            F.col("a").alias("v1"), F.col("c").alias("v2"), "common", "jaccard", "rnk"
-        )
+    return head.withColumn("rnk", rnk).select(
+        F.col("a").alias("v1"), F.col("c").alias("v2"), "common", "jaccard", "rnk"
     )

@@ -713,19 +713,23 @@ def q_llm_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     of source-contiguous runs. Emits the first {_IL_TAKE} positions.
 
     Shape: one window per source (balanced partitions), then a global
-    top-{_IL_TAKE} by (rn, source) — TakeOrderedAndProject, no full
-    sort; the schedule is reproducible from (seed, doc_id) alone, so
-    a resumed epoch continues exactly where it stopped."""
+    top-{_IL_TAKE} by (rn, source) via orderBy+limit —
+    TakeOrderedAndProject (per-partition heaps, {_IL_TAKE}-row driver
+    merge), NEVER a global-order window (which would drag the whole
+    corpus to one partition); positions are then numbered on the
+    {_IL_TAKE}-row result. The schedule is reproducible from
+    (seed, doc_id) alone, so a resumed epoch continues exactly where
+    it stopped."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.md5(F.concat(F.lit(_IL_SEED), F.col("doc_id").cast("string"))).alias("hk"),
     )
     rn = F.row_number().over(Window.partitionBy("source").orderBy("hk", "doc_id"))
-    pos = F.row_number().over(Window.orderBy("rn", "source", "doc_id"))
-    return (
+    head = (
         d.withColumn("rn", rn)
-        .withColumn("pos", pos)
-        .where(F.col("pos") <= _IL_TAKE)
-        .select("pos", "source", "doc_id")
+        .orderBy("rn", "source", "doc_id")
+        .limit(_IL_TAKE)
     )
+    pos = F.row_number().over(Window.orderBy("rn", "source", "doc_id"))
+    return head.withColumn("pos", pos).select("pos", "source", "doc_id")
