@@ -1047,3 +1047,66 @@ def q_llm_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nll"), 6).alias("avg_nll_bits"),
         F.round(F.pow(F.lit(2.0), F.avg("nll")), 2).alias("ppl"),
     )
+
+
+_SPAN_LEN = 3     # masked span length in words
+_SPAN_STRIDE = 20  # one span per 20-word block, offset varies per doc
+
+
+@register(
+    "q_llm_span_corruption",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             len(string_split(text, ' '))::BIGINT AS n_words,
+             doc_id % {_SPAN_STRIDE} AS off
+      FROM documents),
+    masked AS (
+      SELECT doc_id, n_words,
+             array_to_string(
+               list_filter(
+                 list_transform(range(1, n_words::INT + 1),
+                   i -> CASE WHEN ((i - 1 - off) % {_SPAN_STRIDE} + {_SPAN_STRIDE})
+                                  % {_SPAN_STRIDE} >= {_SPAN_LEN}
+                             THEN ws[i] END),
+                 x -> x IS NOT NULL), ' ') AS corrupted,
+             len(list_filter(
+                 list_transform(range(1, n_words::INT + 1),
+                   i -> CASE WHEN ((i - 1 - off) % {_SPAN_STRIDE} + {_SPAN_STRIDE})
+                                  % {_SPAN_STRIDE} < {_SPAN_LEN}
+                             THEN 1 END),
+                 x -> x IS NOT NULL))::BIGINT AS n_masked
+      FROM d)
+    SELECT doc_id, n_words, n_masked, md5(corrupted) AS corrupt_md5
+    FROM masked
+    """,
+    category="text",
+)
+def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (deterministic): every {_SPAN_STRIDE}-
+    word block loses a {_SPAN_LEN}-word span whose offset rotates per
+    document (doc_id mod {_SPAN_STRIDE}) — the denoising-objective
+    preprocessing that turns a corpus into (corrupted, target) pairs.
+    Emits per doc the masked token count and an md5 of the corrupted
+    text, so the oracle checks the actual output sequence, not just
+    counts.
+
+    Shape: a pure narrow projection (array transform + filter inside
+    whole-stage codegen; position logic is modular arithmetic on the
+    word index) — zero shuffles, embarrassingly parallel at any
+    scale. Exactness: the mask decision is integer arithmetic; the
+    md5 ties the reconstructed string bit-for-bit cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    off = F.col("doc_id") % _SPAN_STRIDE
+    in_span = lambda i: (  # noqa: E731 - i is the 0-based word index
+        (i - off) % _SPAN_STRIDE + _SPAN_STRIDE
+    ) % _SPAN_STRIDE < _SPAN_LEN
+    kept = F.filter(words, lambda x, i: ~in_span(i))
+    n_masked = F.size(words) - F.size(kept)
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        n_masked.cast("long").alias("n_masked"),
+        F.md5(F.array_join(kept, " ")).alias("corrupt_md5"),
+    )

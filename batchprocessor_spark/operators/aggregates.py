@@ -877,3 +877,55 @@ def q_agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         F.round(F.sum("term"), 6).alias("chi2"),
     )
+
+
+@register(
+    "q_agg_grouping_labels",
+    oracle="""
+    SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN '(all)'
+                ELSE o_orderpriority END AS priority,
+           CASE WHEN grouping(o_orderstatus) = 1 THEN '(all)'
+                ELSE o_orderstatus END AS status,
+           (grouping(o_orderpriority) * 2 + grouping(o_orderstatus))::BIGINT
+             AS level_id,
+           count(*)::BIGINT AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    category="aggregate",
+)
+def q_agg_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() indicator labels — the piece the plain
+    rollup/cube queries (q_agg_rollup/q_agg_cube) don't exercise:
+    distinguishing a REAL NULL group value from a subtotal row.
+    grouping(col) = 1 marks the subtotal level; the query folds it
+    into '(all)' labels plus an explicit level id (hi-bit = priority
+    rolled up, lo-bit = status rolled up) computed identically in
+    both engines rather than relying on engine-specific grouping_id
+    bit orders.
+
+    Same expand + partial/final aggregate plan as q_agg_rollup —
+    grouping() is free metadata from the expand node, no extra
+    shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    # grouping() is only legal inside the aggregate list (it reads the
+    # expand node's metadata column), so emit the two indicator bits
+    # there and label in a follow-up projection.
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderpriority").alias("gp"),
+            F.grouping("o_orderstatus").alias("gs"),
+        )
+        .select(
+            F.when(F.col("gp") == 1, "(all)")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("gs") == 1, "(all)")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            (F.col("gp") * 2 + F.col("gs")).cast("long").alias("level_id"),
+            "n",
+        )
+    )

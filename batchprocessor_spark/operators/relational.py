@@ -669,3 +669,4 @@ def q_layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_year").cast("int").alias("o_year"), "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
