@@ -1100,3 +1100,197 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [x / nrm for x in u]
     out = [(i + 1, round(v[i], 6), round(nrm, 6)) for i in range(dim)]
     return spark.createDataFrame(out, "pos INT, loading DOUBLE, eigval DOUBLE")
+
+
+@register(
+    "q_ml_knn_classify",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, label AS true_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.qid, q.true_label, e.label, e.vec_id,
+             round(list_dot_product(q.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 6) AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    nn AS (
+      SELECT qid, true_label, label, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored QUALIFY rnk <= {_TOP_K}),
+    votes AS (
+      SELECT qid, true_label, label, count(*)::BIGINT AS n_votes,
+             max(sim) AS best_sim
+      FROM nn GROUP BY 1, 2, 3)
+    SELECT qid, true_label, label AS pred_label, n_votes,
+           round(best_sim, 6) AS best_sim FROM (
+      SELECT qid, true_label, label, n_votes, best_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, best_sim DESC, label)
+               AS vr
+      FROM votes) WHERE vr = 1
+    """,
+    category="similarity",
+)
+def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: each query vector takes the majority label
+    of its {_TOP_K} nearest neighbors by cosine (ties broken by best
+    similarity, then label) — the label-propagation / weak-labeling
+    primitive a curation pipeline uses to extend a small labeled seed
+    set. Reuses the broadcast-query + WindowGroupLimit top-k shape;
+    the vote is a tiny per-query aggregate on top.
+
+    Exactness: sims ride the bitwise-identical sequential dot fold
+    rounded at 6; votes and tie-breaks are integer/lexicographic, so
+    the prediction cannot disagree cross-engine."""
+    emb = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "label",
+            "vec_id",
+            F.round(
+                cosine_prenorm(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    nn = scored.withColumn("rnk", F.row_number().over(wk)).where(
+        F.col("rnk") <= _TOP_K
+    )
+    votes = nn.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"), F.max("sim").alias("best_sim")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("n_votes").desc(), F.col("best_sim").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "qid",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            F.round("best_sim", 6).alias("best_sim"),
+        )
+    )
+
+
+_LR_STEPS = 3
+_LR_RATE = 0.5
+
+
+def _logreg_oracle(steps: int = _LR_STEPS, lr: float = _LR_RATE) -> str:
+    """Unrolled full-batch gradient descent for logistic regression in
+    DuckDB SQL, mirroring q_ml_logreg step for step (w0 = 0, p =
+    1/(1+exp(-(b + w1·x1 + w2·x2))), w ← w − lr·Σ(p−y)x/n). All CTEs
+    MATERIALIZED (see _pca_oracle for why). Cross-engine float freedom
+    is aggregate sum order only; weights round at 6."""
+    parts = [
+        "WITH x AS MATERIALIZED (SELECT vec_id, (label % 2)::DOUBLE AS y,"
+        " embedding[1]::DOUBLE AS x1, embedding[2]::DOUBLE AS x2"
+        " FROM embeddings),",
+        "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM x),",
+        "w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2),",
+    ]
+    z = (
+        "((SELECT b FROM {p}) + (SELECT w1 FROM {p}) * x1"
+        " + (SELECT w2 FROM {p}) * x2)"
+    )
+    for k in range(1, steps + 1):
+        zp = z.format(p=f"w{k - 1}")
+        parts.append(
+            f"g{k} AS MATERIALIZED (SELECT sum(p - y) AS g0,"
+            f" sum((p - y) * x1) AS g1, sum((p - y) * x2) AS g2 FROM ("
+            f"SELECT y, x1, x2, 1 / (1 + exp(-{zp})) AS p FROM x)),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT"
+            f" (SELECT b FROM w{k - 1}) - {lr} * g0 / (SELECT n FROM nn) AS b,"
+            f" (SELECT w1 FROM w{k - 1}) - {lr} * g1 / (SELECT n FROM nn) AS w1,"
+            f" (SELECT w2 FROM w{k - 1}) - {lr} * g2 / (SELECT n FROM nn) AS w2"
+            f" FROM g{k}),"
+        )
+    zf = z.format(p=f"w{steps}")
+    parts.append(
+        f"acc AS MATERIALIZED (SELECT sum(CASE WHEN"
+        f" (CASE WHEN 1 / (1 + exp(-{zf})) > 0.5 THEN 1.0 ELSE 0.0 END) = y"
+        f" THEN 1 ELSE 0 END)::BIGINT AS n_correct FROM x)"
+    )
+    parts.append(
+        f"SELECT 0 AS coef_idx, round((SELECT b FROM w{steps}), 6) AS weight,"
+        f" (SELECT n_correct FROM acc) AS n_correct"
+        f" UNION ALL SELECT 1, round((SELECT w1 FROM w{steps}), 6),"
+        f" (SELECT n_correct FROM acc)"
+        f" UNION ALL SELECT 2, round((SELECT w2 FROM w{steps}), 6),"
+        f" (SELECT n_correct FROM acc)"
+    )
+    return "\n".join(parts)
+
+
+@register("q_ml_logreg", oracle=_logreg_oracle(), category="similarity")
+def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (full-batch gradient descent,
+    {steps} steps, lr {rate}) on two embedding dimensions predicting
+    label parity — the iterative-optimizer pattern: per step ONE
+    map-side-combined aggregate of the 3 gradient sums reaches the
+    driver (model-sized, like kmeans centroids / PCA state), the data
+    never moves. Emits the learned coefficients and the training
+    accuracy under the final weights.
+
+    Exactness: the sigmoid/gradient expressions run the identical
+    IEEE sequence on both engines from the same integers/doubles;
+    the only cross-engine freedom is gradient-sum order (~1e-15),
+    which GD does not amplify at these step counts; weights round at
+    6 and accuracy is an integer count."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).cast("double").alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("x1"),
+        F.element_at("embedding", 2).cast("double").alias("x2"),
+    )
+    x = spread(emb).localCheckpoint()
+    n = float(x.count())
+    b, w1, w2 = 0.0, 0.0, 0.0
+    for _ in range(_LR_STEPS):
+        z = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = x.agg(
+            F.sum(p - F.col("y")).alias("g0"),
+            F.sum((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.sum((p - F.col("y")) * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        b = b - _LR_RATE * g.g0 / n
+        w1 = w1 - _LR_RATE * g.g1 / n
+        w2 = w2 - _LR_RATE * g.g2 / n
+    zf = F.lit(b) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    pf = F.lit(1.0) / (F.lit(1.0) + F.exp(-zf))
+    yp = F.when(pf > 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+    n_correct = (
+        x.agg(F.sum(F.when(yp == F.col("y"), 1).otherwise(0)).cast("long").alias("c"))
+        .collect()[0]
+        .c
+    )
+    out = [(0, round(b, 6), n_correct), (1, round(w1, 6), n_correct),
+           (2, round(w2, 6), n_correct)]
+    return spark.createDataFrame(
+        out, "coef_idx INT, weight DOUBLE, n_correct BIGINT"
+    )
+
+
+q_ml_logreg.__doc__ = q_ml_logreg.__doc__.format(steps=_LR_STEPS, rate=_LR_RATE)
