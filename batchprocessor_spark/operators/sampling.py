@@ -733,3 +733,77 @@ def q_llm_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = F.row_number().over(Window.orderBy("rn", "source", "doc_id"))
     return head.withColumn("pos", pos).select("pos", "source", "doc_id")
+
+
+@register(
+    "q_llm_preference_pairs",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' '))
+                   * least(n_chars, 400), 6) AS score
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS r_top,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score ASC, doc_id) AS r_bot
+      FROM scored)
+    SELECT t.source,
+           t.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+           t.score AS chosen_score, b.score AS rejected_score,
+           round(t.score - b.score, 6) AS margin
+    FROM (SELECT * FROM ranked WHERE r_top = 1) t
+    JOIN (SELECT * FROM ranked WHERE r_bot = 1) b USING (source)
+    """,
+    category="sampling",
+)
+def q_llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-prep shape):
+    within each source, pair the highest-scoring document (chosen)
+    with the lowest-scoring one (rejected) under a deterministic
+    quality score (distinct-word fraction × clamped length) and
+    report the margin — the contrastive pair builder that turns a
+    scored corpus into preference training data.
+
+    Shape: score is a narrow projection; both rankings share ONE
+    source exchange (two windows, same partitioning); the final join
+    is #sources-sized. Exactness: the score divides integers and
+    rounds at 6; ranks tie-break on doc_id, so pair choice is
+    deterministic cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    score = F.round(
+        F.size(F.array_distinct(words)).cast("double")
+        / F.size(words)
+        * F.least(F.col("n_chars"), F.lit(400)),
+        6,
+    )
+    scored = d.select("doc_id", "source", score.alias("score"))
+    w_top = Window.partitionBy("source").orderBy(F.col("score").desc(), "doc_id")
+    w_bot = Window.partitionBy("source").orderBy(F.col("score").asc(), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(w_top).alias("r_top"),
+        F.row_number().over(w_bot).alias("r_bot"),
+    )
+    t = ranked.where(F.col("r_top") == 1).select(
+        "source", F.col("doc_id").alias("chosen_doc"), F.col("score").alias("chosen_score")
+    )
+    b = ranked.where(F.col("r_bot") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return t.join(b, "source").select(
+        "source",
+        "chosen_doc",
+        "rejected_doc",
+        "chosen_score",
+        "rejected_score",
+        F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias("margin"),
+    )
