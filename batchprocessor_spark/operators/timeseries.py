@@ -1065,3 +1065,72 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_ts_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id, round(value * 100)::BIGINT AS cents
+      FROM events),
+    med AS (
+      SELECT event_type, median(cents) AS med FROM v GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, v.event_id, v.cents, m.med,
+             abs(v.cents - m.med) AS adev
+      FROM v JOIN med m ON m.event_type = v.event_type),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*)::BIGINT AS n,
+           round(max(d.med), 1) AS median_c,
+           round(max(m.mad), 1) AS mad_c,
+           sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    category="timeseries",
+)
+def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per event type via Median Absolute
+    Deviation: |x − median| > 3·1.4826·MAD — the heavy-tail-safe
+    complement to the IQR fences (q_anomaly_iqr) and the rolling
+    z-score (q_ts_zscore_anomaly), which a metrics pipeline prefers
+    when a few extreme points would poison mean/stddev.
+
+    Exactness: values ride the integer cents lane; medians of
+    integers interpolate at most one midpoint (x.5, exact in double),
+    so med/MAD are bit-identical cross-engine; the 3·1.4826·MAD
+    threshold is one IEEE product both engines compute identically
+    and the outlier decision is a comparison of exact quantities.
+    Shape: two per-group medians (Spark's median = exact percentile
+    agg — one shuffle each on event_type) + broadcast joins of the
+    5-row med/MAD tables back onto events; the flag count is
+    map-side combined."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", to_units(F.col("value"), 100).alias("cents")
+    )
+    med = v.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 1).alias("median_c"),
+            F.round(F.max("mad"), 1).alias("mad_c"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
