@@ -571,3 +571,43 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_s"),
         )
     )
+
+
+@register(
+    "q_join_bloom_pruned",
+    oracle="""
+    SELECT l.l_returnflag, count(*)::BIGINT AS n_lines,
+           sum(round(l.l_quantity)::BIGINT)::BIGINT AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY l.l_returnflag
+    """,
+    category="join",
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-fact join shaped for Spark's RUNTIME BLOOM
+    FILTER injection (the row-level complement to dynamic partition
+    pruning): the selective orders side builds a bloom_filter_agg at
+    run time and the lineitem scan gains a might_contain() filter, so
+    most fact rows die AT THE SCAN instead of travelling through the
+    join shuffle. tests/test_plans.py gates the injected filter with
+    the thresholds scaled to fixture size; at 100 TB the default
+    thresholds fire on exactly this shape (big probe side, selective
+    creation side) and typically cut the probe shuffle by the dim
+    filter's selectivity. Semantics are a plain join — the oracle
+    states them directly; the bloom filter is physical-only (false
+    positives re-checked by the join)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    ).select("o_orderkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity").cast("long")).alias("qty"),
+        )
+    )

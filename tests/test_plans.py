@@ -508,3 +508,31 @@ def test_cross_correlation_is_integer_moments(spark):
     plan = plan_of(spark, "q_ts_cross_correlation")
     assert "Window" not in plan, plan
     assert plan.count("Sort ") <= 2, plan  # SMJ sorts only, no global sort
+
+
+def test_bloom_runtime_filter_reaches_fact_scan(spark):
+    """q_join_bloom_pruned with the bloom thresholds scaled to fixture
+    size must show the injected runtime filter: a bloom_filter_agg on
+    the selective orders side and a might_contain() predicate on the
+    lineitem scan — rows die at the scan, not in the join shuffle."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = REGISTRY["q_join_bloom_pruned"].builder(spark, SF_ORACLE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
