@@ -1,0 +1,161 @@
+"""Mechanism pins for the round-4 graph + iterative-ML operators:
+hand-checkable fixtures for triangle counting and link prediction,
+and model-quality invariants for PCA power iteration and logistic
+regression (the oracle parity suite checks cross-engine equality;
+these check the ALGORITHMS do what their names claim)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from batchprocessor_spark.operators.graph import _oriented
+from batchprocessor_spark.plans.registry import load_all
+from tests.conftest import SF_ORACLE
+
+REGISTRY = load_all()
+
+
+def test_triangle_count_on_handmade_graph(spark):
+    """K4 plus a pendant vertex: K4 has 4 triangles, each K4 vertex
+    sits on 3 of them, the pendant on none. Exercises orientation,
+    wedge join and closure on a graph small enough to check by hand."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "d1 LONG, d2 LONG",
+    )
+    o = _oriented(edges)
+    w = o.alias("o1").join(o.alias("o2"), F.col("o1.dst") == F.col("o2.src")).select(
+        F.col("o1.src").alias("a"), F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c")
+    )
+    t = w.join(
+        o.alias("o3"),
+        (F.col("a") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+    ).select("a", "b", "c")
+    tris = t.collect()
+    assert len(tris) == 4, tris  # K4 triangle count; each found once
+    per_vertex = {}
+    for r in tris:
+        for v in (r.a, r.b, r.c):
+            per_vertex[v] = per_vertex.get(v, 0) + 1
+    assert per_vertex == {1: 3, 2: 3, 3: 3, 4: 3}, per_vertex  # pendant 5 absent
+
+
+def test_orientation_is_acyclic_and_covers_all_edges(spark):
+    """Degree-ordered orientation must keep every edge exactly once and
+    admit no 2-cycles (src != dst, each undirected edge one direction)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "d1 LONG, d2 LONG",
+    )
+    o = _oriented(edges).collect()
+    assert len(o) == 7
+    seen = set()
+    for r in o:
+        assert r.src != r.dst
+        key = (min(r.src, r.dst), max(r.src, r.dst))
+        assert key not in seen, "edge oriented twice"
+        seen.add(key)
+
+
+def test_link_prediction_pairs_are_nonadjacent_two_hop(spark):
+    """Every predicted pair must share >= 1 neighbor and NOT be an
+    existing edge; jaccard must respect common/(da+dc-common)."""
+    rows = REGISTRY["q_graph_link_prediction"].builder(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 20
+    from batchprocessor_spark.operators.graph import _eps_edges
+
+    e = {(r.d1, r.d2) for r in _eps_edges(spark, SF_ORACLE).collect()}
+    nbrs: dict[int, set] = {}
+    for a, b in e:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in rows:
+        assert (r.v1, r.v2) not in e and (r.v2, r.v1) not in e
+        common = nbrs[r.v1] & nbrs[r.v2]
+        assert len(common) == r.common and r.common >= 1
+        expect = r.common / (len(nbrs[r.v1]) + len(nbrs[r.v2]) - r.common)
+        assert abs(r.jaccard - round(expect, 6)) < 1e-9, (r, expect)
+
+
+def test_pca_power_dominant_direction(spark):
+    """The power-iteration component must be unit-norm and explain at
+    least as much variance as any single axis (the dominant direction
+    beats every axis-aligned one)."""
+    import numpy as np
+
+    rows = REGISTRY["q_emb_pca_power"].builder(spark, SF_ORACLE).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.pos)])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3  # rounded at 6 dp, near-unit
+    from batchprocessor_spark.sources.catalog import load_table
+
+    X = np.array(
+        [r.v for r in load_table(spark, SF_ORACLE, "embeddings")
+         .select(F.col("embedding").cast("array<double>").alias("v")).collect()]
+    )
+    Xc = X - X.mean(axis=0)
+    var_along = float(((Xc @ v) ** 2).sum())
+    axis_vars = (Xc ** 2).sum(axis=0)
+    assert var_along >= 0.99 * float(axis_vars.max()), (var_along, axis_vars.max())
+    # eigval column ≈ ||cov·v|| at the last step — positive and consistent.
+    assert rows[0].eigval > 0
+
+
+def test_logreg_learns_better_than_majority(spark):
+    """After 3 GD steps the classifier's training accuracy must be at
+    least the majority-class rate (GD from w=0 cannot do worse than
+    the p=0.5 start on this fixture) and the weights must be finite."""
+    rows = REGISTRY["q_ml_logreg"].builder(spark, SF_ORACLE).collect()
+    assert len(rows) == 3
+    assert all(math.isfinite(r.weight) for r in rows)
+    from batchprocessor_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_ORACLE, "embeddings").select(
+        (F.col("label") % 2).alias("y")
+    )
+    n = d.count()
+    n_pos = d.where(F.col("y") == 1).count()
+    majority = max(n_pos, n - n_pos)
+    # Random-ish features ⇒ near-majority accuracy; must not be worse
+    # than predicting the majority class minus a small slack.
+    assert rows[0].n_correct >= majority - max(5, n // 100), (
+        rows[0].n_correct,
+        majority,
+    )
+
+
+def test_knn_prediction_matches_neighbor_vote(spark):
+    """kNN predictions recomputed from the raw top-k neighbor list in
+    numpy must match the query's vote exactly."""
+    import numpy as np
+
+    rows = {
+        r.qid: r for r in REGISTRY["q_ml_knn_classify"].builder(spark, SF_ORACLE).collect()
+    }
+    from batchprocessor_spark.sources.catalog import load_table
+
+    data = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in data])
+    labels = {r.vec_id: r.label for r in data}
+    V = np.array([r.v for r in data])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for qid, row in rows.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = np.round(Vn @ Vn[qi], 6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-sims[i], ids[i]),
+        )[:10]
+        votes: dict[str, list] = {}
+        for i in order:
+            votes.setdefault(labels[ids[i]], []).append(sims[i])
+        best = sorted(
+            votes.items(), key=lambda kv: (-len(kv[1]), -max(kv[1]), kv[0])
+        )[0]
+        assert row.pred_label == best[0], (qid, row, best)
+        assert row.n_votes == len(best[1])
