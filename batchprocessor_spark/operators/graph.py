@@ -61,8 +61,11 @@ def _eps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oriented(edges: DataFrame) -> DataFrame:
     """Degree-ordered orientation: src is the lower-(degree, id)
     endpoint, so out-degree is O(sqrt(m)) — the wedge join's skew
-    bound. One degree aggregate + two broadcast-sized joins (the
-    degree table is |V| rows)."""
+    bound. One degree aggregate + two joins against the |V|-row
+    degree table. NO forced broadcast: the degree table is
+    VERTEX-sized, so the planner must stay free to pick SMJ when |V|
+    outgrows executor memory at scale (AQE demotes to broadcast on
+    small fixtures by itself)."""
     deg = (
         edges.select(F.col("d1").alias("v"))
         .unionAll(edges.select(F.col("d2").alias("v")))
@@ -71,11 +74,11 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
     e = (
         edges.join(
-            F.broadcast(deg.select(F.col("v").alias("d1"), F.col("d").alias("da"))),
+            deg.select(F.col("v").alias("d1"), F.col("d").alias("da")),
             "d1",
         )
         .join(
-            F.broadcast(deg.select(F.col("v").alias("d2"), F.col("d").alias("db"))),
+            deg.select(F.col("v").alias("d2"), F.col("d").alias("db")),
             "d2",
         )
     )
@@ -205,13 +208,14 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a") == F.col("d1")) & (F.col("c") == F.col("d2")),
         "left_anti",
     )
+    # Degree table is |V|-sized — no forced broadcast (see _oriented).
     deg = nbr.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     scored = (
         cand.join(
-            F.broadcast(deg.select(F.col("v").alias("a"), F.col("d").alias("da"))), "a"
+            deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a"
         )
         .join(
-            F.broadcast(deg.select(F.col("v").alias("c"), F.col("d").alias("dc"))), "c"
+            deg.select(F.col("v").alias("c"), F.col("d").alias("dc")), "c"
         )
         .select(
             "a",
