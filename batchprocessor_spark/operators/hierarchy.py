@@ -393,3 +393,54 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks.unpersist()
         ranks = nxt
     return ranks.select("node", "pr")
+
+
+@register(
+    "q_sql_recursive_cte",
+    # Same closure as q_hier_ancestry's oracle, re-stated (the oracle
+    # dialect uses // for integer division).
+    oracle=f"""
+    WITH RECURSIVE walk AS (
+      SELECT doc_id, doc_id AS root_id, 0 AS depth
+      FROM documents WHERE doc_id < {_N_ROOTS}
+      UNION ALL
+      SELECT d.doc_id, w.root_id, w.depth + 1
+      FROM documents d JOIN walk w ON (d.doc_id // {_N_ROOTS}) = w.doc_id
+      WHERE d.doc_id >= {_N_ROOTS})
+    SELECT root_id::BIGINT AS root_id, count(*)::BIGINT AS n_nodes,
+           max(depth)::INT AS max_depth, sum(doc_id)::BIGINT AS id_sum
+    FROM walk GROUP BY root_id
+    """,
+    category="graph",
+)
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through Spark's OWN SQL front end (new in Spark
+    4) — the declarative twin of the pointer-jumping closure
+    (q_hier_ancestry): the same forest walk as a recursive CTE
+    executed BY SPARK, aggregated to per-root subtree size, max depth
+    and an id checksum. Completes the SQL-surface story: a user
+    porting recursive warehouse SQL can run it verbatim, and the
+    engine's iterative DataFrame formulation (O(log n) pointer
+    jumping) remains the scale path for deep hierarchies — the CTE
+    executes one join per LEVEL (~log₃ n rounds here, ~7 at sf0.1),
+    while pointer jumping doubles the horizon per round.
+
+    Exactness: pure integer walk — counts, depths, id sums."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk AS (
+          SELECT doc_id, doc_id AS root_id, 0 AS depth
+          FROM documents WHERE doc_id < {_N_ROOTS}
+          UNION ALL
+          SELECT d.doc_id, w.root_id, w.depth + 1
+          FROM documents d JOIN walk w ON (d.doc_id DIV {_N_ROOTS}) = w.doc_id
+          WHERE d.doc_id >= {_N_ROOTS})
+        SELECT root_id, count(*) AS n_nodes,
+               CAST(max(depth) AS INT) AS max_depth,
+               sum(doc_id) AS id_sum
+        FROM walk GROUP BY root_id
+        """
+    )
