@@ -725,3 +725,59 @@ def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "q_stream_state_inspect",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS cnt,
+           sum(round(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events GROUP BY event_type
+    """,
+    category="streaming",
+)
+def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INTROSPECTION (Spark 4 `statestore` batch reader):
+    run the per-type streaming aggregation to completion, then read
+    the query's checkpointed state back as a BATCH DataFrame — the
+    ops capability that lets you audit, debug, or migrate stateful
+    streaming state without replaying the stream. After a full
+    AvailableNow drain the state must equal the batch aggregate,
+    which is exactly what the SQL oracle asserts — so this
+    driver-checks the state persistence round-trip itself (agg →
+    HDFSBackedStateStore files → reader → rows).
+
+    The state value schema uses the operator's internal field order
+    (count, sum), read positionally. Cents ride the long lane (at
+    100 TB state the accumulator would be decimal, same as the batch
+    twin)."""
+    import tempfile
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    name = f"ss_inspect_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"bp_ckpt_{name}")
+    with _few_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    kcol = state.select("key.*").columns[0]
+    vcols = state.select("value.*").columns
+    return state.select(
+        F.col(f"key.{kcol}").alias("event_type"),
+        F.col(f"value.{vcols[0]}").cast("long").alias("cnt"),
+        F.col(f"value.{vcols[1]}").cast("long").alias("cents"),
+    )
