@@ -55,6 +55,51 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 
+def _fast_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool | None:
+    """Vectorized equality for plain-scalar frames (the 600k-row
+    queries cost ~35 s/side through the per-value canonical path but
+    <1 s here). Returns True when provably equal, None when this path
+    cannot decide (object/array/decimal columns, dtype surprises, or
+    ANY mismatch — the caller falls back to the canonical comparison,
+    which is also what produces readable diffs). Never returns a
+    decisive False, so semantics are identical to the slow path."""
+    import numpy as np
+
+    a = a.reindex(sorted(a.columns), axis=1).copy()
+    b = b.reindex(sorted(b.columns), axis=1).copy()
+    for df in (a, b):
+        for c in df.columns:
+            dt = df[c].dtype
+            if str(dt).startswith("datetime64"):
+                s = df[c]
+                if getattr(s.dt, "tz", None) is not None:
+                    df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                df[c] = df[c].astype("datetime64[us]")
+            elif np.issubdtype(dt, np.integer):
+                df[c] = df[c].astype("int64")
+            elif np.issubdtype(dt, np.floating):
+                df[c] = df[c].astype("float64")
+            elif np.issubdtype(dt, np.bool_):
+                df[c] = df[c].astype("bool")
+            elif dt == object and df[c].map(lambda v: isinstance(v, str)).all():
+                pass  # plain strings sort/compare fine
+            else:
+                return None
+    if list(a.dtypes) != list(b.dtypes):
+        return None
+    cols = list(a.columns)
+    try:
+        a = a.sort_values(cols, kind="mergesort", na_position="last").reset_index(
+            drop=True
+        )
+        b = b.sort_values(cols, kind="mergesort", na_position="last").reset_index(
+            drop=True
+        )
+    except TypeError:
+        return None  # mixed-type column: let the canonical path handle it
+    return True if a.equals(b) else None
+
+
 def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
     spark_pdf = spark_df.toPandas()
     assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
@@ -64,6 +109,8 @@ def compare(spark_df, oracle_pdf: pd.DataFrame, name: str) -> None:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    if _fast_equal(spark_pdf, oracle_pdf):
+        return
     s_rows = canonical_rows(spark_pdf)
     o_rows = canonical_rows(oracle_pdf)
     if s_rows != o_rows:

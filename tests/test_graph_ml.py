@@ -159,3 +159,40 @@ def test_knn_prediction_matches_neighbor_vote(spark):
         )[0]
         assert row.pred_label == best[0], (qid, row, best)
         assert row.n_votes == len(best[1])
+
+
+def test_compare_fast_path_never_hides_mismatches():
+    """The vectorized fast path may only short-circuit TRUE equality;
+    any difference must fall through to the canonical comparison and
+    raise — checked for value, row-order (must pass), float, NaN and
+    dtype-nuance cases."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from tests.oracle import _fast_equal, canonical_rows
+
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [1.5, 2.5, float("nan")]})
+    same_reordered = a.iloc[[2, 0, 1]].reset_index(drop=True)
+    assert _fast_equal(a, same_reordered) is True
+    # value mismatch → not True (falls back)
+    b = a.copy(); b.loc[0, "x"] = 1.5000001
+    assert _fast_equal(a, b) is not True
+    assert canonical_rows(a) != canonical_rows(b)
+    # NaN vs value mismatch
+    c = a.copy(); c.loc[2, "x"] = 0.0
+    assert _fast_equal(a, c) is not True
+    # int32 vs int64 harmonized, still equal
+    d = a.copy(); d["k"] = d["k"].astype("int32")
+    assert _fast_equal(a, d) is True
+    # object/array columns always defer to the canonical path
+    e = pd.DataFrame({"k": [[1, 2]]})
+    assert _fast_equal(e, e.copy()) is None
+
+    class _FakeDF:
+        def __init__(self, pdf): self._pdf = pdf
+        def toPandas(self): return self._pdf
+
+    from tests.oracle import compare
+
+    with _pytest.raises(AssertionError):
+        compare(_FakeDF(a), b, "harness_selftest")
