@@ -256,3 +256,44 @@ def test_stream_reads_directory_layout(tmp_path, spark):
     ).collect()[0].n
     batch = load_table(spark, SF_ORACLE, "events").count()
     assert streamed == batch
+
+
+def test_rocksdb_state_backend_matches_default(spark):
+    """The RocksDB state store provider (the backend large stateful
+    jobs run in production — state spills to local disk instead of
+    executor heap) must produce the same streaming aggregate as the
+    default HDFS-backed provider. This exercises the RocksDB path
+    independently of transformWithState (whose python wire protocol
+    needs protobuf): plain JVM-side stateful aggregation."""
+    from batchprocessor_spark.streaming.queries import _events_stream, run_to_memory
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+
+    def agg_counts():
+        agg = (
+            _events_stream(spark, SF_ORACLE)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+        )
+        return {
+            r.event_type: (r.cnt, r.cents) for r in run_to_memory(agg).collect()
+        }
+
+    try:
+        spark.conf.set(key, rocks)
+        via_rocks = agg_counts()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    via_default = agg_counts()
+    assert via_rocks == via_default and len(via_rocks) == 5
