@@ -929,3 +929,239 @@ def q_agg_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             count(DISTINCT user_id)::BIGINT AS wn
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
+      FROM events GROUP BY 1),
+    ws AS (
+      SELECT event_type, sum(wn)::BIGINT AS weekly_distinct_sum,
+             count(*)::BIGINT AS n_weeks
+      FROM weekly GROUP BY 1)
+    SELECT t.event_type, t.distinct_users, s.weekly_distinct_sum, s.n_weeks
+    FROM tot t JOIN ws s USING (event_type)
+    """,
+    category="aggregate",
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 RoaringBitmap-style bitmap
+    aggregates (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count): weekly
+    partial bitmaps per (event_type, week, bucket) are OR-merged up
+    to event_type WITHOUT rescanning the fact table — the exact
+    analogue of the mergeable-sketch rollup (q_agg_approx /
+    q_agg_hll_rollup) for the case where "approximately distinct"
+    is not acceptable (billing, dedup audits).
+
+    The two-level shape is the load-bearing part: bitmaps are built
+    per 32k-value BUCKET, so state per group is bounded by the dense
+    id range actually present, merging is bitwise-OR (associative,
+    AQE-resplit safe), and the final count is sum-of-bucket-
+    popcounts. Merging bitmaps ACROSS different bucket numbers would
+    alias distinct values (bit 0 of bucket 0 = value 0, bit 0 of
+    bucket 1 = value 1) — the group-by keeps the bucket number a key
+    at every level.
+
+    weekly_distinct_sum > distinct_users measures cross-week
+    revisiting — the classic "sum of dailies ≠ monthly uniques"
+    identity the merge exists to answer. Oracle: exact
+    count(DISTINCT) at both grains.
+
+    Scale posture: the fact table is scanned ONCE; every re-grain
+    after that shuffles only (group, bucket, 4KB-bitmap) rows. At
+    100 TB the weekly partials would persist as a layout table and
+    monthly/annual uniques become bitmap_or_agg over partials —
+    no re-scan, exact answers."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        "user_id",
+    )
+    part = e.groupBy(
+        "event_type", "wk", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    weekly = part.groupBy("event_type", "wk").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("wn")
+    )
+    ws = weekly.groupBy("event_type").agg(
+        F.sum("wn").cast("long").alias("weekly_distinct_sum"),
+        F.count(F.lit(1)).alias("n_weeks"),
+    )
+    merged = (
+        part.groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("distinct_users"))
+    )
+    return merged.join(ws, "event_type")
+
+
+@register(
+    "q_agg_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)::BIGINT AS distinct_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+    category="aggregate",
+)
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketch rollup (Apache DataSketches HLL,
+    Spark 4 hll_sketch_agg / hll_union_agg / hll_sketch_estimate):
+    per-(event_type, week) sketch STATE is built once, then unioned
+    up to event_type — the approximate twin of
+    q_agg_bitmap_distinct, for keys too sparse/wide for bitmaps
+    (URLs, doc fingerprints) where 1.5 KB of sketch replaces the id
+    universe. The estimate itself is engine-specific, so (like
+    q_agg_approx_pct) the DERIVED projection carries the oracle:
+    exact distinct counts plus an hll_ok flag pinning the estimate
+    within 5% relative error — the oracle emits literal TRUE, so a
+    drifting sketch breaks the driver hash.
+
+    Scale posture: ONE fact scan; re-grains shuffle constant-size
+    sketch state; union is associative/commutative so AQE re-splits
+    and map-side partials are exact w.r.t. the sketch's own merge
+    semantics (lossless union, unlike averaging percentiles)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("wk"), "user_id"
+    )
+    part = e.groupBy("event_type", "wk").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    merged = part.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("distinct_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "distinct_users",
+        (
+            F.abs(F.col("est") - F.col("distinct_users"))
+            <= 0.05 * F.col("distinct_users")
+        ).alias("hll_ok"),
+    )
+
+
+# Count-min sketch geometry: d=3 seeded md5 hash rows × w=64 counters.
+# Small enough that the fixture's 150 user ids force real collisions
+# (the sketch must OVERcount, never undercount — the property the
+# oracle pins per key), large enough that min-of-3 stays informative.
+_CM_D, _CM_W = 3, 64
+
+
+def _cm_bucket_sql(r: int, key_sql: str) -> str:
+    return (
+        f"('0x' || substring(md5('cm{r}:' || ({key_sql})::VARCHAR), 1, 8))"
+        f"::BIGINT % {_CM_W}"
+    )
+
+
+def _cm_bucket(r: int, key):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{r}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CM_W
+    )
+
+
+@register(
+    "q_sketch_countmin",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    ev3 AS (
+      SELECT 0 AS r, {_cm_bucket_sql(0, "user_id")} AS bkt FROM ev
+      UNION ALL
+      SELECT 1 AS r, {_cm_bucket_sql(1, "user_id")} AS bkt FROM ev
+      UNION ALL
+      SELECT 2 AS r, {_cm_bucket_sql(2, "user_id")} AS bkt FROM ev),
+    counters AS (
+      SELECT r, bkt, count(*)::BIGINT AS c FROM ev3 GROUP BY 1, 2),
+    keys AS (
+      SELECT user_id, count(*)::BIGINT AS true_cnt FROM ev GROUP BY 1),
+    probes AS (
+      SELECT user_id, true_cnt, 0 AS r, {_cm_bucket_sql(0, "user_id")} AS bkt
+      FROM keys
+      UNION ALL
+      SELECT user_id, true_cnt, 1 AS r, {_cm_bucket_sql(1, "user_id")} AS bkt
+      FROM keys
+      UNION ALL
+      SELECT user_id, true_cnt, 2 AS r, {_cm_bucket_sql(2, "user_id")} AS bkt
+      FROM keys)
+    SELECT p.user_id, p.true_cnt,
+           min(c.c)::BIGINT AS cm_est,
+           (min(c.c) - p.true_cnt)::BIGINT AS overcount
+    FROM probes p JOIN counters c USING (r, bkt)
+    GROUP BY 1, 2
+    """,
+    category="aggregate",
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode–Muthukrishnan),
+    built the way it must be built at 100 TB: the d×w counter grid
+    comes from ONE map-side-combined aggregate over the event stream
+    (each row hashes into d=3 cells of w=64 buckets —
+    per-partition state is the 192-cell grid, NEVER per-key), with
+    the seeded md5 row hashes computed identically in both engines
+    (the q_llm_decontaminate_bloom idiom, dedup.py:984). Estimates
+    are min-over-rows counter probes via a broadcast join of the
+    grid — the grid is sketch-sized by construction, the one thing
+    that is always broadcastable.
+
+    The whole query is integer, so the oracle replays the sketch
+    bit-for-bit: per-key true counts, the estimate, and the
+    overcount (estimate − truth) — which the CM one-sided error
+    guarantee says is ≥ 0 for EVERY key; any undercount anywhere
+    hash-mismatches. The fixture's 150 keys over 64 buckets force
+    real collisions, so overcount > 0 rows exist and the min-of-d
+    selection is actually exercised.
+
+    Scale posture: exact per-key counting (the `keys` CTE here) is
+    the thing you CANNOT afford for heavy-hitter detection over
+    10^9 open keys — it exists in this query only to state the
+    oracle. The production path is grid + probes-for-candidates;
+    state is O(d·w) regardless of cardinality, merging partial grids
+    is elementwise + (associative), and the estimate never
+    undercounts, so a "count ≥ threshold" filter has perfect
+    recall."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id")
+    )
+    uid = F.col("user_id")
+    ev3 = None
+    for r in range(_CM_D):
+        arm = e.select(F.lit(r).alias("r"), _cm_bucket(r, uid).alias("bkt"))
+        ev3 = arm if ev3 is None else ev3.unionAll(arm)
+    counters = ev3.groupBy("r", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    keys = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = None
+    for r in range(_CM_D):
+        arm = keys.select(
+            "user_id", "true_cnt", F.lit(r).alias("r"), _cm_bucket(r, uid).alias("bkt")
+        )
+        probes = arm if probes is None else probes.unionAll(arm)
+    return (
+        probes.join(F.broadcast(counters), ["r", "bkt"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .select(
+            "user_id",
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
