@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from batchprocessor_spark.operators.similarity import spatial_eps_pairs
 from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.sources.catalog import load_table
 
 # ε for the embedding-space neighbor graph: sparse but connected-ish at
 # every fixture SF (sf0.01: ~5k edges / 500 nodes; sf0.1: ~80k / 2000).
@@ -236,4 +237,152 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return head.withColumn("rnk", rnk).select(
         F.col("a").alias("v1"), F.col("c").alias("v2"), "common", "jaccard", "rnk"
+    )
+
+
+# BFS unroll depth and multi-source seed predicate (every 100th id).
+_BFS_HOPS = 4
+_BFS_SRC_SQL = "vec_id % 100 = 0"
+
+
+def _bfs_oracle() -> str:
+    """Unrolled frontier BFS in SQL: each round's frontier is DISTINCT
+    and subtracted from the reached set, so every CTE is bounded by
+    |V| — NOT the path-enumerating recursive-CTE form, whose row count
+    is degree^hops and explodes on dense ε-graphs."""
+    parts = [
+        f"r0 AS (SELECT vec_id AS v FROM pts WHERE {_BFS_SRC_SQL})",
+        "s0 AS (SELECT v FROM r0)",
+    ]
+    for h in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f"r{h} AS (SELECT DISTINCT ed.w AS v FROM r{h-1} JOIN ed ON ed.v = r{h-1}.v"
+            f" WHERE ed.w NOT IN (SELECT v FROM s{h-1}))"
+        )
+        parts.append(f"s{h} AS (SELECT v FROM s{h-1} UNION SELECT v FROM r{h})")
+    hops = " UNION ALL ".join(
+        f"SELECT v, {h}::BIGINT AS hop FROM r{h}" for h in range(_BFS_HOPS + 1)
+    )
+    return (
+        f"WITH {_EDGE_SQL},\n"
+        "    ed AS (SELECT d1 AS v, d2 AS w FROM e UNION ALL SELECT d2, d1 FROM e),\n"
+        + ",\n    ".join(parts)
+        + f"\n    SELECT v AS vec_id, hop FROM ({hops})"
+    )
+
+
+@register("q_graph_bfs_layers", oracle=_bfs_oracle(), category="graph")
+def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop layers (≤4 hops) over the ε-neighbor
+    graph: every 100th vec_id seeds at hop 0, and each vertex gets the
+    hop at which it is FIRST reached — the bounded-radius reachability
+    primitive behind "expand a duplicate seed set outward k steps"
+    and influence/contamination blast-radius queries.
+
+    Shape: the textbook Pregel-style frontier loop — per round ONE
+    equi-join of the current frontier against the symmetric adjacency
+    list, a distinct, and an anti-join against the reached set; every
+    intermediate is ≤|V| rows (frontiers are vertex sets, never path
+    sets). localCheckpoint after each round truncates the 4-join
+    lineage so no round recomputes its predecessors. The oracle
+    unrolls the identical rounds as CTEs; exactness is pure integer
+    set algebra on the deterministic edge set.
+
+    Scale posture: hop-bounded BFS is shuffle-per-round on (frontier
+    ⋈ adjacency) — the frontier side is always the small one, AQE
+    picks broadcast when it fits; reached-set anti-joins shuffle at
+    most |V| ids. Unbounded-diameter BFS would iterate the same loop
+    to an empty frontier with the same per-round cost envelope."""
+    edges = _eps_edges(spark, sf_dir)
+    ed = edges.select(F.col("d1").alias("v"), F.col("d2").alias("w")).unionAll(
+        edges.select(F.col("d2").alias("v"), F.col("d1").alias("w"))
+    )
+    pts = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    frontier = pts.filter(F.expr(_BFS_SRC_SQL)).select(F.col("vec_id").alias("v"))
+    reached = frontier.select("v", F.lit(0).cast("long").alias("hop"))
+    for h in range(1, _BFS_HOPS + 1):
+        nxt = (
+            ed.join(frontier, "v")
+            .select(F.col("w").alias("v"))
+            .distinct()
+            .join(reached, "v", "left_anti")
+            .select("v", F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionAll(nxt)
+        frontier = nxt.select("v")
+    return reached.select(F.col("v").alias("vec_id"), "hop")
+
+
+# k-core peeling: k and the fixed number of synchronous peel rounds
+# (declared semantics — both engines run EXACTLY these rounds).
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [f"e0 AS (SELECT d1, d2 FROM e)"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"dg{r} AS (SELECT v, count(*)::BIGINT AS d FROM"
+            f" (SELECT d1 AS v FROM e{r-1} UNION ALL SELECT d2 FROM e{r-1})"
+            f" GROUP BY v)"
+        )
+        parts.append(f"v{r} AS (SELECT v FROM dg{r} WHERE d >= {_KCORE_K})")
+        parts.append(
+            f"e{r} AS (SELECT d1, d2 FROM e{r-1}"
+            f" WHERE d1 IN (SELECT v FROM v{r}) AND d2 IN (SELECT v FROM v{r}))"
+        )
+    last = _KCORE_ROUNDS
+    return (
+        f"WITH {_EDGE_SQL},\n" + ",\n    ".join(parts) + f""",
+    fin AS (
+      SELECT v, count(*)::BIGINT AS core_deg FROM (
+        SELECT d1 AS v FROM e{last} UNION ALL SELECT d2 FROM e{last})
+      GROUP BY v)
+    SELECT v AS vec_id, core_deg FROM fin"""
+    )
+
+
+@register("q_graph_kcore", oracle=_kcore_oracle(), category="graph")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 4 synchronous rounds) over the ε-graph:
+    repeatedly delete vertices of degree < k and the edges they carry,
+    then report each survivor's degree in the peeled subgraph — the
+    dense-community residue that separates genuinely tight duplicate
+    cliques from stars/chains (a hub with 50 borderline neighbors
+    dies in round 1; a 4-clique never dies).
+
+    The round count is part of the declared semantics (both engines
+    run exactly 4 peels; a fixpoint variant is the same loop with an
+    emptiness check on the peeled set — on this fixture round 4 is
+    already stationary). Per round: one degree aggregate + two
+    semi-joins to filter the edge list; all integer set algebra, so
+    the unrolled-CTE oracle is exact.
+
+    Scale posture: each round shuffles the shrinking edge list on its
+    endpoints — monotone non-increasing work; the degree table is
+    |V|-sized and never force-broadcast (same policy as _oriented).
+    localCheckpoint per round keeps the 12-join lineage from
+    re-executing earlier peels."""
+    e = _eps_edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("d1").alias("v"))
+            .unionAll(e.select(F.col("d2").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "d1"), "d1", "left_semi")
+            .join(keep.withColumnRenamed("v", "d2"), "d2", "left_semi")
+            .select("d1", "d2")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("d1").alias("v"))
+        .unionAll(e.select(F.col("d2").alias("v")))
+        .groupBy(F.col("v").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
     )
