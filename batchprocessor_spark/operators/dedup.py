@@ -1191,3 +1191,92 @@ def q_llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", dist.cast("int").alias("dist"))
         .where(F.col("dist") <= 8)
     )
+
+
+# TF-cosine pruning: terms appearing in more than 1/10 of the corpus
+# are dropped (corpus-relative stopword cut — the df-pruning every
+# sparse-similarity system applies before its inverted index).
+_TFCOS_DF_FRAC = 10
+_TFCOS_MIN_LEN = 3
+_TFCOS_BP = 2500  # pair threshold: cos^2 >= 0.25  (cosine >= 0.5)
+
+_TFCOS_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+      WHERE length(w) >= {_TFCOS_MIN_LEN}),
+    tf AS (
+      SELECT doc_id, w, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    kept AS (
+      SELECT w FROM (SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w)
+      WHERE df <= (SELECT count(*) FROM documents) / {_TFCOS_DF_FRAC}),
+    tfk AS (SELECT tf.* FROM tf JOIN kept USING (w)),
+    nrm AS (
+      SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tfk GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.tf * b.tf)::BIGINT AS dot
+      FROM tfk a JOIN tfk b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2, dot,
+           ((10000 * dot * dot) // (na.n2 * nb.n2))::BIGINT AS cos2_bp
+    FROM dots JOIN nrm na ON na.doc_id = d1 JOIN nrm nb ON nb.doc_id = d2
+    WHERE (10000 * dot * dot) // (na.n2 * nb.n2) >= {_TFCOS_BP}
+"""
+
+
+@register("q_llm_tfcos_pairs", oracle=_TFCOS_ORACLE, category="dedup")
+def q_llm_tfcos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-frequency cosine similarity pairs via an inverted
+    index — the bag-of-words twin of the set-based Jaccard family:
+    tokenize → per-(doc, term) counts → drop terms held by more than
+    a tenth of the corpus (df pruning: the corpus-relative stopword
+    cut that both bounds the index's hottest posting lists AND removes
+    the terms that carry no similarity signal) → join postings on the
+    term to accumulate integer dot products → keep pairs with
+    cos² ≥ 0.25 over the pruned vocabulary.
+
+    Exactness: the whole pipeline stays in the integer lane — dot and
+    the squared norms are BIGINT sums, and the reported cos² is
+    integer basis points (10000·dot²) DIV (‖a‖²·‖b‖²), so the
+    threshold can never disagree cross-engine (the float-division
+    form could flip a boundary pair by 1 ulp).
+
+    Scale posture: one shuffle to build postings, one term equi-join
+    whose fan-out is bounded by the df cap (a term can contribute at
+    most (N/10 choose 2) pairs, and the cap is what keeps the hottest
+    term from being the last reducer — the same role the hot-shingle
+    salt plays in _overlap_pairs), one pair-key aggregate. Norms are
+    doc-sized and join AFTER pair aggregation, so the wide join
+    carries only (d1, d2, tf·tf) rows. Never a cartesian."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= _TFCOS_MIN_LEN)
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    kept = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(n_docs // _TFCOS_DF_FRAC))
+        .select("w")
+    )
+    tfk = tf.join(kept, "w")
+    nrm = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a, b = tfk.alias("a"), tfk.alias("b")
+    dots = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    scored = (
+        dots.join(nrm.select(F.col("doc_id").alias("d1"), F.col("n2").alias("na")), "d1")
+        .join(nrm.select(F.col("doc_id").alias("d2"), F.col("n2").alias("nb")), "d2")
+        .withColumn(
+            "cos2_bp",
+            F.expr("(10000 * dot * dot) div (na * nb)").cast("long"),
+        )
+    )
+    return scored.filter(F.col("cos2_bp") >= _TFCOS_BP).select(
+        "d1", "d2", "dot", "cos2_bp"
+    )

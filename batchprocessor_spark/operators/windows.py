@@ -454,3 +454,70 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("window_vals", (_RMED_N + 1) // 2).alias("med_cents"),
         )
     )
+
+
+@register(
+    "q_win_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN round(value * 100)::BIGINT END AS purchase_c
+      FROM events)
+    SELECT user_id, event_id,
+           last_value(purchase_c IGNORE NULLS) OVER w AS last_purchase_c,
+           first_value(purchase_c IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_purchase_c,
+           count(purchase_c) OVER w AS purchases_so_far
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    category="window",
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic family — last-observation-carried-forward
+    per user: every event carries the most recent purchase amount at
+    or before it (last_value IGNORE NULLS over a trailing frame), the
+    user's first-ever purchase (first_value IGNORE NULLS over the full
+    partition), and the running purchase count. This is the sparse-
+    signal propagation primitive (sessionized attribution, sensor
+    forward-fill) that a plain `last_value` cannot express — without
+    IGNORE NULLS the previous ROW's null wins.
+
+    Determinism: the order (ts, event_id) is total, and the amount is
+    integer cents, so both engines agree bit-for-bit including rows
+    before any purchase (NULL carried, canonicalized identically).
+
+    Scale posture: ONE exchange on user_id feeds all three frames
+    (same window spec reused); the trailing frame is running-state,
+    the full-partition first_value rewrites to a per-partition
+    constant — no second shuffle, no join-back."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("purchase_c"),
+    )
+    trail = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last("purchase_c", ignorenulls=True).over(trail).alias("last_purchase_c"),
+        F.first("purchase_c", ignorenulls=True).over(full).alias("first_purchase_c"),
+        F.count("purchase_c").over(trail).alias("purchases_so_far"),
+    )
