@@ -1110,3 +1110,72 @@ def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_masked.cast("long").alias("n_masked"),
         F.md5(F.array_join(kept, " ")).alias("corrupt_md5"),
     )
+
+
+@register(
+    "q_llm_ngram_novelty",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM d),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+      FROM w
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY g IS NOT NULL),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+    per AS (
+      SELECT s.doc_id,
+             count(*)::BIGINT AS n_ngrams,
+             sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS novel_ngrams
+      FROM sh s JOIN firsts f ON f.g = s.g
+      GROUP BY 1)
+    SELECT doc_id, n_ngrams, novel_ngrams,
+           ((10000 * novel_ngrams) // n_ngrams)::BIGINT AS novelty_bp
+    FROM per
+    """,
+    category="text",
+)
+def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against the already-ingested corpus:
+    for each document, the fraction (basis points) of its distinct
+    word-3-grams whose FIRST holder (minimum doc_id — ingestion order)
+    is this document. Low novelty = the document is mostly re-treading
+    earlier text; the curation signal used to demote scraped mirrors
+    and boilerplate-stuffed pages that exact/near dedup keeps (they
+    are not duplicates of any ONE document).
+
+    Shape: the dup-passages shingle core (array n-grams, no explode
+    of positions) → min(doc_id) per n-gram (count-style shuffle,
+    skew-immune: a hot n-gram is one reducer ROW) → join the
+    doc-level distinct shingle list back to its firsts and aggregate.
+    Integer counts and a DIV ratio — exact oracle, no rounding.
+
+    Scale posture: two shuffles on the n-gram key, one on doc_id;
+    min(doc_id) is associative (map-side partials). For a streaming
+    corpus the `firsts` table is the persistent state and novelty of
+    a new batch is one anti-join against it (q_dedup_incremental's
+    admit pattern at n-gram granularity)."""
+    from batchprocessor_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, width=3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel_ngrams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_ngrams",
+        "novel_ngrams",
+        F.expr("(10000 * novel_ngrams) div n_ngrams").cast("long").alias("novelty_bp"),
+    )

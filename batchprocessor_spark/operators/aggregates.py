@@ -1165,3 +1165,66 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") - F.col("true_cnt")).alias("overcount"),
         )
     )
+
+
+@register(
+    "q_agg_hll_intersect",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM c)::BIGINT AS clickers,
+           (SELECT count(*) FROM p)::BIGINT AS purchasers,
+           (SELECT count(*) FROM c JOIN p USING (user_id))::BIGINT
+             AS exact_intersect,
+           TRUE AS hll_ok
+    """,
+    category="aggregate",
+)
+def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |clickers ∩ purchasers| by inclusion-
+    exclusion over HLL sketches — est(A) + est(B) − est(A∪B), where
+    est(A∪B) comes from hll_union of the two per-segment sketches
+    (NOT a rescan of the union — that is the point: audience-overlap
+    questions compose from already-materialized per-segment sketch
+    state). The estimate is engine-specific, so the oracle follows the
+    q_agg_hll_rollup pattern: exact distinct counts for all three
+    sets plus an hll_ok flag pinning the intersection estimate within
+    10% of exact (inclusion-exclusion compounds the per-sketch error,
+    hence the looser band than the 5% single-set gate).
+
+    Scale posture: each sketch is one map-side-combined aggregate of
+    the filtered scan; the final row is sketch-function arithmetic on
+    three 1.5 KB states. At 100 TB the sketches come from the layout
+    table, and any k-way segment overlap is k hll_unions — no join,
+    no rescan, no shuffle of ids."""
+    e = load_table(spark, sf_dir, "events")
+    sk = e.filter(F.col("event_type").isin("click", "purchase")).agg(
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)"
+        ).alias("ska"),
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("skb"),
+        F.expr("hll_sketch_agg(user_id)").alias("sku"),
+    ).select(
+        F.expr("hll_sketch_estimate(ska)").alias("ea"),
+        F.expr("hll_sketch_estimate(skb)").alias("eb"),
+        F.expr("hll_sketch_estimate(hll_union(ska, skb))").alias("eu"),
+        F.expr("hll_sketch_estimate(sku)").alias("eu_direct"),
+    )
+    c = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    p = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        c.agg(F.count(F.lit(1)).alias("clickers"))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchasers")))
+        .crossJoin(c.join(p, "user_id").agg(F.count(F.lit(1)).alias("exact_intersect")))
+    )
+    return exact.crossJoin(sk).select(
+        "clickers",
+        "purchasers",
+        "exact_intersect",
+        (
+            F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("exact_intersect"))
+            <= 0.10 * F.greatest(F.col("exact_intersect"), F.lit(1))
+        ).alias("hll_ok"),
+    )

@@ -849,3 +849,73 @@ def q_dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_odd",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+# Benford expected first-digit shares in basis points:
+# round(10000 * log10(1 + 1/d)) — precomputed constants so neither
+# engine evaluates a float log (the table IS the declared contract).
+_BENFORD_CASE = (
+    "CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249"
+    " WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580"
+    " WHEN 8 THEN 512 WHEN 9 THEN 458 END"
+)
+
+
+@register(
+    "q_dq_benford",
+    oracle=f"""
+    WITH c AS (
+      SELECT round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit FROM c),
+    g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1)
+    SELECT digit, n,
+           ((10000 * n) // sum(n) OVER ())::BIGINT AS obs_bp,
+           ({_BENFORD_CASE})::BIGINT AS exp_bp,
+           abs((10000 * n) // sum(n) OVER () - ({_BENFORD_CASE}))::BIGINT
+             AS dev_bp
+    FROM g
+    """,
+    category="dq",
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    the fraud/synthetic-data screen in the DQ family beside PSI drift
+    and the expectations report: natural multi-magnitude amounts
+    follow P(d) = log10(1 + 1/d); a generator that draws uniformly (as
+    this fixture does) or a fabricated ledger shows near-flat digit
+    shares, and dev_bp quantifies the gap per digit.
+
+    Exactness: the first digit is taken from the DECIMAL STRING of
+    integer cents (never floor(log10(x)) — a float log at exact powers
+    of ten can land on either side in the last ulp); shares are
+    integer basis points via DIV over a window total; the Benford
+    expectations are pinned integer constants, so both engines agree
+    bit-for-bit.
+
+    Scale posture: one map-side-combined count to ≤9 rows, then
+    digit-table-local window math — the scan dominates; nothing else
+    exceeds 9 rows."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    g = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.select(
+        "digit",
+        "n",
+        F.expr("(10000 * n) div sum(n) over ()").cast("long").alias("obs_bp"),
+        F.expr(_BENFORD_CASE).cast("long").alias("exp_bp"),
+        F.expr(
+            f"abs((10000 * n) div sum(n) over () - ({_BENFORD_CASE}))"
+        )
+        .cast("long")
+        .alias("dev_bp"),
+    )
