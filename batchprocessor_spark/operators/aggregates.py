@@ -987,6 +987,11 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = e.groupBy(
         "event_type", "wk", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
     ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    # Materialize the weekly partials ONCE (they are aggregate state,
+    # (type × week × bucket) rows) so the two re-grains below share a
+    # single fact scan — the in-session analogue of persisting the
+    # partial-bitmap layout table (plan-gated in tests/test_plans.py).
+    part = part.localCheckpoint(eager=True)
     weekly = part.groupBy("event_type", "wk").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("wn")
     )

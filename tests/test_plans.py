@@ -536,3 +536,47 @@ def test_bloom_runtime_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tfcos_is_inverted_index_equijoin(spark):
+    """The TF-cosine pair join must be a hash/SMJ equi-join on the
+    term key — never a nested-loop/cartesian — and the scoring UDF
+    surface must stay empty (pure JVM expressions)."""
+    plan = plan_of(spark, "q_llm_tfcos_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bitmap_distinct_single_fact_scan(spark):
+    """The exact-bitmap re-grain must touch the events parquet ONCE:
+    weekly partials are materialized once (the persisted-layout-table
+    pattern) and BOTH re-grains read that aggregate state — the final
+    plan contains no parquet scan at all, only the checkpointed
+    partials."""
+    plan = plan_of(spark, "q_agg_bitmap_distinct")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_countmin_grid_broadcasts(spark):
+    """The count-min probe join must broadcast the 192-cell counter
+    grid, never shuffle the key side for it."""
+    plan = plan_of(spark, "q_sketch_countmin")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bfs_frontier_rounds_are_checkpointed(spark):
+    """BFS must not re-derive earlier rounds: the plan over the final
+    union reads localCheckpoint scans for the per-round frontiers
+    instead of replaying the 4-join cascade."""
+    plan = plan_of(spark, "q_graph_bfs_layers")
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_ignore_nulls_single_exchange(spark):
+    """All three IGNORE-NULLS analytics must share ONE user_id
+    exchange (same partitioning, frames differ)."""
+    plan = plan_of(spark, "q_win_ignore_nulls")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
