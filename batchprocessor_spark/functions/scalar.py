@@ -459,3 +459,42 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "q_fn_regexp",
+    oracle="""
+    SELECT p_partkey,
+           len(regexp_extract_all(p_name, '[aeiou]+'))::BIGINT AS vowel_runs,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_type, '^(STANDARD|ECONOMY)') AS is_std_eco,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           len(regexp_extract_all(p_brand, '[0-9]'))::BIGINT AS brand_digits
+    FROM part
+    """,
+    category="function",
+)
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp function family: regexp_count, global regexp_replace,
+    anchored regexp_like, group extraction, and token counting — the
+    pattern surface a curation pipeline leans on for PII masks and
+    format checks (q_llm_pii_scrub is the applied version; this pins
+    the primitives).
+
+    Parity note: patterns here stay in the RE2-compatible subset
+    (classes, anchors, alternation, groups — no backreferences or
+    lookaround) so Java regex (Spark) and RE2 (DuckDB) agree;
+    Spark's regexp_replace is global by default while DuckDB needs
+    the explicit 'g' flag — the oracle states it.
+
+    Scale posture: per-row JVM expressions inside whole-stage
+    codegen; no shuffle, no Python."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit("[aeiou]+")).cast("long").alias("vowel_runs"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^(STANDARD|ECONOMY)").alias("is_std_eco"),
+        F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_count("p_brand", F.lit("[0-9]")).cast("long").alias("brand_digits"),
+    )

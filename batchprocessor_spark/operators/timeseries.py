@@ -1134,3 +1134,69 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q_ts_period_over_period",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('month', o_orderdate) AS month,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1, 2),
+    w AS (
+      SELECT priority, month, cents,
+             lag(cents) OVER (PARTITION BY priority ORDER BY month)
+               AS prev_cents
+      FROM m)
+    SELECT priority, month, cents, prev_cents,
+           CASE WHEN prev_cents > 0 THEN
+             (CASE WHEN cents >= prev_cents THEN 1 ELSE -1 END)
+             * ((10000 * abs(cents - prev_cents)) // prev_cents)
+           END::BIGINT AS mom_bp
+    FROM w
+    """,
+    category="timeseries",
+)
+def q_ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — monthly revenue per order priority
+    with the month-over-month delta in signed basis points: the
+    aggregate-then-window composite behind every KPI dashboard
+    ("-12.3% vs last month"), stated window-over-AGGREGATE so the lag
+    runs over (priority × month) rows, never the fact table (the
+    q_win_ratio_to_report discipline).
+
+    Exactness: revenue is integer cents, and the growth rate is
+    sign · (10000·|Δ|) DIV prev — |Δ| keeps the integer division on
+    non-negative operands, where DuckDB's flooring `//` and Spark's
+    truncating `div` agree (on a negative numerator they differ by
+    one unit; the decomposition makes the disagreement unreachable).
+    First month emits NULL, canonicalized identically.
+
+    Scale posture: one map-side-combined aggregate to months × 5
+    rows; the window shuffles only that rollup. The fact scan reads
+    two columns plus the pushed date."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.sum(to_units(F.col("o_totalprice"), 100)).alias("cents"))
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    out = m.withColumn("prev_cents", F.lag("cents").over(w))
+    return out.select(
+        "priority",
+        "month",
+        "cents",
+        "prev_cents",
+        F.when(
+            F.col("prev_cents") > 0,
+            F.when(F.col("cents") >= F.col("prev_cents"), 1)
+            .otherwise(-1)
+            * F.expr("(10000 * abs(cents - prev_cents)) div prev_cents"),
+        )
+        .cast("long")
+        .alias("mom_bp"),
+    )
