@@ -1147,18 +1147,21 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     uid = F.col("user_id")
-    ev3 = None
-    for r in range(_CM_D):
-        arm = e.select(F.lit(r).alias("r"), _cm_bucket(r, uid).alias("bkt"))
-        ev3 = arm if ev3 is None else ev3.unionAll(arm)
+    # ONE scan: each event row explodes into its d (row, bucket) cells
+    # (a unionAll of d arms would read the fact table d times — the
+    # oracle keeps the UNION ALL form only because DuckDB reads a view).
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cm_bucket(r, uid).alias("bkt"))
+            for r in range(_CM_D)
+        ]
+    )
+    ev3 = e.select(F.explode(cells).alias("cell")).select("cell.r", "cell.bkt")
     counters = ev3.groupBy("r", "bkt").agg(F.count(F.lit(1)).alias("c"))
     keys = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
-    probes = None
-    for r in range(_CM_D):
-        arm = keys.select(
-            "user_id", "true_cnt", F.lit(r).alias("r"), _cm_bucket(r, uid).alias("bkt")
-        )
-        probes = arm if probes is None else probes.unionAll(arm)
+    probes = keys.select(
+        "user_id", "true_cnt", F.explode(cells).alias("cell")
+    ).select("user_id", "true_cnt", "cell.r", "cell.bkt")
     return (
         probes.join(F.broadcast(counters), ["r", "bkt"])
         .groupBy("user_id", "true_cnt")
@@ -1181,7 +1184,8 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM p)::BIGINT AS purchasers,
            (SELECT count(*) FROM c JOIN p USING (user_id))::BIGINT
              AS exact_intersect,
-           TRUE AS hll_ok
+           TRUE AS hll_ok,
+           TRUE AS union_lossless
     """,
     category="aggregate",
 )
@@ -1195,7 +1199,15 @@ def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_hll_rollup pattern: exact distinct counts for all three
     sets plus an hll_ok flag pinning the intersection estimate within
     10% of exact (inclusion-exclusion compounds the per-sketch error,
-    hence the looser band than the 5% single-set gate).
+    hence the looser band than the 5% single-set gate), and a
+    union_lossless flag asserting that merging the two per-segment
+    sketches estimates within 1% of one sketch built over the
+    combined stream — HLL union is register-wise max, so composing
+    from partials loses (almost) nothing vs rescanning; the residual
+    tolerance exists because the union gadget promotes to the HLL_8
+    target type, whose estimator can differ a hair from the direct
+    HLL_4 sketch once past exact coupon mode. This is the property
+    that makes sketch layout tables sound.
 
     Scale posture: each sketch is one map-side-combined aggregate of
     the filtered scan; the final row is sketch-function arithmetic on
@@ -1232,4 +1244,8 @@ def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("ea") + F.col("eb") - F.col("eu") - F.col("exact_intersect"))
             <= 0.10 * F.greatest(F.col("exact_intersect"), F.lit(1))
         ).alias("hll_ok"),
+        (
+            F.abs(F.col("eu") - F.col("eu_direct"))
+            <= 0.01 * F.greatest(F.col("eu_direct"), F.lit(1))
+        ).alias("union_lossless"),
     )

@@ -294,8 +294,14 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     most |V| ids. Unbounded-diameter BFS would iterate the same loop
     to an empty frontier with the same per-round cost envelope."""
     edges = _eps_edges(spark, sf_dir)
-    ed = edges.select(F.col("d1").alias("v"), F.col("d2").alias("w")).unionAll(
-        edges.select(F.col("d2").alias("v"), F.col("d1").alias("w"))
+    # Materialize the adjacency list ONCE: without this every round's
+    # eager checkpoint job re-executes the grid-bucketed ε-self-join
+    # (the dominant cost) — the frontier checkpoints below only
+    # truncate the frontier lineage, not the edge build's.
+    ed = (
+        edges.select(F.col("d1").alias("v"), F.col("d2").alias("w"))
+        .unionAll(edges.select(F.col("d2").alias("v"), F.col("d1").alias("w")))
+        .localCheckpoint(eager=True)
     )
     pts = load_table(spark, sf_dir, "embeddings").select("vec_id")
     frontier = pts.filter(F.expr(_BFS_SRC_SQL)).select(F.col("vec_id").alias("v"))
@@ -365,7 +371,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|-sized and never force-broadcast (same policy as _oriented).
     localCheckpoint per round keeps the 12-join lineage from
     re-executing earlier peels."""
-    e = _eps_edges(spark, sf_dir)
+    # Materialize the ε-edge build once — round 1's plan references the
+    # edge list twice (degree branch + both semi-joins) and would
+    # otherwise run the grid self-join multiple times.
+    e = _eps_edges(spark, sf_dir).localCheckpoint(eager=True)
     for _ in range(_KCORE_ROUNDS):
         deg = (
             e.select(F.col("d1").alias("v"))

@@ -565,6 +565,9 @@ def test_countmin_grid_broadcasts(spark):
     plan = plan_of(spark, "q_sketch_countmin")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # Grid build = ONE fact scan (explode into d cells, not d union
+    # arms); the second scan is the exact-truth oracle scaffolding.
+    assert plan.count("Scan parquet") == 2, plan
 
 
 def test_bfs_frontier_rounds_are_checkpointed(spark):
