@@ -919,3 +919,182 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dev_bp"),
     )
+
+
+# Decision-stump histogram width: n_chars bucketed to 50-char bins —
+# the histogram-based split-finding trick (LightGBM/XGBoost hist
+# mode): candidate thresholds are bin edges, so split statistics come
+# from ONE bounded histogram, never a docs × thresholds blow-up.
+_STUMP_BIN = 50
+
+
+@register(
+    "q_ml_decision_stump",
+    oracle=f"""
+    WITH h AS (
+      SELECT (n_chars // {_STUMP_BIN})::BIGINT AS b, lang,
+             count(*)::BIGINT AS cnt
+      FROM documents GROUP BY 1, 2),
+    cum AS (
+      SELECT b, lang,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY b)::BIGINT AS lcnt
+      FROM h),
+    tot AS (SELECT lang, sum(cnt)::BIGINT AS n_l FROM h GROUP BY lang),
+    n AS (SELECT sum(n_l)::BIGINT AS n FROM tot),
+    thr AS (SELECT DISTINCT b FROM h),
+    -- per (threshold, lang): left count via the cumulative histogram
+    tl AS (
+      SELECT thr.b, tot.lang,
+             coalesce((SELECT max(lcnt) FROM cum
+                       WHERE cum.lang = tot.lang AND cum.b <= thr.b), 0)
+               AS lcnt,
+             tot.n_l
+      FROM thr CROSS JOIN tot),
+    agg AS (
+      SELECT b,
+             sum(lcnt)::BIGINT AS n_left,
+             sum(n_l - lcnt)::BIGINT AS n_right,
+             sum(lcnt * lcnt)::BIGINT AS sq_l,
+             sum((n_l - lcnt) * (n_l - lcnt))::BIGINT AS sq_r
+      FROM tl GROUP BY b),
+    scored AS (
+      SELECT b, n_left, n_right,
+             (n_left * n_left - sq_l)::DOUBLE
+               / ((SELECT n FROM n) * n_left)
+             + (n_right * n_right - sq_r)::DOUBLE
+               / ((SELECT n FROM n) * n_right) AS gini_w
+      FROM agg WHERE n_left > 0 AND n_right > 0),
+    best AS (
+      SELECT b, n_left, n_right, gini_w,
+             row_number() OVER (ORDER BY gini_w, b) AS rn
+      FROM scored),
+    win AS (SELECT * FROM best WHERE rn = 1),
+    lc AS (
+      SELECT tl.lang,
+             row_number() OVER (ORDER BY tl.lcnt DESC, tl.lang) AS r
+      FROM tl JOIN win ON tl.b = win.b),
+    rc AS (
+      SELECT tl.lang,
+             row_number() OVER (ORDER BY tl.n_l - tl.lcnt DESC, tl.lang) AS r
+      FROM tl JOIN win ON tl.b = win.b)
+    SELECT (win.b * {_STUMP_BIN} + {_STUMP_BIN} - 1)::BIGINT AS threshold_chars,
+           win.n_left, win.n_right,
+           round(win.gini_w, 6) AS gini_w,
+           (SELECT lang FROM lc WHERE r = 1) AS left_class,
+           (SELECT lang FROM rc WHERE r = 1) AS right_class
+    FROM win
+    """,
+    category="ml",
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump induction — the split-finding
+    kernel of every distributed GBDT (LightGBM/XGBoost hist mode):
+    find the n_chars threshold that best separates languages by
+    weighted Gini impurity. The load-bearing scale idea: split
+    statistics for EVERY candidate threshold come from one bounded
+    (bin × class) histogram plus a per-class cumulative sum — one
+    map-side-combined aggregate over the corpus, then bin-table-local
+    math; the naive rows × thresholds cross join never happens.
+
+    Exactness: all counts are integers; the weighted impurity
+    decomposes as (n_l² − Σc_l²)/(n·n_l) + (n_r² − Σc_r²)/(n·n_r) —
+    each side is ONE integer-exact numerator (< 2^53) divided once,
+    then one add, the identical IEEE op sequence in both engines, so
+    the argmin and the per-side majority classes (deterministic
+    count-desc, lang-asc tie-break) agree bit-for-bit. Empty sides
+    are excluded (no 0/0), and the reported threshold is the bin's
+    inclusive upper edge in characters.
+
+    Scale posture: histogram shuffle is (bins × classes) rows;
+    everything after is window math on that table. Deeper trees
+    iterate the same kernel per node on filtered partitions — the
+    stump is the distributed primitive."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        d.select(
+            F.expr(f"n_chars div {_STUMP_BIN}").alias("b"), "lang"
+        )
+        .groupBy("b", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cum = h.select(
+        "b",
+        "lang",
+        F.sum("cnt").over(Window.partitionBy("lang").orderBy("b")).alias("lcnt"),
+    )
+    tot = h.groupBy("lang").agg(F.sum("cnt").alias("n_l"))
+    n = int(tot.agg(F.sum("n_l")).collect()[0][0])  # one scalar (model-sized)
+    thr = h.select("b").distinct()
+    # left count per (threshold, lang): the cumulative histogram value
+    # at the largest bin <= threshold (0 when the class has no mass
+    # yet) — an as-of join of the threshold grid against cum.
+    tl = (
+        thr.crossJoin(tot)
+        .join(cum.withColumnRenamed("b", "cb"), "lang", "left")
+        .groupBy("b", "lang", "n_l")
+        # The <= predicate must live INSIDE the aggregate: filtering
+        # the join first would DELETE (threshold, lang) groups whose
+        # class has no mass yet, when the correct left count is 0.
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("cb") <= F.col("b"), F.col("lcnt"))), F.lit(0)
+            ).alias("lcnt")
+        )
+    )
+    agg = tl.groupBy("b").agg(
+        F.sum("lcnt").alias("n_left"),
+        F.sum(F.col("n_l") - F.col("lcnt")).alias("n_right"),
+        F.sum(F.col("lcnt") * F.col("lcnt")).alias("sq_l"),
+        F.sum((F.col("n_l") - F.col("lcnt")) * (F.col("n_l") - F.col("lcnt"))).alias(
+            "sq_r"
+        ),
+    )
+    scored = agg.filter((F.col("n_left") > 0) & (F.col("n_right") > 0)).select(
+        "b",
+        "n_left",
+        "n_right",
+        (
+            (F.col("n_left") * F.col("n_left") - F.col("sq_l")).cast("double")
+            / (F.lit(n) * F.col("n_left"))
+            + (F.col("n_right") * F.col("n_right") - F.col("sq_r")).cast("double")
+            / (F.lit(n) * F.col("n_right"))
+        ).alias("gini_w"),
+    )
+    win = (
+        scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy("gini_w", "b"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+    sides = tl.join(win.select("b"), "b")
+    left_class = (
+        sides.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("lcnt").desc(), F.col("lang"))),
+        )
+        .filter(F.col("r") == 1)
+        .select(F.col("lang").alias("left_class"))
+    )
+    right_class = (
+        sides.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy((F.col("n_l") - F.col("lcnt")).desc(), F.col("lang"))
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select(F.col("lang").alias("right_class"))
+    )
+    return (
+        win.select(
+            (F.col("b") * _STUMP_BIN + _STUMP_BIN - 1).alias("threshold_chars"),
+            "n_left",
+            "n_right",
+            F.round("gini_w", 6).alias("gini_w"),
+        )
+        .crossJoin(left_class)
+        .crossJoin(right_class)
+    )
