@@ -1250,18 +1250,29 @@ def q_llm_tfcos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-sized and join AFTER pair aggregation, so the wide join
     carries only (d1, d2, tf·tf) rows. Never a cartesian."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    return tf_cosine_pairs(docs, docs.count() // _TFCOS_DF_FRAC)
+
+
+def tf_cosine_pairs(docs: DataFrame, df_cap: int | None) -> DataFrame:
+    """Core of q_llm_tfcos_pairs over an arbitrary (doc_id, text)
+    frame: df-pruned inverted-index postings → integer dot products →
+    cos² ≥ threshold in basis points. ``df_cap=None`` disables the
+    document-frequency prune (exactness baseline for the skew tests —
+    a mass-duplicated cluster then pays its full quadratic fan-out)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     ).filter(F.length("w") >= _TFCOS_MIN_LEN)
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    kept = (
-        tf.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= F.lit(n_docs // _TFCOS_DF_FRAC))
-        .select("w")
-    )
-    tfk = tf.join(kept, "w")
+    if df_cap is not None:
+        kept = (
+            tf.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= F.lit(df_cap))
+            .select("w")
+        )
+        tfk = tf.join(kept, "w")
+    else:
+        tfk = tf
     nrm = tfk.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a, b = tfk.alias("a"), tfk.alias("b")
     dots = (

@@ -262,3 +262,27 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tfcos_df_cap_drops_hot_terms(spark):
+    """The TF-cosine df prune is the hot-term governor: in the
+    adversarial corpus the 60-doc boilerplate cluster's terms have
+    df=60 > cap, so the capped run must emit ZERO cluster pairs
+    (where the uncapped baseline pays the full C(60,2)), while the
+    planted hot trigram's carriers (df=48 > cap too) lose only that
+    shared phrase — their remaining vocabulary is unique, so no
+    spurious pairs survive either."""
+    from batchprocessor_spark.operators.dedup import tf_cosine_pairs
+
+    docs = _adversarial_docs(spark)
+    capped = tf_cosine_pairs(docs, df_cap=30).collect()
+    uncapped = {(r.d1, r.d2) for r in tf_cosine_pairs(docs, df_cap=None).collect()}
+
+    cluster_uncapped = {p for p in uncapped if p[0] < _CLUSTER and p[1] < _CLUSTER}
+    assert cluster_uncapped == {
+        (i, j) for i in range(_CLUSTER) for j in range(i + 1, _CLUSTER)
+    }, "uncapped baseline must pay the quadratic cluster fan-out"
+    assert capped == [], (
+        "df cap must remove every mass-duplicated term before the "
+        f"pair join; got {len(capped)} pairs"
+    )
