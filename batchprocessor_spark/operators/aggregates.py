@@ -1249,3 +1249,51 @@ def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.greatest(F.col("eu_direct"), F.lit(1))
         ).alias("union_lossless"),
     )
+
+
+@register(
+    "q_agg_freq_items",
+    oracle="""
+    WITH g AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+    n AS (SELECT sum(cnt)::BIGINT AS n FROM g)
+    SELECT lang, cnt,
+           ((10000 * cnt) // (SELECT n FROM n))::BIGINT AS share_bp,
+           TRUE AS in_sketch
+    FROM g WHERE cnt * 4 > (SELECT n FROM n)
+    """,
+    category="aggregate",
+)
+def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass approximate heavy hitters (DataFrame.stat.freqItems,
+    the Karp–Schenker–Papadimitriou counter algorithm): languages
+    holding more than a quarter of the corpus. The sketch's output
+    SET is engine- and order-dependent (it may include false
+    positives — the algorithm's documented slack), so the oracle
+    follows the derived-projection pattern: the EXACT heavy hitters
+    (strict cnt·4 > n, integer comparison) with exact counts and
+    share basis points, plus an in_sketch flag pinning the KSP RECALL
+    guarantee — every truly frequent item must appear in the sketch's
+    result; a miss flips the flag and breaks the driver hash.
+
+    Scale posture: freqItems is one pass with k=1/support counters
+    per partition and an associative counter-merge — no shuffle of
+    data, only of 4-entry counter maps; the exact groupBy exists as
+    oracle scaffolding (at 10^9 distinct keys only the sketch
+    survives, and its false-positive slack is filtered by one exact
+    count over the ≤k candidate keys, the classic two-pass finish)."""
+    d = load_table(spark, sf_dir, "documents")
+    sketch_items = set(
+        d.stat.freqItems(["lang"], support=0.25).collect()[0][0]
+    )  # ≤ 1/support entries — model-sized driver collect
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    n = g.agg(F.sum("cnt").alias("n"))
+    return (
+        g.crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * 4 > F.col("n"))
+        .select(
+            "lang",
+            "cnt",
+            F.expr("(10000 * cnt) div n").cast("long").alias("share_bp"),
+            F.col("lang").isin(sorted(sketch_items)).alias("in_sketch"),
+        )
+    )
