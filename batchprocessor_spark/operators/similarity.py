@@ -1294,3 +1294,127 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_logreg.__doc__ = q_ml_logreg.__doc__.format(steps=_LR_STEPS, rate=_LR_RATE)
+
+
+# MMR reranking: candidate pool size, picks, and the λ=0.5 trade-off
+# kept integer by doubling (score = 2·rel − max-sim-to-selected).
+_MMR_POOL = 20
+_MMR_K = 5
+
+_MMR_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " z -> z[1] * z[2]), 'sum')::BIGINT"
+)
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT)
+               AS q
+      FROM embeddings),
+    rel AS (
+      SELECT p.vec_id,
+             {_MMR_DOT.format(a="p.q", b="(SELECT q FROM pts WHERE vec_id = 0)")}
+               AS rel
+      FROM pts p WHERE p.vec_id <> 0),
+    cand AS (
+      SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+    sims AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2,
+             {_MMR_DOT.format(a="pa.q", b="pb.q")} AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN pts pa ON pa.vec_id = a.vec_id
+      JOIN pts pb ON pb.vec_id = b.vec_id),
+    r1 AS (
+      SELECT vec_id, rel, 2 * rel AS mmr
+      FROM cand ORDER BY 2 * rel DESC, vec_id LIMIT 1)"""
+    parts = [head]
+    for i in range(2, _MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM r{j}" for j in range(1, i)
+        )
+        parts.append(f"""
+    sel{i - 1} AS ({prev_sel}),
+    r{i} AS (
+      SELECT c.vec_id, c.rel,
+             2 * c.rel - (SELECT max(s.sim) FROM sims s
+                          WHERE s.v2 = c.vec_id
+                            AND s.v1 IN (SELECT vec_id FROM sel{i - 1}))
+               AS mmr
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+      ORDER BY mmr DESC, c.vec_id LIMIT 1)""")
+    ranks = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, vec_id, rel, mmr FROM r{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return ",".join(parts) + f"\n    SELECT rank, vec_id, rel, mmr FROM ({ranks})"
+
+
+@register("q_llm_mmr_rerank", oracle=_mmr_oracle(), category="similarity")
+def q_llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein): greedily pick 5 of the top-20 candidates maximizing
+    2·relevance − max-similarity-to-already-picked — the diversity
+    reranker a curation pipeline runs so an eval set or few-shot pool
+    isn't five copies of the same near-duplicate. λ = 0.5, kept
+    integer by doubling.
+
+    Architecture (the scale statement): candidate generation is the
+    distributed half — quantized integer dot products against the
+    query vector, TakeOrdered top-20, then the 20×20 similarity
+    matrix via an equi-join on the candidate set. The greedy
+    selection itself runs on the COLLECTED candidate head (≤ pool²
+    sim rows) — rerankers are head-sized by definition; shipping 400
+    rows to the driver is the correct plan, re-shuffling the corpus
+    per pick is not.
+
+    Exactness: vectors quantize to integer thousandths (the
+    q_llm_embed_quantize lane), so relevance, pairwise sims, and the
+    greedy argmax (mmr desc, vec_id asc tie-break) are pure integer
+    arithmetic — the oracle unrolls the same 5 picks as CTEs and
+    agrees bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "q", dot(F.col("q"), F.col("qq")).alias("rel"))
+    )
+    cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL)
+    a = cand.select(F.col("vec_id").alias("v1"), F.col("q").alias("q1"))
+    b = cand.select(F.col("vec_id").alias("v2"), F.col("q").alias("q2"))
+    sims = (
+        a.join(b, F.col("v1") != F.col("v2"))
+        .select("v1", "v2", dot(F.col("q1"), F.col("q2")).alias("sim"))
+        .collect()
+    )  # ≤ pool² rows — the head-sized reranker input
+    rels = {r.vec_id: r.rel for r in cand.select("vec_id", "rel").collect()}
+    sim = {(r.v1, r.v2): r.sim for r in sims}
+    picked: list[tuple[int, int, int, int]] = []
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for v, rv in rels.items():
+            if v in chosen:
+                continue
+            penalty = max((sim[(s, v)] for s in chosen), default=0)
+            score = 2 * rv - penalty
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, rv, score)
+        picked.append((rank, best[1], best[2], best[3]))
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        picked, "rank BIGINT, vec_id BIGINT, rel BIGINT, mmr BIGINT"
+    )
