@@ -781,3 +781,88 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(f"value.{vcols[0]}").cast("long").alias("cnt"),
         F.col(f"value.{vcols[1]}").cast("long").alias("cents"),
     )
+
+
+@register(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+    category="streaming",
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantics the inner join
+    (q_stream_stream_join) cannot express: a purchase with NO click in
+    its preceding hour must still emit, with NULL click columns, and
+    it can only do so once the watermark proves no matching click can
+    ever arrive (state eviction, not end-of-data). That eviction is
+    watermark-DRIVEN: unmatched rows sit in the state store until the
+    global (min-of-both-sides) watermark passes their join window, so
+    the replay appends two far-future sentinel micro-batches (both
+    event types — BOTH sides' watermarks must advance past every real
+    event + 1 h + the 30 min delay) and maxFilesPerTrigger=1 orders
+    them after the data; sentinel rows (user_id < 0) are filtered
+    from the result. After the full drain the result equals the batch
+    LEFT JOIN — the oracle states it.
+
+    Scale posture: same state-store equi-join shape as the inner
+    variant (shuffle both sides on user_id); the time-range condition
+    is what BOUNDS the state (clicks older than watermark − 1 h drop,
+    unmatched purchases emit-and-drop as the watermark passes) — an
+    outer join without the range predicate would hold both streams
+    forever."""
+    import datetime as _dt
+
+    tmp = tempfile.mkdtemp(prefix="bp_outer_join_")
+    src = os.path.join(tmp, "src")
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    load_table(spark, sf_dir, "events").select(*cols).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    for i, day in enumerate((_dt.datetime(2024, 2, 15), _dt.datetime(2024, 3, 1))):
+        spark.createDataFrame(
+            [(-2 * i - 1, day, -1, "click"), (-2 * i - 2, day, -1, "purchase")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_user")
+    out = run_to_memory(joined, output_mode="append")
+    rows = out.where(F.col("p_user") >= 0).collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.createDataFrame(rows, out.schema)
+        if rows
+        else out.where(F.col("p_user") >= 0)
+    )
