@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.functions.exactmath import to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
@@ -806,4 +807,96 @@ def q_llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chosen_score",
         "rejected_score",
         F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias("margin"),
+    )
+
+
+# Poisson(1) CDF thresholds scaled to 2^32 (k = 0..5, multiplicities
+# capped at 6): round(cum_k * 2^32), precomputed so the draw is a pure
+# INTEGER threshold ladder — no float exp/CDF evaluated in either
+# engine, no tie ambiguity at any boundary.
+_BOOT_T = (1580030169, 3160060337, 3950075422, 4213413783, 4279248374, 4292415292)
+_BOOT_R = 3  # bootstrap replicates
+
+
+def _boot_k_sql(r: int) -> str:
+    h = f"('0x' || substring(md5('boot{r}:' || o_orderkey::VARCHAR), 1, 8))::BIGINT"
+    ladder = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {ladder} ELSE {len(_BOOT_T)} END"
+
+
+@register(
+    "q_sample_poisson_bootstrap",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders),
+    reps AS (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS rep, ({_boot_k_sql(r)})::BIGINT AS k, cents FROM o"
+        for r in range(_BOOT_R)
+      )})
+    SELECT rep,
+           sum(k)::BIGINT AS resampled_rows,
+           sum(k * cents)::BIGINT AS resampled_cents,
+           ((sum(k * cents)) // greatest(sum(k), 1))::BIGINT AS mean_cents
+    FROM reps GROUP BY rep
+    """,
+    category="sampling",
+)
+def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online Poisson bootstrap (Oza–Russell): each of 3 replicates
+    assigns every order a DETERMINISTIC Poisson(1) multiplicity from
+    a seeded hash, and the replicate totals estimate the sampling
+    distribution of the revenue mean — the one-pass bootstrap that
+    replaces with-replacement resampling at scale (a true resample
+    needs global coordination; Poisson multiplicities need only the
+    row itself, so the whole thing is map-side arithmetic + one
+    aggregate).
+
+    Exactness: the Poisson draw is an integer threshold ladder over
+    the 32-bit seeded hash (pre-computed CDF constants, multiplicity
+    capped at 6 ≈ the 1-in-2.6M tail), so both engines assign
+    identical multiplicities to every row; sums and the mean are
+    integer cents with DIV.
+
+    Scale posture: replicates explode map-side from one scan (3
+    struct cells per row — the count-min shape), combine to 3 rows
+    before the shuffle. B replicates cost B columns of integer math,
+    not B passes; at 100 TB this is how you put a confidence interval
+    on any pipeline metric for one extra aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", to_units(F.col("o_totalprice"), 100).alias("cents")
+    )
+    def k_col(r: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"boot{r}:"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        expr = F.lit(len(_BOOT_T))
+        for k in range(len(_BOOT_T) - 1, -1, -1):
+            expr = F.when(h < _BOOT_T[k], k).otherwise(expr)
+        return expr.cast("long")
+
+    cells = F.array(
+        *[
+            F.struct(F.lit(r).cast("int").alias("rep"), k_col(r).alias("k"))
+            for r in range(_BOOT_R)
+        ]
+    )
+    reps = o.select("cents", F.explode(cells).alias("c")).select(
+        F.col("c.rep").alias("rep"), F.col("c.k").alias("k"), "cents"
+    )
+    return reps.groupBy("rep").agg(
+        F.sum("k").alias("resampled_rows"),
+        F.sum(F.col("k") * F.col("cents")).alias("resampled_cents"),
+        F.expr(
+            "(sum(k * cents)) div greatest(sum(k), 1)"
+        ).cast("long").alias("mean_cents"),
     )
