@@ -670,3 +670,68 @@ def q_layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
+
+
+@register(
+    "q_layout_dynamic_overwrite",
+    oracle="""
+    SELECT year(o_orderdate)::INT AS o_year,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders
+    WHERE NOT (year(o_orderdate) = 1996 AND o_orderstatus = 'F')
+    GROUP BY 1
+    """,
+    category="scan",
+)
+def q_layout_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION
+    semantics, spark.sql.sources.partitionOverwriteMode=dynamic): a
+    year-partitioned orders table gets ONE partition (1996) rewritten
+    with corrected data (its 'F'-status rows dropped) — and only the
+    directories present in the incoming write are replaced; every
+    other year survives untouched. This is the warehouse's daily
+    backfill/compaction primitive: in STATIC mode the same overwrite
+    would TRUNCATE the whole table to the one incoming partition —
+    the classic data-loss footgun the dynamic mode exists to prevent.
+    The read-back per-year totals carry the value oracle (exact
+    cents), which fails if the overwrite either leaked into other
+    years or left stale 1996 rows behind.
+
+    Scale posture: rewrite cost is proportional to the TOUCHED
+    partitions, never the table; the final read is one partitioned
+    scan. The mode is set transiently and restored (session configs
+    are engine-owned elsewhere — session.py)."""
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    loc = tempfile.mkdtemp(prefix="bp_dynow_")
+    path = f"{loc}/orders_by_year"
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    fixed_1996 = o.where(
+        (F.col("o_year") == 1996) & (F.col("o_orderstatus") != "F")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed_1996.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out = (
+        spark.read.parquet(path)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(to_units(F.col("o_totalprice"), 100)).alias("cents"),
+        )
+    )
+    rows = out.collect()  # freeze before the scratch dir is removed
+    shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
