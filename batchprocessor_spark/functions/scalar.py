@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.functions.exactmath import to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
@@ -497,4 +498,99 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").rlike("^(STANDARD|ECONOMY)").alias("is_std_eco"),
         F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
         F.regexp_count("p_brand", F.lit("[0-9]")).cast("long").alias("brand_digits"),
+    )
+
+
+@register(
+    "q_fn_try",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice * 100)::BIGINT / nullif(
+             (o_orderkey % 3)::BIGINT, 0) AS per_unit,
+           TRY_CAST(o_orderpriority AS BIGINT) AS prio_num,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+           CASE WHEN 9223372036854775807 - round(o_totalprice*100)::BIGINT
+                     >= round(o_totalprice*100)::BIGINT
+                THEN 2 * round(o_totalprice*100)::BIGINT END AS dbl_cents
+    FROM orders
+    """,
+    category="function",
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: try_divide (NULL on zero divisor, never
+    a runtime error or an Inf), try_cast (NULL on malformed input —
+    '1-URGENT' fails, its first digit parses), try_multiply (NULL on
+    64-bit overflow). This is the error-containment surface a 100 TB
+    job needs: under ANSI mode one poisoned row kills a 6-hour stage;
+    the try_ forms quarantine it as a NULL you can route to a DLQ
+    filter instead (the batch twin of the streaming retry→DLQ path,
+    O12).
+
+    The oracle states the same semantics with guards DuckDB evaluates
+    identically (nullif divisor, TRY_CAST, an explicit overflow-bound
+    CASE); the fixture's cents never overflow, so dbl_cents also pins
+    that try_multiply does NOT null healthy rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = to_units(F.col("o_totalprice"), 100)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(cents, (F.col("o_orderkey") % 3).cast("long")).alias("per_unit"),
+        F.try_to_number("o_orderpriority", F.lit("999999")).cast("long").alias("prio_num"),
+        F.substring("o_orderpriority", 1, 1).try_cast("long").alias("prio_digit"),
+        F.try_multiply(F.lit(2).cast("long"), cents).alias("dbl_cents"),
+    )
+
+
+@register(
+    "q_fn_observe",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_nonpositive,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+           min(o_custkey)::BIGINT AS min_cust,
+           max(o_custkey)::BIGINT AS max_cust
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    category="function",
+)
+def q_fn_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe`` — the batch
+    analogue of the reference's stat() tree (SURVEY §2.1 O16,
+    V2/Stat.java): named metrics (row count, DQ violation count,
+    exact-cents total, distinct customers) are accumulated ON the
+    executors as the query runs and surface through the observation
+    listener after ONE action — no second pass, no separate
+    validation job. This is how a production pipeline gets its
+    rows-in/rows-out/violations ledger for free on every stage
+    (Spark's AccumulatorV2 mechanism underneath).
+
+    The observed metrics are returned as the result row, so the
+    oracle (the same aggregates stated declaratively) pins that the
+    observation path loses nothing relative to a real aggregate —
+    including under AQE re-splits, since every metric here is an
+    associative-commutative accumulator."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    obs = Observation("dq_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive"
+        ),
+        F.sum(to_units(F.col("o_totalprice"), 100)).alias("cents"),
+        # DISTINCT aggregates are rejected by CollectMetrics (they are
+        # not accumulator-mergeable); key BOUNDS carry the same
+        # sanity-check role and merge associatively.
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one pass, no sink cost
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive"], m["cents"], m["min_cust"], m["max_cust"])],
+        "n_rows BIGINT, n_nonpositive BIGINT, cents BIGINT, "
+        "min_cust BIGINT, max_cust BIGINT",
     )
