@@ -1297,3 +1297,137 @@ def q_agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lang").isin(sorted(sketch_items)).alias("in_sketch"),
         )
     )
+
+
+@register(
+    "q_agg_higher_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*)::BIGINT AS n,
+             sum(q)::BIGINT AS s1,
+             sum(q * q)::BIGINT AS s2,
+             sum(q * q * q)::BIGINT AS s3,
+             sum(q * q * q * q)::BIGINT AS s4
+      FROM (SELECT l_returnflag, round(l_quantity)::BIGINT AS q FROM lineitem)
+      GROUP BY 1),
+    m AS (
+      SELECT l_returnflag, n,
+             s1::DOUBLE / n AS mean,
+             s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS m2,
+             s3::DOUBLE / n
+               - 3 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+               + 2 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+               AS m3,
+             s4::DOUBLE / n
+               - 4 * (s1::DOUBLE / n) * (s3::DOUBLE / n)
+               + 6 * (s1::DOUBLE / n) * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+               - 3 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                   * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+               AS m4
+      FROM s)
+    SELECT l_returnflag, n,
+           round(mean, 6) AS mean_qty,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skew_pop,
+           round(m4 / (m2 * m2) - 3, 6) AS kurt_excess
+    FROM m
+    """,
+    category="aggregate",
+)
+def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from RAW integer moment
+    sums (Σq, Σq², Σq³, Σq⁴ — exact BIGINTs on the integral quantity
+    column), assembled into central moments with the IDENTICAL double
+    expression tree in both engines. The builtins are deliberately
+    avoided: Spark's skewness/kurtosis and DuckDB's differ in bias
+    convention (population vs sample corrections) AND in accumulation
+    scheme, so their outputs are not cross-engine comparable — raw
+    integer sums are, under any partial-aggregation split, because
+    integer addition is associative. This is the same exactness
+    doctrine as the cents lane, one level up the moment ladder.
+
+    Scale posture: ONE map-side-combined aggregate carrying 5 integer
+    accumulators per group; per-row q⁴ ≤ 6.25e6 so even 10^12-row
+    groups fit decimal accumulators (here longs suffice and stay in
+    codegen). Everything after is 3-row arithmetic."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round("l_quantity").cast("long").alias("q")
+    )
+    q = F.col("q")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    sk = lambda k: F.col(f"s{k}").cast("double") / F.col("n")  # noqa: E731
+    m2 = sk(2) - mean * mean
+    m3 = sk(3) - 3 * mean * sk(2) + 2 * mean * mean * mean
+    m4 = sk(4) - 4 * mean * sk(3) + 6 * mean * mean * sk(2) - 3 * mean * mean * mean * mean
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_excess"),
+    )
+
+
+@register(
+    "q_agg_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend),
+    s AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(i * x)::BIGINT AS six
+      FROM ranked)
+    SELECT n, sx AS total_cents,
+           round((2.0 * six) / (n::DOUBLE * sx) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    category="aggregate",
+)
+def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration — the
+    inequality measure a curation pipeline uses on SOURCE contribution
+    (is 90% of the corpus coming from 2 domains?) and an ops team uses
+    on tenant load. Computed by the rank formula G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n over ascending per-customer integer-cents totals with a
+    total order (spend, custkey), so Σ(i·x) is an exact BIGINT and the
+    two final divides are the identical IEEE ops in both engines.
+
+    Scale posture: one aggregate to per-key totals, one global-order
+    rank over the KEY table (customers, not orders — at 100 TB this is
+    the |keys|-sized range-partitioned sort that q_sort_limit's
+    machinery handles; the fact table never sorts), then a 3-counter
+    fold."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(to_units(F.col("o_totalprice"), 100)).alias("x"))
+    )
+    from pyspark.sql import Window
+
+    ranked = spend.select(
+        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return s.select(
+        "n",
+        F.col("sx").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("six")) / (F.col("n").cast("double") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
