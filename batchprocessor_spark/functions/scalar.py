@@ -519,7 +519,7 @@ def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe try_* family: try_divide (NULL on zero divisor, never
     a runtime error or an Inf), try_cast (NULL on malformed input —
-    '1-URGENT' fails, its first digit parses), try_multiply (NULL on
+    '1-URGENT' fails as a whole, its first digit parses), try_multiply (NULL on
     64-bit overflow). This is the error-containment surface a 100 TB
     job needs: under ANSI mode one poisoned row kills a 6-hour stage;
     the try_ forms quarantine it as a NULL you can route to a DLQ
@@ -535,7 +535,7 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.try_divide(cents, (F.col("o_orderkey") % 3).cast("long")).alias("per_unit"),
-        F.try_to_number("o_orderpriority", F.lit("999999")).cast("long").alias("prio_num"),
+        F.col("o_orderpriority").try_cast("long").alias("prio_num"),
         F.substring("o_orderpriority", 1, 1).try_cast("long").alias("prio_digit"),
         F.try_multiply(F.lit(2).cast("long"), cents).alias("dbl_cents"),
     )

@@ -1385,10 +1385,11 @@ def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend),
     s AS (
       SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-             sum(i * x)::BIGINT AS six
+             sum(i::HUGEINT * x::HUGEINT) AS six
       FROM ranked)
     SELECT n, sx AS total_cents,
-           round((2.0 * six) / (n::DOUBLE * sx) - (n + 1.0) / n, 6) AS gini
+           round((2.0 * six::DOUBLE) / (n::DOUBLE * sx::DOUBLE)
+                 - (n + 1.0) / n, 6) AS gini
     FROM s
     """,
     category="aggregate",
@@ -1402,11 +1403,19 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order (spend, custkey), so Σ(i·x) is an exact BIGINT and the
     two final divides are the identical IEEE ops in both engines.
 
-    Scale posture: one aggregate to per-key totals, one global-order
-    rank over the KEY table (customers, not orders — at 100 TB this is
-    the |keys|-sized range-partitioned sort that q_sort_limit's
-    machinery handles; the fact table never sorts), then a 3-counter
-    fold."""
+    Scale posture: one aggregate to per-key totals, then the global
+    rank is a TWO-PHASE distributed prefix count over the KEY table
+    (the pack_by_cumsum shape, sampling.py:214): range-repartition on
+    (x, custkey), pin the assignment (localCheckpoint — range
+    partitioning is sampling-based, so two jobs could otherwise
+    disagree), per-partition counts to the driver (model-sized offset
+    table), partition-LOCAL row_number + broadcast offset. No single
+    task ever holds the whole key table — an unpartitioned
+    row_number() window would. The rank is a pure function of the
+    data (boundaries only move rows between partitions, never change
+    a key's global rank). Σ(i·x) accumulates in decimal(38,0)/HUGEINT
+    — it grows ~n²·x̄ and overflows BIGINT around SF 2; the double
+    conversion happens once per GROUP, after the exact sum."""
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1414,19 +1423,42 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    ranked = spend.select(
-        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
+    parted = (
+        spend.repartitionByRange(16, "x", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
+    counts = {
+        r.pid: r.cnt
+        for r in parted.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        ),
+        F.col("pid"),
+    )
+    local = F.row_number().over(
+        Window.partitionBy("pid").orderBy("x", "o_custkey")
+    )
+    ranked = parted.select("x", (local + off).cast("long").alias("i"))
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+        # Cast BEFORE the multiply: the per-row product itself can
+        # exceed long range once ranks reach ~10^11.
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
     )
     return s.select(
         "n",
         F.col("sx").alias("total_cents"),
         F.round(
-            (2.0 * F.col("six")) / (F.col("n").cast("double") * F.col("sx"))
+            (2.0 * F.col("six").cast("double"))
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
             - (F.col("n") + 1.0) / F.col("n"),
             6,
         ).alias("gini"),

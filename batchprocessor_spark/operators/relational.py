@@ -713,25 +713,27 @@ def q_layout_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("o_year"),
     )
     loc = tempfile.mkdtemp(prefix="bp_dynow_")
-    path = f"{loc}/orders_by_year"
-    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
-    fixed_1996 = o.where(
-        (F.col("o_year") == 1996) & (F.col("o_orderstatus") != "F")
-    )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        fixed_1996.write.mode("overwrite").partitionBy("o_year").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    out = (
-        spark.read.parquet(path)
-        .groupBy(F.col("o_year").cast("int").alias("o_year"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(to_units(F.col("o_totalprice"), 100)).alias("cents"),
+        path = f"{loc}/orders_by_year"
+        o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+        fixed_1996 = o.where(
+            (F.col("o_year") == 1996) & (F.col("o_orderstatus") != "F")
         )
-    )
-    rows = out.collect()  # freeze before the scratch dir is removed
-    shutil.rmtree(loc, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            fixed_1996.write.mode("overwrite").partitionBy("o_year").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out = (
+            spark.read.parquet(path)
+            .groupBy(F.col("o_year").cast("int").alias("o_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(to_units(F.col("o_totalprice"), 100)).alias("cents"),
+            )
+        )
+        rows = out.collect()  # freeze before the scratch dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)

@@ -1391,7 +1391,14 @@ def q_llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select("vec_id", "q", dot(F.col("q"), F.col("qq")).alias("rel"))
     )
-    cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL)
+    # Materialize the 20-row head once: cand feeds BOTH sides of the
+    # sim self-join and the rels collect — without this the embeddings
+    # scan + TakeOrdered would run three times.
+    cand = (
+        rel.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
     a = cand.select(F.col("vec_id").alias("v1"), F.col("q").alias("q1"))
     b = cand.select(F.col("vec_id").alias("v2"), F.col("q").alias("q2"))
     sims = (

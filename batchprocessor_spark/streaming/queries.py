@@ -380,6 +380,40 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema) if rows else result
 
 
+
+def _click_purchase_join(stream, how: str):
+    """Shared clicks⋈purchases construction for the stream-stream join
+    twins (inner q_stream_stream_join / outer q_stream_join_outer):
+    same watermarks (30 min), same 1-hour preceding-click range
+    predicate, same output columns — only the join type differs, so
+    the two queries cannot drift apart."""
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        how,
+    ).select("purchase_id", "click_id", "p_user")
+
+
 @register(
     "q_stream_stream_join",
     oracle="""
@@ -400,32 +434,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent batch join — asserted in tests/test_stateful.py AND by
     the SQL oracle (an inner stream-stream join emits every match; the
     watermark bounds state, never the drained result)."""
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "30 minutes")
-    )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "30 minutes")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-    ).select("purchase_id", "click_id", "p_user")
+    joined = _click_purchase_join(_events_stream(spark, sf_dir), "inner")
     return run_to_memory(joined, output_mode="append")
 
 
@@ -833,31 +842,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    clicks = (
-        stream.where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "30 minutes")
-    )
-    purchases = (
-        stream.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "30 minutes")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
-    ).select("purchase_id", "click_id", "p_user")
+    joined = _click_purchase_join(stream, "leftOuter")
     out = run_to_memory(joined, output_mode="append")
     rows = out.where(F.col("p_user") >= 0).collect()
     shutil.rmtree(tmp, ignore_errors=True)
