@@ -395,3 +395,91 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
+
+
+# Synchronous label-propagation rounds (declared semantics, like
+# k-core's fixed peel count).
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        "ed AS (SELECT d1 AS v, d2 AS w FROM e UNION ALL SELECT d2, d1 FROM e)",
+        "l0 AS (SELECT DISTINCT v, v AS lab FROM ed)",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""c{r} AS (
+      SELECT ed.v, l.lab, count(*)::BIGINT AS cnt
+      FROM ed JOIN l{r-1} l ON l.v = ed.w
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""l{r} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY cnt DESC, lab ASC) AS rn
+        FROM c{r}) WHERE rn = 1)"""
+        )
+    return (
+        f"WITH {_EDGE_SQL},\n"
+        + ",\n    ".join(parts)
+        + f""",
+    sizes AS (
+      SELECT lab AS community, count(*)::BIGINT AS n_members
+      FROM l{_LPA_ROUNDS} GROUP BY lab)
+    SELECT community, n_members FROM sizes WHERE n_members >= 2"""
+    )
+
+
+@register("q_graph_label_propagation", oracle=_lpa_oracle(), category="graph")
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan-Albert-Kumara) over the ε-graph: every vertex starts as
+    its own label, and each of 3 synchronous rounds re-labels every
+    vertex with the MOST FREQUENT label among its neighbors
+    (deterministic count-desc, label-asc tie-break — the classic LPA
+    coin-flip tie is the one thing a cross-engine hash gate cannot
+    tolerate). Distinct from connected components (q_llm_dedup_clusters
+    converges to per-component minima): LPA splits a component into
+    densely-knit regions — the "which documents form a topical clique
+    inside this near-dup blob" signal. Emits community sizes (≥2).
+
+    Round count is declared semantics (synchronous LPA need not
+    converge — it can oscillate on bipartite structures; a fixed
+    round budget is standard practice and what the unrolled-CTE
+    oracle replays). Per round: ONE edge⋈label equi-join, a
+    (vertex, label) count, and a per-vertex argmax window over
+    label-cardinality rows. localCheckpoint per round truncates the
+    growing join lineage (the BFS/k-core discipline).
+
+    Scale posture: the join shuffles the edge list on the neighbor
+    key each round (AQE-splittable; a hot vertex contributes rows to
+    ONE group per neighbor label); the argmax window partitions by
+    vertex — |V|-keyed, never global."""
+    edges = _eps_edges(spark, sf_dir).localCheckpoint(eager=True)
+    ed = edges.select(F.col("d1").alias("v"), F.col("d2").alias("w")).unionAll(
+        edges.select(F.col("d2").alias("v"), F.col("d1").alias("w"))
+    )
+    from pyspark.sql import Window
+
+    labels = ed.select("v").distinct().select("v", F.col("v").alias("lab"))
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            ed.join(labels.select(F.col("v").alias("w"), "lab"), "w")
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        win = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lab").asc())
+        labels = (
+            counted.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )

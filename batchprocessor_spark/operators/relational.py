@@ -737,3 +737,55 @@ def q_layout_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "q_sql_promo_share",
+    oracle="""
+    WITH j AS (
+      SELECT round(l.l_extendedprice * 100)::BIGINT
+               * (100 - round(l.l_discount * 100)::BIGINT) AS rev_u,
+             (p.p_type LIKE 'STANDARD%') AS is_std
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l.l_shipdate < TIMESTAMP '1996-10-01')
+    SELECT count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN is_std THEN rev_u ELSE 0 END)::BIGINT AS std_rev_u,
+           sum(rev_u)::BIGINT AS total_rev_u,
+           ((10000 * sum(CASE WHEN is_std THEN rev_u ELSE 0 END))
+              // sum(rev_u))::BIGINT AS std_share_bp
+    FROM j
+    """,
+    category="scan",
+)
+def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion-revenue share; the fixture's part
+    types are STANDARD/ECONOMY/etc., so 'STANDARD%' plays PROMO's
+    role) through the pure SQL front end: one ship-month of lineitem
+    joined to part, conditional revenue share of the matching type
+    class. The plan this must make: the date conjunction pushed into
+    the fact scan (one month read, not seven years), part BROADCAST
+    (it is the dimension), and ONE conditional aggregate — no second
+    pass for the numerator. Revenue in the exact 1e-4-dollar lane;
+    the share emitted in integer basis points via DIV so the ratio
+    cannot drift cross-engine."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH j AS (
+          SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_u,
+                 (p.p_type LIKE 'STANDARD%') AS is_std
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+            AND l.l_shipdate < TIMESTAMP '1996-10-01')
+        SELECT count(*) AS n_lines,
+               sum(CASE WHEN is_std THEN rev_u ELSE 0 END) AS std_rev_u,
+               sum(rev_u) AS total_rev_u,
+               CAST((10000 * sum(CASE WHEN is_std THEN rev_u ELSE 0 END))
+                    DIV sum(rev_u) AS BIGINT) AS std_share_bp
+        FROM j
+        """
+    )

@@ -583,3 +583,11 @@ def test_ignore_nulls_single_exchange(spark):
     exchange (same partitioning, frames differ)."""
     plan = plan_of(spark, "q_win_ignore_nulls")
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_sql_q14_twin_broadcasts_part_and_pushes_month(spark):
+    """The Q14-shape twin must read ONE ship-month (date conjunction
+    in PushedFilters) and broadcast the part dimension."""
+    plan = plan_of(spark, "q_sql_promo_share")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0], plan
