@@ -1463,3 +1463,96 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_agg_winsorized_mean",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS cents
+      FROM lineitem),
+    ranked AS (
+      SELECT l_returnflag, cents,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM c),
+    ks AS (
+      SELECT l_returnflag,
+             max(n)::BIGINT AS n,
+             ((max(n) * 5) // 100 + 1)::BIGINT AS klo,
+             (max(n) - (max(n) * 5) // 100)::BIGINT AS khi
+      FROM ranked GROUP BY 1),
+    ordered AS (
+      SELECT l_returnflag, cents,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cents) AS r
+      FROM c),
+    th AS (
+      SELECT o.l_returnflag, max(k.n) AS n,
+             max(CASE WHEN o.r = k.klo THEN o.cents END) AS lo_c,
+             max(CASE WHEN o.r = k.khi THEN o.cents END) AS hi_c
+      FROM ordered o JOIN ks k USING (l_returnflag)
+      GROUP BY 1)
+    SELECT c.l_returnflag, max(th.n) AS n, max(th.lo_c) AS lo_c,
+           max(th.hi_c) AS hi_c,
+           sum(least(greatest(c.cents, th.lo_c), th.hi_c))::BIGINT
+             AS winsorized_sum_c,
+           (sum(least(greatest(c.cents, th.lo_c), th.hi_c))
+              // max(th.n))::BIGINT AS winsorized_mean_c
+    FROM c JOIN th ON th.l_returnflag = c.l_returnflag
+    GROUP BY c.l_returnflag
+    """,
+    category="aggregate",
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group — the robust location estimate a DQ
+    pipeline uses when trimming is too lossy: every price below the
+    5th-percentile RANK is clamped up to it, everything above the
+    95th clamped down, then a plain mean. The clamp thresholds are
+    RANK-based order statistics (k = ⌊0.05·n⌋+1 from each end), NOT
+    interpolated quantiles — an interpolated threshold is a float
+    whose last-ulp placement could differ cross-engine and flip rows
+    sitting exactly on it; the k-th smallest integer cents value
+    cannot.
+
+    Scale posture: thresholds come from exact_kth_units — the
+    iterative-histogram distributed selection (no sort, no per-group
+    value buffering, 3-4 passes; aggregates.py:458) — then ONE
+    broadcast of the (group, lo, hi) table and one clamped
+    map-side-combined sum. The oracle states the same ranks with
+    OFFSET subqueries (fixture-sized; the selection kernel is the
+    scale path). Integer cents end-to-end; the mean is DIV-floored."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", to_units(F.col("l_extendedprice"), 100).alias("cents")
+    )
+    counts = {r[0]: r[1] for r in l.groupBy("l_returnflag").count().collect()}
+    ks = {}
+    for gv, n in counts.items():
+        ks[(gv, 1)] = n * 5 // 100 + 1      # lower clamp rank
+        ks[(gv, 2)] = n - n * 5 // 100      # upper clamp rank
+    vals = exact_kth_units(l, "l_returnflag", "cents", ks)
+    th = spark.createDataFrame(
+        [
+            (gv, counts[gv], vals[(gv, 1)], vals[(gv, 2)])
+            for gv in sorted(counts)
+        ],
+        "l_returnflag STRING, n BIGINT, lo_c BIGINT, hi_c BIGINT",
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo_c")), F.col("hi_c"))
+    return (
+        l.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("lo_c").alias("lo_c"),
+            F.max("hi_c").alias("hi_c"),
+            F.sum(clamped).alias("winsorized_sum_c"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "lo_c",
+            "hi_c",
+            "winsorized_sum_c",
+            F.expr("winsorized_sum_c div n").cast("long").alias("winsorized_mean_c"),
+        )
+    )
