@@ -1179,3 +1179,70 @@ def q_llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "novel_ngrams",
         F.expr("(10000 * novel_ngrams) div n_ngrams").cast("long").alias("novelty_bp"),
     )
+
+
+# Hashing-trick geometry: 16 feature buckets, sign from an independent
+# hash bit (Weinberger et al. 2009 — the sign makes collision noise
+# zero-mean instead of additive).
+_FHASH_B = 16
+
+
+@register(
+    "q_llm_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+      WHERE length(w) >= 3),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('fh:' || w), 1, 8))::BIGINT % {_FHASH_B}
+               AS bucket,
+             CASE WHEN ('0x' || substring(md5('fs:' || w), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks)
+    SELECT doc_id, bucket,
+           count(*)::BIGINT AS n_tokens,
+           sum(sgn)::BIGINT AS feature_val
+    FROM hashed GROUP BY 1, 2
+    """,
+    category="text",
+)
+def q_llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al.): every
+    token maps to one of 16 feature buckets by a seeded hash, with a
+    SIGN drawn from an independent hash bit so colliding tokens cancel
+    in expectation instead of stacking — the constant-memory
+    featurizer that turns unbounded vocabularies into fixed-width
+    model inputs with NO vocabulary table, no fit step, and no
+    train/serve skew (the hash IS the vocabulary). Output is the
+    long-form sparse vector (doc, bucket, signed value + raw token
+    count).
+
+    Exactness: both hashes are the engine-agnostic md5 idiom
+    (dedup.py:984), counts and signed sums are integers — the oracle
+    replays the featurizer bit-for-bit.
+
+    Scale posture: tokenize → hash → ONE map-side-combined aggregate
+    on (doc, bucket); state per doc is ≤16 cells regardless of
+    vocabulary, the same bounded-state argument as the count-min grid
+    (q_sketch_countmin) applied per-row-group. No vocabulary
+    broadcast, no OOV handling, ever."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w") >= 3)
+    )
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("w"))), 1, 8), 16, 10
+    ).cast("long")
+    hashed = toks.select(
+        "doc_id",
+        (h("fh:") % _FHASH_B).alias("bucket"),
+        F.when(h("fs:") % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("sgn").alias("feature_val"),
+    )
