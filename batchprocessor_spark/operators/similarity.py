@@ -1425,3 +1425,105 @@ def q_llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "rank BIGINT, vec_id BIGINT, rel BIGINT, mmr BIGINT"
     )
+
+
+def _eval_metrics_oracle() -> str:
+    from batchprocessor_spark.plans.registry import REGISTRY
+
+    preds = REGISTRY["q_ml_knn_classify"].oracle
+    return f"""
+    WITH preds AS ({preds}),
+    classes AS (
+      SELECT DISTINCT true_label AS lab FROM preds
+      UNION SELECT DISTINCT pred_label FROM preds),
+    m AS (
+      SELECT c.lab,
+             (SELECT count(*) FROM preds
+              WHERE true_label = c.lab AND pred_label = c.lab)::BIGINT AS tp,
+             (SELECT count(*) FROM preds
+              WHERE pred_label = c.lab AND true_label <> c.lab)::BIGINT AS fp,
+             (SELECT count(*) FROM preds
+              WHERE true_label = c.lab AND pred_label <> c.lab)::BIGINT AS fn
+      FROM classes c)
+    SELECT lab AS label, tp, fp, fn,
+           (CASE WHEN tp + fp > 0 THEN (10000 * tp) // (tp + fp) END)::BIGINT
+             AS precision_bp,
+           (CASE WHEN tp + fn > 0 THEN (10000 * tp) // (tp + fn) END)::BIGINT
+             AS recall_bp,
+           (CASE WHEN tp > 0 THEN
+              (2 * ((10000 * tp) // (tp + fp)) * ((10000 * tp) // (tp + fn)))
+                // (((10000 * tp) // (tp + fp)) + ((10000 * tp) // (tp + fn)))
+            END)::BIGINT AS f1_bp
+    FROM m
+    """
+
+
+@register("q_ml_eval_metrics", oracle=_eval_metrics_oracle(), category="ml")
+def q_ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class classifier evaluation — confusion counts and
+    precision/recall/F1 over the k-NN weak-labeler's predictions
+    (q_ml_knn_classify): the model-quality ledger every labeling
+    pipeline publishes next to its outputs. Composes the registered
+    prediction query unchanged (the oracle nests the SAME prediction
+    SQL as a CTE, so the two stay in lockstep by construction).
+
+    Exactness: the confusion cells are integer counts; precision,
+    recall and the F1 harmonic mean are integer basis points built
+    ONLY from integer DIV (F1 from the already-floored p and r —
+    stated definition, both engines replay it). Zero-support guards
+    emit NULL, canonicalized identically.
+
+    Scale posture: predictions are qid-sized; the metric table is one
+    conditional aggregate per confusion role joined on the class list
+    — class-cardinality rows, trivial at any scale. The expensive
+    half (prediction) keeps its own documented shape."""
+    preds = q_ml_knn_classify(spark, sf_dir).select("true_label", "pred_label")
+    preds = preds.localCheckpoint(eager=True)  # one prediction pass, three views
+    classes = (
+        preds.select(F.col("true_label").alias("lab"))
+        .union(preds.select(F.col("pred_label").alias("lab")))
+        .distinct()
+    )
+    tp = (
+        preds.filter(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("lab"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    fp = (
+        preds.filter(F.col("true_label") != F.col("pred_label"))
+        .groupBy(F.col("pred_label").alias("lab"))
+        .agg(F.count(F.lit(1)).alias("fp"))
+    )
+    fn = (
+        preds.filter(F.col("true_label") != F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("lab"))
+        .agg(F.count(F.lit(1)).alias("fn"))
+    )
+    m = (
+        classes.join(tp, "lab", "left")
+        .join(fp, "lab", "left")
+        .join(fn, "lab", "left")
+        .select(
+            "lab",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    p = F.expr("CASE WHEN tp + fp > 0 THEN (10000 * tp) div (tp + fp) END")
+    r = F.expr("CASE WHEN tp + fn > 0 THEN (10000 * tp) div (tp + fn) END")
+    f1 = F.expr(
+        "CASE WHEN tp > 0 THEN"
+        " (2 * ((10000 * tp) div (tp + fp)) * ((10000 * tp) div (tp + fn)))"
+        " div (((10000 * tp) div (tp + fp)) + ((10000 * tp) div (tp + fn)))"
+        " END"
+    )
+    return m.select(
+        F.col("lab").alias("label"),
+        "tp",
+        "fp",
+        "fn",
+        p.cast("long").alias("precision_bp"),
+        r.cast("long").alias("recall_bp"),
+        f1.cast("long").alias("f1_bp"),
+    )
