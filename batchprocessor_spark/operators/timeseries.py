@@ -1200,3 +1200,99 @@ def q_ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mom_bp"),
     )
+
+
+@register(
+    "q_ts_acf",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+    grid AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY)) AS d),
+    rev AS (SELECT d, sum(cents)::BIGINT AS c FROM b GROUP BY d),
+    s AS (SELECT g.d, coalesce(r.c, 0)::BIGINT AS x
+          FROM grid g LEFT JOIN rev r ON r.d = g.d),
+    lags AS (SELECT unnest([1, 2, 7, 14])::BIGINT AS lag_d),
+    joined AS (
+      SELECT l.lag_d, a.x, b2.x AS y
+      FROM lags l
+      JOIN s a ON TRUE
+      JOIN s b2 ON b2.d = a.d + to_days(l.lag_d::INT)),
+    m AS (
+      SELECT lag_d, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x::HUGEINT * y::HUGEINT) AS sxy,
+             sum(x::HUGEINT * x::HUGEINT) AS sxx,
+             sum(y::HUGEINT * y::HUGEINT) AS syy
+      FROM joined GROUP BY lag_d)
+    SELECT lag_d, n,
+           round((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+                 / (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+                    * sqrt((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)),
+                 6) AS acf
+    FROM m
+    """,
+    category="timeseries",
+)
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the DAILY revenue series at lags 1, 2, 7 and
+    14 days — the seasonality detector (a lag-7 spike says the series
+    has weekly structure; the forecasting/anomaly stack conditions on
+    it). The series is densified onto the full daily grid (missing
+    days are genuine zeros, not gaps), so lag alignment is positional
+    in TIME — the q_ts_cross_correlation discipline applied to a
+    series against itself at horizon lags.
+
+    Exactness: the five moment sums are exact integers (decimal
+    accumulators — daily cents reach ~1e9 and squared products
+    ~1e18·days overflow BIGINT well inside real retention windows),
+    and Pearson r is one identical float expression over them,
+    rounded at 6.
+
+    Scale posture: one aggregate to the |days|-row series, one
+    broadcast of the 4-row lag table, an equi-join on the shifted
+    day, a 4-group aggregate. The fact table is scanned once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        to_units(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    bounds = o.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    rev = o.groupBy("d").agg(F.sum("cents").alias("c"))
+    s = grid.join(rev, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (7,), (14,)], "lag_d BIGINT")
+    s2 = s.select(F.col("d").alias("dp"), F.col("x").alias("y"))
+    joined = s.crossJoin(F.broadcast(lags)).join(
+        s2,
+        F.col("dp") == F.col("d") + F.expr("make_interval(0, 0, 0, lag_d)"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = joined.groupBy("lag_d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    num = (dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    d1 = (dec(F.col("n")) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))).cast(
+        "double"
+    )
+    d2 = (dec(F.col("n")) * F.col("syy") - dec(F.col("sy")) * dec(F.col("sy"))).cast(
+        "double"
+    )
+    return m.select(
+        "lag_d", "n", F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("acf")
+    )
