@@ -591,3 +591,13 @@ def test_sql_q14_twin_broadcasts_part_and_pushes_month(spark):
     plan = plan_of(spark, "q_sql_promo_share")
     assert "BroadcastHashJoin" in plan, plan
     assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0], plan
+
+
+def test_gini_rank_is_partition_local(spark):
+    """The Gini rank must be the two-phase shape: a pid-partitioned
+    window (partition-LOCAL row_number over the range-repartitioned
+    key table), never an unpartitioned global-order window. The only
+    SinglePartition exchange allowed is the final 1-row fold."""
+    plan = plan_of(spark, "q_agg_gini_concentration")
+    assert "Exchange hashpartitioning(pid" in plan, plan
+    assert "windowspecdefinition(pid" in plan, plan
