@@ -143,24 +143,68 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx", oracle=None, category="aggregate")
+@register(
+    "q_agg_approx",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS distinct_parts,
+           TRUE AS approx_ok,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+           TRUE AS pct_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregate",
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate count-distinct (HyperLogLog++). Sketch results are
-    engine-specific, so the driver records a rows-only check; the
-    companion pytest asserts the estimate is within 5% of exact."""
+    """Approximate count-distinct (HyperLogLog++) + approx_percentile
+    (KLL-style rank sketch). The sketch ESTIMATES are engine-specific,
+    so — like q_agg_hll_rollup / q_agg_approx_pct — the DERIVED
+    projection carries the value oracle: exact distinct counts and
+    exact interpolated percentiles are the checked columns, and the
+    sketch estimates fold into boolean in-bounds flags (HLL within its
+    configured 2×rsd; percentile estimates within a ±2%-rank value
+    band around the exact quantile). The oracle emits literal TRUE for
+    both flags, so a drifting sketch breaks the driver hash instead of
+    hiding behind a rows-only check. The companion pytest additionally
+    pins the raw HLL estimate within 5% of exact."""
     pcts = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
-    return (
+    # ±2%-rank band expressed in value space: exact quantiles at
+    # p−0.02 / p+0.02 bound the admissible estimate. accuracy=1000
+    # gives ≈0.1% rank error, so the band is ~20× slack — the flag
+    # catches a broken sketch, not benign implementation drift.
+    bounds = F.expr(
+        "percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))"
+    )
+    agg = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.03).alias("approx_parts"),
-            # accuracy 1000 ≈ 0.1% rank error — plenty, and ~10× less
-            # memory/merge cost than the 10000 default-ish setting.  One
-            # sketch pass, unpacked to scalar columns (array columns choke
-            # order-insensitive result canonicalizers downstream).
-            F.element_at(pcts, 1).alias("p50_price"),
-            F.element_at(pcts, 2).alias("p95_price"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.03).alias("_approx"),
+            F.element_at(pcts, 1).alias("_a50"),
+            F.element_at(pcts, 2).alias("_a95"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2).alias("p95_price"),
+            F.element_at(bounds, 1).alias("_lo50"),
+            F.element_at(bounds, 2).alias("_hi50"),
+            F.element_at(bounds, 3).alias("_lo95"),
+            F.element_at(bounds, 4).alias("_hi95"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "distinct_parts",
+        (
+            F.abs(F.col("_approx") - F.col("distinct_parts"))
+            <= 0.06 * F.col("distinct_parts")  # 2× the configured rsd
+        ).alias("approx_ok"),
+        "p50_price",
+        "p95_price",
+        (
+            F.col("_a50").between(F.col("_lo50"), F.col("_hi50"))
+            & F.col("_a95").between(F.col("_lo95"), F.col("_hi95"))
+        ).alias("pct_ok"),
     )
 
 
