@@ -36,7 +36,11 @@ def _canon(v):
         ts = pd.Timestamp(v)
         if ts.tzinfo is not None:
             ts = ts.tz_convert("UTC").tz_localize(None)
-        return ts.to_pydatetime()
+        # to_pydatetime() silently truncates to µs; keep the Timestamp
+        # when sub-µs components exist so a ns-level mismatch is a
+        # reported diff, not a hidden truncation (Timestamp == datetime
+        # comparisons are exact across the two representations).
+        return ts if ts.nanosecond else ts.to_pydatetime()
     if isinstance(v, datetime.date):
         return v
     if hasattr(v, "tolist") and getattr(v, "ndim", 0):  # numpy array
@@ -73,8 +77,16 @@ def _fast_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool | None:
             if str(dt).startswith("datetime64"):
                 s = df[c]
                 if getattr(s.dt, "tz", None) is not None:
-                    df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
-                df[c] = df[c].astype("datetime64[us]")
+                    s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+                cast = s.astype("datetime64[us]")
+                # If the [us] cast truncated anything (sub-microsecond
+                # components, e.g. a ns-typed DuckDB result), this path
+                # can no longer prove equality — fall back to the
+                # canonical comparison instead of comparing truncated
+                # values (ADVICE r4: never hide a ns-level mismatch).
+                if not cast.astype(s.dtype).equals(s):
+                    return None
+                df[c] = cast
             elif np.issubdtype(dt, np.integer):
                 df[c] = df[c].astype("int64")
             elif np.issubdtype(dt, np.floating):
