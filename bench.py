@@ -15,6 +15,7 @@ are comparable.
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -108,9 +109,73 @@ def run_once(spark, builder, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _sf_of(sf_dir: str) -> float:
+    return float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+
+def scaling_curve(
+    spark, registry, main_sf_dir: str, timings: dict[str, float]
+) -> dict:
+    """Empirical scaling exponents (VERDICT r4 #3): time each headline
+    query at every on-disk SF below the main one and fit log(t) vs
+    log(sf).  Two slopes are reported per query:
+
+    - ``slope``: least-squares fit over all measured SFs.  At tiny SFs
+      fixed per-query overhead (job scheduling, ~0.1-0.3 s) dominates,
+      which biases this fit BELOW the true data-scaling exponent — a
+      flat-looking slope is expected and fine.
+    - ``slope_last``: the log-log slope of the LAST segment
+      (sf0.01 → sf0.1), the least overhead-contaminated point pair and
+      the one the >1.3 superlinear flag is judged on.  ≈1.0 = linear.
+
+    A query whose candidate generation is accidentally quadratic in
+    data size shows slope_last → 2 here even when every plan gate
+    passes (output-size blowups are invisible to plan-shape checks)."""
+    sibling_root = os.path.dirname(main_sf_dir.rstrip("/"))
+    main_sf = _sf_of(main_sf_dir)
+    lower = sorted(
+        (
+            (_sf_of(os.path.join(sibling_root, d)), os.path.join(sibling_root, d))
+            for d in os.listdir(sibling_root)
+            if d.startswith("sf")
+            and os.path.isdir(os.path.join(sibling_root, d))
+            and _sf_of(os.path.join(sibling_root, d)) < main_sf
+        ),
+    )
+    if not lower:
+        return {}
+    sfs = [s for s, _ in lower] + [main_sf]
+    per_query: dict[str, dict] = {
+        name: {"sec": []} for name in timings
+    }
+    for _, dir_ in lower:
+        # Warmup once per SF dir: parquet footers, first-job setup.
+        run_once(spark, registry["q_agg_basic"].builder, dir_)
+        for name in per_query:
+            runs = [run_once(spark, registry[name].builder, dir_) for _ in range(2)]
+            per_query[name]["sec"].append(round(statistics.median(runs), 3))
+    flagged = []
+    for name, rec in per_query.items():
+        rec["sec"].append(timings[name])
+        xs = [math.log10(s) for s in sfs]
+        ys = [math.log10(max(t, 1e-3)) for t in rec["sec"]]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        denom = sum((x - mx) ** 2 for x in xs)
+        rec["slope"] = round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 2
+        )
+        rec["slope_last"] = round(
+            (ys[-1] - ys[-2]) / (xs[-1] - xs[-2]), 2
+        )
+        if rec["slope_last"] > 1.3:
+            flagged.append(name)
+    return {"sfs": sfs, "per_query": per_query, "flagged_superlinear": flagged}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    sf = _sf_of(sf_dir)
     registry = load_all()
     spark = get_spark("bp-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -131,6 +196,11 @@ def main() -> None:
         runs_str = "/".join(f"{r:.3f}" for r in runs)
         print(f"# {name}: median {timings[name]:.3f}s of [{runs_str}]", file=sys.stderr)
 
+    scaling = (
+        scaling_curve(spark, registry, sf_dir, timings)
+        if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+        else {}
+    )
     cal_after = calibrate()
     scal_after = calibrate_spark(spark)
     cal = statistics.median([cal_before, cal_after])
@@ -144,6 +214,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Empirical scaling exponents across all on-disk SFs
+                # below the main one (log-log slopes; see
+                # scaling_curve docstring; slope_last > 1.3 flags
+                # superlinear growth).
+                "scaling": scaling,
                 # Ambient-load calibration: pure-python fixed work run
                 # before/after the suite; noise_factor ≈ 1.0 on a quiet
                 # host, >1 when the host is loaded — divide `value` by
