@@ -60,6 +60,15 @@ class Engine:
         self._require_sf()
         return self._registry[name].builder(self.spark, self.sf_dir)
 
+    def query_sql(self, name: str) -> DataFrame:
+        """The same registered query through the SQL front-end: runs
+        the query's Spark-SQL twin text via :meth:`sql`. Twin/builder
+        value-equality for the §2.2 contract set is pinned by
+        tests/test_sql_twins.py."""
+        from batchprocessor_spark.plans.sql_twins import spark_sql_for
+
+        return self.sql(spark_sql_for(name))
+
     def explain(self, name: str) -> str:
         return (
             self.query(name)._jdf.queryExecution().explainString(

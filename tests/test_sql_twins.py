@@ -1,0 +1,33 @@
+"""engine.sql() lifecycle proof for the SURVEY §2.2 contract set
+(VERDICT r4 #8): every contract query's Spark-SQL twin, run through a
+real ``spark.sql()`` over the registered catalog views, must be
+value-identical to the DataFrame builder's result — same check the
+oracle parity lane applies, but with Spark's OWN SQL front-end as the
+second engine instead of DuckDB."""
+
+from __future__ import annotations
+
+import pytest
+
+from batchprocessor_spark.plans.registry import load_all
+from batchprocessor_spark.plans.sql_twins import spark_sql_for
+from batchprocessor_spark.sources.catalog import register_views
+from tests.conftest import SF_ORACLE
+from tests.oracle import compare
+from tests.test_registry_order import SEC_2_2
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def views(spark):
+    register_views(spark, SF_ORACLE)
+    return spark
+
+
+@pytest.mark.parametrize("name", sorted(SEC_2_2))
+def test_sql_twin_matches_builder(views, name):
+    spark = views
+    twin_pdf = spark.sql(spark_sql_for(name)).toPandas()
+    builder_df = REGISTRY[name].builder(spark, SF_ORACLE)
+    compare(builder_df, twin_pdf, f"{name} (sql twin)")
