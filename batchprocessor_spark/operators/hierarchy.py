@@ -353,6 +353,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes_deg.select(
         "node", "outdeg", F.lit(base).cast("long").alias("pr")
     ).localCheckpoint()
+    # Track the live checkpointed frame explicitly: `ranks` itself is
+    # NOT checkpointed on the skipped rounds, so unpersisting `ranks`
+    # when the next checkpoint lands would usually be a no-op and the
+    # earlier checkpoint blocks would wait for ContextCleaner GC
+    # (ADVICE r4). Unpersist the PREVIOUS checkpoint instead.
+    last_ckpt = ranks
     for i in range(_PR_ROUNDS):
         dang = ranks.where(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("m")
@@ -390,7 +396,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2^k; every-other bounds it at one re-evaluation.
         if i % 2 == 1 or i == _PR_ROUNDS - 1:
             nxt = nxt.localCheckpoint()
-            ranks.unpersist()
+            last_ckpt.unpersist()
+            last_ckpt = nxt
         ranks = nxt
     return ranks.select("node", "pr")
 

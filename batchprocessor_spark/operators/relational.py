@@ -9,6 +9,8 @@ visible in `.explain("formatted")`).
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -648,7 +650,24 @@ def q_layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The year dim is a bounded constant table (same pattern as
     q_join_range_bands's banding table); the oracle states the
-    equivalent static filter semantics."""
+    equivalent static filter semantics.
+
+    The registered builder freezes the (tiny, aggregated) result and
+    removes the scratch copy (ADVICE r4 — mkdtemp leak per run); the
+    DPP plan gate uses partition_pruned_lazy() directly to inspect
+    the live plan before cleanup."""
+    df, loc = partition_pruned_lazy(spark, sf_dir)
+    try:
+        rows = df.collect()
+        return spark.createDataFrame(rows, df.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def partition_pruned_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """The LAZY q_layout_partition_pruned plan plus its scratch dir.
+    Caller owns cleanup (shutil.rmtree of the returned path) after
+    materializing/inspecting the plan."""
     import tempfile
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -664,11 +683,12 @@ def q_layout_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1996, "target"), (1997, "target"), (1990, "cold")],
         "y INT, tag STRING",
     ).where(F.col("tag") == "target")
-    return (
+    df = (
         fact.join(years, fact.o_year == years.y)
         .groupBy(F.col("o_year").cast("int").alias("o_year"), "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    return df, loc
 
 
 

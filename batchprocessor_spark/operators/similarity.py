@@ -367,10 +367,15 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(i, c) for i, c in enumerate(centroids)], "cid INT, cv ARRAY<DOUBLE>"
         )
     )
-    dist_sq = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Same 3-dot-product formulation, term order, and fold order as
+    # the oracle's final select (vv - 2*vc + cc) so the 2-dp-rounded
+    # sums never straddle a .005 boundary from formulation drift; the
+    # expanded form and the (a-b)^2 fold differ in the last ulps
+    # (ADVICE r4 — q_ml_kmeans_init already does this).
+    dist_sq = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
     )
     return (
         assigned.join(cdf, "cid")

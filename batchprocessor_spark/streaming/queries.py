@@ -772,24 +772,32 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"ss_inspect_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"bp_ckpt_{name}")
-    with _few_shuffle_partitions(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
+    try:
+        with _few_shuffle_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        state = spark.read.format("statestore").load(ckpt)
+        kcol = state.select("key.*").columns[0]
+        vcols = state.select("value.*").columns
+        out = state.select(
+            F.col(f"key.{kcol}").alias("event_type"),
+            F.col(f"value.{vcols[0]}").cast("long").alias("cnt"),
+            F.col(f"value.{vcols[1]}").cast("long").alias("cents"),
         )
-        q.awaitTermination(120)
-    state = spark.read.format("statestore").load(ckpt)
-    kcol = state.select("key.*").columns[0]
-    vcols = state.select("value.*").columns
-    return state.select(
-        F.col(f"key.{kcol}").alias("event_type"),
-        F.col(f"value.{vcols[0]}").cast("long").alias("cnt"),
-        F.col(f"value.{vcols[1]}").cast("long").alias("cents"),
-    )
+        # Freeze the (group-count-sized) result so the checkpoint dir
+        # can be removed — the lazy statestore read would otherwise pin
+        # it on disk for the session lifetime (ADVICE r4).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(

@@ -80,3 +80,24 @@ def test_decode_feature_probe_both_paths():
     assert (feat[6], feat[7]) == (0.0, 255.0)
     # Opaque payloads always take the fallback path.
     assert _decode_payload(b"hello world", "text/plain") == _decode_stub(b"hello world")
+
+
+def test_fixture_text_is_pure_ascii_both_sfs(spark):
+    """q_llm_multimodal_frames' oracle equates payload BYTES with
+    ascii(substr(text, i, 1)) CODEPOINTS — valid only while the
+    documents corpus is pure ASCII (byte = char = codepoint ≤ 127).
+    Pin that fixture invariant at both parity SFs so a future corpus
+    with multibyte characters fails HERE with a clear message instead
+    of as an opaque frames-parity hash mismatch (ADVICE r4)."""
+    from tests.conftest import SF_ORACLE, SF_ORACLE_BIG
+
+    for sf_dir in (SF_ORACLE, SF_ORACLE_BIG):
+        bad = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.octet_length("text") != F.length("text"))
+            .count()
+        )
+        assert bad == 0, (
+            f"{sf_dir}: {bad} documents contain non-ASCII text; the "
+            "q_llm_multimodal_frames byte/codepoint oracle no longer holds"
+        )

@@ -469,12 +469,21 @@ def test_rolling_median_single_exchange_no_python(spark):
 def test_partition_pruned_scan_has_dpp(spark):
     """q_layout_partition_pruned must show a dynamicpruning subquery in
     the fact scan's PartitionFilters — proof the year directories are
-    pruned by the joined dim at RUN time, not scanned and filtered."""
-    df = REGISTRY["q_layout_partition_pruned"].builder(spark, SF_ORACLE)
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruningexpression(" in plan, plan
-    assert "dynamicpruning#" in plan, plan
+    pruned by the joined dim at RUN time, not scanned and filtered.
+    Uses the lazy helper (the registered builder freezes its result
+    and removes the scratch copy, so its plan is a LocalTableScan)."""
+    import shutil
+
+    from batchprocessor_spark.operators.relational import partition_pruned_lazy
+
+    df, loc = partition_pruned_lazy(spark, SF_ORACLE)
+    try:
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression(" in plan, plan
+        assert "dynamicpruning#" in plan, plan
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def test_triangle_count_is_equijoin_only(spark):
