@@ -42,6 +42,42 @@ def parquet_table_sink(path: str):
     return sink
 
 
+def idempotent_parquet_sink(path: str, key_col: str):
+    """Chunk-idempotent durable sink: the output file name is the
+    sha256 of the chunk's SORTED ``key_col`` values, written
+    atomically (tmp + rename). Two invariants follow:
+
+    - **torn-write-free**: a sink call that dies before the rename
+      leaves no visible output (the ``.tmp_*`` file is ignored by any
+      ``chunk_*.parquet`` reader), so FlowController's retry — which
+      re-sends the WHOLE chunk, the reference's v2 re-publish
+      semantics (V2/Worker.java:288-300) — replaces rather than
+      appends;
+    - **replay-idempotent**: when a crashed micro-batch epoch is
+      replayed from the streaming checkpoint, a chunk that already
+      flushed before the crash maps to the SAME file name and
+      overwrites itself — at-least-once redelivery becomes
+      exactly-once output.
+
+    This is the content-addressed analogue of
+    ``exactly_once_foreach_batch``'s epoch-keyed directories for
+    FlowController-level (sub-epoch) chunks. ``key_col`` must be
+    unique per row (a primary key), which makes the sorted-key hash a
+    stable identity for the chunk regardless of row order."""
+    os.makedirs(path, exist_ok=True)
+
+    def sink(chunk: pd.DataFrame) -> None:
+        import hashlib
+
+        keys = ",".join(str(k) for k in sorted(chunk[key_col].tolist()))
+        digest = hashlib.sha256(keys.encode()).hexdigest()[:32]
+        tmp = os.path.join(path, f".tmp_{uuid.uuid4().hex}.parquet")
+        chunk.to_parquet(tmp, index=False)
+        os.replace(tmp, os.path.join(path, f"chunk_{digest}.parquet"))
+
+    return sink
+
+
 def exactly_once_foreach_batch(path: str):
     """foreachBatch handler writing each epoch to ``path/epoch=<id>/``
     atomically; a retried epoch replaces its directory instead of
