@@ -106,7 +106,9 @@ def main() -> int:
         spec = registry[name]
         q = doc["queries"].setdefault(name, {})
         for sf in sfs:
-            if args.resume and is_green(q.get(sf)):
+            # --only names are always re-checked (used to refresh
+            # records after a code change); plain --resume skips green.
+            if args.resume and not args.only and is_green(q.get(sf)):
                 continue
             q[sf] = check_one(spark, spec, SF_DIRS[sf])
             status = "PASS" if is_green(q[sf]) else "FAIL"
@@ -148,6 +150,7 @@ def _summarize(doc: dict, sfs: list[str]) -> None:
                 if q.get(sf) is not None and not is_green(q[sf])
             ],
         }
+    doc["n_queries"] = len(doc["queries"])
     doc["summary"] = {
         "per_sf": per_sf,
         "all_green": all(
