@@ -1246,3 +1246,118 @@ def q_llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("sgn").alias("feature_val"),
     )
+
+
+_COLLOC_MIN_CNT = 5
+_COLLOC_TOP_K = 20
+
+
+@register(
+    "q_text_collocation_lift",
+    oracle=f"""
+    WITH w AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    uni AS (
+      SELECT token, count(*)::BIGINT AS c1
+      FROM (SELECT unnest(ws) AS token FROM w) GROUP BY token),
+    tot AS (SELECT sum(c1)::BIGINT AS nt FROM uni),
+    big AS (
+      SELECT bigram, count(*)::BIGINT AS cxy FROM (
+        SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM w) GROUP BY bigram
+      HAVING count(*) >= {_COLLOC_MIN_CNT}),
+    btot AS (
+      SELECT sum(len(ws) - 1)::BIGINT AS nb FROM w WHERE len(ws) >= 2),
+    lifted AS (
+      SELECT b.bigram, b.cxy,
+             ((b.cxy::HUGEINT * t.nt::HUGEINT * t.nt::HUGEINT * 10000)
+              // (bt.nb::HUGEINT * u1.c1::HUGEINT * u2.c1::HUGEINT))::BIGINT
+               AS lift_bp
+      FROM big b
+      JOIN uni u1 ON u1.token = split_part(b.bigram, ' ', 1)
+      JOIN uni u2 ON u2.token = split_part(b.bigram, ' ', 2)
+      CROSS JOIN tot t CROSS JOIN btot bt),
+    ranked AS (
+      SELECT bigram, cxy, lift_bp,
+             row_number() OVER (ORDER BY lift_bp DESC, bigram) AS rnk
+      FROM lifted)
+    SELECT bigram, cxy, lift_bp, rnk FROM ranked WHERE rnk <= {_COLLOC_TOP_K}
+    """,
+    category="text",
+)
+def q_text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{20} word bigrams by LIFT —
+    P(xy) / (P(x)·P(y)), the association strength behind phrase
+    detection (PMI's exponent, kept in INTEGER basis points so both
+    engines truncate identically instead of comparing drifting logs).
+    Bigrams below {5} occurrences are pruned BEFORE any join — the
+    standard support threshold that also bounds the join input.
+
+    Scale posture: exactly TWO corpus scans (gated) — one for
+    unigram counts, one for bigram counts; both count tables are
+    vocab-sized aggregate state and are materialized once
+    (localCheckpoint, the same partial-materialization pattern as
+    q_agg_bitmap_distinct), so the corpus totals Nt = Σc1 and
+    Nb = Σcxy-unfiltered derive from the MATERIALIZED counts with no
+    re-scan. The lift join touches only the support-filtered bigrams
+    against broadcast unigram counts. The hot numerator uses
+    decimal(38) (HUGEINT on the oracle side) — cxy·Nt²·10⁴ overflows
+    int64 at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+    docs = d.select(ws.alias("ws"))
+    uni = (
+        docs.select(F.explode("ws").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    tot = uni.agg(F.sum("c1").cast("long").alias("nt"))
+    n = F.size(F.col("ws"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("ws"), 1, n - 1),
+            F.slice(F.col("ws"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigall = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .localCheckpoint(eager=True)
+    )
+    big = bigall.where(F.col("cxy") >= _COLLOC_MIN_CNT)
+    # Nb = Σ(len(ws)−1) over len≥2 docs ≡ the unfiltered bigram count
+    # total — derived from the materialized counts, not a third scan.
+    btot = bigall.agg(F.sum("cxy").cast("long").alias("nb"))
+    u1 = uni.select(F.col("token").alias("t1"), F.col("c1").alias("c1_1"))
+    u2 = uni.select(F.col("token").alias("t2"), F.col("c1").alias("c1_2"))
+    lifted = (
+        big.withColumn("t1", F.expr("split_part(bigram, ' ', 1)"))
+        .withColumn("t2", F.expr("split_part(bigram, ' ', 2)"))
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "bigram",
+            "cxy",
+            F.expr(
+                "CAST((CAST(cxy AS DECIMAL(38,0)) * nt * nt * 10000)"
+                " DIV (CAST(nb AS DECIMAL(38,0)) * c1_1 * c1_2) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lift_bp").desc(), F.col("bigram"))
+    return (
+        lifted.orderBy(F.col("lift_bp").desc(), F.col("bigram"))
+        .limit(_COLLOC_TOP_K)
+        .withColumn("rnk", F.row_number().over(w))
+    )

@@ -1098,3 +1098,236 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(left_class)
         .crossJoin(right_class)
     )
+
+
+@register(
+    "q_events_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    t AS (
+      SELECT prev AS from_type, event_type AS to_type,
+             count(*)::BIGINT AS transitions
+      FROM ordered WHERE prev IS NOT NULL
+      GROUP BY prev, event_type),
+    r AS (SELECT from_type, sum(transitions) AS row_total FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.transitions,
+           ((t.transitions * 10000) // r.row_total)::BIGINT AS share_bp
+    FROM t JOIN r ON r.from_type = t.from_type
+    """,
+    category="analytics",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: count
+    each (from_type → to_type) step along every user's event timeline
+    (total order via (ts, event_id)), with the row-conditional
+    probability in integer basis points — the sequence model behind
+    next-action prediction and funnel-drop diagnostics.
+
+    Scale posture: ONE fact scan, ONE shuffle on user_id for the lag
+    window, then an aggregate that collapses to (types × types) cells.
+    Row totals come from a window over THAT tiny aggregate — never a
+    join back that would re-scan the fact table (gated in
+    tests/test_plans.py: one parquet scan, ≤3 exchanges). The share
+    uses integer DIV so both engines truncate identically (float
+    division would make 1/3-style shares engine-rounding-dependent
+    in the last bit).
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    w_row = Window.partitionBy("from_type")
+    return t.withColumn("row_total", F.sum("transitions").over(w_row)).select(
+        "from_type",
+        "to_type",
+        "transitions",
+        F.expr("(transitions * 10000) DIV row_total").alias("share_bp"),
+    )
+
+
+@register(
+    "q_dq_referential_integrity",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem_orphan_orderkey' AS check_name,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS violations,
+             (SELECT count(*) FROM lineitem) AS total
+      UNION ALL
+      SELECT 'orders_orphan_custkey',
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'orders_duplicate_pk',
+             (SELECT count(*) FROM
+               (SELECT o_orderkey FROM orders
+                GROUP BY o_orderkey HAVING count(*) > 1)),
+             (SELECT count(*) FROM orders)
+      UNION ALL
+      SELECT 'customer_null_custkey',
+             (SELECT count(*) FROM customer WHERE c_custkey IS NULL),
+             (SELECT count(*) FROM customer))
+    SELECT check_name, violations::BIGINT AS violations,
+           total::BIGINT AS total, (violations = 0)::INT AS ok
+    FROM checks
+    """,
+    category="dq",
+)
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the DQ gate a warehouse runs
+    before publishing a snapshot: orphan foreign keys (lineitem →
+    orders, orders → customer) via LEFT ANTI joins, primary-key
+    duplication, and NOT NULL violation counts, one row per check
+    with an ok flag.
+
+    Scale posture: each orphan check is a shuffle (or broadcast,
+    AQE's choice) ANTI join — the join that stops at first match and
+    never amplifies rows; the PK check is a groupBy count filtered to
+    >1. No subquery runs per row; each check is one distributed pass
+    and the result is 4 rows regardless of input size.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def row(name: str, violations, total) -> DataFrame:
+        return violations.crossJoin(total).select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long"),
+            F.col("total").cast("long"),
+            (F.col("violations") == 0).cast("int").alias("ok"),
+        )
+
+    cnt = F.count(F.lit(1))
+    orphan_l = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+        cnt.alias("violations")
+    )
+    orphan_o = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        cnt.alias("violations")
+    )
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(cnt.alias("n"))
+        .where(F.col("n") > 1)
+        .agg(cnt.alias("violations"))
+    )
+    null_ck = c.where(F.col("c_custkey").isNull()).agg(cnt.alias("violations"))
+    l_total = l.agg(cnt.alias("total"))
+    o_total = o.agg(cnt.alias("total"))
+    c_total = c.agg(cnt.alias("total"))
+    return (
+        row("lineitem_orphan_orderkey", orphan_l, l_total)
+        .unionAll(row("orders_orphan_custkey", orphan_o, o_total))
+        .unionAll(row("orders_duplicate_pk", dup_pk, o_total))
+        .unionAll(row("customer_null_custkey", null_ck, c_total))
+    )
+
+
+@register(
+    "q_ab_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) FILTER (event_type = 'click')::BIGINT AS n1,
+             sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'click') AS sx1,
+             sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)
+               FILTER (event_type = 'click') AS sxx1,
+             count(*) FILTER (event_type = 'purchase')::BIGINT AS n2,
+             sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase') AS sx2,
+             sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase') AS sxx2
+      FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT n1, n2,
+             sx1::DOUBLE / n1 AS m1,
+             sx2::DOUBLE / n2 AS m2,
+             (sxx1::DOUBLE - (sx1::DOUBLE * sx1::DOUBLE) / n1) / (n1 - 1) AS v1,
+             (sxx2::DOUBLE - (sx2::DOUBLE * sx2::DOUBLE) / n2) / (n2 - 1) AS v2
+      FROM s)
+    SELECT n1 AS n_click, n2 AS n_purchase,
+           round(m1 / 100, 6) AS mean_click,
+           round(m2 / 100, 6) AS mean_purchase,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat
+    FROM m
+    """,
+    category="analytics",
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t statistic between click and purchase event
+    values — the A/B significance arithmetic every experimentation
+    pipeline runs, built on EXACT integer aggregates: n, Σcents and
+    Σcents² per arm are exact BIGINTs, and the float stage (means,
+    unbiased variances, the t ratio) applies the SAME sequence of
+    correctly-rounded IEEE ops (/ − * sqrt) to those identical
+    integers on both engines, so even unrounded the doubles agree
+    bit-for-bit; 6-dp rounds are a belt on top.
+
+    Scale posture: ONE fact scan, one conditional (FILTER-clause)
+    aggregate to a single row — no per-arm branch that would re-scan
+    the fact table, no join at all (gated: one parquet scan, zero
+    joins). At 100 TB the same shape computes per-experiment-arm
+    stats with a groupBy(experiment_id) over arm-conditional
+    aggregates.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "purchase"
+    s = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", cents.alias("c"))
+        .agg(
+            F.count(F.when(is1, 1)).alias("n1"),
+            F.sum(F.when(is1, F.col("c"))).alias("sx1"),
+            F.sum(F.when(is1, F.col("c") * F.col("c"))).alias("sxx1"),
+            F.count(F.when(is2, 1)).alias("n2"),
+            F.sum(F.when(is2, F.col("c"))).alias("sx2"),
+            F.sum(F.when(is2, F.col("c") * F.col("c"))).alias("sxx2"),
+        )
+    )
+    m = s.select(
+        "n1",
+        "n2",
+        (F.col("sx1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("sx2").cast("double") / F.col("n2")).alias("m2"),
+        (
+            (
+                F.col("sxx1").cast("double")
+                - (F.col("sx1").cast("double") * F.col("sx1").cast("double"))
+                / F.col("n1")
+            )
+            / (F.col("n1") - 1)
+        ).alias("v1"),
+        (
+            (
+                F.col("sxx2").cast("double")
+                - (F.col("sx2").cast("double") * F.col("sx2").cast("double"))
+                / F.col("n2")
+            )
+            / (F.col("n2") - 1)
+        ).alias("v2"),
+    )
+    return m.select(
+        F.col("n1").alias("n_click"),
+        F.col("n2").alias("n_purchase"),
+        F.round(F.col("m1") / 100, 6).alias("mean_click"),
+        F.round(F.col("m2") / 100, 6).alias("mean_purchase"),
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+            6,
+        ).alias("t_stat"),
+    )

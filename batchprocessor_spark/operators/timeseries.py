@@ -1296,3 +1296,79 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lag_d", "n", F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("acf")
     )
+
+
+@register(
+    "q_ts_resample_ohlc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hr,
+             round(value * 100)::BIGINT AS cents,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_asc,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_desc
+      FROM events)
+    SELECT event_type,
+           (epoch_us(hr) // 1000000)::BIGINT AS hour_s,
+           max(CASE WHEN rn_asc = 1 THEN cents END)::BIGINT AS open_c,
+           max(cents)::BIGINT AS high_c,
+           min(cents)::BIGINT AS low_c,
+           max(CASE WHEN rn_desc = 1 THEN cents END)::BIGINT AS close_c,
+           count(*)::BIGINT AS volume
+    FROM c GROUP BY event_type, hr
+    """,
+    category="timeseries",
+)
+def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each event-type's value series to hourly OHLC bars
+    (open/high/low/close + volume) — the canonical resampling shape
+    for metrics dashboards and financial rollups.
+
+    Open/close need the FIRST and LAST value in event-time order:
+    a total order via (ts, event_id) feeds two row_number windows
+    over the SAME (event_type, hour) partitioning, so Catalyst plans
+    ONE exchange; open/close then fall out of the bucket aggregate
+    as conditional maxes — no second scan, no self-join, no min_by
+    tie-break ambiguity (min_by/arg_min pick arbitrarily among equal
+    ordering keys; the explicit row_number tie-break is
+    engine-deterministic). Values ride the integer cents lane.
+
+    Scale posture: one shuffle on (type, hour), per-bucket state is
+    O(1), output is (types × hours) rows. At 100 TB with a
+    date-partitioned fact the exchange is partition-local.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        to_units(F.col("value"), 100).alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w_asc = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    c = e.select(
+        "event_type",
+        "hr",
+        "cents",
+        F.row_number().over(w_asc).alias("rn_asc"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    return c.groupBy("event_type", "hr").agg(
+        F.max(F.when(F.col("rn_asc") == 1, F.col("cents"))).alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.max(F.when(F.col("rn_desc") == 1, F.col("cents"))).alias("close_c"),
+        F.count(F.lit(1)).alias("volume"),
+    ).select(
+        "event_type",
+        F.unix_timestamp("hr").cast("long").alias("hour_s"),
+        "open_c",
+        "high_c",
+        "low_c",
+        "close_c",
+        "volume",
+    )

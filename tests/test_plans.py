@@ -610,3 +610,48 @@ def test_gini_rank_is_partition_local(spark):
     plan = plan_of(spark, "q_agg_gini_concentration")
     assert "Exchange hashpartitioning(pid" in plan, plan
     assert "windowspecdefinition(pid" in plan, plan
+
+
+def test_ohlc_resample_single_exchange(spark):
+    """q_ts_resample_ohlc: both row_number windows and the bucket
+    aggregate share ONE (event_type, hour) exchange — no second
+    shuffle, no self-join for open/close."""
+    plan = plan_of(spark, "q_ts_resample_ohlc")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_markov_transitions_one_scan_no_join(spark):
+    """q_events_markov_transitions: row totals come from a window over
+    the (types × types) aggregate, never a join that re-scans the
+    fact table — one parquet scan, ≤3 exchanges (user_id window →
+    pair agg → from_type window)."""
+    plan = plan_of(spark, "q_events_markov_transitions")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_welch_ttest_single_pass(spark):
+    """q_ab_welch_ttest: one conditional aggregate over ONE fact scan
+    with the arm filter pushed to parquet — no per-arm branch, no
+    join."""
+    plan = plan_of(spark, "q_ab_welch_ttest")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "In(event_type" in plan, plan
+
+
+def test_collocation_lift_materialized_counts(spark):
+    """q_text_collocation_lift: the final plan reads the MATERIALIZED
+    unigram/bigram count tables (zero parquet scans — the two corpus
+    scans happened once at build time), joins unigram counts by
+    broadcast, and the only nested-loop joins are the two 1-row
+    totals crossJoins."""
+    df = REGISTRY["q_text_collocation_lift"].builder(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
