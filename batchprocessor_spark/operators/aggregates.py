@@ -1600,3 +1600,54 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("winsorized_sum_c div n").cast("long").alias("winsorized_mean_c"),
         )
     )
+
+
+@register(
+    "q_agg_decile_summary",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             round(o_totalprice * 100)::BIGINT AS cents,
+             o_orderkey,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY round(o_totalprice * 100)::BIGINT,
+                                      o_orderkey) AS decile
+      FROM orders)
+    SELECT o_orderpriority, decile,
+           count(*)::BIGINT AS n,
+           min(cents)::BIGINT AS lo_c,
+           max(cents)::BIGINT AS hi_c,
+           sum(cents)::BIGINT AS sum_c
+    FROM c GROUP BY o_orderpriority, decile
+    """,
+    category="aggregate",
+)
+def q_agg_decile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group decile distribution summary: order values split into
+    10 equal-count buckets per priority (ntile over the exact-cents
+    total order, orderkey tie-break so bucket assignment is
+    engine-deterministic even for equal values), then count/min/max/
+    sum per bucket — the value-distribution profile a pricing or DQ
+    dashboard draws, and the exact-rank complement to the sketch
+    percentiles (q_agg_approx_pct).
+
+    Scale posture: ONE exchange on o_orderpriority feeds both the
+    ntile window and the (priority, decile) aggregate (partial agg
+    map-side); output is groups × 10 rows. ntile's remainder rule
+    (earlier buckets get the extra row) is identical in Spark and
+    DuckDB, which the parity hash verifies at both SFs."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    c = o.select(
+        "o_orderpriority",
+        to_units(F.col("o_totalprice"), 100).alias("cents"),
+        "o_orderkey",
+    ).withColumn("decile", F.ntile(10).over(w))
+    return c.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_c"),
+        F.max("cents").alias("hi_c"),
+        F.sum("cents").alias("sum_c"),
+    )

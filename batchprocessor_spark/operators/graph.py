@@ -483,3 +483,118 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") >= 2)
     )
+
+
+@register(
+    "q_graph_modularity",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    lab AS (
+      SELECT e.cust, e.supp,
+             c.c_nationkey AS ccom, s.s_nationkey AS scom
+      FROM e
+      JOIN customer c ON c.c_custkey = e.cust
+      JOIN supplier s ON s.s_suppkey = e.supp),
+    m AS (SELECT count(*)::BIGINT AS m FROM lab),
+    internal AS (
+      SELECT count(*)::BIGINT AS sum_internal
+      FROM lab WHERE ccom = scom),
+    degc AS (
+      SELECT com, sum(d) AS dc FROM (
+        SELECT ccom AS com, count(*) AS d FROM lab GROUP BY ccom, cust
+        UNION ALL
+        SELECT scom AS com, count(*) AS d FROM lab GROUP BY scom, supp)
+      GROUP BY com),
+    degsq AS (
+      SELECT count(*)::BIGINT AS n_communities,
+             sum(dc * dc)::BIGINT AS sum_deg_sq
+      FROM degc),
+    q AS (
+      SELECT m.m, i.sum_internal, d.n_communities, d.sum_deg_sq,
+             4 * m.m * i.sum_internal - d.sum_deg_sq AS num,
+             4 * m.m * m.m AS den
+      FROM m m CROSS JOIN internal i CROSS JOIN degsq d)
+    SELECT m, sum_internal, n_communities, sum_deg_sq,
+           (CASE WHEN num >= 0 THEN (10000 * num) // den
+                 ELSE -((10000 * (-num)) // den) END)::BIGINT AS q_bp
+    FROM q
+    """,
+    category="graph",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the customer–supplier trade graph under
+    the NATION partition: Q = Σ_c [e_c/m − (d_c/2m)²] — the
+    community-quality score that tells you whether an attribute (or a
+    detected community assignment, e.g. q_graph_label_propagation's)
+    actually concentrates edges. Computed EXACTLY in integers:
+    Q = (4m·Σe_c − Σd_c²) / 4m², emitted in basis points with a
+    sign-aware DIV (truncation of a negative quotient differs between
+    Spark's truncating DIV and DuckDB's flooring //, so the sign is
+    factored out first — same rule as q_ts_period_over_period).
+
+    Scale posture: ONE distinct edge build (shuffle), dimension
+    lookups broadcast, then degree/internal-edge aggregates over the
+    edge list; output is one row. Communities here are an attribute
+    label, so no iteration — plug in any label column to score a
+    detected partition the same way."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lab = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+        .join(F.broadcast(c), F.col("cust") == c.c_custkey)
+        .join(F.broadcast(s), F.col("supp") == s.s_suppkey)
+        .select(
+            "cust",
+            "supp",
+            F.col("c_nationkey").alias("ccom"),
+            F.col("s_nationkey").alias("scom"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = lab.agg(F.count(F.lit(1)).alias("m"))
+    internal = lab.where(F.col("ccom") == F.col("scom")).agg(
+        F.count(F.lit(1)).alias("sum_internal")
+    )
+    deg = (
+        lab.groupBy(F.col("ccom").alias("com"), F.col("cust").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .unionAll(
+            lab.groupBy(F.col("scom").alias("com"), F.col("supp").alias("node")).agg(
+                F.count(F.lit(1)).alias("d")
+            )
+        )
+        .groupBy("com")
+        .agg(F.sum("d").alias("dc"))
+    )
+    degsq = deg.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_deg_sq"),
+    )
+    q = (
+        m.crossJoin(internal)
+        .crossJoin(degsq)
+        .select(
+            "m",
+            "sum_internal",
+            "n_communities",
+            "sum_deg_sq",
+            (4 * F.col("m") * F.col("sum_internal") - F.col("sum_deg_sq")).alias("num"),
+            (4 * F.col("m") * F.col("m")).alias("den"),
+        )
+    )
+    return q.select(
+        "m",
+        "sum_internal",
+        "n_communities",
+        "sum_deg_sq",
+        F.expr(
+            "CAST(CASE WHEN num >= 0 THEN (10000 * num) DIV den"
+            " ELSE -((10000 * (-num)) DIV den) END AS BIGINT)"
+        ).alias("q_bp"),
+    )
