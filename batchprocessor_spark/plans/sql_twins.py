@@ -128,18 +128,51 @@ SPARK_SQL_TWINS: dict[str, str] = {
     """,
 }
 
-# DuckDB's integer-division spelling; Spark's is DIV. The oracles only
-# ever use // as an operator between parenthesized/identifier operands,
-# never inside string literals, so a token replace is exact.
+# The queries whose Spark-SQL lane is VERIFIED value-identical to the
+# DataFrame builder (tests/test_sql_twins.py) — the SURVEY §2.2
+# contract set. spark_sql_for refuses names outside it: most other
+# registered oracles use DuckDB-only functions (epoch_us, list_filter,
+# quantile_cont, ...) that would fail at runtime, and the mechanical
+# // -> DIV transform is only safe where the operands are known
+# non-negative (DuckDB // floors, Spark DIV truncates — they disagree
+# on negative quotients), which is audited per-twin, not globally.
+VERIFIED_TWINS: frozenset[str] = frozenset(
+    {
+        "q_scan_project", "q_filter_pred",
+        "q_join_inner_broadcast", "q_join_inner_sortmerge", "q_join_left",
+        "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
+        "q_join_theta_range", "q_join_asof",
+        "q_agg_basic", "q_agg_distinct", "q_agg_approx", "q_agg_rollup",
+        "q_agg_cube", "q_agg_gsets",
+        "q_win_rank", "q_win_analytic", "q_win_frame",
+        "q_sort_limit", "q_topk_per_group",
+        "q_set_union_all", "q_set_union", "q_set_intersect", "q_set_except",
+        "q_fn_string", "q_fn_date", "q_fn_math", "q_fn_array", "q_fn_json",
+        "q_dedup_exact",
+    }
+)
+
+# DuckDB's integer-division spelling; Spark's is DIV. The verified
+# oracles only ever use // between parenthesized/identifier operands
+# that are non-negative by construction (exact-cents sums), never
+# inside string literals, so the token replace is exact FOR THIS SET.
 _DIV_RE = re.compile(r"\s*//\s*")
 
 
 def spark_sql_for(name: str) -> str:
-    """The Spark-SQL text for a registered query: the hand-written twin
+    """The Spark-SQL text for a VERIFIED query: the hand-written twin
     when one exists, else the oracle text with DuckDB's ``//`` mapped
-    to Spark's ``DIV``."""
+    to Spark's ``DIV``. Raises KeyError for queries outside the
+    verified contract set — returning unvalidated dialect text would
+    be a runtime trap (review r5)."""
     if name in SPARK_SQL_TWINS:
         return SPARK_SQL_TWINS[name]
+    if name not in VERIFIED_TWINS:
+        raise KeyError(
+            f"{name} has no verified Spark-SQL twin; use Engine.query() "
+            "(the DataFrame builder) — twins exist for the SURVEY §2.2 "
+            "contract set only"
+        )
     oracle = load_all()[name].oracle
     if oracle is None:
         raise KeyError(f"{name} has no oracle and no hand-written twin")

@@ -782,7 +782,15 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            # awaitTermination returns False on timeout WITHOUT raising;
+            # reading partial state (and rmtree'ing the checkpoint under
+            # a live query in the finally) would corrupt the result, so
+            # stop the query and fail loudly instead (review r5).
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError(
+                    "q_stream_state_inspect: availableNow drain exceeded 120s"
+                )
         state = spark.read.format("statestore").load(ckpt)
         kcol = state.select("key.*").columns[0]
         vcols = state.select("value.*").columns

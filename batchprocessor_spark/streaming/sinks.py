@@ -69,8 +69,13 @@ def idempotent_parquet_sink(path: str, key_col: str):
     def sink(chunk: pd.DataFrame) -> None:
         import hashlib
 
-        keys = ",".join(str(k) for k in sorted(chunk[key_col].tolist()))
-        digest = hashlib.sha256(keys.encode()).hexdigest()[:32]
+        # Length-prefixed encoding: a bare ",".join is ambiguous when a
+        # string key itself contains the separator (['a,b'] vs
+        # ['a','b'] would collide and silently overwrite). Sorting the
+        # ENCODED strings also keeps mixed-type key columns (int+str
+        # after a schema change) from raising inside the sink.
+        encoded = sorted(f"{len(str(k))}:{k}" for k in chunk[key_col].tolist())
+        digest = hashlib.sha256("|".join(encoded).encode()).hexdigest()[:32]
         tmp = os.path.join(path, f".tmp_{uuid.uuid4().hex}.parquet")
         chunk.to_parquet(tmp, index=False)
         os.replace(tmp, os.path.join(path, f"chunk_{digest}.parquet"))

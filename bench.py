@@ -141,15 +141,18 @@ def scaling_curve(
     passes (output-size blowups are invisible to plan-shape checks)."""
     sibling_root = os.path.dirname(main_sf_dir.rstrip("/"))
     main_sf = _sf_of(main_sf_dir)
-    lower = sorted(
-        (
-            (_sf_of(os.path.join(sibling_root, d)), os.path.join(sibling_root, d))
-            for d in os.listdir(sibling_root)
-            if d.startswith("sf")
-            and os.path.isdir(os.path.join(sibling_root, d))
-            and _sf_of(os.path.join(sibling_root, d)) < main_sf
-        ),
-    )
+    lower = []
+    for d in os.listdir(sibling_root):
+        path = os.path.join(sibling_root, d)
+        if not (d.startswith("sf") and os.path.isdir(path)):
+            continue
+        try:
+            sf = _sf_of(path)
+        except ValueError:
+            continue  # stray dir like sf0.1_backup — not a scale factor
+        if sf < main_sf:
+            lower.append((sf, path))
+    lower.sort()
     if not lower:
         return {}
     sfs = [s for s, _ in lower] + [main_sf]
@@ -157,9 +160,13 @@ def scaling_curve(
         name: {"sec": []} for name in timings
     }
     for _, dir_ in lower:
-        # Warmup once per SF dir: parquet footers, first-job setup.
-        run_once(spark, registry["q_agg_basic"].builder, dir_)
         for name in per_query:
+            # Per-QUERY warmup run (not just one q_agg_basic pass):
+            # the first execution at a new SF dir pays parquet-footer
+            # and plan costs for THAT query's tables; folding it into
+            # a 2-run median would inflate the small-SF point and bias
+            # slope_last low, weakening the >1.3 detector (review r5).
+            run_once(spark, registry[name].builder, dir_)
             runs = [run_once(spark, registry[name].builder, dir_) for _ in range(2)]
             per_query[name]["sec"].append(round(statistics.median(runs), 3))
     flagged = []

@@ -94,9 +94,14 @@ def main() -> int:
         "n_queries": len(names),
         "queries": {},
     }
-    if args.resume and os.path.exists(out_path):
+    # ALWAYS load an existing artifact: a filtered run (--only / --sf)
+    # must extend the committed evidence, never clobber it down to the
+    # filter (review r5). --resume additionally skips green records.
+    if os.path.exists(out_path):
         with open(out_path) as f:
-            doc["queries"] = json.load(f).get("queries", {})
+            prior = json.load(f)
+        doc["queries"] = prior.get("queries", {})
+        doc["sfs"] = {**prior.get("sfs", {}), **doc["sfs"]}
 
     spark = get_spark("bp-parity")
     spark.sparkContext.setLogLevel("ERROR")
@@ -137,6 +142,10 @@ def main() -> int:
 
 
 def _summarize(doc: dict, sfs: list[str]) -> None:
+    # Summarize over EVERY SF present in the records, not just the
+    # current run's subset — all_green must reflect the whole artifact.
+    seen = {sf for q in doc["queries"].values() for sf in q}
+    sfs = sorted(set(sfs) | seen)
     per_sf = {}
     for sf in sfs:
         recs = [q.get(sf) for q in doc["queries"].values()]

@@ -31,3 +31,17 @@ def test_sql_twin_matches_builder(views, name):
     twin_pdf = spark.sql(spark_sql_for(name)).toPandas()
     builder_df = REGISTRY[name].builder(spark, SF_ORACLE)
     compare(builder_df, twin_pdf, f"{name} (sql twin)")
+
+
+def test_verified_set_matches_contract():
+    from batchprocessor_spark.plans.sql_twins import SPARK_SQL_TWINS, VERIFIED_TWINS
+
+    assert VERIFIED_TWINS == SEC_2_2
+    assert set(SPARK_SQL_TWINS) <= VERIFIED_TWINS
+
+
+def test_unverified_name_raises():
+    """Names outside the verified contract set must raise, not return
+    unvalidated DuckDB-dialect text (runtime trap)."""
+    with pytest.raises(KeyError, match="no verified Spark-SQL twin"):
+        spark_sql_for("q_ts_resample_ohlc")
