@@ -581,3 +581,136 @@ def test_pagerank_vs_python_fixed_point(spark, pairs, tmp_path):
             for v in nodes
         }
     assert got == set(pr.items())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(-500, 500)),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@SETTINGS
+def test_ntile_decile_assignment_matches_python(spark, rows):
+    """The q_agg_decile_summary kernel: ntile(10) over a total order
+    must match python's equal-split-with-earlier-remainder rule —
+    bucket sizes differ by at most 1, earlier buckets get the extras,
+    assignment follows the (value, key) sort exactly."""
+    df = spark.createDataFrame(rows, "g INT, k INT, v INT")
+    w = Window.partitionBy("g").orderBy("v", "k")
+    got = {
+        (r.g, r.k): r.d
+        for r in df.withColumn("d", F.ntile(10).over(w)).collect()
+    }
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, k, v in rows:
+        by_g[g].append((v, k))
+    for g, items in by_g.items():
+        items.sort()
+        n = len(items)
+        base, rem = divmod(n, 10)
+        idx = 0
+        for b in range(1, 11):
+            size = base + (1 if b <= rem else 0)
+            for _ in range(size):
+                v, k = items[idx]
+                assert got[(g, k)] == b, (g, k, v, got[(g, k)], b)
+                idx += 1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.sampled_from("abc")),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@SETTINGS
+def test_markov_transition_counts_match_python(spark, rows):
+    """The q_events_markov_transitions kernel: per-user lag over a
+    total order, pair counts, integer-bp row shares — vs a python
+    walk of each user's sorted sequence."""
+    from collections import Counter, defaultdict
+
+    schema = "u INT, t INT, e STRING"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    w = Window.partitionBy("u").orderBy("t")
+    t = (
+        df.select("e", F.lag("e").over(w).alias("prev"))
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "e")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("prev")
+    got = {
+        (r.prev, r.e): (r.n, r.bp)
+        for r in t.withColumn(
+            "bp", F.expr("(n * 10000) DIV sum(n) OVER (PARTITION BY prev)")
+        ).collect()
+    }
+    seqs = defaultdict(list)
+    for u, ts, e in rows:
+        seqs[u].append((ts, e))
+    pairs = Counter()
+    for u, items in seqs.items():
+        items.sort()
+        for (_, a), (_, b) in zip(items, items[1:]):
+            pairs[(a, b)] += 1
+    row_tot = Counter()
+    for (a, _), n in pairs.items():
+        row_tot[a] += n
+    expected = {
+        (a, b): (n, (n * 10000) // row_tot[a]) for (a, b), n in pairs.items()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(-999, 999)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+@SETTINGS
+def test_ohlc_open_close_match_python(spark, rows):
+    """The q_ts_resample_ohlc kernel: rn_asc/rn_desc conditional-max
+    open/close per bucket vs python first/last of the sorted bucket."""
+    from collections import defaultdict
+
+    df = spark.createDataFrame(rows, "b INT, t INT, c INT")
+    w_a = Window.partitionBy("b").orderBy("t")
+    w_d = Window.partitionBy("b").orderBy(F.col("t").desc())
+    got = {
+        r.b: (r.open_c, r.close_c, r.hi, r.lo)
+        for r in df.select(
+            "b",
+            "c",
+            F.row_number().over(w_a).alias("ra"),
+            F.row_number().over(w_d).alias("rd"),
+        )
+        .groupBy("b")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("c"))).alias("open_c"),
+            F.max(F.when(F.col("rd") == 1, F.col("c"))).alias("close_c"),
+            F.max("c").alias("hi"),
+            F.min("c").alias("lo"),
+        )
+        .collect()
+    }
+    buckets = defaultdict(list)
+    for b, t, c in rows:
+        buckets[b].append((t, c))
+    for b, items in buckets.items():
+        items.sort()
+        assert got[b] == (
+            items[0][1],
+            items[-1][1],
+            max(c for _, c in items),
+            min(c for _, c in items),
+        ), (b, items, got[b])
