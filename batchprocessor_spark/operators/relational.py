@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from batchprocessor_spark.functions.exactmath import dec_sum, to_units
 from batchprocessor_spark.plans.registry import REGISTRY, register
+from batchprocessor_spark.scratch import scratch_dir
 from batchprocessor_spark.sources.catalog import load_table
 
 
@@ -92,7 +93,7 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["l_orderkey", "l_returnflag", "l_quantity"]
     l = load_table(spark, sf_dir, "lineitem").select(*cols)
-    tmp = tempfile.mkdtemp(prefix="bp_fmt_")
+    tmp = scratch_dir("bp_fmt_")
     io.write(l.where(F.col("l_orderkey") % 2 == 0), f"{tmp}/csv", "csv")
     io.write(l.where(F.col("l_orderkey") % 2 == 1), f"{tmp}/json", "json")
     schema = "l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE"
@@ -206,7 +207,7 @@ def q_source_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    tmp = tempfile.mkdtemp(prefix="bp_part_")
+    tmp = scratch_dir("bp_part_")
     o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(tmp)
     back = spark.read.parquet(tmp).where(F.col("o_orderstatus").isin("O", "F"))
     return back.groupBy("o_orderstatus").agg(
@@ -247,7 +248,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    tmp = tempfile.mkdtemp(prefix="bp_orc_")
+    tmp = scratch_dir("bp_orc_")
     io.write(o, f"{tmp}/orders_orc", "orc")
     back = io.read(spark, f"{tmp}/orders_orc", "orc")
     # NB: tmp intentionally outlives this function — the returned
@@ -461,7 +462,7 @@ def q_layout_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    loc = tempfile.mkdtemp(prefix="bp_bucket_")
+    loc = scratch_dir("bp_bucket_")
     spark.sql("DROP TABLE IF EXISTS bp_orders_bucketed")
     spark.sql("DROP TABLE IF EXISTS bp_lineitem_bucketed")
     save_bucketed(o, "bp_orders_bucketed", "o_orderkey", buckets=8, path=f"{loc}/orders")
@@ -610,7 +611,7 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="bp_evo_")
+    tmp = scratch_dir("bp_evo_")
     d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
     ).parquet(f"{tmp}/b1")
@@ -676,7 +677,7 @@ def partition_pruned_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, 
         "o_orderdate",
         F.year("o_orderdate").alias("o_year"),
     )
-    loc = tempfile.mkdtemp(prefix="bp_part_")
+    loc = scratch_dir("bp_part_")
     o.write.mode("overwrite").partitionBy("o_year").parquet(f"{loc}/orders_by_year")
     fact = spark.read.parquet(f"{loc}/orders_by_year")
     years = spark.createDataFrame(

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from batchprocessor_spark.scratch import scratch_dir
 from batchprocessor_spark.streaming.flow import (
     FlowControlConfig,
     FlowController,
@@ -100,7 +101,7 @@ class BatchProcessor:
             T._parse_datatype_string(schema) if isinstance(schema, str) else schema
         )
         self.config = config or ProcessorConfig()
-        self.workdir = workdir or tempfile.mkdtemp(prefix="bp_proc_")
+        self.workdir = workdir or scratch_dir("bp_proc_")
         self.ingest_dir = os.path.join(self.workdir, "ingest")
         self.ckpt_dir = os.path.join(self.workdir, "checkpoint")
         self.dlq_dir = os.path.join(self.workdir, "dlq")

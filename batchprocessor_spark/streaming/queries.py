@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import register
+from batchprocessor_spark.scratch import scratch_dir
 from batchprocessor_spark.sources.catalog import load_table
 
 
@@ -93,16 +94,22 @@ def run_to_memory(
     it as a batch DataFrame."""
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"bp_ckpt_{name}")
-    with _few_shuffle_partitions(stream_df.sparkSession):
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with _few_shuffle_partitions(stream_df.sparkSession):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        # The drained result lives in the in-memory table; the
+        # checkpoint is dead weight (review r5: hundreds of bp_ckpt_mem
+        # dirs accumulated across parity runs before this).
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
@@ -327,7 +334,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     else."""
     import pandas as pd
 
-    tmp = tempfile.mkdtemp(prefix="bp_late_")
+    tmp = scratch_dir("bp_late_")
     src = os.path.join(tmp, "src")
     os.makedirs(src)
 
@@ -521,7 +528,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events_path = os.path.join(sf_dir, "events.parquet")
     table = pq.read_table(events_path, columns=["event_id", "event_type", "value"])
-    workdir = tempfile.mkdtemp(prefix="bp_incr_")
+    workdir = scratch_dir("bp_incr_")
     ingest = os.path.join(workdir, "in")
     partials = os.path.join(workdir, "partials")
     os.makedirs(ingest)
@@ -843,7 +850,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever."""
     import datetime as _dt
 
-    tmp = tempfile.mkdtemp(prefix="bp_outer_join_")
+    tmp = scratch_dir("bp_outer_join_")
     src = os.path.join(tmp, "src")
     cols = ["event_id", "ts", "user_id", "event_type"]
     load_table(spark, sf_dir, "events").select(*cols).coalesce(1).write.mode(
