@@ -1651,3 +1651,102 @@ def q_agg_decile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("hi_c"),
         F.sum("cents").alias("sum_c"),
     )
+
+
+_CORR_VARS = [
+    ("qty", "round(l_quantity)::BIGINT"),
+    ("price", "round(l_extendedprice * 100)::BIGINT"),
+    ("disc", "round(l_discount * 10000)::BIGINT"),
+    ("tax", "round(l_tax * 10000)::BIGINT"),
+]
+
+
+def _corr_matrix_oracle() -> str:
+    units = ", ".join(f"{expr} AS {name}" for name, expr in _CORR_VARS)
+    sums = ["count(*)::BIGINT AS n"]
+    for a, _ in _CORR_VARS:
+        sums.append(f"sum({a})::DOUBLE AS s_{a}")
+        sums.append(f"sum({a} * {a})::DOUBLE AS s_{a}{a}")
+    pairs = []
+    for i, (a, _) in enumerate(_CORR_VARS):
+        for b, _ in _CORR_VARS[i + 1:]:
+            sums.append(f"sum({a} * {b})::DOUBLE AS s_{a}{b}")
+            pairs.append((a, b))
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{a}' AS var_x, '{b}' AS var_y, n, "
+        f"round((n * s_{a}{b} - s_{a} * s_{b}) / "
+        f"(sqrt(n * s_{a}{a} - s_{a} * s_{a}) * "
+        f"sqrt(n * s_{b}{b} - s_{b} * s_{b})), 6) AS corr FROM s"
+        for a, b in pairs
+    )
+    return f"""
+    WITH u AS (SELECT {units} FROM lineitem),
+    s AS (SELECT {', '.join(sums)} FROM u)
+    {rows}
+    """
+
+
+@register("q_agg_corr_matrix", oracle=_corr_matrix_oracle(), category="aggregate")
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four
+    numeric measures (quantity, price cents, discount bp, tax bp) —
+    the one-pass profiling step a feature pipeline runs before
+    modeling. All 15 moment sums (n, 4 sums, 4 square sums, 6 cross
+    sums) come from ONE scan / ONE partial+final aggregate; each sum
+    accumulates exact integers (products fit BIGINT row-wise, sums
+    held in decimal(38) / HUGEINT so no engine overflows), and the
+    correlation r = (n*Sab - Sa*Sb) / (sqrt(n*Saa - Sa^2) *
+    sqrt(n*Sbb - Sb^2)) is the identical correctly-rounded double
+    sequence on both engines (6-dp belt). The 6 upper-triangle pairs
+    unpivot from the single moment row — never 6 corr() passes.
+
+    Scale posture: one scan, one 1-row fold, a 6-row stack. This is
+    the shape that profiles 100 columns at 100 TB (k^2/2 sums in one
+    aggregate) without k^2 scans."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = l.select(
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("tax"),
+    )
+    names = [n for n, _ in _CORR_VARS]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    pairs = []
+    for a in names:
+        aggs.append(F.sum(dec(F.col(a))).cast("double").alias(f"s_{a}"))
+        aggs.append(
+            F.sum(dec(F.col(a) * F.col(a))).cast("double").alias(f"s_{a}{a}")
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(
+                F.sum(dec(F.col(a) * F.col(b))).cast("double").alias(f"s_{a}{b}")
+            )
+            pairs.append((a, b))
+    s = u.agg(*aggs)
+    n = F.col("n")
+
+    def corr(a: str, b: str):
+        num = n * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = F.sqrt(n * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        db = F.sqrt(n * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return F.round(num / (da * db), 6)
+
+    stacked = s.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("var_x"),
+                        F.lit(b).alias("var_y"),
+                        corr(a, b).alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("cell"),
+    )
+    return stacked.select("cell.var_x", "cell.var_y", "n", "cell.corr")

@@ -1331,3 +1331,284 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("t_stat"),
     )
+
+
+@register(
+    "q_ml_auc",
+    oracle="""
+    WITH u AS (
+      SELECT (n_chars // 100)::BIGINT AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents),
+    s AS (
+      SELECT score,
+             sum(label)::BIGINT AS npos_s,
+             (count(*) - sum(label))::BIGINT AS nneg_s
+      FROM u GROUP BY score),
+    c AS (
+      SELECT npos_s, nneg_s,
+             coalesce(sum(nneg_s) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS below
+      FROM s)
+    SELECT sum(npos_s)::BIGINT AS n_pos,
+           sum(nneg_s)::BIGINT AS n_neg,
+           sum(npos_s * (2 * below + nneg_s))::BIGINT AS u2,
+           round(sum(npos_s * (2 * below + nneg_s))::DOUBLE
+                 / (2.0 * sum(npos_s) * sum(nneg_s)), 6) AS auc
+    FROM c
+    """,
+    category="ml",
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of 'document length-bucket predicts lang=en' via the
+    Mann-Whitney rank-sum identity — the standard offline-eval metric
+    for any ranking/propensity score. AUC = P(score+ > score-) +
+    ½P(=), computed WITHOUT ranking rows: collapse the corpus to the
+    distinct-score histogram (npos, nneg per score), then each score
+    level contributes npos·(2·nneg_below + nneg_ties) to the doubled
+    U statistic — ties get exactly the midrank ½ credit, and the whole
+    statistic stays in BIGINT until ONE final division (bit-identical
+    cross-engine; 6-dp round as belt).
+
+    Scale posture: one aggregate to the BOUNDED score histogram
+    (length DIV 100 buckets — dozens of values at any SF), and the
+    cumulative window runs over that MATERIALIZED value histogram,
+    never the document table (the q_agg_median_distributed
+    discipline: windows on value tables, not fact tables). No global
+    rank of rows anywhere, so there is no single-partition window at
+    100 TB; a continuous score would first discretize to fixed-width
+    bins exactly like this (the binned-AUC estimator)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    s = d.groupBy("score").agg(
+        F.sum("label").cast("long").alias("npos_s"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("nneg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = s.select(
+        "npos_s",
+        "nneg_s",
+        F.coalesce(F.sum("nneg_s").over(w), F.lit(0)).cast("long").alias("below"),
+    )
+    u2 = F.sum(F.col("npos_s") * (2 * F.col("below") + F.col("nneg_s")))
+    return c.agg(
+        F.sum("npos_s").cast("long").alias("n_pos"),
+        F.sum("nneg_s").cast("long").alias("n_neg"),
+        u2.cast("long").alias("u2"),
+        F.round(
+            u2.cast("double")
+            / (2.0 * F.sum("npos_s") * F.sum("nneg_s")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_ab_cuped",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5('cuped:' || user_id::VARCHAR), 1, 8))
+               ::BIGINT % 2 AS arm,
+             coalesce(sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'view'), 0) AS x,
+             coalesce(sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase'), 0) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+             sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy,
+             sum(x * y)::DOUBLE AS sxy,
+             count(*) FILTER (arm = 0)::BIGINT AS n0,
+             count(*) FILTER (arm = 1)::BIGINT AS n1,
+             coalesce(sum(x) FILTER (arm = 0), 0)::DOUBLE AS sx0,
+             coalesce(sum(x) FILTER (arm = 1), 0)::DOUBLE AS sx1,
+             coalesce(sum(y) FILTER (arm = 0), 0)::DOUBLE AS sy0,
+             coalesce(sum(y) FILTER (arm = 1), 0)::DOUBLE AS sy1
+      FROM u),
+    t AS (
+      SELECT n, n0, n1, sy0, sy1,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho2,
+             sx0 / n0 AS mx0, sx1 / n1 AS mx1,
+             sy0 / n0 AS my0, sy1 / n1 AS my1
+      FROM s)
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           round(my0 / 100, 6) AS mean_y_control,
+           round(my1 / 100, 6) AS mean_y_treatment,
+           round(theta, 6) AS theta,
+           round(((my1 - my0) - theta * (mx1 - mx0)) / 100, 6)
+             AS adj_diff,
+           round(rho2, 6) AS var_reduction
+    FROM t
+    """,
+    category="analytics",
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data)
+    variance reduction for an A/B readout: per-user covariate x =
+    view-value cents, metric y = purchase-value cents, arms split by
+    the engine's seeded-md5 hash; theta = cov(x,y)/var(x) from the
+    POOLED population, and the adjusted treatment effect is
+    (ybar_t - ybar_c) - theta*(xbar_t - xbar_c). var_reduction = rho^2
+    is the fraction of metric variance the covariate removes — the
+    number an experimentation platform quotes as "days of runtime
+    saved". Exactness: every sum (Sx, Sy, Sxx, Syy, Sxy, per-arm
+    splits) is an exact integer (cents / cents^2); the float stage
+    applies the identical correctly-rounded op sequence on both
+    engines, with 6-dp rounds as belt.
+
+    Scale posture: ONE fact scan -> one user_id aggregate -> one
+    12-column global fold to a single row. No join, no second scan
+    (plan-gated); per-experiment at 100 TB the same shape groups the
+    fold by experiment_id."""
+    from batchprocessor_spark.operators.sampling import hash_bucket
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", cents)), F.lit(0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        ).alias("y"),
+    )
+    u = u.withColumn("arm", hash_bucket(F.col("user_id"), "cuped:", 2))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("x"))), F.lit(0)
+        ).cast("double").alias("sx0"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("x"))), F.lit(0)
+        ).cast("double").alias("sx1"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 0, F.col("y"))), F.lit(0)
+        ).cast("double").alias("sy0"),
+        F.coalesce(
+            F.sum(F.when(F.col("arm") == 1, F.col("y"))), F.lit(0)
+        ).cast("double").alias("sy1"),
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    t = s.select(
+        "n0",
+        "n1",
+        "sy0",
+        "sy1",
+        (cov_n / varx_n).alias("theta"),
+        (cov_n * cov_n / (varx_n * vary_n)).alias("rho2"),
+        (F.col("sx0") / F.col("n0")).alias("mx0"),
+        (F.col("sx1") / F.col("n1")).alias("mx1"),
+        (F.col("sy0") / F.col("n0")).alias("my0"),
+        (F.col("sy1") / F.col("n1")).alias("my1"),
+    )
+    return t.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(F.col("my0") / 100, 6).alias("mean_y_control"),
+        F.round(F.col("my1") / 100, 6).alias("mean_y_treatment"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(
+            ((F.col("my1") - F.col("my0"))
+             - F.col("theta") * (F.col("mx1") - F.col("mx0"))) / 100,
+            6,
+        ).alias("adj_diff"),
+        F.round(F.col("rho2"), 6).alias("var_reduction"),
+    )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             round(value * 100)::BIGINT AS cents,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN event_type END AS touch
+      FROM events),
+    p AS (
+      SELECT cents,
+             coalesce(first_value(touch IGNORE NULLS) OVER w, '(direct)')
+               AS first_touch,
+             coalesce(last_value(touch IGNORE NULLS) OVER w, '(direct)')
+               AS last_touch,
+             event_type
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    credited AS (
+      SELECT m.model,
+             CASE m.model WHEN 'first_touch' THEN p.first_touch
+                          ELSE p.last_touch END AS channel,
+             p.cents
+      FROM p CROSS JOIN (VALUES ('first_touch'), ('last_touch')) m(model)
+      WHERE p.event_type = 'purchase')
+    SELECT model, channel,
+           count(*)::BIGINT AS n_purchases,
+           sum(cents)::BIGINT AS attributed_cents
+    FROM credited GROUP BY model, channel
+    """,
+    category="analytics",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch marketing attribution: every
+    purchase's revenue (exact cents) is credited to the user's first
+    and most recent preceding marketing touch (view/click), '(direct)'
+    when none precedes it. The two models come from the SAME window
+    pass (first/last IGNORE NULLS over rows strictly before the
+    purchase), unpivoted with stack() — the standard channel-ROI
+    rollup of a product-analytics warehouse.
+
+    Scale posture: ONE user_id exchange shared by both window
+    functions (same partitioning + ordering), then a (model, channel)
+    aggregate over a 2x-row stack — never a purchases-to-touches
+    self-join (which would be a skewed interval join at 100 TB). Plan
+    gate: single parquet scan, no Join operator."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.coalesce(
+            F.first(touch, ignorenulls=True).over(w), F.lit("(direct)")
+        ).alias("first_touch"),
+        F.coalesce(
+            F.last(touch, ignorenulls=True).over(w), F.lit("(direct)")
+        ).alias("last_touch"),
+        "event_type",
+    ).where(F.col("event_type") == "purchase")
+    credited = p.select(
+        F.expr(
+            "stack(2, 'first_touch', first_touch, 'last_touch', last_touch)"
+        ).alias("model", "channel"),
+        "cents",
+    )
+    return credited.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("long").alias("attributed_cents"),
+    )

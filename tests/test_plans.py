@@ -655,3 +655,49 @@ def test_collocation_lift_materialized_counts(spark):
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+
+
+def test_auc_windows_only_the_score_histogram(spark):
+    """q_ml_auc: the cumulative window runs over the MATERIALIZED
+    distinct-score histogram, never the document table — one parquet
+    scan, no join, and the Window sits above the score aggregate
+    (plan order: Scan .. HashAggregate .. Window), so its input is
+    histogram-sized at any SF."""
+    plan = plan_of(spark, "q_ml_auc")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    # toString prints output-first: Window (downstream) must appear
+    # BEFORE the per-score aggregate that materializes its input.
+    win_pos = plan.find("Window")
+    score_agg_pos = plan.find("HashAggregate(keys=[score")
+    assert 0 <= win_pos < score_agg_pos, plan
+
+
+def test_cuped_single_pass(spark):
+    """q_ab_cuped: per-user features then one global 12-column fold —
+    one fact scan, no join, no second pass."""
+    plan = plan_of(spark, "q_ab_cuped")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_attribution_one_exchange_no_self_join(spark):
+    """q_events_attribution: both attribution models come from ONE
+    user_id window pass (single hashpartitioning exchange feeding the
+    shared sort), then a stack + aggregate — never the
+    purchases-to-touches self-join."""
+    plan = plan_of(spark, "q_events_attribution")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_corr_matrix_single_scan_fold(spark):
+    """q_agg_corr_matrix: all 15 moment sums fold in ONE partial+final
+    aggregate over ONE scan; the 6 matrix cells explode from the
+    single moment row (no per-pair corr() passes, no join)."""
+    plan = plan_of(spark, "q_agg_corr_matrix")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
