@@ -1612,3 +1612,109 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("cents").cast("long").alias("attributed_cents"),
     )
+
+
+@register(
+    "q_ml_calibration",
+    oracle="""
+    WITH train AS (
+      SELECT n_chars // 100 AS bucket,
+             ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
+               AS pred_bp
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY bucket),
+    prior AS (
+      SELECT ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
+               AS prior_bp
+      FROM documents WHERE doc_id % 2 = 0),
+    test AS (
+      SELECT least(coalesce(t.pred_bp, p.prior_bp) // 2000, 4) AS bin,
+             coalesce(t.pred_bp, p.prior_bp) AS pred_bp,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents d
+      LEFT JOIN train t ON d.n_chars // 100 = t.bucket
+      CROSS JOIN prior p
+      WHERE d.doc_id % 2 = 1),
+    bins AS (
+      SELECT bin, count(*)::BIGINT AS n,
+             (sum(pred_bp) // count(*))::BIGINT AS avg_pred_bp,
+             ((10000 * sum(is_en)) // count(*))::BIGINT AS obs_bp
+      FROM test GROUP BY bin)
+    SELECT bin, n, avg_pred_bp, obs_bp,
+           (avg_pred_bp - obs_bp)::BIGINT AS gap_bp,
+           ((sum(n * abs(avg_pred_bp - obs_bp)) OVER ())
+              // (sum(n) OVER ()))::BIGINT AS ece_bp
+    FROM bins
+    """,
+    category="ml",
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (reliability diagram + expected calibration
+    error) of the histogram classifier 'length bucket → P(lang=en)':
+    train the per-bucket rate on even doc_ids, score odd doc_ids
+    (unseen buckets fall back to the train prior), group predictions
+    into 5 probability bins, and compare mean predicted vs observed
+    rate per bin. ECE = Σ n_b·|gap_b| / N — the number a model card
+    quotes. Every quantity is integer basis points via DIV on
+    non-negative operands (probabilities, counts), so no float ever
+    forms and the cross-engine hash cannot drift.
+
+    Scale posture: the trained model IS an aggregate (bucket table,
+    dozens of rows) broadcast onto the test scan; the prior is a
+    1-row broadcast; bins aggregate to ≤5 rows and the ECE window
+    runs over that value table. Train/test never co-shuffle — the
+    same even/odd split discipline as q_ml_naive_bayes and
+    q_dq_drift_psi."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("n_chars DIV 100").alias("bucket")
+    )
+    is_en = F.when(F.col("lang") == "en", 1).otherwise(0)
+    train = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .groupBy("bucket")
+        .agg(
+            F.expr("(10000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))"
+                   " DIV count(1)").cast("long").alias("pred_bp")
+        )
+    )
+    prior = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .agg(
+            F.expr("(10000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END))"
+                   " DIV count(1)").cast("long").alias("prior_bp")
+        )
+    )
+    test = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(train), "bucket", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.coalesce(F.col("pred_bp"), F.col("prior_bp")).alias("pred_bp"),
+            is_en.alias("is_en"),
+        )
+        .withColumn(
+            "bin", F.least(F.expr("pred_bp DIV 2000"), F.lit(4)).cast("long")
+        )
+    )
+    bins = test.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(pred_bp) DIV count(1)").cast("long").alias("avg_pred_bp"),
+        F.expr("(10000 * sum(is_en)) DIV count(1)").cast("long").alias("obs_bp"),
+    )
+    w = Window.partitionBy()
+    gap = F.col("avg_pred_bp") - F.col("obs_bp")
+    return bins.select(
+        "bin",
+        "n",
+        "avg_pred_bp",
+        "obs_bp",
+        gap.cast("long").alias("gap_bp"),
+        F.sum(F.col("n") * F.abs(gap)).over(w).alias("_num"),
+        F.sum("n").over(w).alias("_den"),
+    ).select(
+        "bin",
+        "n",
+        "avg_pred_bp",
+        "obs_bp",
+        "gap_bp",
+        F.expr("_num DIV _den").cast("long").alias("ece_bp"),
+    )

@@ -810,3 +810,174 @@ def q_sql_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM j
         """
     )
+
+
+@register(
+    "q_sql_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT year(o.o_orderdate)::BIGINT AS o_year,
+             round(l.l_extendedprice * 100)::BIGINT
+               * (100 - round(l.l_discount * 100)::BIGINT) AS rev_u,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT o_year,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN supp_nation = 'NATION_0' THEN rev_u ELSE 0 END)
+             ::BIGINT AS nation_rev_u,
+           sum(rev_u)::BIGINT AS total_rev_u,
+           ((10000 * sum(CASE WHEN supp_nation = 'NATION_0'
+                              THEN rev_u ELSE 0 END))
+              // sum(rev_u))::BIGINT AS share_bp
+    FROM vol GROUP BY o_year
+    """,
+    category="sql",
+)
+def q_sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share) through the pure SQL
+    front end: within AMERICA's consumer market for STANDARD parts
+    over 1995-96, what yearly share of supplied revenue came from
+    NATION_0's suppliers. The widest declared join tree in the
+    registry — lineitem joined to orders (fact-fact) plus FIVE
+    dimension hops (part, supplier, customer, nation x2 via distinct
+    roles, region) — exactly the query Catalyst's join reordering +
+    broadcast selection exists for. Revenue in the exact
+    1e-4-dollar lane; shares in integer basis points via DIV (both
+    operands non-negative, so floor == truncate cross-engine).
+
+    The plan this must make (gated): the two-year date range pushed
+    into the orders scan, the region/part filters pushed into their
+    dim scans, every dimension BROADCAST (no dim ever shuffles the
+    fact side), and the single fact-fact SortMergeJoin carrying the
+    only big exchange. Reference: the engine's SQL lifecycle
+    (SURVEY §3.4) — same text runs via Engine.sql()."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH vol AS (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_u,
+                 n2.n_name AS supp_nation
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'AMERICA'
+            AND p.p_type = 'STANDARD'
+            AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year,
+               count(*) AS n_lines,
+               sum(CASE WHEN supp_nation = 'NATION_0' THEN rev_u ELSE 0 END)
+                 AS nation_rev_u,
+               sum(rev_u) AS total_rev_u,
+               CAST((10000 * sum(CASE WHEN supp_nation = 'NATION_0'
+                                      THEN rev_u ELSE 0 END))
+                    DIV sum(rev_u) AS BIGINT) AS share_bp
+        FROM vol GROUP BY o_year
+        """
+    )
+
+
+@register(
+    "q_source_corrupt_records",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT o_orderstatus AS status,
+           count(*)::BIGINT AS n,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM base WHERE o_orderkey % 7 <> 0 GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '_corrupt', count(*)::BIGINT, 0::BIGINT
+    FROM base WHERE o_orderkey % 7 = 0
+    """,
+    category="source",
+)
+def q_source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSONL ingestion with corrupt-record quarantine —
+    the batch twin of the streaming retry→DLQ lane (O12): orders are
+    round-tripped through a scratch JSON-lines file in which every
+    7th row (o_orderkey % 7 == 0, deterministic) is mangled into
+    invalid JSON; the read back declares an explicit schema plus
+    columnNameOfCorruptRecord, so bad lines land in the quarantine
+    column with NULL data fields instead of killing the job
+    (FAILFAST) or silently disappearing (DROPMALFORMED). Output:
+    per-status counts + exact cents over the GOOD rows, plus one
+    '_corrupt' audit row — the oracle recomputes both directly from
+    orders, which fails if the reader dropped, double-counted, or
+    mis-quarantined any line.
+
+    Scale posture: schema-explicit JSON read (no inference pass —
+    inference at 100 TB is a full extra scan), quarantine predicate
+    evaluated inline, one aggregate. Scratch is collect-frozen and
+    removed (the q_layout_dynamic_overwrite discipline)."""
+    import shutil
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(F.lit('{"o_orderkey": '), F.col("o_orderkey"), F.lit(" BROKEN")),
+    ).otherwise(
+        F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    )
+    loc = tempfile.mkdtemp(prefix="bp_corrupt_")
+    try:
+        path = f"{loc}/orders_jsonl"
+        o.select(line.alias("value")).write.mode("overwrite").text(path)
+        schema = (
+            "o_orderkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE, _corrupt STRING"
+        )
+        r = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(path)
+        )
+        # One conditional aggregate for both lanes: a branch that only
+        # referenced _corrupt would trip Spark's
+        # QUERY_ONLY_CORRUPT_RECORD_COLUMN guard (and re-scan anyway).
+        out = (
+            r.select(
+                F.when(F.col("_corrupt").isNotNull(), F.lit("_corrupt"))
+                .otherwise(F.col("o_orderstatus"))
+                .alias("status"),
+                F.when(
+                    F.col("_corrupt").isNull(),
+                    to_units(F.col("o_totalprice"), 100),
+                )
+                .otherwise(F.lit(0))
+                .alias("cents_i"),
+            )
+            .groupBy("status")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents_i").cast("long").alias("cents"),
+            )
+        )
+        rows = out.collect()  # freeze before the scratch dir is removed
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)

@@ -701,3 +701,34 @@ def test_corr_matrix_single_scan_fold(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_market_share_broadcasts_dims_pushes_filters(spark):
+    """q_sql_market_share (TPC-H Q8 shape): region/part/date filters
+    reach their scans; all six dimension hops broadcast (the fact
+    side never shuffles for a dim — at sf0.01 even orders broadcasts;
+    at scale AQE keeps the 6 dims broadcast and promotes
+    lineitem-orders to SMJ, either is accepted)."""
+    plan = plan_of(spark, "q_sql_market_share")
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_smj = plan.count("SortMergeJoin")
+    assert n_bhj + n_smj == 7, plan
+    assert n_bhj >= 6, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "EqualTo(r_name,AMERICA)" in plan, plan
+    assert "EqualTo(p_type,STANDARD)" in plan, plan
+
+
+def test_calibration_model_broadcasts(spark):
+    """q_ml_calibration: the trained bucket model and the 1-row prior
+    broadcast onto the test scan (one BroadcastHashJoin + one 1-row
+    BroadcastNestedLoopJoin); no sort-merge join, and the ECE window
+    runs over the ≤5-row bin aggregate (Window printed before the
+    bin HashAggregate)."""
+    plan = plan_of(spark, "q_ml_calibration")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    win_pos = plan.find("Window")
+    bin_agg_pos = plan.find("HashAggregate(keys=[bin")
+    assert 0 <= win_pos < bin_agg_pos, plan
