@@ -594,3 +594,66 @@ def q_fn_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, n_nonpositive BIGINT, cents BIGINT, "
         "min_cust BIGINT, max_cust BIGINT",
     )
+
+
+@register(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT 'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars AS url,
+             doc_id, source, lang, n_chars
+      FROM documents)
+    SELECT source || '.example.com' AS host,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           sum(n_chars)::BIGINT AS total_chars,
+           min('/docs/' || doc_id) AS min_path,
+           sum(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END)::BIGINT
+             AS n_https
+    FROM u GROUP BY host
+    """,
+    category="function",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + per-domain rollup — the web-corpus curation
+    primitive (Common-Crawl-style pipelines aggregate quality stats
+    per registered domain before sampling). The fixture has no URL
+    column, so deterministic URLs are CONSTRUCTED from (source,
+    doc_id, lang, n_chars) and then every extracted field comes from
+    parse_url() against the assembled string — HOST, PATH, protocol,
+    and a QUERY parameter — while the oracle recomputes the same
+    fields from the base columns directly. Parity therefore proves
+    parse_url inverts the construction exactly (a wrong
+    host/path/query split changes group counts or min_path).
+
+    Scale posture: parse_url is a JVM intrinsic inside whole-stage
+    codegen (plan-gated: no Python eval nodes); one scan, one
+    aggregate on the extracted host."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        "n_chars",
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("q_lang")).alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("path").alias("min_path"),
+        F.sum(F.when(F.col("proto") == "https", 1).otherwise(0))
+        .cast("long")
+        .alias("n_https"),
+    )

@@ -1718,3 +1718,109 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_bp",
         F.expr("_num DIV _den").cast("long").alias("ece_bp"),
     )
+
+
+# q_ml_linreg_normal_eq: the 3x3 Cramer's-rule solve is written ONCE
+# as SQL text and interpolated into BOTH the Spark selectExpr and the
+# DuckDB oracle, so the two engines execute the identical
+# correctly-rounded double op sequence over identical exact moments.
+_LR_DETA = (
+    "(n * (s_x11 * s_x22 - s_x12 * s_x12)"
+    " - s_x1 * (s_x1 * s_x22 - s_x12 * s_x2)"
+    " + s_x2 * (s_x1 * s_x12 - s_x11 * s_x2))"
+)
+_LR_DET0 = (
+    "(s_y * (s_x11 * s_x22 - s_x12 * s_x12)"
+    " - s_x1 * (s_x1y * s_x22 - s_x12 * s_x2y)"
+    " + s_x2 * (s_x1y * s_x12 - s_x11 * s_x2y))"
+)
+_LR_DET1 = (
+    "(n * (s_x1y * s_x22 - s_x12 * s_x2y)"
+    " - s_y * (s_x1 * s_x22 - s_x12 * s_x2)"
+    " + s_x2 * (s_x1 * s_x2y - s_x1y * s_x2))"
+)
+_LR_DET2 = (
+    "(n * (s_x11 * s_x2y - s_x1y * s_x12)"
+    " - s_x1 * (s_x1 * s_x2y - s_x1y * s_x2)"
+    " + s_y * (s_x1 * s_x12 - s_x11 * s_x2))"
+)
+_LR_SSE = (
+    f"(s_yy - ({_LR_DET0} / {_LR_DETA}) * s_y"
+    f" - ({_LR_DET1} / {_LR_DETA}) * s_x1y"
+    f" - ({_LR_DET2} / {_LR_DETA}) * s_x2y)"
+)
+_LR_SST = "(s_yy - s_y * s_y / n)"
+_LR_OUT = f"""
+    SELECT n,
+           round({_LR_DET0} / {_LR_DETA}, 6) AS beta0_cents,
+           round({_LR_DET1} / {_LR_DETA}, 6) AS beta1_cents_per_qty,
+           round({_LR_DET2} / {_LR_DETA}, 6) AS beta2_cents_per_bp,
+           round(1 - {_LR_SSE} / {_LR_SST}, 6) AS r2
+    FROM s
+"""
+
+
+@register(
+    "q_ml_linreg_normal_eq",
+    oracle=f"""
+    WITH u AS (
+      SELECT round(l_quantity)::BIGINT AS x1,
+             round(l_discount * 10000)::BIGINT AS x2,
+             round(l_extendedprice * 100)::BIGINT AS y
+      FROM lineitem),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x1)::DOUBLE AS s_x1, sum(x2)::DOUBLE AS s_x2,
+             sum(y)::DOUBLE AS s_y,
+             sum(x1 * x1)::DOUBLE AS s_x11, sum(x2 * x2)::DOUBLE AS s_x22,
+             sum(x1 * x2)::DOUBLE AS s_x12,
+             sum(x1 * y)::DOUBLE AS s_x1y, sum(x2 * y)::DOUBLE AS s_x2y,
+             sum(y * y)::DOUBLE AS s_yy
+      FROM u)
+    {_LR_OUT}
+    """,
+    category="ml",
+)
+def q_ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression (price ~ quantity +
+    discount) by the normal equations — the distributed-ML kernel
+    behind every "fit a linear model in one pass" primitive
+    (Spark MLlib's WeightedLeastSquares does exactly this): ONE
+    scan folds the 10 moment sums (all exact integers in decimal(38)
+    / HUGEINT), the driver-side 3x3 solve is Cramer's rule written
+    as a SINGLE SQL expression shared VERBATIM with the oracle, so
+    both engines run the identical correctly-rounded double sequence
+    (6-dp rounds as belt). Emits betas (cents, cents/qty-unit,
+    cents/discount-bp) and R².
+
+    Scale posture: the model never sees the data twice — one
+    partial+final aggregate to a 10-column row, then pure scalar
+    math. At 100 TB with k features the same shape folds k(k+3)/2
+    sums; the solve stays O(k^3) driver-side scalar work. No join,
+    no collect of anything row-sized (plan-gated)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = l.select(
+        F.round("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x1"))).cast("double").alias("s_x1"),
+        F.sum(dec(F.col("x2"))).cast("double").alias("s_x2"),
+        F.sum(dec(F.col("y"))).cast("double").alias("s_y"),
+        F.sum(dec(F.col("x1") * F.col("x1"))).cast("double").alias("s_x11"),
+        F.sum(dec(F.col("x2") * F.col("x2"))).cast("double").alias("s_x22"),
+        F.sum(dec(F.col("x1") * F.col("x2"))).cast("double").alias("s_x12"),
+        F.sum(dec(F.col("x1") * F.col("y"))).cast("double").alias("s_x1y"),
+        F.sum(dec(F.col("x2") * F.col("y"))).cast("double").alias("s_x2y"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("s_yy"),
+    )
+    return s.selectExpr(
+        "n",
+        f"round({_LR_DET0} / {_LR_DETA}, 6) AS beta0_cents",
+        f"round({_LR_DET1} / {_LR_DETA}, 6) AS beta1_cents_per_qty",
+        f"round({_LR_DET2} / {_LR_DETA}, 6) AS beta2_cents_per_bp",
+        f"round(1 - {_LR_SSE} / {_LR_SST}, 6) AS r2",
+    )

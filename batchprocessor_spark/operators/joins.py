@@ -611,3 +611,99 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round("l_quantity").cast("long")).alias("qty"),
         )
     )
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         vp AS (
+           SELECT v.event_id AS view_id, v.user_id AS user_id,
+                  p.event_id AS purchase_id,
+                  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS wait_s,
+                  row_number() OVER (PARTITION BY v.event_id
+                                     ORDER BY p.ts ASC, p.event_id ASC) AS rn
+           FROM v LEFT JOIN p
+             ON p.user_id = v.user_id
+            AND p.ts >= v.ts
+            AND p.ts <= v.ts + INTERVAL 1 HOUR)
+    SELECT view_id, user_id, purchase_id, wait_s::BIGINT AS wait_s
+    FROM vp WHERE rn = 1
+    """,
+    category="join",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (the pandas/polars
+    merge_asof(direction='forward', tolerance=1h) contract): every
+    view matches the EARLIEST purchase of the same user at-or-after
+    it, but only within 1 hour — later purchases leave the view
+    unmatched (NULL), giving the time-to-convert signal attribution
+    funnels need. Complements q_join_asof (backward, unbounded).
+
+    Implemented as the scalable union idiom run in REVERSE time
+    order: one window over (user_id, ts DESC) carries the
+    next-seen purchase backward to each view (ties: a same-ts
+    purchase is eligible, lowest event_id wins), then the tolerance
+    is a post-filter that NULLs the carried match — never the naive
+    p.ts BETWEEN v.ts AND v.ts+1h join the oracle states (quadratic
+    under hot users). ONE user_id exchange (plan-gated, no Join
+    operator); exact integer wait seconds."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("tag"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            ),
+        ).alias("purchase"),
+    )
+    # Scan latest-first; at equal ts purchases sort before views
+    # (tag desc puts views after purchases? tag: view=1, purchase=0 —
+    # ascending tag at equal ts scans purchases first), and among
+    # same-ts purchases the LOWEST event_id is seen last, so last()
+    # keeps it.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("tag").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        "ts",
+        "tag",
+        F.last("purchase", ignorenulls=True).over(w).alias("m"),
+    )
+    # Microsecond-exact wait: unix_timestamp() would truncate EACH
+    # side to seconds before subtracting (floor(a)-floor(b)), which
+    # disagrees with the oracle's floor(a-b) when sub-second parts
+    # straddle; the tolerance itself compares in microseconds so the
+    # 1-hour boundary is exact on both engines.
+    # ts arrives TIMESTAMP_NTZ from parquet and unix_micros rejects
+    # NTZ (same guard as q_ts_downsample_m4); the NTZ->LTZ cast's
+    # session-zone shift cancels in the difference.
+    wait_us = F.expr(
+        "unix_micros(cast(m.p_ts as timestamp))"
+        " - unix_micros(cast(ts as timestamp))"
+    )
+    wait_s = F.expr(
+        "(unix_micros(cast(m.p_ts as timestamp))"
+        " - unix_micros(cast(ts as timestamp))) DIV 1000000"
+    ).cast("long")
+    in_tol = F.col("m").isNotNull() & (wait_us <= 3600 * 1000000)
+    return merged.where(F.col("tag") == 1).select(
+        "view_id",
+        "user_id",
+        F.when(in_tol, F.col("m.purchase_id")).alias("purchase_id"),
+        F.when(in_tol, wait_s).alias("wait_s"),
+    )

@@ -900,3 +900,69 @@ def q_sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(k * cents)) div greatest(sum(k), 1)"
         ).cast("long").alias("mean_cents"),
     )
+
+
+@register(
+    "q_sample_balanced_classes",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5('bal:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT AS h
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM d),
+    m AS (
+      SELECT min(cnt)::BIGINT AS m
+      FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang))
+    SELECT lang,
+           count(*)::BIGINT AS n_kept,
+           sum(doc_id)::BIGINT AS docid_sum
+    FROM ranked, m WHERE rn <= m.m GROUP BY lang
+    """,
+    category="sampling",
+)
+def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT class-balanced downsampling: every language is cut to the
+    minority class's count by keeping the first m rows of a seeded
+    md5-hash order (deterministic tie-break on doc_id) — the
+    undersampling step a training pipeline runs before fitting on
+    skewed labels, where approximate fraction-based sampling
+    (sample(m/n)) would leave classes unequal. The per-class checksum
+    (doc_id sum) pins WHICH rows survive, not just how many.
+
+    Scale posture: the class-count table is tiny (one aggregate), its
+    min broadcasts as a 1-row join; the rank is a per-class window —
+    fine for many-label corpora, a documented skew risk for
+    few-label ones at 100 TB (same caveat as q_agg_spearman; the
+    remedy there — histogram ranks over the per-(class, hash-bucket)
+    count table — applies verbatim since the hash is uniform)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    m = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("m"))
+    )
+    kept = ranked.crossJoin(F.broadcast(m)).where(F.col("rn") <= F.col("m"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+    )

@@ -732,3 +732,45 @@ def test_calibration_model_broadcasts(spark):
     win_pos = plan.find("Window")
     bin_agg_pos = plan.find("HashAggregate(keys=[bin")
     assert 0 <= win_pos < bin_agg_pos, plan
+
+
+def test_asof_tolerance_is_single_window_no_product(spark):
+    """q_join_asof_tolerance: the forward as-of must be the reverse-
+    order union+window idiom — no Join operator (the naive
+    ts BETWEEN ts AND ts+1h join is quadratic under hot users), one
+    user_id exchange."""
+    plan = plan_of(spark, "q_join_asof_tolerance")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_linreg_single_scan_fold(spark):
+    """q_ml_linreg_normal_eq: one scan, one partial+final aggregate to
+    the 10-moment row, scalar math after — no join, no second pass."""
+    plan = plan_of(spark, "q_ml_linreg_normal_eq")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+
+
+def test_balanced_classes_broadcasts_min_count(spark):
+    """q_sample_balanced_classes: the minority-count scalar reaches
+    the ranked rows as a 1-row broadcast (BroadcastNestedLoopJoin),
+    never a shuffle join; the class rank is one lang exchange."""
+    plan = plan_of(spark, "q_sample_balanced_classes")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(lang") >= 1, plan
+
+
+def test_url_parse_stays_jvm_side(spark):
+    """q_fn_url: parse_url plans as a JVM invoke(ParseUrlEvaluator)
+    expression — outside whole-stage codegen in Spark 4 but still
+    JVM-evaluated and vectorizable; the gate is that NO Python
+    evaluation node appears (row-Python URL parsing is the 100x-slow
+    formulation) and the rollup is one scan + one aggregate."""
+    plan = plan_of(spark, "q_fn_url")
+    assert "ParseUrlEvaluator" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
