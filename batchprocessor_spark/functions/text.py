@@ -1361,3 +1361,118 @@ def q_text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_COLLOC_TOP_K)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+_BPE_SEQ0_DUCK = (
+    "' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || '  _ '"
+)
+_BPE_PAIRS_DUCK = (
+    "SELECT freq, unnest(list_transform("
+    "generate_series(1, len(string_split(trim(seq), '  ')) - 1), "
+    "i -> string_split(trim(seq), '  ')[i] || '  ' "
+    "|| string_split(trim(seq), '  ')[i + 1])) AS pair FROM {src}"
+)
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """words AS (
+      SELECT w, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+      WHERE w <> '' GROUP BY w)""",
+        f"s0 AS (SELECT freq, {_BPE_SEQ0_DUCK} AS seq FROM words)",
+    ]
+    outs = []
+    for r in range(rounds):
+        ctes.append(
+            f"p{r} AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM ("
+            + _BPE_PAIRS_DUCK.format(src=f"s{r}")
+            + ") GROUP BY pair)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r + 1} AS (SELECT freq, replace(seq, ' ' || b{r}.pair || ' ', "
+            f"' ' || replace(b{r}.pair, '  ', '') || ' ') AS seq "
+            f"FROM s{r}, b{r})"
+        )
+        outs.append(
+            f"SELECT {r + 1}::BIGINT AS round, "
+            f"string_split(pair, '  ')[1] AS tok_a, "
+            f"string_split(pair, '  ')[2] AS tok_b, cnt FROM b{r}"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(outs)
+
+
+@register("q_llm_bpe_train", oracle=_bpe_oracle(), category="text")
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding TRAINER — 3 greedy merge rounds of the
+    Sennrich et al. algorithm (the kernel inside every BPE/WordPiece
+    tokenizer build): corpus → weighted word vocabulary → each word a
+    token sequence of characters + '_' end marker → per round, count
+    adjacent token pairs (frequency-weighted, position-based), merge
+    the globally best pair (ties broken lexicographically) into every
+    sequence, repeat. Emits (round, tok_a, tok_b, count) — the merge
+    table a tokenizer ships. Sequences use the DOUBLE-SEPARATOR
+    encoding (' a  b  c '): a single replace() then merges
+    consecutive pair occurrences exactly like the greedy
+    left-to-right scan (the shared boundary space that would break
+    single-space encoding is never consumed), and token-boundary
+    anchoring is structural, so Spark and DuckDB apply bit-identical
+    merges. q_llm_bpe_pairs covers round-0 pair statistics; this is
+    the iterated trainer.
+
+    Scale posture: pair counting and merging run on the DISTINCT-word
+    vocabulary weighted by corpus frequency (the standard trick —
+    vocab-sized state, corpus-sized only in the initial word count);
+    per round ONE aggregate + ONE 1-row driver collect (the merge
+    decision — model-sized, same discipline as k-means centroids),
+    and the merge itself is a map-side replace. At 100 TB rounds are
+    bounded by vocab size, never corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select(
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace("w", "(.)", "$1  ")),
+            F.lit("  _ "),
+        ).alias("seq"),
+    )
+    pair_expr = (
+        "transform(sequence(1, size(split(trim(seq), '  ')) - 1), "
+        "i -> concat(element_at(split(trim(seq), '  '), i), '  ', "
+        "element_at(split(trim(seq), '  '), i + 1)))"
+    )
+    out_rows = []
+    cur = seqs
+    for r in range(3):
+        pairs = cur.select("freq", F.explode(F.expr(pair_expr)).alias("pair"))
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]  # model-sized: ONE merge decision per round
+        )
+        tok_a, tok_b = best["pair"].split("  ")
+        out_rows.append((r + 1, tok_a, tok_b, best["cnt"]))
+        merged = tok_a + tok_b
+        cur = cur.select(
+            "freq",
+            F.expr(
+                f"replace(seq, ' {best['pair']} ', ' {merged} ')"
+            ).alias("seq"),
+        )
+    return spark.createDataFrame(
+        out_rows, "round BIGINT, tok_a STRING, tok_b STRING, cnt BIGINT"
+    )

@@ -1824,3 +1824,182 @@ def q_ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_LR_DET2} / {_LR_DETA}, 6) AS beta2_cents_per_bp",
         f"round(1 - {_LR_SSE} / {_LR_SST}, 6) AS r2",
     )
+
+
+# q_dq_mahalanobis: the quadratic-form expression is one SQL text
+# shared verbatim by builder and oracle (the q_ml_linreg_normal_eq
+# discipline) — identical correctly-rounded double sequence over
+# identical exact moments on both engines.
+_MAH_CXX = "(s_xx / n - (s_x / n) * (s_x / n))"
+_MAH_CYY = "(s_yy / n - (s_y / n) * (s_y / n))"
+_MAH_CXY = "(s_xy / n - (s_x / n) * (s_y / n))"
+_MAH_D2 = (
+    f"(({_MAH_CYY} * (x - s_x / n) * (x - s_x / n)"
+    f" - 2 * {_MAH_CXY} * (x - s_x / n) * (y - s_y / n)"
+    f" + {_MAH_CXX} * (y - s_y / n) * (y - s_y / n))"
+    f" / ({_MAH_CXX} * {_MAH_CYY} - {_MAH_CXY} * {_MAH_CXY}))"
+)
+
+
+@register(
+    "q_dq_mahalanobis",
+    oracle=f"""
+    WITH u AS (
+      SELECT l_returnflag AS grp,
+             round(l_quantity)::BIGINT AS x,
+             round(l_extendedprice * 100)::BIGINT AS y
+      FROM lineitem),
+    m AS (
+      SELECT grp, count(*)::BIGINT AS n,
+             sum(x)::DOUBLE AS s_x, sum(y)::DOUBLE AS s_y,
+             sum(x * x)::DOUBLE AS s_xx, sum(y * y)::DOUBLE AS s_yy,
+             sum(x * y)::DOUBLE AS s_xy
+      FROM u GROUP BY grp),
+    d AS (
+      SELECT u.grp, {_MAH_D2} AS d2
+      FROM u JOIN m ON u.grp = m.grp)
+    SELECT grp,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN d2 > 13.816 THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers,
+           round(max(d2), 6) AS max_d2
+    FROM d GROUP BY grp
+    """,
+    category="dq",
+)
+def q_dq_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate (Mahalanobis-distance) outlier audit per group —
+    the DQ check that catches rows whose quantity/price COMBINATION
+    is anomalous even when each marginal is in-range (a univariate
+    IQR/z-score fence, q_anomaly_iqr / q_ts_zscore_anomaly, cannot):
+    d² = Δᵀ Σ⁻¹ Δ against the χ²(2, 0.999) = 13.816 fence. The 2x2
+    covariance inverse is closed-form from exact integer moments; the
+    per-row quadratic form is ONE SQL expression shared verbatim with
+    the oracle, so the fence comparison and max cannot drift
+    cross-engine (no sum of floats is ever taken — only comparisons
+    and max, both order-independent).
+
+    Scale posture: per-group moments are one aggregate (3 groups)
+    BROADCAST back onto a second fact scan — the two-pass
+    moment-then-score shape every streaming-incompatible robust
+    statistic uses; rows never shuffle (gated: 1 BroadcastHashJoin,
+    no group window over the fact table)."""
+    u = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("s_x"),
+        F.sum(dec(F.col("y"))).cast("double").alias("s_y"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("s_xx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("s_yy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("s_xy"),
+    )
+    d = u.join(F.broadcast(m), "grp").selectExpr("grp", f"{_MAH_D2} AS d2")
+    return d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("d2") > 13.816, 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(F.max("d2"), 6).alias("max_d2"),
+    )
+
+
+@register(
+    "q_ml_kfold_cv",
+    oracle="""
+    WITH d AS (
+      SELECT n_chars // 100 AS bucket,
+             ('0x' || substring(md5('cv:' || doc_id::VARCHAR), 1, 8))
+               ::BIGINT % 5 AS fold,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents),
+    cells AS (
+      SELECT bucket, fold, count(*)::BIGINT AS n,
+             sum(is_en)::BIGINT AS n_en
+      FROM d GROUP BY bucket, fold),
+    loo AS (
+      SELECT bucket, fold, n, n_en,
+             sum(n) OVER (PARTITION BY bucket) - n AS train_n,
+             sum(n_en) OVER (PARTITION BY bucket) - n_en AS train_en
+      FROM cells),
+    scored AS (
+      SELECT fold, n, n_en,
+             CASE WHEN 2 * train_en > train_n THEN 1 ELSE 0 END AS pred_en
+      FROM loo),
+    pf AS (
+      SELECT fold, sum(n)::BIGINT AS n_test,
+             sum(CASE WHEN pred_en = 1 THEN n_en ELSE n - n_en END)
+               ::BIGINT AS n_correct
+      FROM scored GROUP BY fold)
+    SELECT fold, n_test,
+           ((10000 * n_correct) // n_test)::BIGINT AS acc_bp,
+           (sum((10000 * n_correct) // n_test) OVER () // 5)::BIGINT
+             AS mean_acc_bp
+    FROM pf
+    """,
+    category="ml",
+)
+def q_ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the length-bucket majority
+    classifier WITHOUT 5 training passes — the leave-one-fold-out
+    sufficient-statistics trick: one aggregate builds per
+    (bucket, fold) counts, and fold f's training statistics are the
+    bucket totals MINUS fold f's own cell (a window over the tiny
+    cell table), so all 5 train/test splits evaluate from a single
+    scan. This is how CV must be run at 100 TB for any
+    sufficient-statistic model (counts, moments, NB likelihoods —
+    q_ml_naive_bayes's stats fold the same way); per-fold accuracy
+    and the CV mean are exact integer basis points via DIV.
+
+    Scale posture: one fact scan, one (bucket, fold) aggregate
+    (≤ buckets x 5 rows), windows only over that value table, ≤5-row
+    output. No join at all (plan-gated)."""
+    from batchprocessor_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").alias("bucket"),
+        hash_bucket(F.col("doc_id"), "cv:", 5).alias("fold"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    cells = d.groupBy("bucket", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_en").cast("long").alias("n_en"),
+    )
+    wb = Window.partitionBy("bucket")
+    loo = cells.select(
+        "fold",
+        "n",
+        "n_en",
+        (F.sum("n").over(wb) - F.col("n")).alias("train_n"),
+        (F.sum("n_en").over(wb) - F.col("n_en")).alias("train_en"),
+    )
+    scored = loo.select(
+        "fold",
+        "n",
+        "n_en",
+        F.when(2 * F.col("train_en") > F.col("train_n"), 1)
+        .otherwise(0)
+        .alias("pred_en"),
+    )
+    pf = scored.groupBy("fold").agg(
+        F.sum("n").cast("long").alias("n_test"),
+        F.sum(
+            F.when(F.col("pred_en") == 1, F.col("n_en")).otherwise(
+                F.col("n") - F.col("n_en")
+            )
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    wall = Window.partitionBy()
+    acc = F.expr("(10000 * n_correct) DIV n_test")
+    return pf.select(
+        "fold",
+        "n_test",
+        acc.cast("long").alias("acc_bp"),
+        F.sum(acc).over(wall).alias("_pre"),
+    ).selectExpr("fold", "n_test", "acc_bp", "CAST(_pre DIV 5 AS BIGINT) AS mean_acc_bp")

@@ -774,3 +774,28 @@ def test_url_parse_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan, plan
     assert "ArrowEvalPython" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_mahalanobis_two_pass_broadcast(spark):
+    """q_dq_mahalanobis: the classic moment-then-score two-pass shape —
+    group moments aggregate once and BROADCAST back onto the second
+    fact scan; rows never shuffle (no group window over the fact
+    table, no sort-merge join)."""
+    plan = plan_of(spark, "q_dq_mahalanobis")
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_kfold_cv_single_scan_loo_windows(spark):
+    """q_ml_kfold_cv: all 5 train/test splits come from ONE scan via
+    leave-one-fold-out sufficient statistics — no join, and the LOO
+    window runs over the (bucket, fold) cell aggregate, not the
+    documents table."""
+    plan = plan_of(spark, "q_ml_kfold_cv")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    win_pos = plan.find("Window")
+    cell_agg_pos = plan.find("HashAggregate(keys=[bucket")
+    assert 0 <= win_pos < cell_agg_pos, plan
