@@ -1,0 +1,324 @@
+"""Independent reference implementations for the session's
+metric/experimentation kernels (AUC, CUPED, k-fold LOO, Mahalanobis,
+correlation matrix, BPE merge, forward as-of). The oracle-parity lane
+proves Spark == DuckDB; these tests prove the SHARED formulation is
+right by checking it against brute force / numpy / pure-python
+references that share no code with either side — the only defense
+against a mistake both engines implement identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from batchprocessor_spark.plans.registry import load_all
+from tests.conftest import SF_SMALL
+
+REGISTRY = load_all()
+
+SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------- AUC
+
+def _auc_histogram(pairs):
+    """The q_ml_auc formulation: distinct-score histogram, doubled-U."""
+    from collections import defaultdict
+
+    npos = defaultdict(int)
+    nneg = defaultdict(int)
+    for s, y in pairs:
+        (npos if y else nneg)[s] += 1
+    below = 0
+    u2 = 0
+    for s in sorted(set(npos) | set(nneg)):
+        u2 += npos[s] * (2 * below + nneg[s])
+        below += nneg[s]
+    return u2
+
+
+def _auc_bruteforce(pairs):
+    """Textbook pairwise definition, doubled to stay integer."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    u2 = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                u2 += 2
+            elif p == n:
+                u2 += 1
+    return u2
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.booleans()), min_size=0, max_size=60
+    )
+)
+@SETTINGS
+def test_auc_histogram_identity(pairs):
+    assert _auc_histogram(pairs) == _auc_bruteforce(pairs)
+
+
+# ----------------------------------------------------- k-fold LOO CV
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # bucket
+            st.integers(0, 4),  # fold
+            st.booleans(),      # label
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@SETTINGS
+def test_kfold_loo_equals_naive_retrain(rows):
+    """Leave-one-fold-out sufficient statistics (bucket totals minus
+    the fold's own cell) must equal naively retraining on the other
+    folds — per (bucket, fold) majority prediction."""
+    from collections import defaultdict
+
+    cell_n = defaultdict(int)
+    cell_en = defaultdict(int)
+    for b, f, y in rows:
+        cell_n[(b, f)] += 1
+        cell_en[(b, f)] += int(y)
+    buckets = {b for b, _, _ in rows}
+    folds = {f for _, f, _ in rows}
+    for b in buckets:
+        tot_n = sum(cell_n[(b, f)] for f in folds)
+        tot_en = sum(cell_en[(b, f)] for f in folds)
+        for f in folds:
+            loo_n = tot_n - cell_n[(b, f)]
+            loo_en = tot_en - cell_en[(b, f)]
+            naive_n = sum(cell_n[(b, g)] for g in folds if g != f)
+            naive_en = sum(cell_en[(b, g)] for g in folds if g != f)
+            assert (loo_n, loo_en) == (naive_n, naive_en)
+            assert (2 * loo_en > loo_n) == (2 * naive_en > naive_n)
+
+
+# ------------------------------------------------- Mahalanobis / corr
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(100, 10000)),
+        min_size=8,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_mahalanobis_closed_form_vs_numpy(data):
+    xs = np.array([x for x, _ in data], dtype=float)
+    ys = np.array([y for _, y in data], dtype=float)
+    n = len(data)
+    cxx = float((xs * xs).sum()) / n - (xs.sum() / n) ** 2
+    cyy = float((ys * ys).sum()) / n - (ys.sum() / n) ** 2
+    cxy = float((xs * ys).sum()) / n - (xs.sum() / n) * (ys.sum() / n)
+    det = cxx * cyy - cxy * cxy
+    if abs(det) < 1e-9:  # degenerate (collinear) draw — formula undefined
+        return
+    cov = np.cov(np.vstack([xs, ys]), bias=True)
+    inv = np.linalg.inv(cov)
+    mx, my = xs.mean(), ys.mean()
+    for x, y in data:
+        d = np.array([x - mx, y - my])
+        ref = float(d @ inv @ d)
+        closed = (
+            cyy * (x - mx) ** 2 - 2 * cxy * (x - mx) * (y - my) + cxx * (y - my) ** 2
+        ) / det
+        assert math.isclose(ref, closed, rel_tol=1e-6, abs_tol=1e-9)
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 1000)),
+        min_size=5,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_corr_moment_formula_vs_numpy(data):
+    xs = np.array([x for x, _ in data], dtype=float)
+    ys = np.array([y for _, y in data], dtype=float)
+    n = len(data)
+    num = n * float((xs * ys).sum()) - xs.sum() * ys.sum()
+    dx = n * float((xs * xs).sum()) - xs.sum() ** 2
+    dy = n * float((ys * ys).sum()) - ys.sum() ** 2
+    if dx <= 0 or dy <= 0:  # constant column — corr undefined
+        return
+    got = num / (math.sqrt(dx) * math.sqrt(dy))
+    ref = float(np.corrcoef(xs, ys)[0, 1])
+    assert math.isclose(got, ref, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# ------------------------------------------------------------- BPE
+
+def _bpe_encode(tokens):
+    return " " + "  ".join(tokens) + " "
+
+
+def _bpe_decode(seq):
+    return seq.strip().split("  ")
+
+
+def _greedy_merge(tokens, a, b):
+    """Reference left-to-right non-overlapping merge of (a, b)."""
+    out = []
+    i = 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "_"]), min_size=1, max_size=12
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "ba"]),
+        st.sampled_from(["a", "b", "ab", "ba", "_"]),
+    ),
+)
+@SETTINGS
+def test_bpe_double_separator_replace_equals_greedy_merge(tokens, pair):
+    """The load-bearing claim of q_llm_bpe_train: on the
+    double-separator encoding, ONE string replace() applies a pair
+    merge exactly like the greedy left-to-right token scan —
+    including consecutive occurrences ('a b a b') and overlapping
+    ones ('l l l'), and never matches inside a longer token ('ba  c'
+    vs pair (a, c)). str.replace is left-to-right non-overlapping in
+    Python, Java (Spark) and DuckDB alike."""
+    a, b = pair
+    seq = _bpe_encode(tokens)
+    merged_seq = seq.replace(f" {a}  {b} ", f" {a + b} ")
+    assert _bpe_decode(merged_seq) == _greedy_merge(tokens, a, b)
+
+
+def _python_bpe_reference(word_freqs, rounds=3):
+    """Independent BPE trainer (dict-of-tuples state, no strings)."""
+    from collections import Counter
+
+    seqs = {tuple(w) + ("_",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(rounds):
+        counts = Counter()
+        for toks, f in seqs.items():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] += f
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        seqs = {
+            tuple(_greedy_merge(list(toks), a, b)): f for toks, f in seqs.items()
+        }
+    return merges
+
+
+@pytest.mark.usefixtures("spark")
+def test_bpe_trainer_matches_python_reference(spark):
+    """End-to-end at sf0.001: the registered trainer's 3 merges equal
+    an independent pure-python BPE over the same corpus."""
+    import re
+
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    texts = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    freqs = Counter()
+    for t in texts.column("text").to_pylist():
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                freqs[w] += 1
+    expected = _python_bpe_reference(freqs, rounds=3)
+    got = [
+        (r["tok_a"], r["tok_b"], r["cnt"])
+        for r in REGISTRY["q_llm_bpe_train"].builder(spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+
+
+# --------------------------------------------- forward as-of / CUPED
+
+def test_asof_tolerance_matches_pandas_bruteforce(spark):
+    """End-to-end at sf0.001: the reverse-window forward as-of equals
+    a pandas brute-force nearest-forward-within-1h match."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    views = ev[ev.event_type == "view"]
+    purch = ev[ev.event_type == "purchase"]
+    expected = {}
+    for v in views.itertuples():
+        cand = purch[
+            (purch.user_id == v.user_id)
+            & (purch.ts >= v.ts)
+            & (purch.ts <= v.ts + pd.Timedelta(hours=1))
+        ].sort_values(["ts", "event_id"])
+        if len(cand):
+            first = cand.iloc[0]
+            wait_s = int(
+                (first.ts.value // 1000 - v.ts.value // 1000) // 1_000_000
+            )
+            expected[v.event_id] = (int(first.event_id), wait_s)
+        else:
+            expected[v.event_id] = (None, None)
+    got_rows = (
+        REGISTRY["q_join_asof_tolerance"].builder(spark, SF_SMALL).collect()
+    )
+    got = {
+        r["view_id"]: (
+            None if r["purchase_id"] is None else int(r["purchase_id"]),
+            None if r["wait_s"] is None else int(r["wait_s"]),
+        )
+        for r in got_rows
+    }
+    assert got == expected
+
+
+def test_cuped_matches_numpy_reference(spark):
+    """End-to-end at sf0.001: theta / adjusted diff / rho2 equal a
+    numpy covariance computation over the same per-user features."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    import hashlib
+
+    def arm(uid):
+        return int(hashlib.md5(f"cuped:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    u = (
+        ev.assign(
+            x=np.where(ev.event_type == "view", ev.cents, 0),
+            y=np.where(ev.event_type == "purchase", ev.cents, 0),
+        )
+        .groupby("user_id")[["x", "y"]]
+        .sum()
+        .reset_index()
+    )
+    u["arm"] = u.user_id.map(arm)
+    x, y = u.x.to_numpy(float), u.y.to_numpy(float)
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    m = u.groupby("arm")[["x", "y"]].mean()
+    adj = ((m.loc[1, "y"] - m.loc[0, "y"]) - theta * (m.loc[1, "x"] - m.loc[0, "x"])) / 100
+    row = REGISTRY["q_ab_cuped"].builder(spark, SF_SMALL).collect()[0]
+    assert math.isclose(row["theta"], theta, rel_tol=1e-4, abs_tol=1e-4)
+    assert math.isclose(row["adj_diff"], adj, rel_tol=1e-4, abs_tol=1e-4)
+    assert math.isclose(row["var_reduction"], rho2, rel_tol=1e-4, abs_tol=1e-4)
+    assert int(row["n_control"]) == int((u.arm == 0).sum())
+    assert int(row["n_treatment"]) == int((u.arm == 1).sum())
