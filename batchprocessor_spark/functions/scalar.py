@@ -657,3 +657,56 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_https"),
     )
+
+
+@register(
+    "q_fn_datetime_ext",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate::DATE AS dt, quarter(o_orderdate::DATE) AS qtr
+      FROM orders)
+    SELECT qtr::INT AS qtr,
+           count(*)::BIGINT AS n,
+           min(strftime(last_day(dt), '%Y-%m-%d')) AS min_last_day,
+           max(strftime(date_trunc('week', dt)::DATE, '%Y-%m-%d'))
+             AS max_week_start,
+           sum(dayofyear(dt))::BIGINT AS sum_doy,
+           sum(weekofyear(dt))::BIGINT AS sum_iso_week,
+           min(strftime((dt + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d'))
+             AS min_plus3m
+    FROM d GROUP BY qtr
+    """,
+    category="function",
+)
+def q_fn_datetime_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended calendar-function family beyond q_fn_date: last_day
+    (month-end), date_trunc to ISO week (Monday), dayofyear, ISO
+    weekofyear, and add_months with its END-OF-MONTH CLAMP (Jan 31 +
+    3 months = Apr 30 on BOTH engines — DuckDB's date + INTERVAL
+    clamps identically, which this query pins; a naive +90 days would
+    not). Grouped by quarter so every month/season boundary in the
+    6.5-year fixture range exercises the conventions; dates emitted
+    as ISO strings (the repo's timestamp-hashing discipline).
+
+    Parity notes: weekofyear is ISO-8601 on both engines (week 1 =
+    first week with ≥4 January days); date_trunc('week') is
+    Monday-anchored on both. Shape: one scan, one partial+final
+    aggregate — all functions are codegen-able JVM intrinsics."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("dt"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+    return d.groupBy("qtr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.date_format(F.last_day("dt"), "yyyy-MM-dd")).alias(
+            "min_last_day"
+        ),
+        F.max(
+            F.date_format(F.date_trunc("week", F.col("dt")), "yyyy-MM-dd")
+        ).alias("max_week_start"),
+        F.sum(F.dayofyear("dt")).cast("long").alias("sum_doy"),
+        F.sum(F.weekofyear("dt")).cast("long").alias("sum_iso_week"),
+        F.min(
+            F.date_format(F.add_months(F.col("dt"), 3), "yyyy-MM-dd")
+        ).alias("min_plus3m"),
+    )

@@ -2003,3 +2003,168 @@ def q_ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc.cast("long").alias("acc_bp"),
         F.sum(acc).over(wall).alias("_pre"),
     ).selectExpr("fold", "n_test", "acc_bp", "CAST(_pre DIV 5 AS BIGINT) AS mean_acc_bp")
+
+
+@register(
+    "q_events_rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, round(value * 100)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase'),
+    gmax AS (SELECT max(epoch_us(ts))::BIGINT AS gus FROM p),
+    u AS (
+      SELECT user_id,
+             ((SELECT gus FROM gmax) - max(epoch_us(ts))::BIGINT)
+               // 86400000000 AS r_days,
+             count(*)::BIGINT AS freq,
+             (sum(cents) // 100)::BIGINT AS dollars
+      FROM p GROUP BY user_id),
+    hr AS (
+      SELECT r_days AS v, count(*) AS c,
+             sum(count(*)) OVER (ORDER BY r_days) AS cum,
+             sum(count(*)) OVER () AS total
+      FROM u GROUP BY r_days),
+    tr AS (
+      SELECT min(CASE WHEN cum >= (total + 2) // 3 THEN v END) AS t1,
+             min(CASE WHEN cum >= (2 * total + 2) // 3 THEN v END) AS t2
+      FROM hr),
+    hf AS (
+      SELECT freq AS v, count(*) AS c,
+             sum(count(*)) OVER (ORDER BY freq) AS cum,
+             sum(count(*)) OVER () AS total
+      FROM u GROUP BY freq),
+    tf AS (
+      SELECT min(CASE WHEN cum >= (total + 2) // 3 THEN v END) AS t1,
+             min(CASE WHEN cum >= (2 * total + 2) // 3 THEN v END) AS t2
+      FROM hf),
+    hm AS (
+      SELECT dollars AS v, count(*) AS c,
+             sum(count(*)) OVER (ORDER BY dollars) AS cum,
+             sum(count(*)) OVER () AS total
+      FROM u GROUP BY dollars),
+    tm AS (
+      SELECT min(CASE WHEN cum >= (total + 2) // 3 THEN v END) AS t1,
+             min(CASE WHEN cum >= (2 * total + 2) // 3 THEN v END) AS t2
+      FROM hm),
+    scored AS (
+      SELECT (3 - ((u.r_days > tr.t1)::INT + (u.r_days > tr.t2)::INT))
+               || '' AS r_s,
+             (1 + (u.freq > tf.t1)::INT + (u.freq > tf.t2)::INT) || '' AS f_s,
+             (1 + (u.dollars > tm.t1)::INT + (u.dollars > tm.t2)::INT)
+               || '' AS m_s,
+             u.dollars
+      FROM u, tr, tf, tm)
+    SELECT r_s || f_s || m_s AS segment,
+           count(*)::BIGINT AS n_users,
+           sum(dollars)::BIGINT AS dollars_sum
+    FROM scored GROUP BY segment
+    """,
+    category="analytics",
+)
+def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM rollup: per purchaser, days since last purchase,
+    purchase count, and dollar total; each metric scored 1-3 against
+    EXACT tercile thresholds (3 = best; recency inverted), users
+    grouped into the 27 'RFM cells'. Thresholds come from the
+    metric's VALUE HISTOGRAM (bounded: days, counts, whole dollars) —
+    cum counts over the tiny histogram table pick min(v) with
+    cum >= ceil(N/3) — never a global ntile over users, which would
+    be the single-partition window this formulation exists to avoid
+    (the q_agg_median_distributed discipline applied three times).
+    All arithmetic integer (floor day division on non-negative
+    micros, cents DIV 100 dollars), so scores cannot drift.
+
+    Scale posture: the purchaser table is localCheckpoint-
+    materialized ONCE (one fact scan), the three histograms and the
+    scoring pass all read that materialization (plan-gated: zero
+    parquet scans in the final plan), and the three threshold rows
+    broadcast."""
+    p = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    per_user = p.groupBy("user_id").agg(
+        F.max(us).alias("umax"),
+        F.count(F.lit(1)).alias("freq"),
+        F.expr(
+            "sum(cast(round(value * 100) as bigint)) DIV 100"
+        ).alias("dollars"),
+    )
+    gmax = p.agg(F.max(us).alias("gus"))
+    u = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.expr("(gus - umax) DIV 86400000000").alias("r_days"),
+            "freq",
+            "dollars",
+        )
+        .localCheckpoint(eager=True)  # one fact scan feeds all branches
+    )
+
+    def terciles(col: str) -> DataFrame:
+        wcum = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wall = Window.partitionBy()
+        h = (
+            u.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                F.col(col).alias("v"),
+                F.sum("c").over(wcum).alias("cum"),
+                F.sum("c").over(wall).alias("total"),
+            )
+        )
+        return h.agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(total + 2) DIV 3"), F.col("v"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * total + 2) DIV 3"), F.col("v")
+                )
+            ).alias("t2"),
+        )
+
+    tr = terciles("r_days").select(
+        F.col("t1").alias("r_t1"), F.col("t2").alias("r_t2")
+    )
+    tf = terciles("freq").select(
+        F.col("t1").alias("f_t1"), F.col("t2").alias("f_t2")
+    )
+    tm = terciles("dollars").select(
+        F.col("t1").alias("m_t1"), F.col("t2").alias("m_t2")
+    )
+    scored = (
+        u.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tf))
+        .crossJoin(F.broadcast(tm))
+        .select(
+            F.concat(
+                (
+                    3
+                    - (
+                        (F.col("r_days") > F.col("r_t1")).cast("int")
+                        + (F.col("r_days") > F.col("r_t2")).cast("int")
+                    )
+                ).cast("string"),
+                (
+                    1
+                    + (F.col("freq") > F.col("f_t1")).cast("int")
+                    + (F.col("freq") > F.col("f_t2")).cast("int")
+                ).cast("string"),
+                (
+                    1
+                    + (F.col("dollars") > F.col("m_t1")).cast("int")
+                    + (F.col("dollars") > F.col("m_t2")).cast("int")
+                ).cast("string"),
+            ).alias("segment"),
+            "dollars",
+        )
+    )
+    return scored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("dollars").cast("long").alias("dollars_sum"),
+    )

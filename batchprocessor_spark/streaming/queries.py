@@ -874,3 +874,46 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rows
         else out.where(F.col("p_user") >= 0)
     )
+
+
+@register(
+    "q_stream_sliding_watermark",
+    oracle="""
+    WITH expanded AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 - k * 3600 AS win_start,
+             event_type
+      FROM events CROSS JOIN (SELECT unnest(range(2)) AS k))
+    SELECT win_start::BIGINT AS win_start, event_type,
+           count(*)::BIGINT AS cnt
+    FROM expanded GROUP BY 1, 2
+    """,
+    category="streaming",
+)
+def q_stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING window (2 h windows every 1 h) with
+    watermark on a real stream — the streaming twin of q_win_sliding
+    and the last windowing shape the streaming lane was missing
+    beside tumbling (q_stream_tumbling_watermark) and session
+    (q_stream_session_watermark): every event contributes to 2
+    overlapping windows, and Spark maintains 2 open window states
+    per key bounded by the watermark. With AvailableNow over a single
+    replay nothing is late, so the drained result equals the batch
+    expansion the oracle states (floor to the slide grid, step back
+    k slides — the q_win_sliding oracle at 1-hour grain).
+
+    Scale posture: state per (window, event_type) only — the
+    watermark closes windows 2 h + 10 min behind the max event time,
+    so state is O(open windows x key cardinality) regardless of
+    stream length."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_to_memory(agg)

@@ -799,3 +799,29 @@ def test_kfold_cv_single_scan_loo_windows(spark):
     win_pos = plan.find("Window")
     cell_agg_pos = plan.find("HashAggregate(keys=[bucket")
     assert 0 <= win_pos < cell_agg_pos, plan
+
+
+def test_rfm_reads_materialized_user_table(spark):
+    """q_events_rfm_segmentation: the purchaser table materializes
+    ONCE (localCheckpoint after one fact scan); the three histogram/
+    threshold branches and the scoring pass all read that
+    materialization — the final plan contains ZERO parquet scans and
+    only broadcast joins (3 threshold rows + the scan-free scored
+    rows)."""
+    plan = plan_of(spark, "q_events_rfm_segmentation")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Checkpoint" in plan, plan
+
+
+def test_datetime_ext_stays_jvm_side(spark):
+    """q_fn_datetime_ext: every calendar function is a JVM intrinsic
+    (the string-buffered min/max aggregates plan as SortAggregate,
+    which sits outside whole-stage codegen — acceptable); the gate is
+    no Python evaluation node and one scan + one partial+final
+    aggregate."""
+    plan = plan_of(spark, "q_fn_datetime_ext")
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("SortAggregate") == 2, plan
