@@ -2168,3 +2168,173 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("dollars").cast("long").alias("dollars_sum"),
     )
+
+
+@register(
+    "q_events_path_analysis",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+    counted AS (
+      SELECT path, count(*)::BIGINT AS cnt FROM paths GROUP BY path),
+    ranked AS (
+      SELECT path, cnt,
+             row_number() OVER (ORDER BY cnt DESC, path) AS rnk
+      FROM counted)
+    SELECT path, cnt, rnk FROM ranked WHERE rnk <= 10
+    """,
+    category="analytics",
+)
+def q_events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most-travelled 3-step behavior paths (the Sankey/flow
+    diagram feed every product-analytics tool renders): consecutive
+    event triples per user via two lead() calls over ONE user_id
+    window, path strings counted, top-k taken. Extends
+    q_events_markov_transitions (1-step matrix) to path grain.
+
+    Scale posture: one user_id exchange shared by both leads, a
+    (path)-keyed aggregate with map-side combine (path cardinality ≤
+    |event_types|^3 = 125 — bounded state), and the top-10 is
+    TakeOrderedAndProject over that bounded table, never a global
+    sort (plan-gated). Deterministic tie-break on the path string."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = (
+        o.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counted.orderBy(F.col("cnt").desc(), F.col("path")).limit(10)
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("path"))
+    return top.select("path", "cnt", F.row_number().over(w_rank).alias("rnk"))
+
+
+# q_ab_delta_method: ratio-metric inference formulas shared verbatim
+# between builder and oracle (the q_ml_linreg_normal_eq discipline).
+# Per arm a: R = Sy/Sx (cents per view), and the delta-method
+# variance of the ratio-of-means over n users:
+#   var(R) = (vy - 2 R cxy + R^2 vx) / (n * mx^2)
+# with mx = Sx/n, vy/vx/cxy the (biased) per-user moments.
+def _dm_expr(a: str) -> dict[str, str]:
+    r = f"(s_y{a} / s_x{a})"
+    mx = f"(s_x{a} / n{a})"
+    vx = f"(s_xx{a} / n{a} - {mx} * {mx})"
+    vy = f"(s_yy{a} / n{a} - (s_y{a} / n{a}) * (s_y{a} / n{a}))"
+    cxy = f"(s_xy{a} / n{a} - {mx} * (s_y{a} / n{a}))"
+    var = f"(({vy} - 2 * {r} * {cxy} + {r} * {r} * {vx}) / (n{a} * {mx} * {mx}))"
+    return {"r": r, "var": var}
+
+
+_DM0 = _dm_expr("0")
+_DM1 = _dm_expr("1")
+_DM_OUT = f"""
+    SELECT n0, n1,
+           round({_DM0['r']}, 6) AS ratio_control,
+           round({_DM1['r']}, 6) AS ratio_treatment,
+           round({_DM1['r']} - {_DM0['r']}, 6) AS ratio_diff,
+           round(({_DM1['r']} - {_DM0['r']})
+                 / sqrt({_DM0['var']} + {_DM1['var']}), 6) AS z_stat
+    FROM s
+"""
+
+
+@register(
+    "q_ab_delta_method",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substring(md5('cuped:' || user_id::VARCHAR), 1, 8))
+               ::BIGINT % 2 AS arm,
+             count(*) FILTER (event_type = 'view')::BIGINT AS x,
+             coalesce(sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase'), 0) AS y
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT count(*) FILTER (arm = 0)::BIGINT AS n0,
+             count(*) FILTER (arm = 1)::BIGINT AS n1,
+             sum(x) FILTER (arm = 0)::DOUBLE AS s_x0,
+             sum(x) FILTER (arm = 1)::DOUBLE AS s_x1,
+             sum(y) FILTER (arm = 0)::DOUBLE AS s_y0,
+             sum(y) FILTER (arm = 1)::DOUBLE AS s_y1,
+             sum(x * x) FILTER (arm = 0)::DOUBLE AS s_xx0,
+             sum(x * x) FILTER (arm = 1)::DOUBLE AS s_xx1,
+             sum(y * y) FILTER (arm = 0)::DOUBLE AS s_yy0,
+             sum(y * y) FILTER (arm = 1)::DOUBLE AS s_yy1,
+             sum(x * y) FILTER (arm = 0)::DOUBLE AS s_xy0,
+             sum(x * y) FILTER (arm = 1)::DOUBLE AS s_xy1
+      FROM u)
+    {_DM_OUT}
+    """,
+    category="analytics",
+)
+def q_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inference for a RATIO metric (revenue per view) —
+    the experimentation-platform arithmetic naive per-user t-tests
+    get WRONG for ratio-of-means metrics (the denominator is random
+    too): per arm, R = ΣY/ΣX and var(R) = (vy − 2R·cxy + R²·vx) /
+    (n·x̄²), the first-order Taylor expansion; z = ΔR / √(var₀+var₁).
+    Complements q_ab_welch_ttest (per-user mean metric) and
+    q_ab_cuped (variance reduction). Every sum is an exact integer
+    (views, cents, their squares/products); the float stage is ONE
+    formula text shared verbatim with the oracle; 6-dp belts.
+
+    Scale posture: one fact scan → one user fold → one 12-column
+    conditional global fold to a single row; no join, no second scan
+    (plan-gated). Same arm split as q_ab_cuped so the two readouts
+    describe the same experiment."""
+    from batchprocessor_spark.operators.sampling import hash_bucket
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    u = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        ).alias("y"),
+    )
+    u = u.withColumn("arm", hash_bucket(F.col("user_id"), "cuped:", 2))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def arm_aggs(a: int):
+        cond = F.col("arm") == a
+        return [
+            F.count(F.when(cond, 1)).alias(f"n{a}"),
+            F.sum(F.when(cond, dec(F.col("x")))).cast("double").alias(f"s_x{a}"),
+            F.sum(F.when(cond, dec(F.col("y")))).cast("double").alias(f"s_y{a}"),
+            F.sum(F.when(cond, dec(F.col("x") * F.col("x"))))
+            .cast("double")
+            .alias(f"s_xx{a}"),
+            F.sum(F.when(cond, dec(F.col("y") * F.col("y"))))
+            .cast("double")
+            .alias(f"s_yy{a}"),
+            F.sum(F.when(cond, dec(F.col("x") * F.col("y"))))
+            .cast("double")
+            .alias(f"s_xy{a}"),
+        ]
+
+    s = u.agg(*(arm_aggs(0) + arm_aggs(1)))
+    return s.selectExpr(
+        "n0",
+        "n1",
+        f"round({_DM0['r']}, 6) AS ratio_control",
+        f"round({_DM1['r']}, 6) AS ratio_treatment",
+        f"round({_DM1['r']} - {_DM0['r']}, 6) AS ratio_diff",
+        f"round(({_DM1['r']} - {_DM0['r']})"
+        f" / sqrt({_DM0['var']} + {_DM1['var']}), 6) AS z_stat",
+    )

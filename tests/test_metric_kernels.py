@@ -322,3 +322,46 @@ def test_cuped_matches_numpy_reference(spark):
     assert math.isclose(row["var_reduction"], rho2, rel_tol=1e-4, abs_tol=1e-4)
     assert int(row["n_control"]) == int((u.arm == 0).sum())
     assert int(row["n_treatment"]) == int((u.arm == 1).sum())
+
+
+def test_delta_method_matches_numpy_reference(spark):
+    """End-to-end at sf0.001: per-arm ratio and the delta-method z
+    equal a numpy computation of var(Y̅/X̅) ≈ (vy − 2Rcxy + R²vx)/(n·x̄²)."""
+    import hashlib
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    u = (
+        ev.assign(
+            x=(ev.event_type == "view").astype(int),
+            y=np.where(ev.event_type == "purchase", ev.cents, 0),
+        )
+        .groupby("user_id")[["x", "y"]]
+        .sum()
+        .reset_index()
+    )
+    u["arm"] = u.user_id.map(
+        lambda uid: int(
+            hashlib.md5(f"cuped:{uid}".encode()).hexdigest()[:8], 16
+        )
+        % 2
+    )
+
+    def arm_stats(a):
+        g = u[u.arm == a]
+        x, y = g.x.to_numpy(float), g.y.to_numpy(float)
+        n = len(g)
+        r = y.sum() / x.sum()
+        vx, vy = np.var(x), np.var(y)
+        cxy = np.cov(x, y, bias=True)[0, 1]
+        var = (vy - 2 * r * cxy + r * r * vx) / (n * x.mean() ** 2)
+        return r, var
+
+    r0, v0 = arm_stats(0)
+    r1, v1 = arm_stats(1)
+    row = REGISTRY["q_ab_delta_method"].builder(spark, SF_SMALL).collect()[0]
+    assert math.isclose(row["ratio_control"], r0, rel_tol=1e-4)
+    assert math.isclose(row["ratio_treatment"], r1, rel_tol=1e-4)
+    assert math.isclose(
+        row["z_stat"], (r1 - r0) / math.sqrt(v0 + v1), rel_tol=1e-4, abs_tol=1e-4
+    )

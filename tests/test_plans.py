@@ -825,3 +825,21 @@ def test_datetime_ext_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("SortAggregate") == 2, plan
+
+
+def test_path_analysis_takeordered_over_bounded_paths(spark):
+    """q_events_path_analysis: both leads share one user_id exchange,
+    the path count has map-side combine over <= |event_types|^3 keys,
+    and the top-10 is TakeOrderedAndProject — never a global Sort."""
+    plan = plan_of(spark, "q_events_path_analysis")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_delta_method_single_pass(spark):
+    """q_ab_delta_method: one fact scan, one user fold, one 12-column
+    conditional global fold — no join, no second pass."""
+    plan = plan_of(spark, "q_ab_delta_method")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
