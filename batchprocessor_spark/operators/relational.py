@@ -981,3 +981,52 @@ def q_source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "q_sql_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(round(l_extendedprice * 100)::BIGINT
+                 * (100 - round(l_discount * 100)::BIGINT))::BIGINT
+               AS total_rev_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_u
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev_u = (SELECT max(total_rev_u) FROM revenue)
+    """,
+    category="sql",
+)
+def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue) through the
+    pure SQL front end: the revenue CTE stands in for Q15's view, and
+    the max-revenue filter is a SCALAR SUBQUERY over the same CTE —
+    the shape that tests whether the planner evaluates the tiny
+    aggregate once as a reusable subquery result instead of per-row
+    (Spark plans it as a ReusedExchange/Subquery over the revenue
+    aggregate; ties return multiple rows, which the set-compare
+    handles). Revenue in the exact 1e-4-dollar lane, quarter filter
+    pushed to the fact scan (gated), supplier joined by broadcast."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS total_rev_u
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_rev_u
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev_u = (SELECT max(total_rev_u) FROM revenue)
+        """
+    )

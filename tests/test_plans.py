@@ -843,3 +843,23 @@ def test_delta_method_single_pass(spark):
     plan = plan_of(spark, "q_ab_delta_method")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_top_supplier_scalar_subquery_pushdown(spark):
+    """q_sql_top_supplier (TPC-H Q15 shape): the quarter filter
+    reaches the fact scan, supplier joins by broadcast, and the
+    max-revenue scalar subquery plans as a one-shot Subquery (reused
+    aggregate), never a per-row evaluation."""
+    plan = plan_of(spark, "q_sql_top_supplier")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Subquery" in plan or "ReusedExchange" in plan or "subquery" in plan, plan
+
+
+def test_assortativity_joins_on_checkpointed_edges(spark):
+    """q_graph_assortativity: the edge list materializes once
+    (localCheckpoint) — the final plan reads ZERO parquet and joins
+    degree aggregates back by key (no window over the edge list)."""
+    plan = plan_of(spark, "q_graph_assortativity")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Window" not in plan, plan
