@@ -18,7 +18,7 @@ connected-components resolvers in operators/dedup.py do.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import register
@@ -526,3 +526,145 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.selectExpr(
         "n AS n_edges", f"round({_ASSORT_CORR}, 6) AS assortativity"
     )
+
+
+def _rw_hash(walk: str, step: int, nbr: str) -> str:
+    """Shared seeded-hash text: deterministic edge choice per
+    (walk, step) — first 15 md5 hex digits as an integer (engine-
+    agnostic, same as the sampling lane)."""
+    return (
+        f"('0x' || substring(md5('rw{step}:' || {walk}::VARCHAR "
+        f"|| ':' || {nbr}::VARCHAR), 1, 15))::BIGINT"
+    )
+
+
+def _rw_hash_spark(walk: str, step: int, nbr: str):
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"rw{step}:"),
+                    F.col(walk).cast("string"),
+                    F.lit(":"),
+                    F.col(nbr).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _rw_oracle(steps: int = 3) -> str:
+    ctes = [
+        """edges AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    back AS (SELECT dst AS src, src AS dst FROM edges),
+    und AS (SELECT src, dst, 0 AS dstside FROM edges
+            UNION ALL SELECT src, dst, 1 FROM back),
+    w0 AS (SELECT DISTINCT src AS walk_id, src AS node, 0 AS side
+           FROM edges)""",
+    ]
+    prev = "w0"
+    for s in range(1, steps + 1):
+        h = _rw_hash("w.walk_id", s, "e.dst")
+        ctes.append(
+            f"""c{s} AS (
+      SELECT w.walk_id, e.dst AS node, 1 - w.side AS side,
+             row_number() OVER (PARTITION BY w.walk_id
+                                ORDER BY {h}, e.dst) AS rn
+      FROM {prev} w JOIN und e
+        ON e.src = w.node AND e.dstside = w.side),
+    w{s} AS (SELECT walk_id, node, side FROM c{s} WHERE rn = 1)"""
+        )
+        prev = f"w{s}"
+    hops = ", ".join(
+        f"(SELECT node FROM w{s} WHERE w{s}.walk_id = w0.walk_id) AS hop{s}"
+        for s in range(1, steps + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT w0.walk_id, {hops} FROM w0"
+    )
+
+
+@register("q_graph_random_walk", oracle=_rw_oracle(), category="graph")
+def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-step random walks from every supplier over the
+    (undirected) trade graph — the sampling kernel of
+    node2vec/DeepWalk graph embeddings, made reproducible the way a
+    distributed pipeline needs: the 'random' neighbor at step s of
+    walk w is argmin over neighbors of a seeded md5 hash of
+    (walk, step, neighbor), so reruns, retries and both engines pick
+    identical walks (no RNG state anywhere). The bipartite graph is
+    walked supplier→customer→supplier→customer via an explicit side
+    bit (nodes keep their natural ids; no namespacing needed).
+
+    Scale posture: per step ONE equi-join of the walk frontier onto
+    the edge list + a per-walk WindowGroupLimit argmin (rn = 1 —
+    Spark prunes to the group-limit operator, never materializing
+    all neighbors through a full sort); 3 steps = 3 joins, frontier
+    never exceeds |start nodes|. The oracle unrolls the same argmin
+    per step."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    und = edges.select("src", "dst", F.lit(0).alias("dstside")).unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.lit(1).alias("dstside"),
+        )
+    )
+    walks = edges.select(F.col("src").alias("walk_id")).distinct().select(
+        "walk_id", F.col("walk_id").alias("node"), F.lit(0).alias("side")
+    )
+    # The walk state carries its hop history, so the whole traversal
+    # is ONE lineage (3 joins + 3 group-limit argmins) instead of
+    # re-deriving the prefix once per emitted hop column.
+    cur = walks
+    hop_cols: list[str] = []
+    for s in range(1, 4):
+        # Fresh aliases per step: re-joining the same `und` lineage
+        # would otherwise trip Spark's ambiguous-self-join check.
+        e = und.select(
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+            F.col("dstside").alias("e_side"),
+        )
+        joined = cur.join(
+            e,
+            (F.col("e_src") == F.col("node"))
+            & (F.col("e_side") == F.col("side")),
+        ).select(
+            "walk_id",
+            *hop_cols,
+            F.col("e_dst").alias("nxt"),
+            (1 - F.col("side")).alias("nside"),
+        )
+        w = Window.partitionBy("walk_id").orderBy(
+            _rw_hash_spark("walk_id", s, "nxt"), F.col("nxt")
+        )
+        cur = (
+            joined.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "walk_id",
+                *hop_cols,
+                F.col("nxt").alias(f"hop{s}"),
+                F.col("nxt").alias("node"),
+                F.col("nside").alias("side"),
+            )
+        )
+        hop_cols.append(f"hop{s}")
+    return cur.select("walk_id", *hop_cols)

@@ -966,3 +966,73 @@ def q_sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("long").alias("docid_sum"),
     )
+
+
+_HT_BUCKET = _oracle_bucket("doc_id", "ht:", 1000)
+
+
+@register(
+    "q_sample_ht_estimator",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, n_chars,
+             {_HT_BUCKET} AS b,
+             CASE WHEN lang = 'en' THEN 100 ELSE 500 END AS keep
+      FROM documents)
+    SELECT lang,
+           count(*)::BIGINT AS n_total,
+           sum(CASE WHEN b < keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           (10 * max(keep))::BIGINT AS p_bp,
+           sum(n_chars)::BIGINT AS exact_chars,
+           sum(CASE WHEN b < keep THEN n_chars * 1000 // keep
+                    ELSE 0 END)::BIGINT AS ht_chars,
+           ((10000 * abs(sum(CASE WHEN b < keep THEN n_chars * 1000 // keep
+                                  ELSE 0 END)
+                         - sum(n_chars)))
+              // sum(n_chars))::BIGINT AS err_bp
+    FROM d GROUP BY lang
+    """,
+    category="sampling",
+)
+def q_sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation from an UNEQUAL-probability
+    deterministic sample — the audit a pipeline runs to check that a
+    downsampled corpus still represents the full one: English docs
+    keep with p = 10% (the over-represented stratum), every other
+    language with p = 50%, membership decided by the engine's seeded
+    md5 bucket (reproducible, no RNG); each sampled doc is
+    inverse-probability weighted (x1000/keep, exact integer since
+    keep divides 1000) and the per-stratum HT total is compared to
+    the exact total in integer basis points. The |error| is the
+    design's sampling noise made visible — the quantity a
+    quality-of-sample dashboard tracks.
+
+    Scale posture: ONE scan, one conditional aggregate per stratum —
+    the sample is never materialized to estimate it (that is the HT
+    point); everything stays in BIGINT (keep ∈ {{100, 500}} divides
+    the 1000-bucket space exactly, so weights are whole numbers and
+    floor-division is exact, not rounding)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        hash_bucket(F.col("doc_id"), "ht:", 1000).alias("b"),
+        F.when(F.col("lang") == "en", 100).otherwise(500).alias("keep"),
+    )
+    in_sample = F.col("b") < F.col("keep")
+    ht = F.sum(
+        F.when(in_sample, F.expr("n_chars * 1000 DIV keep")).otherwise(0)
+    )
+    exact = F.sum("n_chars")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        (10 * F.max("keep")).cast("long").alias("p_bp"),
+        exact.cast("long").alias("exact_chars"),
+        ht.cast("long").alias("ht_chars"),
+        F.expr(
+            "(10000 * abs(sum(CASE WHEN b < keep THEN n_chars * 1000 DIV keep"
+            " ELSE 0 END) - sum(n_chars))) DIV sum(n_chars)"
+        )
+        .cast("long")
+        .alias("err_bp"),
+    )

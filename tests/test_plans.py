@@ -863,3 +863,23 @@ def test_assortativity_joins_on_checkpointed_edges(spark):
     plan = plan_of(spark, "q_graph_assortativity")
     assert plan.count("Scan parquet") == 0, plan
     assert "Window" not in plan, plan
+
+
+def test_random_walk_three_joins_group_limit(spark):
+    """q_graph_random_walk: the 3-step traversal is ONE lineage —
+    exactly 3 frontier-onto-edges equi-joins over the checkpointed
+    edge list (zero parquet scans in the final plan), each argmin
+    pruned by WindowGroupLimit, never a cartesian neighbor product."""
+    plan = plan_of(spark, "q_graph_random_walk")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 3, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ht_estimator_single_scan_no_join(spark):
+    """q_sample_ht_estimator: the sample is never materialized — one
+    scan, one conditional aggregate, no join."""
+    plan = plan_of(spark, "q_sample_ht_estimator")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
