@@ -9,7 +9,7 @@ Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import register
@@ -1475,4 +1475,107 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         out_rows, "round BIGINT, tok_a STRING, tok_b STRING, cnt BIGINT"
+    )
+
+
+@register(
+    "q_llm_distinctive_terms",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents),
+    wc AS (
+      SELECT source, token, count(*)::BIGINT AS a
+      FROM w WHERE token <> '' GROUP BY source, token),
+    tot AS (
+      SELECT source, sum(a)::BIGINT AS src_total FROM wc GROUP BY source),
+    gw AS (
+      SELECT token, sum(a)::BIGINT AS g FROM wc GROUP BY token),
+    gt AS (SELECT sum(a)::BIGINT AS grand FROM wc),
+    cells AS (
+      SELECT wc.source, wc.token, wc.a,
+             gw.g - wc.a AS b,
+             tot.src_total - wc.a AS c,
+             gt.grand - gw.g - (tot.src_total - wc.a) AS d
+      FROM wc JOIN gw ON wc.token = gw.token
+              JOIN tot ON wc.source = tot.source
+              CROSS JOIN gt),
+    keyed AS (
+      SELECT source, token, a,
+             ((a + 1) * (d + 1) * 1000000
+                // ((b + 1) * (c + 1)))::BIGINT AS odds_ppm
+      FROM cells),
+    ranked AS (
+      SELECT source, token, a, odds_ppm,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY odds_ppm DESC, token) AS rnk
+      FROM keyed)
+    SELECT source, token, a AS cnt, odds_ppm, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    category="text",
+)
+def q_llm_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source — the Monroe-et-al
+    'fightin' words' analysis a curation pipeline runs to
+    characterize (and spot contamination in) each data source: for
+    every (source, token), the 2x2 contingency odds ratio
+    (a+1)(d+1) / ((b+1)(c+1)) with add-one smoothing, top-3 tokens
+    per source. The INSIGHT for cross-engine exactness: ranking by
+    log-odds equals ranking by the odds ratio (log is monotone), and
+    the smoothed ratio scaled to integer parts-per-million via DIV
+    is an exact BIGINT ordering key — no logarithm, no float, no
+    tie that can flip between engines (cnt ~ 1e5 per cell keeps
+    (a+1)(d+1)*1e6 far inside BIGINT at fixture SFs; decimal(38)
+    holds it at any SF).
+
+    Scale posture: all state is vocabulary-sized ((source, token)
+    cells, token totals, source totals, one grand total) — counts
+    aggregate with map-side combine off ONE corpus scan lineage,
+    the joins are count-table-sized (broadcast-able), and the top-3
+    is WindowGroupLimit per source over the cell table."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    wc = w.groupBy("source", "token").agg(F.count(F.lit(1)).alias("a"))
+    wc = wc.localCheckpoint()  # count tables feed 3 aggregates + the join
+    tot = wc.groupBy("source").agg(F.sum("a").cast("long").alias("src_total"))
+    gw = wc.groupBy("token").agg(F.sum("a").cast("long").alias("g"))
+    gt = wc.agg(F.sum("a").cast("long").alias("grand"))
+    cells = (
+        wc.join(F.broadcast(gw), "token")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "token",
+            "a",
+            (F.col("g") - F.col("a")).alias("b"),
+            (F.col("src_total") - F.col("a")).alias("c"),
+            (
+                F.col("grand") - F.col("g") - (F.col("src_total") - F.col("a"))
+            ).alias("d"),
+        )
+    )
+    keyed = cells.select(
+        "source",
+        "token",
+        "a",
+        F.expr(
+            "CAST((a + 1) * (d + 1) * 1000000 DIV ((b + 1) * (c + 1)) AS BIGINT)"
+        ).alias("odds_ppm"),
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("odds_ppm").desc(), F.col("token")
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select("source", "token", F.col("a").alias("cnt"), "odds_ppm", "rnk")
     )

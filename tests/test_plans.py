@@ -883,3 +883,17 @@ def test_ht_estimator_single_scan_no_join(spark):
     plan = plan_of(spark, "q_sample_ht_estimator")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_distinctive_terms_vocab_sized_state(spark):
+    """q_llm_distinctive_terms: the (source, token) count table
+    materializes once (zero parquet scans in the final plan), the
+    token/source/grand totals join back by BROADCAST, and the top-3
+    is WindowGroupLimit per source — never a corpus re-scan per
+    statistic."""
+    plan = plan_of(spark, "q_llm_distinctive_terms")
+    assert plan.count("Scan parquet") == 0, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # 1-row grand total
+    assert "SortMergeJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
