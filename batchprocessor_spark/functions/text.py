@@ -1447,7 +1447,9 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rtrim(F.regexp_replace("w", "(.)", "$1  ")),
             F.lit("  _ "),
         ).alias("seq"),
-    )
+    ).localCheckpoint()  # corpus-sized work happens ONCE; the three
+    # merge rounds (pair count + replace) run over this vocab-sized
+    # materialization, which is the claim the docstring makes.
     pair_expr = (
         "transform(sequence(1, size(split(trim(seq), '  ')) - 1), "
         "i -> concat(element_at(split(trim(seq), '  '), i), '  ', "
