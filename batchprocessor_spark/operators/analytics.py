@@ -2338,3 +2338,59 @@ def q_ab_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(({_DM1['r']} - {_DM0['r']})"
         f" / sqrt({_DM0['var']} + {_DM1['var']}), 6) AS z_stat",
     )
+
+
+@register(
+    "q_events_stickiness",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+             strftime(ts, '%Y-%m-%d') AS day,
+             user_id
+      FROM events)
+    SELECT month,
+           count(*)::BIGINT AS dau_sum,
+           count(DISTINCT day)::BIGINT AS n_days,
+           count(DISTINCT user_id)::BIGINT AS mau,
+           ((10000 * count(*))
+              // (count(DISTINCT day) * count(DISTINCT user_id)))::BIGINT
+             AS stickiness_bp
+    FROM t GROUP BY month
+    """,
+    category="analytics",
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every
+    product dashboard headlines: mean daily-active over monthly-active
+    users, exactly avg(DAU)/MAU = Σ_d DAU_d / (n_days · MAU) in
+    integer basis points. The trick that makes it ONE pass: after
+    deduplicating (month, day, user) triples, count(*) per month IS
+    Σ_d DAU_d (each row is one user-day), count(DISTINCT day) is the
+    day denominator and count(DISTINCT user) is MAU — no per-day
+    subaggregate, no self-join of two granularities.
+
+    Scale posture: one scan → one distinct on the (month, day, user)
+    triple (the only big shuffle; cardinality ≤ users x days, far
+    below raw events) → one multi-distinct month aggregate (Catalyst
+    expand). Integer DIV on non-negative operands keeps the ratio
+    hash-exact."""
+    t = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return t.groupBy("month").agg(
+        F.count(F.lit(1)).alias("dau_sum"),
+        F.count_distinct("day").alias("n_days"),
+        F.count_distinct("user_id").alias("mau"),
+        F.expr(
+            "(10000 * count(1)) DIV (count(DISTINCT day)"
+            " * count(DISTINCT user_id))"
+        )
+        .cast("long")
+        .alias("stickiness_bp"),
+    )

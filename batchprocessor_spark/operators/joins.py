@@ -707,3 +707,111 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("m.purchase_id")).alias("purchase_id"),
         F.when(in_tol, wait_s).alias("wait_s"),
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         vp AS (
+           SELECT v.event_id AS view_id, v.user_id AS user_id,
+                  p.event_id AS purchase_id,
+                  abs(epoch_us(p.ts) - epoch_us(v.ts)) AS dist_us,
+                  row_number() OVER (
+                    PARTITION BY v.event_id
+                    ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)),
+                             CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END,
+                             p.event_id) AS rn
+           FROM v LEFT JOIN p
+             ON p.user_id = v.user_id
+            AND p.ts >= v.ts - INTERVAL 1 HOUR
+            AND p.ts <= v.ts + INTERVAL 1 HOUR)
+    SELECT view_id, user_id, purchase_id,
+           (dist_us // 1000000)::BIGINT AS dist_s
+    FROM vp WHERE rn = 1
+    """,
+    category="join",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with tolerance (merge_asof
+    direction='nearest'): every view matches the purchase of the same
+    user closest in time — in EITHER direction — within 1 hour, ties
+    broken backward (the pandas convention), then by lowest event_id.
+    Completes the as-of family: q_join_asof (backward, unbounded),
+    q_join_asof_tolerance (forward, bounded), and this (nearest,
+    bounded).
+
+    Implemented as BOTH directional scans off ONE user_id
+    partitioning: the backward candidate (last purchase at-or-before)
+    and the forward candidate (first purchase at-or-after) come from
+    two windows that share the exchange (same partition keys,
+    opposite sort — Catalyst re-sorts but never re-shuffles,
+    plan-gated: 1 Exchange, no Join), and the nearer in-tolerance
+    candidate wins with the backward tie-break. Microsecond-exact
+    distances (the unix_timestamp floor trap documented at
+    q_join_asof_tolerance applies here too)."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("tag"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+            ),
+        ).alias("purchase"),
+    )
+    # Backward: scan time-asc, purchases before same-ts views, highest
+    # event_id last (so last() keeps it) — the q_join_asof convention.
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tag").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward: scan time-desc, purchases before same-ts views, LOWEST
+    # event_id seen last — the q_join_asof_tolerance convention.
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("tag").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged.select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        "ts",
+        "tag",
+        F.last("purchase", ignorenulls=True).over(wb).alias("b"),
+        F.last("purchase", ignorenulls=True).over(wf).alias("f"),
+    ).where(F.col("tag") == 1)
+    us = "unix_micros(cast({} as timestamp))"
+    b_dist = F.expr(
+        f"{us.format('ts')} - {us.format('b.pts')}"
+    )
+    f_dist = F.expr(
+        f"{us.format('f.pts')} - {us.format('ts')}"
+    )
+    tol = 3600 * 1000000
+    b_ok = F.col("b").isNotNull() & (b_dist <= tol)
+    f_ok = F.col("f").isNotNull() & (f_dist <= tol)
+    # Nearer wins; exact tie -> backward (pandas convention). The
+    # same-ts purchase appears as BOTH candidates at distance 0, so
+    # the backward branch takes it.
+    pick_b = b_ok & (~f_ok | (b_dist <= f_dist))
+    pick_f = f_ok & ~pick_b
+    chosen = F.when(pick_b, F.col("b")).when(pick_f, F.col("f"))
+    dist = F.when(pick_b, b_dist).when(pick_f, f_dist)
+    # dist <= 3.6e9 µs is exactly representable as double; the cast's
+    # truncation equals the oracle's // on the non-negative quotient.
+    return merged.select(
+        "view_id",
+        "user_id",
+        chosen.getField("pid").alias("purchase_id"),
+        (dist / F.lit(1000000)).cast("long").alias("dist_s"),
+    )

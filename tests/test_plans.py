@@ -897,3 +897,24 @@ def test_distinctive_terms_vocab_sized_state(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # 1-row grand total
     assert "SortMergeJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_asof_nearest_one_exchange_two_sorts(spark):
+    """q_join_asof_nearest: backward and forward candidates come from
+    two windows over the SAME user_id partitioning — one Exchange,
+    two Sorts, no Join operator (the naive +/-1h band join is
+    quadratic under hot users)."""
+    plan = plan_of(spark, "q_join_asof_nearest")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert plan.count("Window") == 2, plan
+
+
+def test_stickiness_single_distinct_then_expand(spark):
+    """q_events_stickiness: one scan, one distinct on the
+    (month, day, user) triple, one multi-distinct aggregate — no
+    join of granularities."""
+    plan = plan_of(spark, "q_events_stickiness")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Expand" in plan, plan
