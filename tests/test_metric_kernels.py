@@ -365,3 +365,36 @@ def test_delta_method_matches_numpy_reference(spark):
     assert math.isclose(
         row["z_stat"], (r1 - r0) / math.sqrt(v0 + v1), rel_tol=1e-4, abs_tol=1e-4
     )
+
+
+def test_asof_nearest_matches_pandas_bruteforce(spark):
+    """End-to-end at sf0.001: nearest-direction as-of (ties backward,
+    then lowest event_id) equals a pandas brute force."""
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    views = ev[ev.event_type == "view"]
+    purch = ev[ev.event_type == "purchase"]
+    tol = pd.Timedelta(hours=1)
+    expected = {}
+    for v in views.itertuples():
+        cand = purch[
+            (purch.user_id == v.user_id)
+            & (purch.ts >= v.ts - tol)
+            & (purch.ts <= v.ts + tol)
+        ].copy()
+        if len(cand):
+            cand["dist"] = (cand.ts - v.ts).abs()
+            cand["fwd"] = (cand.ts > v.ts).astype(int)  # backward ties first
+            cand = cand.sort_values(["dist", "fwd", "event_id"])
+            first = cand.iloc[0]
+            dist_s = int(abs(first.ts.value - v.ts.value) // 1000 // 1_000_000)
+            expected[v.event_id] = (int(first.event_id), dist_s)
+        else:
+            expected[v.event_id] = (None, None)
+    got = {
+        r["view_id"]: (
+            None if r["purchase_id"] is None else int(r["purchase_id"]),
+            None if r["dist_s"] is None else int(r["dist_s"]),
+        )
+        for r in REGISTRY["q_join_asof_nearest"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == expected
