@@ -2394,3 +2394,144 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stickiness_bp"),
     )
+
+
+def _boost_oracle() -> str:
+    """Two unrolled boosting rounds: stump search over the cumulative
+    weighted histogram, then x3 reweighting of misclassified cells."""
+
+    def search(cells: str, rnd: int) -> str:
+        return f"""
+    cum{rnd} AS (
+      SELECT bucket,
+             sum(w1) OVER (ORDER BY bucket) AS c1,
+             sum(w0) OVER (ORDER BY bucket) AS c0,
+             sum(w1) OVER () AS t1,
+             sum(w0) OVER () AS t0
+      FROM {cells}),
+    cand{rnd} AS (
+      SELECT bucket AS thr, 'le' AS pol, (c0 + (t1 - c1))::BIGINT AS werr,
+             (t0 + t1)::BIGINT AS wtot
+      FROM cum{rnd}
+      UNION ALL
+      SELECT bucket, 'gt', (c1 + (t0 - c0))::BIGINT, (t0 + t1)::BIGINT
+      FROM cum{rnd}),
+    best{rnd} AS (
+      SELECT thr, pol, werr, wtot FROM cand{rnd}
+      ORDER BY werr, thr, pol LIMIT 1)"""
+
+    return f"""
+    WITH cells AS (
+      SELECT n_chars // 100 AS bucket,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS w1,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS w0
+      FROM documents GROUP BY bucket),
+    {search('cells', 1)},
+    cells2 AS (
+      SELECT c.bucket,
+             c.w1 * (CASE WHEN (CASE WHEN b.pol = 'le'
+                                     THEN c.bucket <= b.thr
+                                     ELSE c.bucket > b.thr END)
+                          THEN 1 ELSE 3 END) AS w1,
+             c.w0 * (CASE WHEN (CASE WHEN b.pol = 'le'
+                                     THEN c.bucket <= b.thr
+                                     ELSE c.bucket > b.thr END)
+                          THEN 3 ELSE 1 END) AS w0
+      FROM cells c CROSS JOIN best1 b),
+    {search('cells2', 2)}
+    SELECT 1::BIGINT AS round, thr::BIGINT AS thr, pol, werr, wtot,
+           ((10000 * werr) // wtot)::BIGINT AS werr_bp
+    FROM best1
+    UNION ALL
+    SELECT 2::BIGINT, thr::BIGINT, pol, werr, wtot,
+           ((10000 * werr) // wtot)::BIGINT
+    FROM best2
+    """
+
+
+@register("q_ml_boosted_stumps", oracle=_boost_oracle(), category="ml")
+def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds of decision stumps (the AdaBoost kernel,
+    integer-weight variant) on 'length bucket predicts lang=en':
+    round 1 searches every (threshold, polarity) stump over the
+    cumulative weighted class histogram; round 2 TRIPLES the weight
+    of misclassified mass and searches again — forcing the second
+    stump to attend to what the first got wrong. The key scale
+    observation: because the stump's prediction depends only on the
+    bucket, reweighting is a per-CELL multiply on the histogram — no
+    row ever gets re-read or re-scored between rounds (the same
+    sufficient-statistic discipline as q_ml_kfold_cv). Integer
+    weights (x3, not the float exp(alpha) — the classic discrete
+    variant) keep every error count and the werr_bp ratio hash-exact.
+
+    Scale posture: one scan builds the (bucket, class) histogram;
+    each round is a window + argmin over that bounded table; the
+    round-1 decision reaches round 2 as a 1-row broadcast. Search
+    cost is O(buckets), never O(rows x thresholds) — the same
+    histogram kernel as q_ml_decision_stump, iterated."""
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.expr("n_chars DIV 100").alias("bucket"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_en").cast("long").alias("w1"),
+            F.sum(1 - F.col("is_en")).cast("long").alias("w0"),
+        )
+    )
+
+    def search(c: DataFrame):
+        wc = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wall = Window.partitionBy()
+        cum = c.select(
+            "bucket",
+            F.sum("w1").over(wc).alias("c1"),
+            F.sum("w0").over(wc).alias("c0"),
+            F.sum("w1").over(wall).alias("t1"),
+            F.sum("w0").over(wall).alias("t0"),
+        )
+        le = cum.select(
+            F.col("bucket").alias("thr"),
+            F.lit("le").alias("pol"),
+            (F.col("c0") + (F.col("t1") - F.col("c1"))).cast("long").alias("werr"),
+            (F.col("t0") + F.col("t1")).cast("long").alias("wtot"),
+        )
+        gt = cum.select(
+            F.col("bucket").alias("thr"),
+            F.lit("gt").alias("pol"),
+            (F.col("c1") + (F.col("t0") - F.col("c0"))).cast("long").alias("werr"),
+            (F.col("t0") + F.col("t1")).cast("long").alias("wtot"),
+        )
+        return (
+            le.unionAll(gt)
+            .orderBy("werr", "thr", "pol")
+            .limit(1)
+            .collect()[0]  # model-sized: ONE stump decision per round
+        )
+
+    b1 = search(cells)
+    pred_en = (
+        (F.col("bucket") <= F.lit(b1["thr"]))
+        if b1["pol"] == "le"
+        else (F.col("bucket") > F.lit(b1["thr"]))
+    )
+    cells2 = cells.select(
+        "bucket",
+        (F.col("w1") * F.when(pred_en, 1).otherwise(3)).alias("w1"),
+        (F.col("w0") * F.when(pred_en, 3).otherwise(1)).alias("w0"),
+    )
+    b2 = search(cells2)
+    rows = [
+        (r, int(b["thr"]), b["pol"], int(b["werr"]), int(b["wtot"]),
+         (10000 * int(b["werr"])) // int(b["wtot"]))
+        for r, b in ((1, b1), (2, b2))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round BIGINT, thr BIGINT, pol STRING, werr BIGINT, wtot BIGINT, "
+        "werr_bp BIGINT",
+    )

@@ -1030,3 +1030,68 @@ def q_sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.total_rev_u = (SELECT max(total_rev_u) FROM revenue)
         """
     )
+
+
+@register(
+    "q_layout_compaction",
+    oracle="""
+    SELECT 'before' AS stage, 32::BIGINT AS n_files,
+           count(*)::BIGINT AS n_rows,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders
+    UNION ALL
+    SELECT 'after', 4::BIGINT, count(*)::BIGINT,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+    FROM orders
+    """,
+    category="scan",
+)
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the operational fix for the
+    many-small-files problem every spool/flush sink creates (at
+    100 TB each file costs an open + footer parse + scheduler task;
+    10x fewer files is 10x less planning overhead): orders written as
+    32 deliberately-small files, then `sources/compaction.compact`
+    rewrites them into 4 via coalesce (merge-down needs NO shuffle)
+    with an atomic temp-dir swap. The audit row pair pins file counts
+    AND exact content (rows + cents) before/after — a compaction that
+    lost or duplicated a single row fails the hash.
+
+    Scale posture: coalesce(4) is a map-side file merge; the atomic
+    swap (write sibling, rename, remove old) is the pattern that
+    keeps concurrent readers consistent. Scratch is collect-frozen
+    and removed (the q_layout_dynamic_overwrite discipline)."""
+    import os
+    import shutil
+    import tempfile
+
+    from batchprocessor_spark.sources.compaction import compact
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    loc = tempfile.mkdtemp(prefix="bp_compact_")
+    try:
+        path = f"{loc}/orders_small"
+        o.repartition(32).write.mode("overwrite").parquet(path)
+
+        def audit(stage: str, n_files: int) -> DataFrame:
+            return (
+                spark.read.parquet(path)
+                .agg(
+                    F.lit(stage).alias("stage"),
+                    F.lit(n_files).cast("long").alias("n_files"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(to_units(F.col("o_totalprice"), 100))
+                    .cast("long")
+                    .alias("cents"),
+                )
+            )
+
+        n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        before = audit("before", n_before)
+        rows = before.collect()
+        n_after = compact(spark, path, target_files=4)
+        after = audit("after", n_after)
+        rows += after.collect()
+        return spark.createDataFrame(rows, after.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)

@@ -398,3 +398,49 @@ def test_asof_nearest_matches_pandas_bruteforce(spark):
         for r in REGISTRY["q_join_asof_nearest"].builder(spark, SF_SMALL).collect()
     }
     assert got == expected
+
+
+def test_boosted_stumps_match_python_reference(spark):
+    """End-to-end at sf0.001: both boosting rounds equal an
+    independent loop-based stump trainer with x3 integer reweighting."""
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    t = pq.read_table(
+        f"{SF_SMALL}/documents.parquet", columns=["n_chars", "lang"]
+    )
+    cells = defaultdict(lambda: [0, 0])  # bucket -> [w1 (en), w0]
+    for n, lang in zip(t.column("n_chars").to_pylist(), t.column("lang").to_pylist()):
+        cells[n // 100][0 if lang == "en" else 1] += 0  # init keys
+        if lang == "en":
+            cells[n // 100][0] += 1
+        else:
+            cells[n // 100][1] += 1
+
+    def best_stump(c):
+        buckets = sorted(c)
+        t1 = sum(c[b][0] for b in buckets)
+        t0 = sum(c[b][1] for b in buckets)
+        cands = []
+        c1 = c0 = 0
+        for b in buckets:
+            c1 += c[b][0]
+            c0 += c[b][1]
+            cands.append((c0 + (t1 - c1), b, "le", t0 + t1))
+            cands.append((c1 + (t0 - c0), b, "gt", t0 + t1))
+        werr, thr, pol, wtot = min(cands, key=lambda x: (x[0], x[1], x[2]))
+        return thr, pol, werr, wtot
+
+    thr1, pol1, werr1, wtot1 = best_stump(cells)
+    cells2 = {}
+    for b, (w1, w0) in cells.items():
+        pred_en = b <= thr1 if pol1 == "le" else b > thr1
+        cells2[b] = [w1 * (1 if pred_en else 3), w0 * (3 if pred_en else 1)]
+    thr2, pol2, werr2, wtot2 = best_stump(cells2)
+
+    got = {
+        r["round"]: (r["thr"], r["pol"], r["werr"], r["wtot"])
+        for r in REGISTRY["q_ml_boosted_stumps"].builder(spark, SF_SMALL).collect()
+    }
+    assert got[1] == (thr1, pol1, werr1, wtot1)
+    assert got[2] == (thr2, pol2, werr2, wtot2)
