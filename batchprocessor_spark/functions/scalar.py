@@ -710,3 +710,59 @@ def q_fn_datetime_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.add_months(F.col("dt"), 3), "yyyy-MM-dd")
         ).alias("min_plus3m"),
     )
+
+
+@register(
+    "q_fn_bits",
+    oracle="""
+    WITH b AS (
+      SELECT event_id,
+             bit_count(event_id)::BIGINT AS pops,
+             (event_id << 3)::BIGINT AS shl,
+             (event_id >> 2)::BIGINT AS shr,
+             xor(event_id, 2863311530)::BIGINT AS xored,
+             (event_id & 255)::BIGINT AS low_byte,
+             (event_id | 4096)::BIGINT AS with_flag
+      FROM events)
+    SELECT (event_id % 8)::BIGINT AS grp,
+           count(*)::BIGINT AS n,
+           sum(pops)::BIGINT AS pops_sum,
+           sum(shl)::BIGINT AS shl_sum,
+           sum(shr)::BIGINT AS shr_sum,
+           sum(xored)::BIGINT AS xor_sum,
+           sum(low_byte)::BIGINT AS lowbyte_sum,
+           min(with_flag)::BIGINT AS flag_min
+    FROM b GROUP BY grp
+    """,
+    category="function",
+)
+def q_fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit-manipulation family (complementing q_agg_bitwise's
+    aggregates): population count, shifts, xor/and/or masking — the
+    ops behind bitmap indexes, feature flags, and hash mixing.
+    Everything is exact integer arithmetic, so the grouped checksums
+    are hash-identical cross-engine by construction; shifts stay in
+    BIGINT (event_id << 3 is far from the sign bit at any fixture
+    SF). Spark spells xor as ^, DuckDB as xor() — same bits.
+
+    Shape: one scan, pure codegen projection, one partial+final
+    aggregate on the 8-way id residue."""
+    e = load_table(spark, sf_dir, "events").select("event_id")
+    b = e.select(
+        "event_id",
+        F.bit_count("event_id").cast("long").alias("pops"),
+        F.expr("event_id << 3").cast("long").alias("shl"),
+        F.expr("event_id >> 2").cast("long").alias("shr"),
+        F.expr("event_id ^ 2863311530").cast("long").alias("xored"),
+        F.expr("event_id & 255").cast("long").alias("low_byte"),
+        F.expr("event_id | 4096").cast("long").alias("with_flag"),
+    )
+    return b.groupBy((F.col("event_id") % 8).cast("long").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pops").cast("long").alias("pops_sum"),
+        F.sum("shl").cast("long").alias("shl_sum"),
+        F.sum("shr").cast("long").alias("shr_sum"),
+        F.sum("xored").cast("long").alias("xor_sum"),
+        F.sum("low_byte").cast("long").alias("lowbyte_sum"),
+        F.min("with_flag").cast("long").alias("flag_min"),
+    )
