@@ -1095,3 +1095,99 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, after.schema)
     finally:
         shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "q_sql_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    category="sql",
+)
+def q_sql_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) through the pure SQL
+    front end: one quarter of orders having at least one line shipped
+    after the order date, counted by priority. The shape tests
+    correlated-EXISTS decorrelation: Spark must rewrite the subquery
+    as a LEFT SEMI join on o_orderkey with the l_shipdate >
+    o_orderdate condition attached — never a per-row subquery probe —
+    while the quarter filter pushes into the orders scan (both
+    plan-gated)."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_sql_waiting_orders",
+    oracle="""
+    WITH multi AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+    late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1998-01-01'),
+    only_late AS (
+      SELECT late.l_orderkey, min(late.l_suppkey) AS s
+      FROM late JOIN multi ON late.l_orderkey = multi.l_orderkey
+      GROUP BY late.l_orderkey HAVING count(DISTINCT late.l_suppkey) = 1)
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM only_late JOIN supplier ON s = s_suppkey
+    GROUP BY s_name
+    """,
+    category="sql",
+)
+def q_sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting),
+    restated set-wise instead of with Q21's double correlated
+    EXISTS/NOT EXISTS: among multi-supplier orders, find those where
+    EXACTLY ONE supplier shipped late (after the cutoff) — that
+    supplier is the one who held the order up — and count blamed
+    orders per supplier. The aggregate-then-having formulation is the
+    decorrelated form the EXISTS pair rewrites to, and at scale it is
+    strictly better: two grouped passes over lineitem + one join,
+    instead of two correlated probes per line.
+
+    Plan gate: supplier broadcasts; both lineitem aggregates are
+    partial+final on l_orderkey; the late-date filter pushes to its
+    scan."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH multi AS (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) > 1),
+        late AS (
+          SELECT l_orderkey, l_suppkey FROM lineitem
+          WHERE l_shipdate > TIMESTAMP '1998-01-01'),
+        only_late AS (
+          SELECT late.l_orderkey, min(late.l_suppkey) AS s
+          FROM late JOIN multi ON late.l_orderkey = multi.l_orderkey
+          GROUP BY late.l_orderkey
+          HAVING count(DISTINCT late.l_suppkey) = 1)
+        SELECT s_name, count(*) AS numwait
+        FROM only_late JOIN supplier ON s = s_suppkey
+        GROUP BY s_name
+        """
+    )

@@ -918,3 +918,22 @@ def test_stickiness_single_distinct_then_expand(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Expand" in plan, plan
+
+
+def test_priority_count_decorrelates_exists(spark):
+    """q_sql_priority_count (TPC-H Q4 shape): the correlated EXISTS
+    must decorrelate to a semi join on o_orderkey (never a per-row
+    probe), with the quarter filter pushed into the orders scan."""
+    plan = plan_of(spark, "q_sql_priority_count")
+    assert "LeftSemi" in plan or "Semi" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "InSubquery" not in plan, plan
+
+
+def test_waiting_orders_broadcast_supplier_pushed_date(spark):
+    """q_sql_waiting_orders (TPC-H Q21 shape): supplier broadcasts,
+    the late-ship filter reaches its lineitem scan, no cartesian."""
+    plan = plan_of(spark, "q_sql_waiting_orders")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "GreaterThan(l_shipdate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
