@@ -1191,3 +1191,53 @@ def q_sql_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s_name
         """
     )
+
+
+@register(
+    "q_sql_big_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice * 100)::BIGINT AS total_cents,
+           sum(round(l.l_quantity)::BIGINT)::BIGINT AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 280)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+    category="sql",
+)
+def q_sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders) through the pure SQL
+    front end: orders whose total line quantity exceeds a threshold,
+    found via an IN-subquery OVER AN AGGREGATE WITH HAVING — the
+    planner shape where the subquery must first group lineitem, apply
+    the having filter, and then semi-join the result back (never a
+    per-row membership probe). Quantities are integral in the
+    fixture, so the HAVING threshold and the output total_qty are
+    exact; money in cents.
+
+    Plan gate: the aggregated subquery reaches the orders side as a
+    join (LeftSemi or inner on the grouped keys), customer joins by
+    broadcast, and no InSubquery probe survives planning."""
+    from batchprocessor_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_name, o.o_orderkey,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               sum(CAST(round(l.l_quantity) AS BIGINT)) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 280)
+        GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """
+    )

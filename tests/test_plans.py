@@ -937,3 +937,14 @@ def test_waiting_orders_broadcast_supplier_pushed_date(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "GreaterThan(l_shipdate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_big_orders_aggregated_in_becomes_join(spark):
+    """q_sql_big_orders (TPC-H Q18 shape): the IN-subquery over the
+    grouped+HAVING lineitem aggregate plans as a join against the
+    aggregate (semi or reused-exchange inner), never a per-row
+    InSubquery probe; customer broadcasts."""
+    plan = plan_of(spark, "q_sql_big_orders")
+    assert "InSubquery" not in plan, plan
+    assert "LeftSemi" in plan or plan.count("HashAggregate") >= 4, plan
+    assert "BroadcastHashJoin" in plan, plan
