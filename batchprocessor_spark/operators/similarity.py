@@ -1532,3 +1532,78 @@ def q_ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.cast("long").alias("recall_bp"),
         f1.cast("long").alias("f1_bp"),
     )
+
+
+_STD_MEAN = "(s_q / n)"
+_STD_STD = f"sqrt(s_qq / n - {_STD_MEAN} * {_STD_MEAN})"
+_STD_Z = f"((q - {_STD_MEAN}) / {_STD_STD})"
+
+
+@register(
+    "q_emb_standardize",
+    oracle=f"""
+    WITH x AS (
+      SELECT e.vec_id, u.i AS dim,
+             round(e.embedding[u.i]::DOUBLE * 1000000)::BIGINT AS q
+      FROM embeddings e, unnest(generate_series(1, 64)) AS u(i)),
+    m AS (
+      SELECT dim, count(*)::BIGINT AS n,
+             sum(q)::DOUBLE AS s_q,
+             sum(q * q)::DOUBLE AS s_qq
+      FROM x GROUP BY dim),
+    z AS (
+      SELECT x.dim, m.n, {_STD_Z} AS z
+      FROM x JOIN m ON x.dim = m.dim)
+    SELECT dim, n,
+           sum(round(z * 1000)::BIGINT)::BIGINT AS z_checksum,
+           round(min(z), 6) AS z_min,
+           round(max(z), 6) AS z_max
+    FROM z GROUP BY dim, n
+    """,
+    category="embedding",
+)
+def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding standardization (mean-center + unit
+    variance) — the preprocessing every embedding-space method
+    (whitening, cosine with centered vectors, PCA input) applies
+    first: explode the 64-dim vectors, per-dim population moments,
+    z = (v − μ_d)/σ_d. Exactness: float components quantize to 1e-6
+    integer units FIRST (float→double widening is exact, so both
+    engines derive the identical BIGINT), the moments are exact
+    integer sums, and the z stage is one shared formula text
+    (q_ml_linreg_normal_eq discipline); the per-dim audit emits a
+    milli-z integer checksum + rounded extrema rather than 32k
+    per-value rows.
+
+    Scale posture: the classic moment-then-score two-pass — per-dim
+    moments are a 64-row aggregate BROADCAST back onto the second
+    exploded pass (never a window over the exploded fact); explode
+    fan-out is dim x rows with map-side combine on the moment side.
+    At 100 TB with 4k dims this is the same two aggregates, 4k-row
+    broadcast."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "valf"),
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("valf").cast("double") * 1000000)
+        .cast("long")
+        .alias("q"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("q"))).cast("double").alias("s_q"),
+        F.sum(dec(F.col("q") * F.col("q"))).cast("double").alias("s_qq"),
+    )
+    z = x.join(F.broadcast(m), "dim").selectExpr(
+        "dim", "n", f"{_STD_Z} AS z"
+    )
+    return z.groupBy("dim", "n").agg(
+        F.sum(F.round(F.col("z") * 1000).cast("long"))
+        .cast("long")
+        .alias("z_checksum"),
+        F.round(F.min("z"), 6).alias("z_min"),
+        F.round(F.max("z"), 6).alias("z_max"),
+    )

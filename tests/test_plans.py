@@ -948,3 +948,13 @@ def test_big_orders_aggregated_in_becomes_join(spark):
     assert "InSubquery" not in plan, plan
     assert "LeftSemi" in plan or plan.count("HashAggregate") >= 4, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_emb_standardize_moment_broadcast(spark):
+    """q_emb_standardize: per-dim moments aggregate once and
+    BROADCAST back onto the second exploded pass — never a dim
+    window over the exploded fact."""
+    plan = plan_of(spark, "q_emb_standardize")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
