@@ -2535,3 +2535,97 @@ def q_ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round BIGINT, thr BIGINT, pol STRING, werr BIGINT, wtot BIGINT, "
         "werr_bp BIGINT",
     )
+
+
+@register(
+    "q_ts_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY day),
+    mr AS (
+      SELECT day, x,
+             abs(x - lag(x) OVER (ORDER BY day)) AS m
+      FROM daily),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::HUGEINT AS sx,
+             sum(m)::HUGEINT AS smr
+      FROM mr),
+    flags AS (
+      SELECT mr.x, s.n, s.sx, s.smr,
+             (100::HUGEINT * s.n * (s.n - 1) * mr.x
+                > 100::HUGEINT * (s.n - 1) * s.sx
+                  + 266::HUGEINT * s.n * s.smr) AS hi,
+             (100::HUGEINT * s.n * (s.n - 1) * mr.x
+                < 100::HUGEINT * (s.n - 1) * s.sx
+                  - 266::HUGEINT * s.n * s.smr) AS lo
+      FROM mr, s)
+    SELECT max(n)::BIGINT AS n_days,
+           max(sx)::BIGINT AS sum_x,
+           max(smr)::BIGINT AS sum_mr,
+           sum(CASE WHEN hi THEN 1 ELSE 0 END)::BIGINT AS n_above_ucl,
+           sum(CASE WHEN lo THEN 1 ELSE 0 END)::BIGINT AS n_below_lcl
+    FROM flags
+    """,
+    category="timeseries",
+)
+def q_ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart over daily
+    purchase revenue — the SPC monitor a pipeline puts on any daily
+    metric: center line x-bar, control limits x-bar ± 2.66·mR-bar
+    (the Shewhart constant for n=2 moving ranges), days outside the
+    limits flagged. The exactness move: the limit comparison
+    x > Sx/n + 2.66·SmR/(n−1) CROSS-MULTIPLIES to
+    100·n·(n−1)·x > 100·(n−1)·Sx + 266·n·SmR — every term an exact
+    integer (decimal(38)/HUGEINT), so the violation flags can never
+    disagree at the boundary the way a float limit would.
+
+    Scale posture: one fact scan → daily aggregate (value-table
+    sized); the lag window and the flag pass run over that daily
+    table; the 3-term stats row broadcasts back as a 1-row cross
+    join. Same moment-then-score shape as q_dq_mahalanobis, one
+    level up (day grain)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy("day")
+    mr = daily.select(
+        "x", F.abs(F.col("x") - F.lag("x").over(w)).alias("m")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = mr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("m"))).alias("smr"),
+    )
+    flags = mr.crossJoin(F.broadcast(s)).select(
+        "n",
+        "sx",
+        "smr",
+        (
+            dec(F.lit(100)) * F.col("n") * (F.col("n") - 1) * F.col("x")
+            > dec(F.lit(100)) * (F.col("n") - 1) * F.col("sx")
+            + dec(F.lit(266)) * F.col("n") * F.col("smr")
+        ).alias("hi"),
+        (
+            dec(F.lit(100)) * F.col("n") * (F.col("n") - 1) * F.col("x")
+            < dec(F.lit(100)) * (F.col("n") - 1) * F.col("sx")
+            - dec(F.lit(266)) * F.col("n") * F.col("smr")
+        ).alias("lo"),
+    )
+    return flags.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("sx").cast("long").alias("sum_x"),
+        F.max("smr").cast("long").alias("sum_mr"),
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("n_above_ucl"),
+        F.sum(F.when(F.col("lo"), 1).otherwise(0)).cast("long").alias("n_below_lcl"),
+    )

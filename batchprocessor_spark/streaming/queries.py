@@ -917,3 +917,47 @@ def q_stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg)
+
+
+@register(
+    "q_stream_union_sources",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS cnt,
+           sum(round(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY event_type
+    """,
+    category="streaming",
+)
+def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UNION of two sources — the multi-topic/multi-path
+    ingestion shape (two pipelines landing in one aggregate): two
+    independently-constructed file streams over the same events
+    table, one filtered to views and one to purchases, unioned BEFORE
+    a single grouped aggregate. Spark runs the union as one streaming
+    query with two source offsets tracked in one checkpoint — exactly
+    what a reader of topic-A + topic-B needs for consistent restart.
+    With AvailableNow over a full replay the drained result equals
+    the batch aggregate over both types (the oracle).
+
+    Scale posture: each branch applies its filter before the union
+    (pushed to its own scan), the union itself is plan-free
+    (partition concatenation), and the aggregate is the only
+    shuffle."""
+    views = _events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    purchases = _events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    agg = (
+        views.unionByName(purchases)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")

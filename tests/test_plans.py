@@ -958,3 +958,20 @@ def test_emb_standardize_moment_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_control_chart_windows_daily_table(spark):
+    """q_ts_control_chart: the lag window runs over the daily
+    aggregate (printed before the day HashAggregate), and the stats
+    row reaches the flag pass as a 1-row broadcast — no sort-merge
+    join, no window over raw events."""
+    plan = plan_of(spark, "q_ts_control_chart")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # Column pruning removes the lag from the flag branch entirely
+    # (it only needs x); the single Window lives in the stats branch
+    # and consumes ITS daily aggregate (the _groupingexpression
+    # HashAggregate printed after the Window line).
+    assert plan.count("Window") == 1, plan
+    win_pos = plan.find("Window")
+    assert plan.find("HashAggregate(keys=[_groupingexpression", win_pos) > 0, plan
