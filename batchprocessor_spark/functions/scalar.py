@@ -766,3 +766,64 @@ def q_fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("low_byte").cast("long").alias("lowbyte_sum"),
         F.min("with_flag").cast("long").alias("flag_min"),
     )
+
+
+@register(
+    "q_fn_binary",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             base64(substr(text, 1, 8)::BLOB) AS b64,
+             hex(substr(text, 1, 4)) AS hx,
+             (from_base64(base64(substr(text, 1, 8)::BLOB))::VARCHAR
+                = substr(text, 1, 8)) AS rt_ok,
+             octet_length(text::BLOB)::BIGINT AS nbytes,
+             md5(text) AS digest
+      FROM documents)
+    SELECT lang,
+           count(*)::BIGINT AS n,
+           min(b64) AS min_b64,
+           min(hx) AS min_hex,
+           bool_and(rt_ok) AS all_roundtrip,
+           sum(nbytes)::BIGINT AS bytes_sum,
+           min(digest) AS min_digest
+    FROM b GROUP BY lang
+    """,
+    category="function",
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding family — base64 / hex / md5 and the
+    string↔bytes boundary (encode/octet_length): the plumbing every
+    payload-bearing pipeline touches (checksums, wire encodings,
+    cache keys). The per-row round-trip flag
+    from_base64(base64(x)) == x folds to ONE bool_and per group, and
+    the per-lang minima of the encoded forms pin the exact encoding
+    conventions (alphabet, padding, hex case) cross-engine — the
+    fixture being pure ASCII makes octet_length == length a
+    deliberate second invariant (see the multimodal ASCII fixture
+    pin).
+
+    Shape: one scan, codegen projection, one aggregate."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    head8 = F.substring("text", 1, 8)
+    b = d.select(
+        "lang",
+        F.base64(F.encode(head8, "utf-8")).alias("b64"),
+        F.hex(F.encode(F.substring("text", 1, 4), "utf-8")).alias("hx"),
+        (
+            F.decode(F.unbase64(F.base64(F.encode(head8, "utf-8"))), "utf-8")
+            == head8
+        ).alias("rt_ok"),
+        F.octet_length(F.encode(F.col("text"), "utf-8"))
+        .cast("long")
+        .alias("nbytes"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("digest"),
+    )
+    return b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("b64").alias("min_b64"),
+        F.min("hx").alias("min_hex"),
+        F.bool_and("rt_ok").alias("all_roundtrip"),
+        F.sum("nbytes").cast("long").alias("bytes_sum"),
+        F.min("digest").alias("min_digest"),
+    )

@@ -2629,3 +2629,70 @@ def q_ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("hi"), 1).otherwise(0)).cast("long").alias("n_above_ucl"),
         F.sum(F.when(F.col("lo"), 1).otherwise(0)).cast("long").alias("n_below_lcl"),
     )
+
+
+@register(
+    "q_ts_forecast_error",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             sum(round(value * 100)::BIGINT)::BIGINT AS a
+      FROM events WHERE event_type = 'purchase' GROUP BY month),
+    paired AS (
+      SELECT month, a, lag(a) OVER (ORDER BY month) AS f
+      FROM monthly),
+    e AS (
+      SELECT a, f, abs(a - f) AS err,
+             ((20000 * abs(a - f)) // (a + f))::BIGINT AS smape_term_bp
+      FROM paired WHERE f IS NOT NULL)
+    SELECT count(*)::BIGINT AS n_months,
+           sum(err)::BIGINT AS abs_err_cents,
+           sum(a)::BIGINT AS actual_cents,
+           ((10000 * sum(err)) // sum(a))::BIGINT AS wape_bp,
+           (sum(smape_term_bp) // count(*))::BIGINT AS smape_bp
+    FROM e
+    """,
+    category="timeseries",
+)
+def q_ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy metrics for the naive seasonal-1 baseline
+    (forecast = last month's revenue) — WAPE and sMAPE, the two
+    numbers every demand-forecasting evaluation quotes (and the
+    baseline any learned forecaster must beat): WAPE = Σ|e|/Σa and
+    sMAPE = mean(2|e|/(a+f)), both emitted as integer basis points.
+    The per-term sMAPE ratio uses the integer-floor DIV convention
+    (declared: each term floors to bp before averaging), so no float
+    division exists anywhere and the metrics hash-match exactly.
+
+    Scale posture: one scan → monthly aggregate (value-table sized);
+    the lag window and error fold run over that tiny table — the
+    q_ts_period_over_period shape with an evaluation head. A learned
+    forecast would enter as a second small table joined on month."""
+    monthly = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("a")
+        )
+    )
+    w = Window.orderBy("month")
+    paired = monthly.select("a", F.lag("a").over(w).alias("f")).where(
+        F.col("f").isNotNull()
+    )
+    e = paired.select(
+        "a",
+        F.abs(F.col("a") - F.col("f")).alias("err"),
+        F.expr("(20000 * abs(a - f)) DIV (a + f)")
+        .cast("long")
+        .alias("smape_term_bp"),
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("err").cast("long").alias("abs_err_cents"),
+        F.sum("a").cast("long").alias("actual_cents"),
+        F.expr("(10000 * sum(err)) DIV sum(a)").cast("long").alias("wape_bp"),
+        F.expr("sum(smape_term_bp) DIV count(1)").cast("long").alias("smape_bp"),
+    )
