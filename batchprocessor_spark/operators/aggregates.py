@@ -1750,3 +1750,55 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cell"),
     )
     return stacked.select("cell.var_x", "cell.var_y", "n", "cell.corr")
+
+
+@register(
+    "q_agg_group_size_histogram",
+    oracle="""
+    WITH sizes AS (
+      SELECT l_orderkey, count(*)::BIGINT AS k
+      FROM lineitem GROUP BY l_orderkey),
+    hist AS (
+      SELECT k, count(*)::BIGINT AS n_orders, sum(k)::BIGINT AS n_lines
+      FROM sizes GROUP BY k)
+    SELECT k, n_orders, n_lines,
+           ((10000 * sum(n_lines) OVER (ORDER BY k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              // (sum(n_lines) OVER ()))::BIGINT AS cum_lines_bp
+    FROM hist
+    """,
+    category="aggregate",
+)
+def q_agg_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of GROUP SIZES (how many orders have k line items,
+    and what share of all lines the orders of size ≤ k carry) — the
+    first diagnostic anyone runs on a join/aggregation key before
+    trusting it at scale: a heavy tail here is exactly the skew that
+    breaks a shuffle (the q_join_skew_salted / AQE-skew remediations
+    exist for what this query detects). Two-level aggregate: per-key
+    counts, then a histogram over the COUNTS; the cumulative
+    line-share runs over the tiny k-histogram in exact integer bp.
+
+    Scale posture: the first aggregate is the only fact shuffle; the
+    histogram input is |distinct k| rows (≤ max group size), so its
+    window is value-table sized. At 100 TB this query is how you
+    decide the key is safe BEFORE running the real join."""
+    sizes = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    hist = sizes.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("k").cast("long").alias("n_lines"),
+    )
+    return hist.select(
+        "k",
+        "n_orders",
+        "n_lines",
+        F.expr(
+            "CAST((10000 * sum(n_lines) OVER (ORDER BY k"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+            " DIV (sum(n_lines) OVER ()) AS BIGINT)"
+        ).alias("cum_lines_bp"),
+    )

@@ -1291,3 +1291,76 @@ def tf_cosine_pairs(docs: DataFrame, df_cap: int | None) -> DataFrame:
     return scored.filter(F.col("cos2_bp") >= _TFCOS_BP).select(
         "d1", "d2", "dot", "cos2_bp"
     )
+
+
+@register(
+    "q_dedup_survivorship",
+    oracle="""
+    WITH keyed AS (
+      SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS grp,
+             doc_id, lang, source, n_chars
+      FROM documents),
+    langs AS (
+      SELECT grp, lang, count(*)::BIGINT AS c FROM keyed GROUP BY grp, lang),
+    best_lang AS (
+      SELECT grp, lang FROM (
+        SELECT grp, lang,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY c DESC, lang) AS rn
+        FROM langs) WHERE rn = 1),
+    blended AS (
+      SELECT k.grp,
+             min(k.doc_id)::BIGINT AS survivor_id,
+             max(k.n_chars)::BIGINT AS n_chars,
+             count(*)::BIGINT AS n_members,
+             count(DISTINCT k.source)::BIGINT AS n_sources
+      FROM keyed k GROUP BY k.grp)
+    SELECT b.grp, b.survivor_id, b.n_chars, b.n_members, b.n_sources,
+           bl.lang AS lang
+    FROM blended b JOIN best_lang bl ON b.grp = bl.grp
+    """,
+    category="dedup",
+)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record) merge — the entity-resolution
+    step AFTER duplicate detection that q_llm_dedup_canonical does
+    NOT do: canonical selection keeps one best ROW; survivorship
+    BLENDS a new record per duplicate group column-by-column with
+    per-column rules (id: min; length: max — the most complete
+    value; language: deterministic mode with lexicographic
+    tie-break, the q_agg_mode discipline — never a builtin mode
+    whose pick is partition-order dependent; provenance: member and
+    distinct-source counts). Groups come from the normalized-text
+    fingerprint (lowercase, collapsed whitespace → md5), the exact
+    duplicate key.
+
+    Scale posture: one shuffle on the group key shared by the blend
+    aggregate and the (group, lang) mode rollup; the mode argmax is
+    WindowGroupLimit over the rollup (vocab-of-langs-sized per
+    group), and the final join is group-keyed (both sides already
+    partitioned). No cross-group work anywhere."""
+    keyed = load_table(spark, sf_dir, "documents").select(
+        F.md5(
+            F.lower(F.regexp_replace("text", r"\s+", " "))
+        ).alias("grp"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    langs = keyed.groupBy("grp", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), F.col("lang"))
+    best_lang = (
+        langs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("grp", "lang")
+    )
+    blended = keyed.groupBy("grp").agg(
+        F.min("doc_id").cast("long").alias("survivor_id"),
+        F.max("n_chars").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    return blended.join(best_lang, "grp").select(
+        "grp", "survivor_id", "n_chars", "n_members", "n_sources", "lang"
+    )

@@ -975,3 +975,24 @@ def test_control_chart_windows_daily_table(spark):
     assert plan.count("Window") == 1, plan
     win_pos = plan.find("Window")
     assert plan.find("HashAggregate(keys=[_groupingexpression", win_pos) > 0, plan
+
+
+def test_group_size_histogram_window_on_k_table(spark):
+    """q_agg_group_size_histogram: the cumulative share runs over the
+    |distinct k|-sized histogram, not the per-key sizes table — the
+    Window prints before the k-keyed aggregate; one fact scan."""
+    plan = plan_of(spark, "q_agg_group_size_histogram")
+    assert plan.count("Scan parquet") == 1, plan
+    win_pos = plan.find("Window")
+    k_agg_pos = plan.find("HashAggregate(keys=[k")
+    assert 0 <= win_pos < k_agg_pos, plan
+
+
+def test_survivorship_group_local(spark):
+    """q_dedup_survivorship: blend aggregate, lang-mode rollup and
+    the final join all key on the group fingerprint — no cross-group
+    operator (no cartesian/BNLJ), mode argmax via WindowGroupLimit."""
+    plan = plan_of(spark, "q_dedup_survivorship")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
