@@ -1802,3 +1802,76 @@ def q_agg_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (sum(n_lines) OVER ()) AS BIGINT)"
         ).alias("cum_lines_bp"),
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH buckets AS (
+      SELECT l_returnflag AS grp,
+             round(l_extendedprice * 100)::BIGINT // 100 AS dollars,
+             sum(round(l_quantity)::BIGINT)::BIGINT AS w
+      FROM lineitem GROUP BY grp, dollars),
+    cum AS (
+      SELECT grp, dollars, w,
+             sum(w) OVER (PARTITION BY grp ORDER BY dollars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY grp) AS tw
+      FROM buckets)
+    SELECT grp,
+           max(tw)::BIGINT AS total_weight,
+           min(CASE WHEN 2 * cw >= tw THEN dollars END)::BIGINT
+             AS wmedian_dollars
+    FROM cum GROUP BY grp
+    """,
+    category="aggregate",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (lower convention): the smallest price level
+    whose cumulative quantity weight reaches half the group total —
+    the statistic behind volume-weighted 'typical price' and any
+    fair-aggregation rule where rows carry different mass (plain
+    median, q_agg_median_distributed, weights every row 1). Prices
+    enter at DOLLAR grain, so the histogram is bounded and the
+    crossing test 2·cum ≥ total stays in exact integers — no float,
+    no interpolation convention to disagree on.
+
+    Scale posture: one fact scan → a (group, dollar) weight rollup
+    with map-side combine → cumulative windows over that bounded
+    histogram (the q_agg_median_distributed discipline: windows on
+    value tables). For an unbounded-domain exact weighted median the
+    remedy is the same iterative histogram selection
+    q_agg_median_distributed uses, with weights in place of
+    counts."""
+    buckets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT) DIV 100"
+            ).alias("dollars"),
+        )
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("w")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.partitionBy("grp").orderBy("dollars").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("grp")
+    cum = buckets.select(
+        "grp",
+        "dollars",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return cum.groupBy("grp").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("dollars"))
+        )
+        .cast("long")
+        .alias("wmedian_dollars"),
+    )
