@@ -17,5 +17,6 @@ from batchprocessor_spark.operators import (  # noqa: F401
     skew,
     subqueries,
     timeseries,
+    tpch,
     windows,
 )

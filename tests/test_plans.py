@@ -996,3 +996,104 @@ def test_survivorship_group_local(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_tpch_q7_volume_shipping_dims_broadcast(spark):
+    """q_sql_volume_shipping (TPC-H Q7): both nation roles plus
+    supplier/customer broadcast; the two-year ship-date range is
+    pushed into the lineitem scan; the nation-pair disjunction stays
+    a residual on a broadcast join (never a cartesian)."""
+    plan = plan_of(spark, "q_sql_volume_shipping")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 5, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_tpch_q9_profit_part_filter_before_broadcast(spark):
+    """q_sql_product_type_profit (TPC-H Q9 shape): the p_name LIKE
+    filter prunes part BEFORE its broadcast (StringContains pushed to
+    the part scan), and all four dimension hops are hash joins."""
+    plan = plan_of(spark, "q_sql_product_type_profit")
+    assert "StringContains(p_name,gear)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") == 4, plan
+
+
+def test_tpch_q11_two_linear_passes(spark):
+    """q_sql_important_parts (TPC-H Q11 shape): the threshold is a
+    SCALAR SUBQUERY (evaluated once, not per-row) and every exchange
+    is partkey- or single-row-sized — two linear passes, no
+    quadratic shape."""
+    plan = plan_of(spark, "q_sql_important_parts")
+    assert "Subquery subquery" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 2, plan
+
+
+def test_tpch_q13_left_join_keeps_zero_order_customers(spark):
+    """q_sql_customer_distribution (TPC-H Q13): the priority filter
+    lives on the JOIN (pushed to the orders side only) and the join
+    stays LeftOuter — zero-order customers must survive to the
+    c_count=0 bucket."""
+    plan = plan_of(spark, "q_sql_customer_distribution")
+    assert "LeftOuter" in plan, plan
+    # The exclusion filter applies to the orders scan, never customer.
+    assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in plan, plan
+
+
+def test_tpch_q16_not_in_is_hash_anti_join(spark):
+    """q_sql_supplier_part_counts (TPC-H Q16 shape): the NOT IN
+    supplier exclusion plans as a (null-aware) broadcast HASH anti
+    join — not the nested-loop fallback — and the distinct count
+    expands to a two-phase aggregate, no row explosion."""
+    plan = plan_of(spark, "q_sql_supplier_part_counts")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q17_decorrelated_avg_no_product(spark):
+    """q_sql_small_qty_revenue (TPC-H Q17): the per-part average
+    lives in a grouped CTE joined back on partkey with the integer
+    cross-multiplied predicate as a join residual — no correlated
+    re-execution, no cartesian; part's brand/size filters are pushed
+    to its scan before broadcast."""
+    plan = plan_of(spark, "q_sql_small_qty_revenue")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "StartsWith(p_brand,Brand#1)" in plan, plan
+
+
+def test_tpch_q20_nested_semi_chain(spark):
+    """q_sql_promotion_suppliers (TPC-H Q20 shape): the nested IN
+    chain plans as two LeftSemi hash joins (part names into lineitem,
+    aggregated suppliers into supplier) — never a correlated re-scan;
+    the 1996 date range is pushed to the lineitem scan."""
+    plan = plan_of(spark, "q_sql_promotion_suppliers")
+    assert plan.count("LeftSemi") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_tpch_q22_anti_join_prunes_orders_scan(spark):
+    """q_sql_global_sales_opportunity (TPC-H Q22 shape): the NOT
+    EXISTS is a hash ANTI join whose orders side is pruned by the
+    pushed date filter BEFORE the join; the only nested-loop is the
+    1-row avgbal broadcast (the scalar-aggregate cross join)."""
+    plan = plan_of(spark, "q_sql_global_sales_opportunity")
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan, plan
+
+
+def test_tpch_q2_min_subquery_decorrelated(spark):
+    """q_sql_min_balance_supplier (TPC-H Q2 shape): the correlated
+    MIN subquery decorrelates into a per-part aggregate joined back
+    (one SortMergeJoin on the (balance, partkey) pair) with a
+    tie-broken TakeOrderedAndProject — no per-row re-execution, no
+    cartesian, no global sort."""
+    plan = plan_of(spark, "q_sql_min_balance_supplier")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
