@@ -2696,3 +2696,253 @@ def q_ts_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(10000 * sum(err)) DIV sum(a)").cast("long").alias("wape_bp"),
         F.expr("sum(smape_term_bp) DIV count(1)").cast("long").alias("smape_bp"),
     )
+
+
+@register(
+    "q_ab_srm",
+    oracle="""
+    WITH assigned AS (
+      SELECT ('0x' || substring(md5('srm:' || user_id::VARCHAR), 1, 8))::BIGINT
+               % 2 AS variant
+      FROM (SELECT DISTINCT user_id FROM events) u),
+    counts AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      FROM assigned)
+    SELECT n_a, n_b,
+           round((n_a - n_b)::DOUBLE * (n_a - n_b) / n, 6) AS chi2,
+           CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000 > 3841 * n
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM counts
+    """,
+    category="experimentation",
+)
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check — the guardrail every A/B
+    platform runs before reading any metric: assign users to variants
+    by deterministic hash (the q_sample_hash_split idiom), then test
+    the observed split against the designed 50/50 with the 1-df
+    chi-square, which for two equal-expectation cells collapses to
+    (n_a−n_b)²/n. The statistic stays in BIGINT until one final
+    division; the p<0.05 flag (critical value 3.841) is decided by
+    the INTEGER cross-multiplication (n_a−n_b)²·1000 > 3841·n — no
+    float comparison can flip it cross-engine.
+
+    Scale posture: distinct user_ids (one shuffle with map-side
+    combine), then a single global fold to one row; the md5 bucket is
+    a narrow projection. No windows, no collects."""
+    from batchprocessor_spark.operators.sampling import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    assigned = (
+        e.select("user_id")
+        .distinct()
+        .select(hash_bucket(F.col("user_id"), "srm:", 2).alias("variant"))
+    )
+    counts = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(d.cast("double") * d / F.col("n"), 6).alias("chi2"),
+        F.when(d * d * 1000 > 3841 * F.col("n"), 1).otherwise(0).alias("srm_flag"),
+    )
+
+
+@register(
+    "q_ml_ks_statistic",
+    oracle="""
+    WITH u AS (
+      SELECT (n_chars // 100)::BIGINT AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents),
+    s AS (
+      SELECT score,
+             sum(label)::BIGINT AS npos_s,
+             (count(*) - sum(label))::BIGINT AS nneg_s
+      FROM u GROUP BY score),
+    c AS (
+      SELECT sum(npos_s) OVER (ORDER BY score)::BIGINT AS cpos,
+             sum(nneg_s) OVER (ORDER BY score)::BIGINT AS cneg,
+             (SELECT sum(npos_s) FROM s)::BIGINT AS n_pos,
+             (SELECT sum(nneg_s) FROM s)::BIGINT AS n_neg
+      FROM s)
+    SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+           max(abs(cpos * n_neg - cneg * n_pos))::BIGINT AS ks_num,
+           round(max(abs(cpos * n_neg - cneg * n_pos))::DOUBLE
+                 / (max(n_pos) * max(n_neg)), 6) AS ks
+    FROM c
+    """,
+    category="ml",
+)
+def q_ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the score
+    distributions of the positive and negative class (same
+    length-bucket-predicts-English framing as q_ml_auc) — the
+    standard separation metric for a propensity/fraud score, and the
+    drift test between two score snapshots. KS = max |F⁺(s) − F⁻(s)|
+    evaluated WITHOUT ranking rows: cumulative class counts over the
+    bounded distinct-score histogram, with the max taken over the
+    INTEGER numerator |cpos·n_neg − cneg·n_pos| (the two CDFs put on
+    the common denominator n_pos·n_neg) — one final division, 6-dp
+    round as belt.
+
+    Scale posture: one aggregate to the bounded score histogram, the
+    cumulative window runs over that materialized value table (the
+    q_ml_auc discipline — never a global rank of the fact table), and
+    the class totals ride along as 1-row broadcast subqueries."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    s = d.groupBy("score").agg(
+        F.sum("label").cast("long").alias("npos_s"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("nneg_s"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    totals = s.agg(
+        F.sum("npos_s").cast("long").alias("n_pos"),
+        F.sum("nneg_s").cast("long").alias("n_neg"),
+    )
+    c = s.select(
+        F.sum("npos_s").over(w).cast("long").alias("cpos"),
+        F.sum("nneg_s").over(w).cast("long").alias("cneg"),
+    ).crossJoin(F.broadcast(totals))
+    num = F.abs(F.col("cpos") * F.col("n_neg") - F.col("cneg") * F.col("n_pos"))
+    return c.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.max(num).cast("long").alias("ks_num"),
+        F.round(
+            F.max(num).cast("double") / (F.max("n_pos") * F.max("n_neg")), 6
+        ).alias("ks"),
+    )
+
+
+@register(
+    "q_ml_lift_gains",
+    oracle="""
+    WITH u AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents),
+    s AS (
+      SELECT score, count(*)::BIGINT AS n_s, sum(label)::BIGINT AS pos_s
+      FROM u GROUP BY score),
+    c AS (
+      SELECT score, n_s, pos_s,
+             coalesce(sum(n_s) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS n_before,
+             (SELECT sum(n_s) FROM s)::BIGINT AS n_tot,
+             (SELECT sum(pos_s) FROM s)::BIGINT AS pos_tot
+      FROM s),
+    binned AS (
+      SELECT (n_before * 10 // n_tot)::BIGINT AS decile,
+             n_s, pos_s, n_tot, pos_tot
+      FROM c)
+    SELECT decile,
+           sum(n_s)::BIGINT AS n,
+           sum(pos_s)::BIGINT AS n_pos,
+           ((sum(sum(n_s)) OVER w * 10000) // max(n_tot))::BIGINT
+             AS cum_depth_bp,
+           ((sum(sum(pos_s)) OVER w * 10000) // max(pos_tot))::BIGINT
+             AS cum_gain_bp,
+           ((sum(sum(pos_s)) OVER w * max(n_tot) * 1000000)
+              // (sum(sum(n_s)) OVER w * max(pos_tot)))::BIGINT
+             AS cum_lift_ppm
+    FROM binned
+    GROUP BY decile
+    WINDOW w AS (ORDER BY decile)
+    ORDER BY decile
+    """,
+    category="ml",
+)
+def q_ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table for a ranking score (the
+    campaign-targeting readout: "the top 20% of the ranked list
+    captures X% of positives, lift L") — deciles over score =
+    n_chars, positives = lang='en'. Deciles are assigned at the
+    VALUE grain: the distinct-score histogram is cumulated
+    score-descending and each score level lands in decile
+    ⌊10·n_before/n⌋, so assignment never ranks raw rows (ties share
+    a level by construction — same semantics as ntile on a
+    deterministic total order, without the global row window).
+    Depth/gain/lift are integer basis points / ppm via floor
+    division on non-negative operands — bit-identical cross-engine.
+
+    Scale posture: one aggregate to the bounded score histogram; both
+    windows (the cumulative depth and the per-decile rollup) run over
+    value tables (|distinct scores|, then ≤10 rows); totals ride as
+    1-row broadcasts. The fact table is touched exactly once."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    s = d.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("label").cast("long").alias("pos_s"),
+    )
+    totals = s.agg(
+        F.sum("n_s").cast("long").alias("n_tot"),
+        F.sum("pos_s").cast("long").alias("pos_tot"),
+    )
+    w_cum = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = s.select(
+        "score",
+        "n_s",
+        "pos_s",
+        F.coalesce(F.sum("n_s").over(w_cum), F.lit(0)).cast("long").alias("n_before"),
+    ).crossJoin(F.broadcast(totals))
+    binned = c.select(
+        F.expr("(n_before * 10) DIV n_tot").cast("long").alias("decile"),
+        "n_s",
+        "pos_s",
+        "n_tot",
+        "pos_tot",
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    g = binned.groupBy("decile").agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("pos_tot").alias("pos_tot"),
+    )
+    cum_n = F.sum("n").over(w_dec)
+    cum_pos = F.sum("n_pos").over(w_dec)
+    return g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr(
+            "(sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) * 10000) DIV n_tot"
+        )
+        .cast("long")
+        .alias("cum_depth_bp"),
+        F.expr(
+            "(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) * 10000) DIV pos_tot"
+        )
+        .cast("long")
+        .alias("cum_gain_bp"),
+        F.expr(
+            "(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) * n_tot * 1000000) DIV"
+            " (sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) * pos_tot)"
+        )
+        .cast("long")
+        .alias("cum_lift_ppm"),
+    ).orderBy("decile")

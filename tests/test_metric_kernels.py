@@ -444,3 +444,77 @@ def test_boosted_stumps_match_python_reference(spark):
     }
     assert got[1] == (thr1, pol1, werr1, wtot1)
     assert got[2] == (thr2, pol2, werr2, wtot2)
+
+
+def test_srm_matches_scipy_style_reference(spark):
+    """End-to-end at sf0.001: the SRM chi-square equals the textbook
+    two-cell goodness-of-fit statistic computed in numpy over the
+    same hash assignment, and the flag equals p<0.05 via the 3.841
+    critical value."""
+    import hashlib
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    users = sorted(ev.user_id.unique())
+    arms = [
+        int(hashlib.md5(f"srm:{u}".encode()).hexdigest()[:8], 16) % 2 for u in users
+    ]
+    n_a = sum(1 for a in arms if a == 0)
+    n_b = len(arms) - n_a
+    n = n_a + n_b
+    exp = n / 2.0
+    chi2 = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+    row = REGISTRY["q_ab_srm"].builder(spark, SF_SMALL).collect()[0]
+    assert int(row["n_a"]) == n_a and int(row["n_b"]) == n_b
+    assert math.isclose(row["chi2"], chi2, rel_tol=1e-6, abs_tol=1e-6)
+    assert int(row["srm_flag"]) == int(chi2 > 3.841)
+
+
+def test_ks_statistic_matches_numpy_reference(spark):
+    """End-to-end at sf0.001: the histogram-lane KS equals the direct
+    max |ECDF difference| over the same binned scores in numpy."""
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    score = (docs.n_chars // 100).to_numpy()
+    pos = np.sort(score[docs.lang == "en"])
+    neg = np.sort(score[docs.lang != "en"])
+    grid = np.unique(score)
+    fpos = np.searchsorted(pos, grid, side="right") / len(pos)
+    fneg = np.searchsorted(neg, grid, side="right") / len(neg)
+    ks = float(np.max(np.abs(fpos - fneg)))
+    row = REGISTRY["q_ml_ks_statistic"].builder(spark, SF_SMALL).collect()[0]
+    assert int(row["n_pos"]) == len(pos) and int(row["n_neg"]) == len(neg)
+    assert math.isclose(row["ks"], ks, rel_tol=1e-6, abs_tol=1e-6)
+    assert int(row["ks_num"]) == round(ks * len(pos) * len(neg))
+
+
+def test_lift_gains_matches_pandas_reference(spark):
+    """End-to-end at sf0.001: per-decile counts and cumulative
+    gain/lift equal a pandas computation that assigns value-grain
+    deciles by the same ⌊10·n_before/n⌋ rule."""
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    hist = (
+        docs.assign(label=(docs.lang == "en").astype(int))
+        .groupby("n_chars")
+        .agg(n_s=("label", "size"), pos_s=("label", "sum"))
+        .sort_index(ascending=False)
+        .reset_index()
+    )
+    n_tot = int(hist.n_s.sum())
+    pos_tot = int(hist.pos_s.sum())
+    hist["n_before"] = hist.n_s.cumsum().shift(fill_value=0)
+    hist["decile"] = (hist.n_before * 10 // n_tot).astype(int)
+    dec = hist.groupby("decile").agg(n=("n_s", "sum"), n_pos=("pos_s", "sum"))
+    dec["cum_n"] = dec.n.cumsum()
+    dec["cum_pos"] = dec.n_pos.cumsum()
+    rows = {
+        int(r["decile"]): r
+        for r in REGISTRY["q_ml_lift_gains"].builder(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(dec.index)
+    for d, ref in dec.iterrows():
+        got = rows[int(d)]
+        assert int(got["n"]) == int(ref.n) and int(got["n_pos"]) == int(ref.n_pos)
+        assert int(got["cum_depth_bp"]) == int(ref.cum_n) * 10000 // n_tot
+        assert int(got["cum_gain_bp"]) == int(ref.cum_pos) * 10000 // pos_tot
+        assert int(got["cum_lift_ppm"]) == (
+            int(ref.cum_pos) * n_tot * 1000000 // (int(ref.cum_n) * pos_tot)
+        )
