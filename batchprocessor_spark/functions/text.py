@@ -1581,3 +1581,195 @@ def q_llm_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("source", "token", F.col("a").alias("cnt"), "odds_ppm", "rnk")
     )
+
+
+@register(
+    "q_text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                x -> x <> '')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token, count(*)::BIGINT AS freq FROM tok GROUP BY token),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM vocab),
+    pts AS (
+      SELECT ln(rnk::DOUBLE) AS x, ln(freq::DOUBLE) AS y FROM ranked),
+    m AS (
+      SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts)
+    SELECT n AS n_vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+    category="text",
+)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) — the classic corpus-health diagnostic
+    (natural language sits near slope −1; templated/synthetic text
+    flattens or steepens the curve, so pipelines trend this number
+    per crawl snapshot). Per-row logs are taken of EXACT integers
+    (rank from a deterministic freq-desc/token-asc order, frequency
+    from the corpus count), the closed-form slope/intercept come from
+    the five moment sums, and both outputs are rounded to 6 dp (the
+    q_llm_token_entropy float discipline: bit-identical per-row
+    terms, order-dependent only in the final ulps).
+
+    Scale posture: one (token) aggregate with map-side combine to the
+    VOCAB-sized table; the rank window and the moment fold both run
+    over that bounded table, never the corpus. The fact scan is
+    touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    wr = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    pts = vocab.select(
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "q_text_bleu_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT (doc_id // 2)::BIGINT AS pair_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'cand' ELSE 'ref' END AS side,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    uni AS (
+      SELECT pair_id, side, unnest(ws) AS gram FROM pairs),
+    bi AS (
+      SELECT pair_id, side,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM pairs),
+    u_cnt AS (
+      SELECT pair_id, gram,
+             sum(CASE WHEN side = 'cand' THEN 1 ELSE 0 END)::BIGINT AS c_cand,
+             sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::BIGINT AS c_ref
+      FROM uni GROUP BY pair_id, gram),
+    b_cnt AS (
+      SELECT pair_id, gram,
+             sum(CASE WHEN side = 'cand' THEN 1 ELSE 0 END)::BIGINT AS c_cand,
+             sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::BIGINT AS c_ref
+      FROM bi GROUP BY pair_id, gram),
+    agg AS (
+      SELECT (SELECT count(DISTINCT pair_id) FROM u_cnt)::BIGINT AS n_pairs,
+             (SELECT sum(c_cand) FROM u_cnt)::BIGINT AS tot1,
+             (SELECT sum(least(c_cand, c_ref)) FROM u_cnt)::BIGINT AS clip1,
+             (SELECT sum(c_cand) FROM b_cnt)::BIGINT AS tot2,
+             (SELECT sum(least(c_cand, c_ref)) FROM b_cnt)::BIGINT AS clip2)
+    SELECT n_pairs, tot1, clip1, tot2, clip2,
+           (clip1 * 1000000 // tot1)::BIGINT AS p1_ppm,
+           (clip2 * 1000000 // tot2)::BIGINT AS p2_ppm,
+           floor(sqrt(((clip1 * 1000000 // tot1)
+                       * (clip2 * 1000000 // tot2))::DOUBLE))::BIGINT
+             AS bleu2_ppm
+    FROM agg
+    """,
+    category="text",
+)
+def q_text_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-2 style n-gram overlap between paired
+    documents (candidate = even doc_id, reference = the next odd
+    doc_id) — the eval-harness primitive for machine-translation /
+    summarization scoring and a near-duplication probe between two
+    corpus snapshots. Modified (clipped) precision per BLEU: each
+    candidate n-gram counts at most as often as it appears in the
+    reference — Σ min(c_cand, c_ref) / Σ c_cand, micro-averaged over
+    all pairs. Precisions are exact integer ppm via floor division;
+    the BLEU-2 geometric mean is floor(sqrt(p1·p2)) — IEEE sqrt is
+    correctly rounded, so the composite stays bit-identical
+    cross-engine.
+
+    Scale posture: n-gram construction is per-row array math (slice +
+    zip_with, no self-join); the clip needs cand and ref counts of
+    the SAME gram together, which is one (pair_id, gram) aggregate —
+    an equi-shuffle with map-side combine, the natural key layout.
+    Final fold collapses to one row; no windows, no collects."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        F.expr("doc_id DIV 2").cast("long").alias("pair_id"),
+        F.when(F.col("doc_id") % 2 == 0, "cand").otherwise("ref").alias("side"),
+        ws.alias("uni"),
+        bigrams.alias("bi"),
+    )
+
+    def clipped(col: str):
+        cnt = (
+            base.select("pair_id", "side", F.explode(col).alias("gram"))
+            .groupBy("pair_id", "gram")
+            .agg(
+                F.sum(F.when(F.col("side") == "cand", 1).otherwise(0))
+                .cast("long")
+                .alias("c_cand"),
+                F.sum(F.when(F.col("side") == "ref", 1).otherwise(0))
+                .cast("long")
+                .alias("c_ref"),
+            )
+        )
+        return cnt.agg(
+            F.count_distinct(F.col("pair_id")).alias("n_pairs"),
+            F.sum("c_cand").cast("long").alias("tot"),
+            F.sum(F.least(F.col("c_cand"), F.col("c_ref")))
+            .cast("long")
+            .alias("clip"),
+        )
+
+    u = clipped("uni").select(
+        "n_pairs", F.col("tot").alias("tot1"), F.col("clip").alias("clip1")
+    )
+    b = clipped("bi").select(F.col("tot").alias("tot2"), F.col("clip").alias("clip2"))
+    joined = u.crossJoin(F.broadcast(b))
+    p1 = F.expr("(clip1 * 1000000) DIV tot1").cast("long")
+    p2 = F.expr("(clip2 * 1000000) DIV tot2").cast("long")
+    return joined.select(
+        "n_pairs",
+        "tot1",
+        "clip1",
+        "tot2",
+        "clip2",
+        p1.alias("p1_ppm"),
+        p2.alias("p2_ppm"),
+        F.floor(F.sqrt((p1 * p2).cast("double"))).cast("long").alias("bleu2_ppm"),
+    )

@@ -1364,3 +1364,68 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blended.join(best_lang, "grp").select(
         "grp", "survivor_id", "n_chars", "n_members", "n_sources", "lang"
     )
+
+
+@register(
+    "q_llm_dedup_urls",
+    oracle="""
+    SELECT source || '.example.com/page/' || (doc_id % 50)
+             || '?id=' || (doc_id % 50) AS canonical_url,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id)::BIGINT AS keep_doc_id
+    FROM documents
+    GROUP BY canonical_url
+    HAVING count(*) > 1
+    ORDER BY canonical_url
+    """,
+    category="dedup",
+)
+def q_llm_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup pass of every web
+    corpus pipeline (the same page is crawled as http/https, with and
+    without www., with tracking parameters, with a trailing slash):
+    messy URL variants are CONSTRUCTED deterministically from the doc
+    row (scheme flips on doc_id%2, WWW.-prefixed uppercase host on
+    doc_id%3=0, utm_source tracking param on doc_id%2=0, trailing
+    slash on doc_id%5=0), then canonicalized Spark-side with
+    parse_url + lower + regexp_replace — lowercase host, strip www.,
+    drop tracking params keeping the content-bearing id param, strip
+    the trailing slash — and exact-deduped on the canonical key
+    (keep-min-doc_id, the q_dedup_exact policy). The oracle computes
+    the canonical form DIRECTLY from the base columns, so parity
+    proves the canonicalizer inverts every constructed mess exactly;
+    doc_id%50 in the path makes real collision groups.
+
+    Scale posture: canonicalization is a narrow JVM projection
+    (parse_url intrinsic + regexp — no Python); the dedup is ONE
+    shuffle on the canonical key with map-side combine. Reference
+    parity: the reference engine has no dedup surface at all
+    (SURVEY §2.4 extension)."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "http://").otherwise("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("WWW."), F.upper("source")))
+        .otherwise(F.col("source")),
+        F.lit(".EXAMPLE.com/page/"),
+        (F.col("doc_id") % 50),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(F.col("doc_id") % 2 == 0, "?utm_source=feed&id=").otherwise("?id="),
+        (F.col("doc_id") % 50),
+    )
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/$", "")
+    canon = F.concat(
+        host, path, F.lit("?id="), F.parse_url(url, F.lit("QUERY"), F.lit("id"))
+    )
+    return (
+        d.select(canon.alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("canonical_url")
+    )

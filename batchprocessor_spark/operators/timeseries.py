@@ -1372,3 +1372,84 @@ def q_ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close_c",
         "volume",
     )
+
+
+@register(
+    "q_ts_sax",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day_no,
+             round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders),
+    seg AS (
+      SELECT ((day_no - (SELECT min(day_no) FROM b)) // 30)::BIGINT AS segment_id,
+             count(DISTINCT day_no)::BIGINT AS n_days,
+             sum(cents)::BIGINT AS sum_cents
+      FROM b GROUP BY segment_id),
+    sym AS (
+      SELECT segment_id, n_days, sum_cents,
+             ntile(4) OVER (ORDER BY sum_cents::DOUBLE / n_days, segment_id)
+               AS q
+      FROM seg)
+    SELECT segment_id, n_days, sum_cents,
+           substr('abcd', q, 1) AS symbol
+    FROM sym
+    ORDER BY segment_id
+    """,
+    category="timeseries",
+)
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) of the daily-revenue
+    series — the time-series indexing/motif-discovery primitive:
+    Piecewise Aggregate Approximation (30-day segment means over
+    exact integer cents) followed by equal-frequency quartile
+    symbols 'a'..'d'. The alphabet assignment uses ntile over the
+    SEGMENT table with a deterministic total order (mean, then
+    segment_id — the mean is ONE IEEE division of exact integers, so
+    the sort key is bit-identical cross-engine); empirical
+    equal-frequency breakpoints replace the classic Gaussian table,
+    which keeps every step exact instead of depending on a float
+    normal quantile.
+
+    Scale posture: one aggregate from the fact scan to the bounded
+    segment table (|days|/30 rows at any SF); the ntile window runs
+    over that table only — the value-table window discipline. The
+    min-day offset is a 1-row broadcast subquery."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+        .cast("long")
+        .alias("day_no"),
+        to_units(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    d0 = o.agg(F.min("day_no").alias("d0"))
+    seg = (
+        o.crossJoin(F.broadcast(d0))
+        .select(
+            F.expr("(day_no - d0) DIV 30").cast("long").alias("segment_id"),
+            "day_no",
+            "cents",
+        )
+        .groupBy("segment_id")
+        .agg(
+            F.count_distinct(F.col("day_no")).alias("n_days"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("sum_cents").cast("double") / F.col("n_days"), F.col("segment_id")
+    )
+    return (
+        seg.select(
+            "segment_id",
+            "n_days",
+            "sum_cents",
+            F.ntile(4).over(w).alias("q"),
+        )
+        .select(
+            "segment_id",
+            "n_days",
+            "sum_cents",
+            F.substring(F.lit("abcd"), F.col("q"), 1).alias("symbol"),
+        )
+        .orderBy("segment_id")
+    )

@@ -1097,3 +1097,44 @@ def test_tpch_q2_min_subquery_decorrelated(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zipf_windows_on_vocab_table(spark):
+    """q_text_zipf_slope: the rank window runs over the vocab-sized
+    aggregate (Window prints before the token HashAggregate), and the
+    corpus is scanned once."""
+    plan = plan_of(spark, "q_text_zipf_slope")
+    assert plan.count("Scan parquet") == 1, plan
+    win_pos = plan.find("Window")
+    tok_agg_pos = plan.find("HashAggregate(keys=[token")
+    assert 0 <= win_pos < tok_agg_pos, plan
+
+
+def test_bleu_no_self_join_no_window(spark):
+    """q_text_bleu_pairs: n-gram construction is per-row array math —
+    the only joins are the two 1-row aggregate broadcasts (no
+    SortMergeJoin, no row windows)."""
+    plan = plan_of(spark, "q_text_bleu_pairs")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_url_dedup_single_shuffle_jvm_side(spark):
+    """q_llm_dedup_urls: canonicalization stays JVM-side (no Python
+    eval nodes) and the dedup is one exchange on the canonical key
+    plus the final order."""
+    plan = plan_of(spark, "q_llm_dedup_urls")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+    assert plan.count("Exchange hashpartitioning(canonical_url") == 1, plan
+
+
+def test_sax_window_on_segment_table(spark):
+    """q_ts_sax: the ntile window runs over the bounded segment
+    aggregate, never the orders scan (Window before the segment_id
+    HashAggregate in plan print order)."""
+    plan = plan_of(spark, "q_ts_sax")
+    win_pos = plan.find("Window")
+    seg_agg_pos = plan.find("HashAggregate(keys=[segment_id")
+    assert 0 <= win_pos < seg_agg_pos, plan
