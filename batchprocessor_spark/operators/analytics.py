@@ -2946,3 +2946,119 @@ def q_ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_lift_ppm"),
     ).orderBy("decile")
+
+
+@register(
+    "q_events_interarrival",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts)::BIGINT - lag(epoch_us(ts)::BIGINT) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    gaps AS (
+      SELECT CASE WHEN gap_us <= 0 THEN 0
+                  ELSE floor(log2((gap_us // 1000000) + 1))::BIGINT
+             END AS bucket_log2_s,
+             gap_us
+      FROM seq WHERE gap_us IS NOT NULL)
+    SELECT bucket_log2_s,
+           count(*)::BIGINT AS n_gaps,
+           min(gap_us)::BIGINT AS min_gap_us,
+           max(gap_us)::BIGINT AS max_gap_us,
+           sum(gap_us)::BIGINT AS sum_gap_us
+    FROM gaps
+    GROUP BY bucket_log2_s
+    ORDER BY bucket_log2_s
+    """,
+    category="events",
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution of the event stream — the
+    session-timeout calibration readout (pick the session gap where
+    the histogram's bimodal valley sits) and the burst/bot detector's
+    base rate. Per-user consecutive gaps from ONE lag window over
+    (user_id, ts, event_id), bucketed into log2(seconds+1) bins —
+    log2 of an EXACT non-negative integer, floored, so the bucket id
+    is bit-identical cross-engine (the q_llm_token_entropy integer-log
+    discipline); min/max/sum stay in exact integer microseconds.
+
+    Scale posture: one user_id exchange for the lag window (gaps are
+    computed inside each user partition), then an aggregate to the
+    ~40-row bucket histogram. No global windows, no collects."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    seq = e.select(
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    bucket = (
+        F.when(F.col("gap_us") <= 0, F.lit(0))
+        .otherwise(
+            F.floor(F.log2(F.expr("(gap_us DIV 1000000) + 1").cast("double")))
+        )
+        .cast("long")
+    )
+    return (
+        seq.select(bucket.alias("bucket_log2_s"), "gap_us")
+        .groupBy("bucket_log2_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+        )
+        .orderBy("bucket_log2_s")
+    )
+
+
+@register(
+    "q_dq_freshness",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             max(epoch_us(ts))::BIGINT AS max_ts_us,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY event_type),
+    global_max AS (SELECT max(max_ts_us)::BIGINT AS g FROM per_type)
+    SELECT event_type, n_events,
+           (max_ts_us // 1000000)::BIGINT AS latest_s,
+           ((g - max_ts_us) // 1000000)::BIGINT AS staleness_s,
+           CASE WHEN g - max_ts_us > 86400000000 THEN 1 ELSE 0 END AS stale_flag
+    FROM per_type CROSS JOIN global_max
+    ORDER BY event_type
+    """,
+    category="dq",
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness audit — the first page of every pipeline
+    health dashboard: latest watermark per event type, its staleness
+    against the most recent event anywhere, and a >24 h SLA breach
+    flag. A feed that silently stops arriving shows up here before
+    any volume anomaly fires. All arithmetic is exact integer
+    microseconds; the flag is an integer comparison.
+
+    Scale posture: one aggregate with map-side combine to the
+    |event_type|-sized table (max and count are both partial-
+    aggregable), the global watermark is a 1-row broadcast over that
+    tiny table. The fact scan reads two columns."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    per_type = e.groupBy("event_type").agg(
+        F.max(us).cast("long").alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = per_type.agg(F.max("max_ts_us").alias("g"))
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            F.expr("max_ts_us DIV 1000000").cast("long").alias("latest_s"),
+            F.expr("(g - max_ts_us) DIV 1000000").cast("long").alias("staleness_s"),
+            F.when(F.col("g") - F.col("max_ts_us") > 86400000000, 1)
+            .otherwise(0)
+            .alias("stale_flag"),
+        )
+        .orderBy("event_type")
+    )

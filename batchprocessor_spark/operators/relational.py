@@ -1241,3 +1241,58 @@ def q_sql_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
         """
     )
+
+
+@register(
+    "q_source_text_lines",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_lines,
+           sum(length(text))::BIGINT AS total_chars,
+           min(length(text))::BIGINT AS min_len,
+           max(length(text))::BIGINT AS max_len
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    category="scan",
+)
+def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format source round-trip — the rawest ingestion path a
+    corpus pipeline has (one document per line, no schema): documents
+    are exported line-per-doc with a `lang\\ttext` prefix via the text
+    SINK, read back with `spark.read.text`, and the prefix is split
+    off again. The per-lang line counts and length stats must equal
+    the same aggregate over the native parquet (the oracle) — a lost
+    or merged line, a mangled delimiter, or an encoding slip changes
+    a count or a length. Completes the source-format matrix
+    (parquet / CSV / JSON / ORC / text).
+
+    Scale posture: text read is splittable by line and carries no
+    footer metadata — the format you get from upstream dumps; the
+    point of the round-trip is that parsing happens as narrow JVM
+    projections (split on the FIRST tab only), then one aggregate.
+    The fixture text is tab-free and single-line (pinned by the
+    count parity itself: an embedded newline would split a doc)."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    tmp = scratch_dir("bp_text_")
+    lines = d.select(
+        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{tmp}/docs_txt")
+    back = spark.read.text(f"{tmp}/docs_txt")
+    # NB: tmp outlives this function (lazy read), removed at exit.
+    parsed = back.select(
+        F.substring_index(F.col("value"), "\t", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.min(F.length("text")).cast("long").alias("min_len"),
+            F.max(F.length("text")).cast("long").alias("max_len"),
+        )
+        .orderBy("lang")
+    )
