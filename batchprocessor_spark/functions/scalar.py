@@ -827,3 +827,63 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nbytes").cast("long").alias("bytes_sum"),
         F.min("digest").alias("min_digest"),
     )
+
+
+@register(
+    "q_fn_xml",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_n,
+           min(source) AS min_src,
+           sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END)::BIGINT AS n_long
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    category="function",
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML extraction function family (xpath_string / xpath_int /
+    xpath_boolean) — the feed-ingestion surface for the XML sitemaps
+    and API payloads web pipelines still receive. The fixture has no
+    XML column, so a document envelope is CONSTRUCTED
+    (`<doc id=..><lang>..</lang><n>..</n><src>..</src></doc>`) and
+    every output column is extracted back via xpath against the
+    assembled string; the oracle recomputes the same rollup from the
+    base columns directly, so parity proves the xpath extraction
+    inverts the construction exactly (fixture lang/source values are
+    markup-free tokens, so no entity escaping is involved).
+
+    Scale posture: xpath evaluators are JVM expressions (no Python
+    nodes — gated); one scan, one aggregate on the extracted lang."""
+    d = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><n>"),
+        F.col("n_chars"),
+        F.lit("</n><src>"),
+        F.col("source"),
+        F.lit("</src></doc>"),
+    )
+    parsed = d.select(
+        F.xpath_string(xml, F.lit("doc/lang/text()")).alias("lang"),
+        F.xpath_int(xml, F.lit("doc/n/text()")).alias("n"),
+        F.xpath_string(xml, F.lit("doc/src/text()")).alias("src"),
+        F.xpath_boolean(xml, F.lit("doc/n > 500")).alias("is_long"),
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_n"),
+            F.min("src").alias("min_src"),
+            F.sum(F.when(F.col("is_long"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_long"),
+        )
+        .orderBy("lang")
+    )

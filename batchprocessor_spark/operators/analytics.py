@@ -3062,3 +3062,139 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ml_pr_auc",
+    oracle="""
+    WITH u AS (
+      SELECT (n_chars // 100)::BIGINT AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents),
+    s AS (
+      SELECT score,
+             sum(label)::BIGINT AS pos_s,
+             (count(*) - sum(label))::BIGINT AS neg_s
+      FROM u GROUP BY score),
+    c AS (
+      SELECT pos_s,
+             sum(pos_s) OVER w::BIGINT AS cpos,
+             sum(pos_s + neg_s) OVER w::BIGINT AS cn,
+             (SELECT sum(pos_s) FROM s)::BIGINT AS npos
+      FROM s
+      WINDOW w AS (ORDER BY score DESC))
+    SELECT max(npos) AS n_pos,
+           round(sum(pos_s::DOUBLE * cpos / cn) / max(npos), 6) AS ap
+    FROM c
+    WHERE pos_s > 0
+    """,
+    category="ml",
+)
+def q_ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-interpolated AP of the standard eval libraries): AP =
+    Σ Δrecall·precision over descending score cuts — the metric that
+    replaces ROC AUC when positives are rare (exactly the
+    quality-filter regime where 1% of a crawl is kept). Same bounded
+    distinct-score histogram lane as q_ml_auc / q_ml_ks_statistic:
+    Δrecall at a cut is pos_s/npos, precision is cpos/cn, each
+    per-row term is a pair of IEEE ops on exact integers
+    (bit-identical), the final sum is rounded to 6 dp.
+
+    Scale posture: one aggregate to the score histogram, one
+    cumulative window over that value table, one global fold.
+    The fact table is scanned once; nothing ranks raw rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("n_chars DIV 100").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    s = d.groupBy("score").agg(
+        F.sum("label").cast("long").alias("pos_s"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("neg_s"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    npos = s.agg(F.sum("pos_s").cast("long").alias("npos"))
+    c = s.select(
+        "pos_s",
+        F.sum("pos_s").over(w).cast("long").alias("cpos"),
+        F.sum(F.col("pos_s") + F.col("neg_s")).over(w).cast("long").alias("cn"),
+    ).crossJoin(F.broadcast(npos))
+    return (
+        c.where(F.col("pos_s") > 0)
+        .agg(
+            F.max("npos").alias("n_pos"),
+            F.round(
+                F.sum(
+                    F.col("pos_s").cast("double") * F.col("cpos") / F.col("cn")
+                )
+                / F.max("npos"),
+                6,
+            ).alias("ap"),
+        )
+    )
+
+
+@register(
+    "q_ts_burstiness",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             (epoch_us(ts) // 60000000)::BIGINT AS minute_no
+      FROM events),
+    cnt AS (
+      SELECT event_type, minute_no, count(*)::BIGINT AS c
+      FROM m GROUP BY event_type, minute_no),
+    mom AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n_minutes,
+             sum(c)::BIGINT AS n_events,
+             sum(c * c)::BIGINT AS sum_c2
+      FROM cnt GROUP BY event_type)
+    SELECT event_type, n_minutes, n_events,
+           round((n_minutes::DOUBLE * sum_c2 - n_events::DOUBLE * n_events)
+                 / (n_minutes::DOUBLE * n_events), 6) AS fano
+    FROM mom
+    ORDER BY event_type
+    """,
+    category="timeseries",
+)
+def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor = variance/mean of per-minute arrival
+    counts, over OBSERVED minutes) per event type — the dispersion
+    diagnostic that separates Poisson-like organic traffic (F≈1)
+    from bursty bot/batch traffic (F≫1) and feeds rate-limiter
+    sizing. The factor reduces to (n·Σc² − (Σc)²)/(n·Σc) over exact
+    integer moments — population variance over mean with the
+    divisions fused into ONE expression evaluated identically from
+    exact BIGINTs on both engines, 6-dp round as belt.
+
+    Scale posture: two aggregates with map-side combine — fact →
+    (type, minute) counts → per-type moments; both shuffles keyed,
+    output |event_type| rows. No windows."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000")
+        .cast("long")
+        .alias("minute_no"),
+    )
+    cnt = m.groupBy("event_type", "minute_no").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mom = cnt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    fano = (
+        F.col("n_minutes").cast("double") * F.col("sum_c2")
+        - F.col("n_events").cast("double") * F.col("n_events")
+    ) / (F.col("n_minutes").cast("double") * F.col("n_events"))
+    return mom.select(
+        "event_type",
+        "n_minutes",
+        "n_events",
+        F.round(fano, 6).alias("fano"),
+    ).orderBy("event_type")

@@ -105,3 +105,51 @@ def q_subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_nationkey = 7
         """
     )
+
+
+@register(
+    "q_subq_exists_flag",
+    oracle="""
+    WITH flagged AS (
+      SELECT c.c_nationkey,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority = '1-URGENT')
+             THEN 1 ELSE 0 END AS has_urgent
+      FROM customer c)
+    SELECT c_nationkey, count(*)::BIGINT AS n_customers,
+           sum(has_urgent)::BIGINT AS n_with_urgent
+    FROM flagged
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    category="subquery",
+)
+def q_subq_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a PROJECTED boolean (a "mark join"): every customer
+    keeps a has-urgent-order flag instead of being filtered — the
+    shape that semi/anti joins cannot express because BOTH outcomes
+    survive to the aggregate. Spark plans it as an ExistenceJoin
+    (hash join emitting the match bit; gated in tests/test_plans.py),
+    NOT a per-row subquery execution — the decorrelation that makes
+    flag-enrichment linear at 100 TB. The priority filter prunes the
+    orders side before the join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH flagged AS (
+          SELECT c.c_nationkey,
+                 CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT')
+                 THEN 1 ELSE 0 END AS has_urgent
+          FROM customer c)
+        SELECT c_nationkey, count(*) AS n_customers,
+               CAST(sum(has_urgent) AS BIGINT) AS n_with_urgent
+        FROM flagged
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )

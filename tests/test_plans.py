@@ -1138,3 +1138,40 @@ def test_sax_window_on_segment_table(spark):
     win_pos = plan.find("Window")
     seg_agg_pos = plan.find("HashAggregate(keys=[segment_id")
     assert 0 <= win_pos < seg_agg_pos, plan
+
+
+def test_exists_flag_is_existence_join(spark):
+    """q_subq_exists_flag: the projected EXISTS plans as an
+    ExistenceJoin (hash join emitting the match bit), never a per-row
+    subquery or nested loop; the priority filter is pushed to the
+    orders scan."""
+    plan = plan_of(spark, "q_subq_exists_flag")
+    assert "ExistenceJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan
+
+
+def test_xml_extraction_jvm_side(spark):
+    """q_fn_xml: xpath evaluators stay JVM-side — no Python eval
+    nodes; one scan, one aggregate."""
+    plan = plan_of(spark, "q_fn_xml")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_pr_auc_window_on_histogram(spark):
+    """q_ml_pr_auc: the cumulative window runs over the bounded
+    score histogram (the q_ml_auc discipline), never the corpus."""
+    plan = plan_of(spark, "q_ml_pr_auc")
+    win_pos = plan.find("Window")
+    hist_agg_pos = plan.find("HashAggregate(keys=[score")
+    assert 0 <= win_pos < hist_agg_pos, plan
+
+
+def test_burstiness_two_keyed_aggregates_no_window(spark):
+    """q_ts_burstiness: fact → (type, minute) counts → per-type
+    moments; no windows, no joins."""
+    plan = plan_of(spark, "q_ts_burstiness")
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
