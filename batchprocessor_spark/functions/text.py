@@ -1773,3 +1773,129 @@ def q_text_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2.alias("p2_ppm"),
         F.floor(F.sqrt((p1 * p2).cast("double"))).cast("long").alias("bleu2_ppm"),
     )
+
+
+def _bpe_apply_oracle(rounds: int = 3) -> str:
+    ctes = [
+        """words AS (
+      SELECT w, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents)
+      WHERE w <> '' GROUP BY w)""",
+        f"s0 AS (SELECT w, freq, {_BPE_SEQ0_DUCK} AS seq FROM words)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"p{r} AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM ("
+            + _BPE_PAIRS_DUCK.format(src=f"s{r}")
+            + ") GROUP BY pair)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r + 1} AS (SELECT w, freq, replace(seq, ' ' || b{r}.pair || ' ', "
+            f"' ' || replace(b{r}.pair, '  ', '') || ' ') AS seq "
+            f"FROM s{r}, b{r})"
+        )
+    ctes.append(
+        f"enc AS (SELECT w, len(string_split(trim(seq), '  '))::BIGINT AS n_tok "
+        f"FROM s{rounds})"
+    )
+    ctes.append(
+        """docw AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      FROM documents)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT d.lang,
+           count(*)::BIGINT AS n_words,
+           sum(length(d.w) + 1)::BIGINT AS n_tokens_char,
+           sum(e.n_tok)::BIGINT AS n_tokens_bpe,
+           ((10000 * sum(e.n_tok)) // sum(length(d.w) + 1))::BIGINT
+             AS compression_bp
+    FROM docw d JOIN enc e ON d.w = e.w
+    WHERE d.w <> ''
+    GROUP BY d.lang
+    ORDER BY d.lang"""
+    )
+
+
+@register("q_llm_bpe_apply", oracle=_bpe_apply_oracle(), category="text")
+def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding APPLY — the other half of the tokenizer
+    lifecycle q_llm_bpe_train starts: train the 3-round merge table,
+    ENCODE the corpus with it, and report per-language token counts
+    (character-baseline vs post-merge) with the compression ratio in
+    exact basis points. This is the token-count estimator every
+    training-data budget runs (how many tokens does this corpus cost
+    under the tokenizer), and the train→apply parity proves the merge
+    table actually reproduces on the corpus it was learned from. The
+    encode reuses the double-separator merge idiom, so Spark and the
+    oracle's re-derived merge chain apply bit-identical rewrites.
+
+    Scale posture: training state and the encode table are both
+    VOCAB-sized (distinct words), built once and broadcast onto the
+    exploded corpus for the final count — the corpus is touched twice
+    (vocab build, token count), each a keyed aggregate; merges apply
+    map-side; the only collects are the three 1-row merge decisions."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select(
+        "w",
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace("w", "(.)", "$1  ")),
+            F.lit("  _ "),
+        ).alias("seq"),
+    ).localCheckpoint()
+    pair_expr = (
+        "transform(sequence(1, size(split(trim(seq), '  ')) - 1), "
+        "i -> concat(element_at(split(trim(seq), '  '), i), '  ', "
+        "element_at(split(trim(seq), '  '), i + 1)))"
+    )
+    cur = seqs
+    for _ in range(3):
+        pairs = cur.select("freq", F.explode(F.expr(pair_expr)).alias("pair"))
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]  # model-sized: ONE merge decision per round
+        )
+        merged = best["pair"].replace("  ", "")
+        cur = cur.select(
+            "w",
+            "freq",
+            F.expr(f"replace(seq, ' {best['pair']} ', ' {merged} ')").alias("seq"),
+        )
+    enc = cur.select(
+        "w",
+        F.size(F.split(F.trim(F.col("seq")), "  ")).cast("long").alias("n_tok"),
+    )
+    docw = d.select(
+        "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        docw.join(F.broadcast(enc), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w") + 1).cast("long").alias("n_tokens_char"),
+            F.sum("n_tok").cast("long").alias("n_tokens_bpe"),
+            F.expr("(10000 * sum(n_tok)) DIV sum(length(w) + 1)")
+            .cast("long")
+            .alias("compression_bp"),
+        )
+        .orderBy("lang")
+    )

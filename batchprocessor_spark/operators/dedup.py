@@ -1429,3 +1429,143 @@ def q_llm_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("canonical_url")
     )
+
+
+_CAL_SEEDS = 16
+
+
+@register(
+    "q_llm_minhash_calibration",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT p.d1, p.d2, p.inter,
+             (s1.n + s2.n - p.inter)::BIGINT AS uni
+      FROM pairs p
+      JOIN sizes s1 ON p.d1 = s1.doc_id
+      JOIN sizes s2 ON p.d2 = s2.doc_id
+      WHERE p.inter * 5 >= s1.n + s2.n - p.inter),
+    sigs AS (
+      SELECT doc_id, s.seed,
+             min(('0x' || substring(md5(s.seed::VARCHAR || ':' || shingle),
+                                    1, 8))::BIGINT) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range({_CAL_SEEDS})) AS seed) s
+      GROUP BY doc_id, s.seed),
+    est AS (
+      SELECT c.d1, c.d2, c.inter, c.uni,
+             sum(CASE WHEN g1.mh = g2.mh THEN 1 ELSE 0 END)::BIGINT AS matches
+      FROM cand c
+      JOIN sigs g1 ON g1.doc_id = c.d1
+      JOIN sigs g2 ON g2.doc_id = c.d2 AND g2.seed = g1.seed
+      GROUP BY c.d1, c.d2, c.inter, c.uni)
+    SELECT matches,
+           (matches * 1000000 // {_CAL_SEEDS})::BIGINT AS est_ppm,
+           count(*)::BIGINT AS n_pairs,
+           round(avg(inter::DOUBLE / uni), 6) AS mean_jaccard
+    FROM est
+    GROUP BY matches
+    ORDER BY matches
+    """,
+    category="dedup",
+)
+def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration — measures, rather than argues,
+    that the signature estimator is unbiased: for every candidate
+    pair at exact Jaccard ≥ 0.2 (integer cross-multiplied gate over
+    the inverted shingle index), compare the 16-component minhash
+    match fraction against the exact Jaccard, grouped by match count.
+    A healthy estimator shows mean_jaccard ≈ matches/16 per bucket —
+    the audit that catches a broken hash family or a biased fold
+    before it silently under-deduplicates a corpus. This variant uses
+    the md5 hash family (the cross-engine-reproducible seeded-hash
+    idiom) precisely so the ORACLE can recompute the signatures
+    independently; the production pipeline's xxhash64 signatures are
+    covered by exact-verification parity instead
+    (q_llm_dedup_minhash).
+
+    Scale posture: signatures from one per-doc fold over the shingle
+    array (no explode); candidates from the salted inverted-index
+    join (never cartesian); the estimate join touches candidates
+    only; output is the ≤17-row match-count table."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        _overlap_pairs(docs)
+        .where(
+            F.col("inter") * 5 >= F.col("n1") + F.col("n2") - F.col("inter")
+        )
+        .select(
+            "d1",
+            "d2",
+            "inter",
+            (F.col("n1") + F.col("n2") - F.col("inter")).alias("uni"),
+        )
+    )
+    sets = shingle_sets(docs, hashed=False)
+
+    def md5int(x, i):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), x)), 1, 8), 16, 10
+        ).cast("long")
+
+    mh = F.aggregate(
+        "sh",
+        F.expr(
+            f"array_repeat(CAST(9223372036854775807 AS LONG), {_CAL_SEEDS})"
+        ),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[md5int(x, i) for i in range(_CAL_SEEDS)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    sigs = sets.where(F.col("n") > 0).select("doc_id", mh.alias("sig"))
+    joined = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("d1"), F.col("sig").alias("s1")),
+            "d1",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("d2"), F.col("sig").alias("s2")),
+            "d2",
+        )
+        .select(
+            "inter",
+            "uni",
+            F.aggregate(
+                F.zip_with(
+                    "s1",
+                    "s2",
+                    lambda a, b: F.when(a == b, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+    return (
+        joined.groupBy("matches")
+        .agg(
+            F.expr(f"(max(matches) * 1000000) DIV {_CAL_SEEDS}")
+            .cast("long")
+            .alias("est_ppm"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.avg(F.col("inter").cast("double") / F.col("uni")), 6
+            ).alias("mean_jaccard"),
+        )
+        .orderBy("matches")
+    )

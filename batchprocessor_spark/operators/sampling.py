@@ -1036,3 +1036,96 @@ def q_sample_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_bp"),
     )
+
+
+_NEY_HASH = _oracle_bucket("doc_id", "ney:", 1000000)
+
+
+@register(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH mom AS (
+      SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(n_chars)::BIGINT AS sx,
+             sum(n_chars * n_chars)::BIGINT AS sx2
+      FROM documents GROUP BY lang),
+    wt AS (
+      SELECT lang, n_docs,
+             sqrt((n_docs * sx2 - sx * sx)::DOUBLE) AS w
+      FROM mom),
+    q AS (
+      SELECT lang, n_docs,
+             floor(200.0 * w / (SELECT max(w) FROM wt))::BIGINT AS quota
+      FROM wt),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY {_NEY_HASH}, doc_id) AS r
+      FROM documents)
+    SELECT q.lang, q.n_docs, q.quota,
+           count(*)::BIGINT AS n_selected,
+           sum(ranked.n_chars)::BIGINT AS sel_chars
+    FROM q JOIN ranked ON ranked.lang = q.lang AND ranked.r <= q.quota
+    GROUP BY q.lang, q.n_docs, q.quota
+    ORDER BY q.lang
+    """,
+    category="sampling",
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling — the survey-sampling
+    optimum (allocate ∝ N_h·σ_h, so volatile strata get more budget
+    than proportional allocation gives them), the right sampler for
+    corpus quality audits where some languages vary far more than
+    others. The stratum weight N_h·σ_h collapses to
+    sqrt(N_h·Σx² − (Σx)²) over EXACT integer moments — one IEEE sqrt
+    of an exact integer, bit-identical cross-engine — and quotas are
+    taken RELATIVE TO THE MAX-WEIGHT stratum (max is order-
+    independent, unlike a sum), so quota = ⌊200·w_h/w_max⌋ is
+    deterministic on both engines. The draw itself is the seeded-hash
+    rank idiom (q_sample_balanced_classes): reproducible, coordinated
+    across engines, per-stratum.
+
+    Scale posture: moments are one map-side-combinable aggregate to
+    |strata| rows; the rank window partitions BY STRATUM (parallel
+    across strata; within-stratum order by a uniform hash — for a
+    mega-stratum the two-phase prefix-sum rank of
+    q_agg_gini_concentration swaps in); quotas broadcast back."""
+    d = load_table(spark, sf_dir, "documents")
+    mom = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sx2"),
+    )
+    wt = mom.select(
+        "lang",
+        "n_docs",
+        F.sqrt(
+            (F.col("n_docs") * F.col("sx2") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("w"),
+    )
+    wmax = wt.agg(F.max("w").alias("wmax"))
+    q = wt.crossJoin(F.broadcast(wmax)).select(
+        "lang",
+        "n_docs",
+        F.floor(F.lit(200.0) * F.col("w") / F.col("wmax"))
+        .cast("long")
+        .alias("quota"),
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id"), "ney:", 1000000), F.col("doc_id")
+    )
+    ranked = d.select(
+        "lang", "doc_id", "n_chars", F.row_number().over(wr).alias("r")
+    )
+    return (
+        ranked.join(F.broadcast(q), "lang")
+        .where(F.col("r") <= F.col("quota"))
+        .groupBy("lang", "n_docs", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_chars").cast("long").alias("sel_chars"),
+        )
+        .orderBy("lang")
+    )
