@@ -1875,3 +1875,93 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wmedian_dollars"),
     )
+
+
+@register(
+    "q_agg_bool_family",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n,
+           bool_and(o_totalprice > 100) AS all_over_100,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT')::BIGINT
+             AS n_urgent,
+           count(*) FILTER (WHERE o_totalprice > 200000)::BIGINT AS n_big
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="aggregate",
+)
+def q_agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family — every(), some(), and
+    count_if(), the predicates-as-aggregates surface (DuckDB twins:
+    bool_and / bool_or / count FILTER). These are the invariant-check
+    primitives data-quality jobs run per partition key ("ALL rows
+    priced", "ANY outlier present", "how many urgent") without a
+    self-join or a CASE pyramid.
+
+    Scale posture: all four are partial-aggregable (AND/OR/COUNT
+    merge associatively), so the plan is the standard partial+final
+    hash aggregate with map-side combine — one shuffle of
+    |groups|-sized partials. Predicate comparisons on the money
+    column happen against integer-safe literals on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.every(F.col("o_totalprice") > 100).alias("all_over_100"),
+            F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q_agg_percentile_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n,
+           quantile_cont(round(o_totalprice * 100)::BIGINT, 0.25) AS p25,
+           quantile_cont(round(o_totalprice * 100)::BIGINT, 0.50) AS p50,
+           quantile_cont(round(o_totalprice * 100)::BIGINT, 0.90) AS p90,
+           quantile_cont(round(o_totalprice * 100)::BIGINT, 0.99) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="aggregate",
+)
+def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linearly-interpolated percentiles (SQL percentile_cont
+    semantics) per group over the integer-cents lane — the latency-
+    style p50/p90/p99 readout where the approx sketch
+    (q_agg_approx_pct) isn't acceptable, e.g. revenue SLAs. Both
+    engines implement the same type-7 interpolation lo + (hi−lo)·frac
+    over exact integers, verified bit-identical (including
+    non-terminating fractions) — so the outputs carry NO rounding
+    belt: a single ulp of divergence fails the hash.
+
+    Scale posture: Spark's percentile is a partial-aggregable
+    typed-imperative aggregate (per-partition count maps merged on
+    the reducer) — one shuffle of value-histogram partials, same
+    shape as the exact median lane; for the single-group giant-table
+    case q_agg_median_distributed's two-phase histogram selection
+    swaps in."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", to_units(F.col("o_totalprice"), 100).alias("cents")
+    )
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(F.col("cents"), F.lit(0.25)).alias("p25"),
+            F.percentile(F.col("cents"), F.lit(0.50)).alias("p50"),
+            F.percentile(F.col("cents"), F.lit(0.90)).alias("p90"),
+            F.percentile(F.col("cents"), F.lit(0.99)).alias("p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
