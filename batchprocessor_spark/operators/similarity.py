@@ -1607,3 +1607,75 @@ def q_emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("z"), 6).alias("z_min"),
         F.round(F.max("z"), 6).alias("z_max"),
     )
+
+
+@register(
+    "q_emb_cosine_hist",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1),
+    binned AS (
+      SELECT CASE WHEN cos >= 1.0 THEN 9
+                  ELSE floor(cos * 10)::BIGINT END AS bin,
+             cos
+      FROM pairs)
+    SELECT bin,
+           count(*)::BIGINT AS n_pairs,
+           round(sum(cos), 6) AS sum_cos
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    category="similarity",
+)
+def q_emb_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health histogram: the distribution of cosine
+    similarities over the deterministic chain of adjacent vec_id
+    pairs — the cheap isotropy probe run per embedding-model rollout
+    (a healthy space concentrates near 0 for unrelated docs; a
+    collapsed space piles up near 1, which silently breaks every
+    cosine-thresholded dedup downstream). Linear in the corpus (one
+    equi-join on vec_id+1, never all-pairs); cosine per pair is the
+    same sequential fold order as the DuckDB list_dot_product with
+    IEEE sqrt, so the bin assignment (floor(10·cos), top edge closed)
+    is bit-identical; per-bin cosine sums are 6-dp rounded.
+
+    Scale posture: one shuffle-free-ish equi-join (both sides the
+    same sorted key — AQE plans broadcast/SMJ as size dictates), one
+    bounded 20-bin aggregate. No windows, no collects."""
+    v = spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    a = v.select(F.col("vec_id"), F.col("v").alias("va"))
+    b = v.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "vec_id").select(
+        (
+            dot(F.col("va"), F.col("vb"))
+            / (l2_norm(F.col("va")) * l2_norm(F.col("vb")))
+        ).alias("cos")
+    )
+    binned = pairs.select(
+        F.when(F.col("cos") >= 1.0, F.lit(9))
+        .otherwise(F.floor(F.col("cos") * 10))
+        .cast("long")
+        .alias("bin"),
+        "cos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("cos"), 6).alias("sum_cos"),
+        )
+        .orderBy("bin")
+    )
