@@ -518,3 +518,130 @@ def test_lift_gains_matches_pandas_reference(spark):
         assert int(got["cum_lift_ppm"]) == (
             int(ref.cum_pos) * n_tot * 1000000 // (int(ref.cum_n) * pos_tot)
         )
+
+
+def test_pr_auc_matches_sklearn_style_reference(spark):
+    """End-to-end at sf0.001: the histogram-lane AP equals the
+    step-interpolated average precision computed directly over the
+    sorted binned scores (the sklearn average_precision_score
+    definition restricted to the same score grain)."""
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    score = (docs.n_chars // 100).to_numpy()
+    label = (docs.lang == "en").astype(int).to_numpy()
+    order = np.argsort(-score, kind="stable")
+    s, y = score[order], label[order]
+    npos = int(y.sum())
+    ap = 0.0
+    cpos = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        j = i
+        while j < n and s[j] == s[i]:
+            j += 1
+        lvl_pos = int(y[i:j].sum())
+        cpos += lvl_pos
+        if lvl_pos > 0:
+            ap += (lvl_pos / npos) * (cpos / j)
+        i = j
+    row = REGISTRY["q_ml_pr_auc"].builder(spark, SF_SMALL).collect()[0]
+    assert int(row["n_pos"]) == npos
+    assert math.isclose(row["ap"], ap, rel_tol=1e-6, abs_tol=1e-6)
+
+
+def test_bleu_pairs_matches_python_reference(spark):
+    """End-to-end at sf0.001: micro-averaged clipped precisions equal
+    a pure-python counter implementation of modified n-gram
+    precision over the same even/odd pairing."""
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    import re
+
+    toks = {
+        int(r.doc_id): [w for w in re.split("[^a-z]+", r.text.lower()) if w]
+        for r in docs.itertuples()
+    }
+
+    def grams(ws, n):
+        return Counter(tuple(ws[i : i + n]) for i in range(len(ws) - n + 1))
+
+    tot = {1: 0, 2: 0}
+    clip = {1: 0, 2: 0}
+    for d in sorted(toks):
+        if d % 2 != 0 or (d + 1) not in toks:
+            continue
+        for n in (1, 2):
+            c, r = grams(toks[d], n), grams(toks[d + 1], n)
+            tot[n] += sum(c.values())
+            clip[n] += sum(min(v, r[g]) for g, v in c.items())
+    row = REGISTRY["q_text_bleu_pairs"].builder(spark, SF_SMALL).collect()[0]
+    assert int(row["tot1"]) == tot[1] and int(row["clip1"]) == clip[1]
+    assert int(row["tot2"]) == tot[2] and int(row["clip2"]) == clip[2]
+    assert int(row["p1_ppm"]) == clip[1] * 1000000 // tot[1]
+    assert int(row["p2_ppm"]) == clip[2] * 1000000 // tot[2]
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    """End-to-end at sf0.001: the moment-sum OLS equals numpy's
+    least-squares fit of ln(freq) on ln(rank)."""
+    import re
+    from collections import Counter
+
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    cnt = Counter(
+        w
+        for t in docs.text
+        for w in re.split("[^a-z]+", t.lower())
+        if w
+    )
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    row = REGISTRY["q_text_zipf_slope"].builder(spark, SF_SMALL).collect()[0]
+    assert int(row["n_vocab"]) == len(ranked)
+    assert math.isclose(row["slope"], slope, rel_tol=1e-5, abs_tol=1e-5)
+    assert math.isclose(row["intercept"], intercept, rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_sax_symbols_match_pandas_reference(spark):
+    """End-to-end at sf0.001: segment sums and quartile symbols equal
+    a pandas PAA + rank-based quartile assignment with the same
+    (mean, segment_id) tie-break."""
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    day_no = (
+        orders.o_orderdate.astype("datetime64[us]").astype("int64")
+        // 86_400_000_000
+    )
+    cents = (orders.o_totalprice * 100).round().astype("int64")
+    seg_id = (day_no - day_no.min()) // 30
+    seg = (
+        pd.DataFrame({"segment_id": seg_id, "day_no": day_no, "cents": cents})
+        .groupby("segment_id")
+        .agg(n_days=("day_no", "nunique"), sum_cents=("cents", "sum"))
+        .reset_index()
+    )
+    seg["mean"] = seg.sum_cents / seg.n_days
+    seg = seg.sort_values(["mean", "segment_id"], kind="mergesort").reset_index(
+        drop=True
+    )
+    n = len(seg)
+    # ntile(4): first (n % 4) tiles get ceil(n/4) rows
+    sizes = [(n + 3 - i) // 4 for i in range(4)]
+    symbols = []
+    for i, sz in enumerate(sizes):
+        symbols += ["abcd"[i]] * sz
+    seg["symbol"] = symbols[:n]
+    ref = {
+        int(r.segment_id): (int(r.n_days), int(r.sum_cents), r.symbol)
+        for r in seg.itertuples()
+    }
+    rows = REGISTRY["q_ts_sax"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert ref[int(r["segment_id"])] == (
+            int(r["n_days"]),
+            int(r["sum_cents"]),
+            r["symbol"],
+        ), r
