@@ -3198,3 +3198,190 @@ def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(fano, 6).alias("fano"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, count(*)::BIGINT AS n FROM tu GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, count(*)::BIGINT AS inter
+      FROM tu a JOIN tu b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY t1, t2)
+    SELECT i.t1, i.t2, s1.n AS n1, s2.n AS n2, i.inter,
+           ((10000 * i.inter) // (s1.n + s2.n - i.inter))::BIGINT
+             AS jaccard_bp
+    FROM inter i
+    JOIN sizes s1 ON s1.event_type = i.t1
+    JOIN sizes s2 ON s2.event_type = i.t2
+    ORDER BY i.t1, i.t2
+    """,
+    category="events",
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity between the user
+    sets of every event-type pair — the product-analytics readout
+    behind "do purchasers also hit errors" and the feature-adoption
+    Venn every dashboard draws. Users are deduplicated to
+    (type, user) first, so the self-join counts each user once; the
+    Jaccard lands in integer basis points via floor division on
+    non-negative operands.
+
+    Scale posture: the distinct pass is one keyed aggregate with
+    map-side combine; the pair join is an equi-join ON USER_ID (fan-
+    out bounded by |types| per user, so output ≤ 10 pairs per user,
+    never quadratic in users); sizes broadcast onto the pair table.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("event_type").alias("t1"), "user_id")
+    b = tu.select(F.col("event_type").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("t1"), F.col("n").alias("n1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("t2"), F.col("n").alias("n2"))),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            "n1",
+            "n2",
+            "inter",
+            F.expr("(10000 * inter) DIV (n1 + n2 - inter)")
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+@register(
+    "q_merge_cdc_apply",
+    oracle="""
+    WITH snap AS (
+      SELECT c_custkey::BIGINT AS k, c_nationkey,
+             round(c_acctbal * 100)::BIGINT AS cents
+      FROM customer),
+    log AS (
+      SELECT CASE WHEN o_orderkey % 10 >= 8 THEN o_custkey + 100000
+                  ELSE o_custkey END::BIGINT AS k,
+             CASE WHEN o_orderkey % 10 < 5 THEN 'U'
+                  WHEN o_orderkey % 10 < 8 THEN 'D'
+                  ELSE 'I' END AS op,
+             (o_custkey % 25)::INT AS new_nation,
+             round(o_totalprice * 100)::BIGINT AS new_cents,
+             o_orderdate, o_orderkey
+      FROM orders),
+    last AS (
+      SELECT k, op, new_nation, new_cents
+      FROM log
+      QUALIFY row_number() OVER (PARTITION BY k
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1),
+    merged AS (
+      SELECT coalesce(s.k, l.k) AS k,
+             CASE WHEN l.k IS NULL THEN 'untouched'
+                  WHEN l.op = 'D' THEN 'deleted'
+                  WHEN s.k IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS outcome,
+             CASE WHEN l.k IS NULL THEN s.c_nationkey
+                  WHEN s.k IS NULL THEN l.new_nation
+                  ELSE s.c_nationkey END AS nation,
+             CASE WHEN l.k IS NULL THEN s.cents
+                  ELSE l.new_cents END AS cents
+      FROM snap s FULL OUTER JOIN last l ON s.k = l.k)
+    SELECT outcome,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN outcome <> 'deleted' THEN cents ELSE 0 END)::BIGINT
+             AS live_cents,
+           count(DISTINCT nation)::BIGINT AS n_nations
+    FROM merged
+    GROUP BY outcome
+    ORDER BY outcome
+    """,
+    category="merge",
+)
+def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the replication kernel under every
+    lakehouse MERGE stream: a deterministic insert/update/delete
+    changelog (derived from orders: op by key bucket, sequenced by
+    (o_orderdate, o_orderkey)) is collapsed LAST-WINS per key, then
+    applied to the customer snapshot in one full outer join —
+    update-in-place, delete-removes, insert-appends, untouched rows
+    pass through. The audit groups rows by outcome with exact live
+    cents, so a wrong op order (last-wins broken), a lost delete, or
+    a double-applied update each flips a row count or the checksum.
+    Extends q_merge_upsert (update/insert only) with the delete lane
+    and multi-op-per-key sequencing.
+
+    Scale posture: last-wins is a keyed window over the changelog
+    (parallel per key); the apply is ONE full outer join on the key —
+    the same copy-on-write shape as MERGE; both shuffles are on the
+    same key, so AQE reuses the layout. No driver involvement."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"),
+        "c_nationkey",
+        to_units(F.col("c_acctbal"), 100).alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.col("o_orderkey") % 10
+    log = o.select(
+        F.when(bucket >= 8, F.col("o_custkey") + 100000)
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("k"),
+        F.when(bucket < 5, "U").when(bucket < 8, "D").otherwise("I").alias("op"),
+        (F.col("o_custkey") % 25).cast("int").alias("new_nation"),
+        to_units(F.col("o_totalprice"), 100).alias("new_cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    wl = Window.partitionBy("k").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    last = (
+        log.withColumn("rn", F.row_number().over(wl))
+        .where(F.col("rn") == 1)
+        .select("k", "op", "new_nation", "new_cents")
+    )
+    merged = c.alias("s").join(last.alias("l"), "k", "full_outer").select(
+        F.when(F.col("l.op").isNull(), "untouched")
+        .when(F.col("l.op") == "D", "deleted")
+        .when(F.col("s.cents").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("outcome"),
+        F.when(F.col("l.op").isNull(), F.col("s.c_nationkey"))
+        .when(F.col("s.cents").isNull(), F.col("l.new_nation"))
+        .otherwise(F.col("s.c_nationkey"))
+        .alias("nation"),
+        F.when(F.col("l.op").isNull(), F.col("s.cents"))
+        .otherwise(F.col("l.new_cents"))
+        .alias("cents"),
+    )
+    return (
+        merged.groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("outcome") != "deleted", F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("live_cents"),
+            F.count_distinct(F.col("nation")).alias("n_nations"),
+        )
+        .orderBy("outcome")
+    )
