@@ -9,6 +9,7 @@ from batchprocessor_spark.operators import (  # noqa: F401
     hierarchy,
     joins,
     layout,
+    mining,
     pipeline,
     relational,
     sampling,

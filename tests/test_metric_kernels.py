@@ -645,3 +645,167 @@ def test_sax_symbols_match_pandas_reference(spark):
             int(r["sum_cents"]),
             r["symbol"],
         ), r
+
+
+# ------------------------------------------- round-5 session-3 kernels
+
+def test_assoc_rules_match_pandas_bruteforce(spark):
+    """End-to-end at sf0.001: support/confidence/lift of every emitted
+    rule equal a pandas brute-force basket scan using the textbook
+    definitions (integer ppm, floor division)."""
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    part = pd.read_parquet(f"{SF_SMALL}/part.parquet", columns=["p_partkey", "p_brand"])
+    items = (
+        li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "p_brand"]
+        ]
+        .drop_duplicates()
+        .rename(columns={"l_orderkey": "basket", "p_brand": "item"})
+    )
+    n_baskets = items.basket.nunique()
+    item_cnt = items.groupby("item").size().to_dict()
+    from collections import defaultdict
+    from itertools import combinations
+
+    pair_cnt = defaultdict(int)
+    for _, grp in items.groupby("basket"):
+        for x, y in combinations(sorted(grp.item), 2):
+            pair_cnt[(x, y)] += 1
+    expected = {}
+    for (x, y), n_ab in pair_cnt.items():
+        if n_ab < 50:
+            continue
+        for ant, con in ((x, y), (y, x)):
+            expected[(ant, con)] = (
+                n_ab,
+                item_cnt[ant],
+                item_cnt[con],
+                n_baskets,
+                (1000000 * n_ab) // n_baskets,
+                (1000000 * n_ab) // item_cnt[ant],
+                (1000000 * n_ab * n_baskets) // (item_cnt[ant] * item_cnt[con]),
+            )
+    rows = REGISTRY["q_ml_assoc_rules"].builder(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert expected[(r["antecedent"], r["consequent"])] == (
+            r["n_ab"], r["n_a"], r["n_b"], r["n_baskets"],
+            r["support_ppm"], r["confidence_ppm"], r["lift_ppm"],
+        ), r
+    # top-20-by-lift really is the global top slice
+    lifts = sorted((v[6] for v in expected.values()), reverse=True)
+    got_min = min(r["lift_ppm"] for r in rows)
+    if len(lifts) > 20:
+        assert got_min >= lifts[20]
+
+
+def test_max_drawdown_matches_numpy_cummax(spark):
+    """End-to-end at sf0.001: per-priority drawdown equals numpy's
+    running-max formulation over the same integer-cents daily series."""
+    import numpy as np
+
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    o["day"] = o.o_orderdate.dt.strftime("%Y-%m-%d")
+    o["cents"] = np.floor(np.abs(o.o_totalprice.to_numpy() * 100) + 0.5).astype("int64")
+    daily = (
+        o.groupby(["o_orderpriority", "day"]).cents.sum().reset_index()
+    )
+    rows = {
+        r["priority"]: r
+        for r in REGISTRY["q_ts_max_drawdown"].builder(spark, SF_SMALL).collect()
+    }
+    for prio, grp in daily.groupby("o_orderpriority"):
+        grp = grp.sort_values("day")
+        rev = grp.cents.to_numpy()
+        peak = np.maximum.accumulate(rev)
+        dd = peak - rev
+        i = int(np.argmax(dd))  # numpy argmax = first max = earliest day
+        r = rows[prio]
+        assert int(r["max_dd_cents"]) == int(dd[i])
+        assert r["trough_day"] == grp.day.iloc[i]
+        assert int(r["peak_cents"]) == int(peak[i])
+        assert int(r["dd_bp"]) == (10000 * int(dd[i])) // int(peak[i])
+
+
+def test_hhi_matches_numpy_reference(spark):
+    """End-to-end at sf0.001: HHI per nation equals the share-squared
+    sum computed in exact python ints."""
+    import numpy as np
+
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{SF_SMALL}/nation.parquet", columns=["n_nationkey", "n_name"])
+    o["cents"] = np.floor(np.abs(o.o_totalprice.to_numpy() * 100) + 0.5).astype("int64")
+    per_cust = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["c_nationkey", "o_custkey"]).cents.sum().reset_index()
+    )
+    rows = {
+        r["nation"]: r
+        for r in REGISTRY["q_agg_hhi"].builder(spark, SF_SMALL).collect()
+    }
+    for nk, grp in per_cust.groupby("c_nationkey"):
+        xs = [int(v) for v in grp.cents]
+        total = sum(xs)
+        hhi = (100000000 * sum(x * x for x in xs)) // (total * total)
+        name = n.set_index("n_nationkey").loc[nk, "n_name"]
+        r = rows[name]
+        assert int(r["n_customers"]) == len(xs)
+        assert int(r["total_cents"]) == total
+        assert int(r["hhi_e8"]) == hhi
+        assert int(r["top_share_bp"]) == (10000 * max(xs)) // total
+        assert int(r["eff_n_milli"]) == 100000000000 // hhi
+
+
+def test_ndcg_matches_python_reference(spark):
+    """End-to-end at sf0.001: DCG/IDCG/NDCG equal a plain-python
+    re-ranking with the same pinned integer discount weights."""
+    import numpy as np
+    from batchprocessor_spark.operators.mining import _NDCG_W
+
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF_SMALL}/customer.parquet")
+    n = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    o["cents"] = np.floor(np.abs(o.o_totalprice.to_numpy() * 100) + 0.5).astype("int64")
+    rev = o.groupby("o_custkey").cents.sum().to_dict()
+    c["grade"] = [min(3, rev.get(k, 0) // 150000000) for k in c.c_custkey]
+    rows = {
+        r["nation"]: r for r in REGISTRY["q_ml_ndcg"].builder(spark, SF_SMALL).collect()
+    }
+    for nk, grp in c.groupby("c_nationkey"):
+        by_bal = grp.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        by_grade = grp.sort_values(["grade", "c_custkey"], ascending=[False, True])
+        dcg = sum(int(g) * w for g, w in zip(by_bal.grade.head(10), _NDCG_W))
+        idcg = sum(int(g) * w for g, w in zip(by_grade.grade.head(10), _NDCG_W))
+        name = n.set_index("n_nationkey").loc[nk, "n_name"]
+        if idcg == 0:
+            assert name not in rows
+            continue
+        r = rows[name]
+        assert (int(r["dcg_micro"]), int(r["idcg_micro"])) == (dcg, idcg)
+        assert int(r["ndcg_ppm"]) == (1000000 * dcg) // idcg
+
+
+def test_cohens_kappa_matches_python_reference(spark):
+    """End-to-end at sf0.001: kappa equals the textbook
+    (po - pe) / (1 - pe) computed in exact fractions over the same
+    two deterministic raters."""
+    from fractions import Fraction
+
+    d = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["text", "n_chars"])
+    ra = (d.n_chars >= 300).astype(int)
+    rb = (d.text.str.split(" ").str.len() >= 55).astype(int)
+    a = int(((ra == 1) & (rb == 1)).sum())
+    b = int(((ra == 1) & (rb == 0)).sum())
+    cc = int(((ra == 0) & (rb == 1)).sum())
+    dd = int(((ra == 0) & (rb == 0)).sum())
+    n = a + b + cc + dd
+    po = Fraction(a + dd, n)
+    pe = Fraction((a + b) * (a + cc) + (cc + dd) * (b + dd), n * n)
+    kappa = (po - pe) / (1 - pe)
+    sign = 1 if kappa >= 0 else -1
+    kappa_bp = sign * ((10000 * abs(kappa.numerator)) // kappa.denominator)
+    r = REGISTRY["q_ml_cohens_kappa"].builder(spark, SF_SMALL).collect()[0]
+    assert (int(r["a"]), int(r["b"]), int(r["c"]), int(r["d"])) == (a, b, cc, dd)
+    assert int(r["po_bp"]) == (10000 * (a + dd)) // n
+    assert int(r["kappa_bp"]) == kappa_bp
