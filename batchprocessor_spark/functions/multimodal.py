@@ -619,3 +619,164 @@ def q_llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("feat_sum"),
     )
+
+
+# ---------------------------------------------------------------- audio
+
+def make_wav_bytes(doc_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """A real RIFF/WAVE file (canonical 44-byte header + 16-bit PCM
+    mono LE) with deterministic samples
+    s(doc_id, i) = ((doc_id*37 + i*17) mod 2001) - 1000 — a valid
+    audio file any WAV reader opens, whose decoded statistics a SQL
+    oracle can restate in closed form (the audio twin of
+    make_ppm_bytes)."""
+    import struct
+
+    idx = np.arange(n_samples, dtype=np.int64)
+    samples = ((doc_id * 37 + idx * 17) % 2001 - 1000).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2  # mono, 16-bit
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Pure-numpy RIFF/WAVE parser: validates the RIFF/WAVE magic,
+    walks the chunk list (tolerating extra chunks before 'data'),
+    requires PCM 16-bit mono, returns (sample_rate, int16 samples)."""
+    import struct
+
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", buf, body
+            )
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV (fmt={fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = np.frombuffer(buf, dtype="<i2", count=size // 2, offset=body)
+        pos = body + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
+def audio_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with payload a REAL binary WAV file per doc;
+    lengths vary per doc (400 + (doc_id%3)*80 samples) so the parser
+    sees multiple durations. The testdata tables carry no audio
+    column, so the engine synthesizes valid files whose decoded
+    statistics the SQL oracle states in closed form."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        make_wav_bytes(int(i), 400 + int(i) % 3 * 80) for i in ids
+                    ],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.repartition("doc_id").mapInPandas(
+        gen, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+@register(
+    "q_llm_multimodal_wav",
+    # Closed-form replay of the sample law: s(i) = ((doc_id*37 + i*17)
+    # % 2001) - 1000 over i < n = 400 + (doc_id % 3)*80. The engine
+    # side must recover EXACTLY these integers from the binary RIFF
+    # payload (header walk + int16 LE decode).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, (400 + (doc_id % 3) * 80)::BIGINT AS n FROM documents),
+    s AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 37 + i * 17) % 2001 - 1000)::BIGINT AS v,
+             lag(((doc_id * 37 + i * 17) % 2001 - 1000))
+               OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM dims))
+    SELECT doc_id,
+           max(n)::BIGINT AS n_samples,
+           8000::BIGINT AS sample_rate,
+           ((1000 * max(n)) // 8000)::BIGINT AS duration_ms,
+           max(abs(v))::BIGINT AS peak_abs,
+           sum(v * v)::BIGINT AS sumsq,
+           sum(CASE WHEN prev IS NOT NULL
+                     AND ((v < 0) <> (prev < 0)) THEN 1 ELSE 0 END)::BIGINT
+             AS zero_crossings
+    FROM s GROUP BY doc_id
+    """,
+    category="multimodal",
+)
+def q_llm_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: valid binary RIFF/WAVE PCM files
+    → pure-numpy chunk-walk + int16 parse (wav_decode) → per-doc audio
+    statistics (duration, peak, energy, zero-crossing count — the
+    features an audio curation pipeline filters on). The oracle
+    recomputes every statistic from the sample law, so the driver
+    value-checks genuine waveform math recovered from the binary
+    payload — the audio leg of the multimodal surface beside the
+    PPM/BMP image decoders.
+
+    Scale posture: generate → decode is two Arrow-batched
+    mapInPandas stages, shuffle-free after one doc_id repartition;
+    per-doc state is one bounded waveform; the integer statistics
+    (sumsq < 1e9 per doc) aggregate exactly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_ms",
+                    "peak_abs",
+                    "sumsq",
+                    "zero_crossings",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, v = wav_decode(payload)
+                v64 = v.astype(np.int64)
+                neg = v64 < 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(v64))
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(1000 * len(v64) // rate)
+                out["peak_abs"].append(int(np.abs(v64).max()))
+                out["sumsq"].append(int((v64 * v64).sum()))
+                out["zero_crossings"].append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return audio_media_table(spark, sf_dir).mapInPandas(
+        batches,
+        schema=(
+            "doc_id BIGINT, n_samples BIGINT, sample_rate BIGINT, "
+            "duration_ms BIGINT, peak_abs BIGINT, sumsq BIGINT, "
+            "zero_crossings BIGINT"
+        ),
+    )

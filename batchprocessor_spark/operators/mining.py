@@ -15,6 +15,8 @@ compare cannot drift on float summation order.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -490,4 +492,156 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (total * total)) AS BIGINT) AS eff_n_milli",
         )
         .orderBy("nation")
+    )
+
+
+def _dtw_oracle(max_len: int = 32) -> str:
+    """Unrolled anti-diagonal DTW dynamic program. dp(i,j) = |a_i-b_j|
+    + min(dp(i-1,j), dp(i,j-1), dp(i-1,j-1)) has a same-row dependency
+    in row order, but every cell on anti-diagonal d = i+j depends only
+    on diagonals d-1 and d-2 — so the whole DP unrolls into one chained
+    CTE per diagonal (the same unrolled-iteration idiom as the kmeans /
+    BFS oracles), 2*max_len diagonals for series up to max_len points."""
+    big = "999999999999999999"
+    parts = [
+        """
+    WITH q AS (
+      SELECT o_orderpriority AS p,
+             (year(o_orderdate) * 4 + (month(o_orderdate) - 1) // 3) AS qi,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS v
+      FROM orders GROUP BY p, qi),
+    idx AS (
+      SELECT p, v, row_number() OVER (PARTITION BY p ORDER BY qi) AS i
+      FROM q),
+    len AS MATERIALIZED (SELECT p, count(*)::BIGINT AS n FROM idx GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb FROM len a JOIN len b ON a.p < b.p),
+    cost AS MATERIALIZED (
+      SELECT pr.pa, pr.pb, a.i AS i, b.i AS j, abs(a.v - b.v)::BIGINT AS c
+      FROM pairs pr
+      JOIN idx a ON a.p = pr.pa
+      JOIN idx b ON b.p = pr.pb),
+    d2 AS MATERIALIZED (
+      SELECT pa, pb, i, j, c AS dp FROM cost WHERE i = 1 AND j = 1)"""
+    ]
+    for d in range(3, 2 * max_len + 1):
+        # diagonal d-2 has no cells when d == 3 (i+j == 1 is empty), so
+        # the diagonal-predecessor join only exists from d == 4 on.
+        ul_join = (
+            f"""
+      LEFT JOIN d{d - 2} ul
+        ON ul.pa = c.pa AND ul.pb = c.pb AND ul.i = c.i - 1 AND ul.j = c.j - 1"""
+            if d > 3
+            else ""
+        )
+        ul_val = f"coalesce(ul.dp, {big})" if d > 3 else big
+        parts.append(f""",
+    d{d} AS MATERIALIZED (
+      SELECT c.pa, c.pb, c.i, c.j,
+             c.c + least(coalesce(u.dp, {big}),
+                         coalesce(l.dp, {big}),
+                         {ul_val}) AS dp
+      FROM cost c
+      LEFT JOIN d{d - 1} u
+        ON u.pa = c.pa AND u.pb = c.pb AND u.i = c.i - 1 AND u.j = c.j
+      LEFT JOIN d{d - 1} l
+        ON l.pa = c.pa AND l.pb = c.pb AND l.i = c.i AND l.j = c.j - 1{ul_join}
+      WHERE c.i + c.j = {d})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM d{d}" for d in range(2, 2 * max_len + 1)
+    )
+    parts.append(f""",
+    all_dp AS (
+      {union})
+    SELECT x.pa AS prio_a, x.pb AS prio_b,
+           la.n AS n_a, lb.n AS n_b,
+           x.dp::BIGINT AS dtw_cents,
+           ((1000 * x.dp) // (la.n + lb.n))::BIGINT AS dtw_per_step_milli
+    FROM all_dp x
+    JOIN len la ON la.p = x.pa
+    JOIN len lb ON lb.p = x.pb
+    WHERE x.i = la.n AND x.j = lb.n
+    ORDER BY prio_a, prio_b""")
+    return "".join(parts)
+
+
+@register("q_ts_dtw", oracle=_dtw_oracle(), category="timeseries")
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between the quarterly-revenue
+    series of every order-priority pair — the elastic similarity
+    measure (Sakoe-Chiba DTW, unconstrained band) that clusters
+    time-series by SHAPE when phases shift; Spark has no native DTW,
+    so this is the custom-operator lane: series fold to bounded
+    arrays, the O(n*m) DP runs in one Arrow-batched pandas UDF per
+    pair. Pure integer |a-b| costs keep the distance hash-exact.
+
+    The oracle unrolls the DP over anti-diagonals (dp cells on
+    diagonal i+j depend only on the two previous diagonals), turning
+    the sequential recurrence into ~60 chained relational CTEs — the
+    same unrolled-iteration idiom as the kmeans/BFS/logreg oracles.
+
+    Scale posture: the fact scan collapses to the (priority, quarter)
+    grid in one aggregate; each series is a quarter-count-bounded
+    array (the pairs table is k^2 for k series, each pair's DP state
+    one bounded numpy matrix executor-side — for thousands of series
+    this shape shards pairs across the cluster, never the driver)."""
+    from pyspark.sql.functions import pandas_udf
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.expr("year(o_orderdate) * 4 + (month(o_orderdate) - 1) DIV 3").alias(
+            "qi"
+        ),
+    ).agg(F.sum(to_units(F.col("o_totalprice"), 100)).alias("v"))
+    series = q.groupBy("p").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("qi", "v"))), lambda s: s["v"]
+        ).alias("s")
+    )
+    a = series.select(
+        F.col("p").alias("prio_a"), F.col("s").alias("sa")
+    )
+    b = series.select(F.col("p").alias("prio_b"), F.col("s").alias("sb"))
+    pairs = a.join(F.broadcast(b), F.col("prio_a") < F.col("prio_b"))
+
+    @pandas_udf("long")
+    def dtw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = []
+        for xs, ys in zip(sa, sb):
+            x = np.asarray(xs, dtype=np.int64)
+            y = np.asarray(ys, dtype=np.int64)
+            n, m = len(x), len(y)
+            big = np.int64(10**18)
+            dp = np.full((n + 1, m + 1), big, dtype=np.int64)
+            dp[0, 0] = 0
+            cost = np.abs(x[:, None] - y[None, :])
+            for i in range(1, n + 1):
+                prev = dp[i - 1]
+                cur = dp[i]
+                ci = cost[i - 1]
+                for j in range(1, m + 1):
+                    cur[j] = ci[j - 1] + min(
+                        prev[j], cur[j - 1], prev[j - 1]
+                    )
+            out.append(int(dp[n, m]))
+        return pd.Series(out, dtype="int64")
+
+    return (
+        pairs.select(
+            "prio_a",
+            "prio_b",
+            F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
+            dtw(F.col("sa"), F.col("sb")).alias("dtw_cents"),
+        )
+        .selectExpr(
+            "prio_a",
+            "prio_b",
+            "n_a",
+            "n_b",
+            "dtw_cents",
+            "(1000 * dtw_cents) DIV (n_a + n_b) AS dtw_per_step_milli",
+        )
+        .orderBy("prio_a", "prio_b")
     )

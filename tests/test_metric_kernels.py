@@ -809,3 +809,98 @@ def test_cohens_kappa_matches_python_reference(spark):
     assert (int(r["a"]), int(r["b"]), int(r["c"]), int(r["d"])) == (a, b, cc, dd)
     assert int(r["po_bp"]) == (10000 * (a + dd)) // n
     assert int(r["kappa_bp"]) == kappa_bp
+
+
+def test_wav_parser_matches_stdlib_wave():
+    """The pure-numpy RIFF parser agrees with python's stdlib `wave`
+    module (an entirely independent reader) on every generated file
+    shape, and the registered statistics law matches a direct
+    recompute from the stdlib-decoded samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from batchprocessor_spark.functions.multimodal import make_wav_bytes, wav_decode
+
+    for doc_id in (0, 1, 2, 7, 123):
+        n = 400 + doc_id % 3 * 80
+        payload = make_wav_bytes(doc_id, n)
+        rate, samples = wav_decode(payload)
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getframerate() == rate == 8000
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            assert w.getnframes() == n
+            ref = np.frombuffer(w.readframes(n), dtype="<i2")
+        assert np.array_equal(samples, ref)
+        law = ((doc_id * 37 + np.arange(n, dtype=np.int64) * 17) % 2001) - 1000
+        assert np.array_equal(samples.astype(np.int64), law)
+
+
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=12),
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=12),
+)
+@SETTINGS
+def test_dtw_dp_matches_recursive_definition(xs, ys):
+    """The vectorized DP in q_ts_dtw equals the textbook recursive
+    DTW definition (memoized) on arbitrary small integer series."""
+    import functools
+
+    import numpy as np
+
+    @functools.lru_cache(maxsize=None)
+    def rec(i, j):
+        if i == 0 and j == 0:
+            return abs(xs[0] - ys[0])
+        if i < 0 or j < 0:
+            return float("inf")
+        return abs(xs[i] - ys[j]) + min(rec(i - 1, j), rec(i, j - 1), rec(i - 1, j - 1))
+
+    # same DP as the pandas UDF body
+    x = np.asarray(xs, dtype=np.int64)
+    y = np.asarray(ys, dtype=np.int64)
+    n, m = len(x), len(y)
+    big = np.int64(10**18)
+    dp = np.full((n + 1, m + 1), big, dtype=np.int64)
+    dp[0, 0] = 0
+    cost = np.abs(x[:, None] - y[None, :])
+    for i in range(1, n + 1):
+        prev, cur, ci = dp[i - 1], dp[i], cost[i - 1]
+        for j in range(1, m + 1):
+            cur[j] = ci[j - 1] + min(prev[j], cur[j - 1], prev[j - 1])
+    assert int(dp[n, m]) == rec(n - 1, m - 1)
+
+
+def test_dtw_end_to_end_matches_pandas_recompute(spark):
+    """q_ts_dtw at sf0.001 equals a pandas groupby + python DP
+    recompute of the same quarterly integer-cents series."""
+    import numpy as np
+
+    o = pd.read_parquet(f"{SF_SMALL}/orders.parquet")
+    o["qi"] = o.o_orderdate.dt.year * 4 + (o.o_orderdate.dt.month - 1) // 3
+    o["cents"] = np.floor(np.abs(o.o_totalprice.to_numpy() * 100) + 0.5).astype("int64")
+    series = {
+        p: grp.groupby("qi").cents.sum().sort_index().to_numpy()
+        for p, grp in o.groupby("o_orderpriority")
+    }
+
+    def dtw(x, y):
+        n, m = len(x), len(y)
+        dp = [[10**18] * (m + 1) for _ in range(n + 1)]
+        dp[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i][j] = abs(int(x[i - 1]) - int(y[j - 1])) + min(
+                    dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                )
+        return dp[n][m]
+
+    rows = REGISTRY["q_ts_dtw"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        x, y = series[r["prio_a"]], series[r["prio_b"]]
+        d = dtw(x, y)
+        assert (int(r["n_a"]), int(r["n_b"])) == (len(x), len(y))
+        assert int(r["dtw_cents"]) == d
+        assert int(r["dtw_per_step_milli"]) == (1000 * d) // (len(x) + len(y))
