@@ -904,3 +904,97 @@ def test_dtw_end_to_end_matches_pandas_recompute(spark):
         assert (int(r["n_a"]), int(r["n_b"])) == (len(x), len(y))
         assert int(r["dtw_cents"]) == d
         assert int(r["dtw_per_step_milli"]) == (1000 * d) // (len(x) + len(y))
+
+
+# ------------------------------------------ round-6 kernel references
+# (VERDICT r5 #7: finish the independent-reference sweep so no oracled
+# formula relies solely on builder/oracle twin agreement.)
+
+def _md5_bucket(salt: str, key, buckets: int) -> int:
+    """Pure-python twin of operators.sampling.hash_bucket — first 8 md5
+    hex digits of salt||key, mod buckets."""
+    import hashlib
+
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_neyman_allocation_matches_numpy_reference(spark):
+    """End-to-end at sf0.001: the Neyman weight N_h*sigma_h equals
+    numpy's len*std(ddof=0), quotas equal floor(200*w/wmax), and the
+    seeded-hash draw (reimplemented with stdlib hashlib, no engine
+    code) selects the exact same documents."""
+    import numpy as np
+
+    d = pd.read_parquet(
+        f"{SF_SMALL}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["q_sample_neyman"].builder(spark, SF_SMALL).collect()
+    }
+    # the engine's w = sqrt(N*Sx2 - Sx^2) must equal numpy's N*sigma
+    # (population), up to float noise — same quantity, different route
+    w_ref = {}
+    for lang, grp in d.groupby("lang"):
+        x = grp.n_chars.to_numpy(dtype="float64")
+        w_ref[lang] = len(x) * np.std(x)  # ddof=0
+    wmax = max(w_ref.values())
+    for lang, grp in d.groupby("lang"):
+        quota = int(np.floor(200.0 * w_ref[lang] / wmax))
+        r = rows[lang]
+        assert int(r["n_docs"]) == len(grp)
+        assert int(r["quota"]) == quota
+        # independent draw: rank docs by the md5 bucket, take quota
+        ranked = sorted(
+            grp.itertuples(),
+            key=lambda t: (_md5_bucket("ney:", t.doc_id, 1000000), t.doc_id),
+        )[:quota]
+        assert int(r["n_selected"]) == len(ranked)
+        assert int(r["sel_chars"]) == sum(int(t.n_chars) for t in ranked)
+    # sanity of the allocation property itself: the highest-variance
+    # stratum gets the max quota (that's the point of Neyman)
+    top = max(w_ref, key=w_ref.get)
+    assert int(rows[top]["quota"]) == 200
+
+
+def test_calibration_ece_matches_python_reference(spark):
+    """End-to-end at sf0.001: the reliability bins and ECE equal a
+    pure-python integer recompute of the histogram classifier
+    (train on even doc_ids, score odd, 5 bins, ece = sum n|gap| / N
+    in basis points, all floor division on non-negative ints)."""
+    d = pd.read_parquet(
+        f"{SF_SMALL}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    d["bucket"] = d.n_chars // 100
+    d["is_en"] = (d.lang == "en").astype(int)
+    train = d[d.doc_id % 2 == 0]
+    test = d[d.doc_id % 2 == 1]
+    pred_bp = {
+        int(b): (10000 * int(g.is_en.sum())) // len(g)
+        for b, g in train.groupby("bucket")
+    }
+    prior_bp = (10000 * int(train.is_en.sum())) // len(train)
+    bins: dict[int, list] = {}
+    for t in test.itertuples():
+        p = pred_bp.get(int(t.bucket), prior_bp)
+        bins.setdefault(min(p // 2000, 4), []).append((p, t.is_en))
+    expect = {}
+    for b, items in bins.items():
+        n = len(items)
+        avg_pred = sum(p for p, _ in items) // n
+        obs = (10000 * sum(y for _, y in items)) // n
+        expect[b] = (n, avg_pred, obs, avg_pred - obs)
+    num = sum(n * abs(gap) for n, _, _, gap in expect.values())
+    den = sum(n for n, _, _, _ in expect.values())
+    ece = num // den
+    out = REGISTRY["q_ml_calibration"].builder(spark, SF_SMALL).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        n, avg_pred, obs, gap = expect[int(r["bin"])]
+        assert (
+            int(r["n"]),
+            int(r["avg_pred_bp"]),
+            int(r["obs_bp"]),
+            int(r["gap_bp"]),
+            int(r["ece_bp"]),
+        ) == (n, avg_pred, obs, gap, ece)
