@@ -22,7 +22,15 @@ def main(argv: list[str] | None = None) -> int:
         help="scale-factor directory with the parquet tables",
     )
     sub = parser.add_subparsers(dest="cmd", required=True)
-    sub.add_parser("list", help="list registered queries", parents=[common])
+    p_list = sub.add_parser("list", help="list registered queries", parents=[common])
+    p_list.add_argument("--category", help="filter to one registry category")
+    p_list.add_argument(
+        "--search", help="substring filter over name + registered doc"
+    )
+    p_desc = sub.add_parser(
+        "describe", help="doc + oracle card for one query", parents=[common]
+    )
+    p_desc.add_argument("query")
     p_run = sub.add_parser("run", help="run a registered query", parents=[common])
     p_run.add_argument("query")
     p_run.add_argument("--limit", type=int, default=20)
@@ -37,9 +45,31 @@ def main(argv: list[str] | None = None) -> int:
     from batchprocessor_spark.plans.registry import load_all
 
     if args.cmd == "list":
-        for name, spec in sorted(load_all().items()):
+        registry = load_all()
+        names = sorted(registry)
+        if args.category:
+            names = [n for n in names if registry[n].category == args.category]
+        if args.search:
+            s = args.search.lower()
+            names = [
+                n
+                for n in names
+                if s in n.lower() or s in (registry[n].doc or "").lower()
+            ]
+        for name in names:
+            spec = registry[name]
             oracle = "sql " if spec.oracle else "rows"
             print(f"{oracle}  {name:32s} [{spec.category}]")
+        return 0
+    if args.cmd == "describe":
+        registry = load_all()
+        if args.query not in registry:
+            print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+            return 2
+        # No SparkSession spin-up: the card is pure registry metadata.
+        from batchprocessor_spark.plans.registry import describe
+
+        print(describe(registry[args.query]))
         return 0
 
     eng = Engine(sf_dir=args.sf)

@@ -53,8 +53,43 @@ class Engine:
 
     # ---------------------------------------------------------- queries
 
-    def queries(self) -> list[str]:
-        return sorted(self._registry)
+    def queries(
+        self, category: str | None = None, search: str | None = None
+    ) -> list[str]:
+        """Registered query names, optionally filtered.
+
+        ``category`` restricts to one registry category (see
+        :meth:`categories` for the vocabulary); ``search`` keeps names
+        whose id or registered doc contains the substring
+        (case-insensitive) — the discovery path for a 300+-query
+        surface (VERDICT r5 #8)."""
+        names = sorted(self._registry)
+        if category is not None:
+            names = [n for n in names if self._registry[n].category == category]
+        if search is not None:
+            s = search.lower()
+            names = [
+                n
+                for n in names
+                if s in n.lower() or s in (self._registry[n].doc or "").lower()
+            ]
+        return names
+
+    def categories(self) -> dict[str, int]:
+        """Category → number of registered queries in it."""
+        out: dict[str, int] = {}
+        for spec in self._registry.values():
+            out[spec.category] = out.get(spec.category, 0) + 1
+        return dict(sorted(out.items()))
+
+    def describe(self, name: str) -> str:
+        """Human-readable card for one registered query: category,
+        oracle kind, defining module, the registered doc, and the
+        DuckDB oracle SQL — everything a user needs without reading
+        source."""
+        from batchprocessor_spark.plans.registry import describe
+
+        return describe(self._registry[name])  # KeyError is the right failure
 
     def query(self, name: str) -> DataFrame:
         self._require_sf()

@@ -130,6 +130,31 @@ CONTRACT_ORDER: tuple[str, ...] = (
 )
 
 
+def describe(spec: QuerySpec) -> str:
+    """Human-readable card for a registered query: category, oracle
+    kind, defining module, the registered doc, and the DuckDB oracle
+    SQL — the discovery surface for a 300+-query registry, shared by
+    ``Engine.describe`` and the ``describe`` CLI subcommand."""
+    import inspect
+
+    mod = inspect.getmodule(spec.builder)
+    lines = [
+        f"{spec.name}  [{spec.category}]  "
+        f"oracle: {'SQL' if spec.oracle else 'rows-only'}",
+        f"  defined in {mod.__name__ if mod else '?'}",
+    ]
+    if spec.doc:
+        lines.append("")
+        # cleandoc: builders' docstrings keep their source indentation
+        # on continuation lines; normalize for the card
+        lines.extend(f"  {ln}" for ln in inspect.cleandoc(spec.doc).splitlines())
+    if spec.oracle:
+        lines.append("")
+        lines.append("  oracle SQL:")
+        lines.extend(f"    {ln}" for ln in spec.oracle.strip().splitlines())
+    return "\n".join(lines)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: populates REGISTRY) and
     return the registry with SURVEY §2 contract queries first.
