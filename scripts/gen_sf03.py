@@ -45,11 +45,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from batchprocessor_spark.session import get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF03_SRC", "/root/testdata/sf0.1")
-OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".testdata", "sf0.3"
+# Overridable for one-off larger points (e.g. COPIES=10 → sf1, written
+# somewhere bench does NOT auto-discover, for a manual 5-point run
+# recorded in BENCH.md — the driver's per-round bench stays bounded).
+COPIES = int(os.environ.get("SPARK_GRAFT_SF_COPIES", "3"))
+OUT = os.environ.get(
+    "SPARK_GRAFT_SF_OUT",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".testdata",
+        "sf0.3",
+    ),
 )
 SHIFT = 10**9  # > any sf0.1 key
-COPIES = 3
 
 # table -> columns to key-shift per copy
 KEY_COLS = {

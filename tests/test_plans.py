@@ -1175,3 +1175,20 @@ def test_burstiness_two_keyed_aggregates_no_window(spark):
     plan = plan_of(spark, "q_ts_burstiness")
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_sq_ann_broadcast_scan_group_limit(spark):
+    """q_llm_simsearch_sq: the grid is a 1-row broadcast, the 5 query
+    codes broadcast onto the corpus scan (BroadcastNestedLoopJoin on
+    the != predicate — the corpus itself never shuffles), ranking is
+    WindowGroupLimit, and everything is JVM expressions (no Python
+    nodes)."""
+    plan = plan_of(spark, "q_llm_simsearch_sq")
+    # 3 = the query-codes broadcast onto the corpus + the 1-row grid
+    # cross under EACH self-join branch (the two grid BroadcastExchange
+    # subtrees are identical; exchange reuse collapses them at runtime)
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Python" not in plan, plan
