@@ -1129,3 +1129,97 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_DSIR_TARGET = "src18"  # largest source in the fixture = the "trusted" corpus
+_DSIR_QUOTA = 200
+_DSIR_PPM = 1_000_000
+
+
+@register(
+    "q_llm_importance_resampling",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    w AS (SELECT doc_id, source, lang, unnest(ws) AS w FROM d),
+    ct AS (SELECT w, count(*)::BIGINT AS c FROM w
+           WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+    cs AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY 1),
+    scoredw AS (
+      SELECT w.doc_id, w.source, w.lang,
+             (((coalesce(ct.c, 0) + 1) * {_DSIR_PPM}) // (cs.c + 1))::BIGINT AS s
+      FROM w JOIN cs ON w.w = cs.w
+      LEFT JOIN ct ON w.w = ct.w
+      WHERE w.source <> '{_DSIR_TARGET}'),
+    docs AS (
+      SELECT doc_id, source, lang,
+             count(*)::BIGINT AS n_words,
+             sum(s)::BIGINT AS ratio_score
+      FROM scoredw GROUP BY 1, 2, 3),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ratio_score DESC, doc_id) AS rnk
+      FROM docs)
+    SELECT doc_id, source, lang, n_words, ratio_score, rnk
+    FROM ranked WHERE rnk <= {_DSIR_QUOTA}
+    """,
+    category="sampling",
+)
+def q_llm_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document by how much its word distribution resembles a trusted
+    target corpus (here: the fixture's largest source) relative to the
+    raw pool, and keep the top quota. The per-word importance ratio
+    (target count + 1)/(corpus count + 1) is carried as an EXACT
+    integer in parts-per-million — ``(ct+1)*1e6 DIV (cs+1)`` — and the
+    document score is the sum over its words, so unlike a float
+    log-ratio the cross-engine hash cannot drift and selection
+    boundaries cannot flip (same integer-ppm discipline as the
+    hard-negatives ranker). The model-based sibling of
+    q_llm_sample_temperature (which reweights by source, not content).
+
+    Scale posture: both word models are VOCABULARY-sized aggregates
+    (map-side combined, ≪ corpus) and broadcast onto the candidate
+    word stream — the corpus shuffles once, on doc_id, for the
+    per-document sum; selection is TakeOrderedAndProject over the
+    quota (no global sort), and the rank window runs over the already-
+    selected ≤200 rows. A hot function word is one model row, not an
+    output blowup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    w = d.select("doc_id", "source", "lang", F.explode("ws").alias("w"))
+    ct = (
+        w.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cs = w.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    scored = (
+        w.where(F.col("source") != _DSIR_TARGET)
+        .join(F.broadcast(cs), "w")
+        .join(F.broadcast(ct), "w", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(
+                f"((coalesce(ct, 0) + 1) * {_DSIR_PPM}) DIV (cs + 1)"
+            ).alias("s"),
+        )
+    )
+    docs = scored.groupBy("doc_id", "source", "lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("s").cast("long").alias("ratio_score"),
+    )
+    top = docs.orderBy(F.col("ratio_score").desc(), "doc_id").limit(_DSIR_QUOTA)
+    rank_w = Window.orderBy(F.col("ratio_score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(rank_w))
