@@ -1569,3 +1569,87 @@ def q_llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("matches")
     )
+
+
+_XSRC_WIDTH = 8  # word-8-gram shingles for cross-source overlap
+
+
+@register(
+    "q_llm_cross_source_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             array_to_string(ws[i : i + {_XSRC_WIDTH} - 1], ' ') AS shingle
+      FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+           unnest(range(1, len(ws) - {_XSRC_WIDTH} + 2)) AS t(i)),
+    per_src AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*)::BIGINT AS n_shared
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, p.n_shared,
+           pa.n AS n_a, pb.n AS n_b,
+           ((p.n_shared * 1000000)
+              // (pa.n + pb.n - p.n_shared))::BIGINT AS jaccard_ppm
+    FROM pairs p
+    JOIN per_src pa ON pa.source = p.src_a
+    JOIN per_src pb ON pb.source = p.src_b
+    WHERE (p.n_shared * 1000000) // (pa.n + pb.n - p.n_shared) > 0
+    """,
+    category="dedup",
+)
+def q_llm_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct word-8-gram shingles they share
+    and the shingle-set Jaccard in integer ppm — the corpus-hygiene
+    audit that catches one crawl re-hosting another's content (or a
+    benchmark leaking into several sources at once) BEFORE training.
+    The pairwise generalization of q_llm_decontaminate, which checks
+    one train/test split; kept above 0 ppm so the output is the
+    contaminated pair list, not the full |S|² zero matrix.
+
+    Scale posture: the fact table collapses to DISTINCT
+    (source, shingle) — vocabulary-sized per source — before any
+    pairing, and the pair join is an equi-join ON THE SHINGLE whose
+    per-key fan-out is bounded by the number of SOURCES carrying that
+    shingle (≤ |S|, here 20 ⇒ ≤190 pairs/shingle), not by document
+    count: a shingle duplicated across a million documents still
+    contributes one row per source. Pair counts aggregate map-side;
+    per-source totals broadcast back onto the ≤|S|² result."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingles(
+            docs.select(F.col("source").alias("doc_id"), "text"),
+            width=_XSRC_WIDTH,
+        )
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per_src.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per_src.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(n_shared * 1000000) DIV (n_a + n_b - n_shared)").cast("long"),
+        )
+        .where(F.col("jaccard_ppm") > 0)
+        .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard_ppm")
+    )
+    return out

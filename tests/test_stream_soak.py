@@ -217,3 +217,63 @@ def test_soak_watermark_dedup_with_flaky_sink(spark, tmp_path):
     failed_groups = {k for k in epoch_attempts if k % 3 == 0}
     assert ctl.stats.retries == len(failed_groups)
     assert all(epoch_attempts[k] == 2 for k in failed_groups)
+
+
+def test_soak_dlq_replay_completes_delivery(spark, tmp_path):
+    """The DLQ is a durable parquet table, not a terminal drop (the
+    reference logs-and-drops, V2/Worker.java:305-310): after the bad
+    deploy is fixed, re-driving the dead-lettered rows through the
+    same FlowController machinery completes delivery to exactly the
+    full set — the operational loop (fail → DLQ → fix → replay) closed
+    end-to-end."""
+    from batchprocessor_spark.streaming.sinks import idempotent_parquet_sink
+
+    n, chunk = 2000, 50
+    out = str(tmp_path / "out")
+    inner = idempotent_parquet_sink(out, "id")
+    healthy = {"v": False}
+
+    def deploy_sensitive_sink(pdf: pd.DataFrame) -> None:
+        idx = int(pdf["id"].min()) // chunk
+        if not healthy["v"] and idx % 10 == 1:
+            raise RuntimeError(f"bad deploy rejects chunk {idx}")
+        inner(pdf)
+
+    p = BatchProcessor(
+        spark,
+        SCHEMA,
+        deploy_sensitive_sink,
+        ProcessorConfig(
+            batch_size=chunk,
+            spool_size=chunk,
+            concurrency=4,
+            max_retry_count=1,
+            retry_delay_s=0.01,
+        ),
+        workdir=str(tmp_path / "proc"),
+    ).start()
+    p.put_many([(i, "x") for i in range(n)])
+    stats = p.stop()
+    n_poison = len({i for i in range(n // chunk) if i % 10 == 1}) * chunk
+    assert stats["dlq_items"] == n_poison
+    dlq_pdf = p.dlq().toPandas()
+    assert len(dlq_pdf) == n_poison
+
+    # fix the deploy, replay the dead letters through the same
+    # flow-control machinery
+    healthy["v"] = True
+    ctl = FlowController(
+        deploy_sensitive_sink,
+        FlowControlConfig(batch_size=chunk, concurrency=4, max_retry_count=1),
+    )
+    ctl.wait(ctl.submit_batch(dlq_pdf))
+    ctl.shutdown()
+    assert ctl.stats.dlq_items == 0
+
+    import glob
+
+    got = []
+    for f in sorted(glob.glob(f"{out}/chunk_*.parquet")):
+        got.extend(int(x) for x in pd.read_parquet(f)["id"])
+    assert sorted(got) == list(range(n)), "replay did not complete delivery"
+    p.close()
