@@ -1296,3 +1296,59 @@ def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_BINSRC_N = 50  # files materialized for the binaryFile round-trip
+
+
+@register(
+    "q_source_binary_files",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {_BINSRC_N}
+    """,
+    category="source",
+)
+def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` built-in source — the ingestion path for
+    multimodal corpora that land as LOOSE FILES (images, audio, PDFs)
+    rather than rows: one row per file with (path, modificationTime,
+    length, content BINARY), here round-tripped by materializing
+    document texts as .txt files and reading them back; the check is
+    content fidelity (byte length + md5 vs the documents table — the
+    fixture is ASCII, pinned by tests/test_multimodal.py, so DuckDB's
+    string md5 equals the file-bytes md5).
+
+    Scale posture: binaryFile parallelizes BY FILE (small files pack
+    many per task under maxPartitionBytes; a huge file is one task —
+    binary content is not splittable), pushes down path predicates
+    (pathGlobFilter here), and feeds content straight into the
+    mapInPandas decode stage (functions/multimodal.py) without any
+    row-materialization detour through a manifest table. The 50-file
+    driver-side materialization is test scaffolding, not the
+    operator: real corpora arrive as files."""
+    import os
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _BINSRC_N)
+        .select("doc_id", "text")
+    )
+    tmp = scratch_dir("bp_binsrc_")
+    for r in docs.collect():  # model-sized: _BINSRC_N tiny fixture rows
+        with open(os.path.join(tmp, f"doc_{int(r['doc_id']):06d}.txt"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(tmp)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
