@@ -3385,3 +3385,80 @@ def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+@register(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) FILTER (event_type = 'view') AS v_ts
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, v.v_ts, min(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND v.v_ts IS NOT NULL
+        AND e.ts >= v.v_ts
+      GROUP BY e.user_id, v.v_ts),
+    lat AS (
+      SELECT strftime(v_ts, '%Y-%m-%d') AS cohort_day,
+             ((epoch_us(p_ts) - epoch_us(v_ts)) // 1000000)::BIGINT AS lat_s
+      FROM p)
+    SELECT cohort_day,
+           count(*)::BIGINT AS n_converted,
+           quantile_cont(lat_s, 0.5) AS p50_s,
+           quantile_cont(lat_s, 0.9) AS p90_s,
+           quantile_cont(lat_s, 0.99) AS p99_s,
+           (sum(lat_s) // count(*))::BIGINT AS avg_s
+    FROM lat GROUP BY cohort_day
+    """,
+    category="analytics",
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution by first-touch cohort day:
+    for every user, the lag from their FIRST view to their first
+    purchase AT OR AFTER it (the same stage-ordering rule as
+    q_funnel_conversion), summarized per cohort day as exact-count
+    p50/p90/p99 and integer mean — the latency-SLO readout growth
+    teams watch for cohort drift. Latencies are exact integer seconds
+    (unix_micros diffs, floor division — the NANOS→micros lane, see
+    sources/catalog.load_table), and the percentiles are the
+    bit-identical type-7 interpolation lane of q_agg_percentile_exact,
+    so no rounding belt anywhere.
+
+    Scale posture: the first-view timestamp is a per-user window MIN
+    over ONE user_id hash partitioning (no self-join); qualifying
+    purchases filter against it in the same pass, collapse to one row
+    per converting user, and the per-cohort percentile is Spark's
+    partial-aggregable typed percentile (value-histogram partials
+    merged on the reducer) — two shuffles total (user_id, cohort)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v_ts = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    per_user = (
+        e.withColumn("v_ts", v_ts)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("v_ts").isNotNull()
+            & (F.col("ts") >= F.col("v_ts"))
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = per_user.select(
+        F.date_format("v_ts", "yyyy-MM-dd").alias("cohort_day"),
+        # ts is TIMESTAMP_NTZ; the cast's UTC interpretation shift is
+        # identical on both operands, so it cancels in the difference
+        F.expr(
+            "(unix_micros(cast(p_ts as timestamp))"
+            " - unix_micros(cast(v_ts as timestamp))) DIV 1000000"
+        )
+        .cast("long")
+        .alias("lat_s"),
+    )
+    return lat.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("lat_s", F.lit(0.5)).alias("p50_s"),
+        F.percentile("lat_s", F.lit(0.9)).alias("p90_s"),
+        F.percentile("lat_s", F.lit(0.99)).alias("p99_s"),
+        F.expr("sum(lat_s) DIV count(1)").cast("long").alias("avg_s"),
+    )
