@@ -3462,3 +3462,90 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("lat_s", F.lit(0.99)).alias("p99_s"),
         F.expr("sum(lat_s) DIV count(1)").cast("long").alias("avg_s"),
     )
+
+
+@register(
+    "q_ml_pinball_loss",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY day),
+    ranked AS (
+      SELECT day, cents,
+             row_number() OVER (ORDER BY day) AS rn,
+             count(*) OVER () AS n
+      FROM daily),
+    q AS (SELECT unnest([1, 5, 9]) AS qx10),
+    fc AS (
+      SELECT q.qx10, r.cents AS f_cents
+      FROM q JOIN ranked r
+        ON r.rn = ((r.n // 2) * q.qx10 + 9) // 10),
+    ev AS (SELECT cents FROM ranked WHERE rn > n // 2),
+    losses AS (
+      SELECT fc.qx10, fc.f_cents,
+             greatest(fc.qx10 * (ev.cents - fc.f_cents),
+                      (fc.qx10 - 10) * (ev.cents - fc.f_cents)) AS l_x10
+      FROM fc CROSS JOIN ev)
+    SELECT qx10, f_cents,
+           count(*)::BIGINT AS n_eval_days,
+           sum(l_x10)::BIGINT AS pinball_x10_sum,
+           (sum(l_x10) // (10 * count(*)))::BIGINT AS avg_pinball_cents
+    FROM losses GROUP BY qx10, f_cents
+    """,
+    category="ml",
+)
+def q_ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation via pinball (quantile) loss — the
+    metric that scores a P10/P50/P90 forecast band the way WAPE scores
+    a point forecast (q_ts_forecast_error's sibling for probabilistic
+    forecasting). Forecasts are the EXACT order statistics of the
+    train half of the daily-revenue series (rank ceil(q·n) — integer
+    selection, no interpolation, so the forecast stays integer cents),
+    evaluated on the held-out second half. The loss is carried ×10 so
+    q enters as the integer decile: L×10 = max(q₁₀·d, (q₁₀−10)·d) with
+    d = actual − forecast — every quantity BIGINT end-to-end, so the
+    cross-engine hash cannot drift. The asymmetry check a reader
+    expects falls out: the P90 forecast under-penalizes overshoot 9:1.
+
+    Scale posture: the fact table collapses to the daily value table
+    (one shuffle); rank/count windows and the train/eval split run
+    over that tiny table (same declared value-table-window shape as
+    q_ts_forecast_error); the 3-row forecast table cross-joins back
+    broadcast-style. A learned forecaster would replace `fc` with its
+    own (quantile, day, forecast) table joined on day."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w_ord = Window.orderBy("day")  # value-table sized (one row per day)
+    w_all = Window.partitionBy()
+    ranked = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(9))).alias("qx10")
+    )
+    fc = F.broadcast(q).join(
+        ranked,
+        F.col("rn") == F.expr("((n DIV 2) * qx10 + 9) DIV 10"),
+    ).select("qx10", F.col("cents").alias("f_cents"))
+    ev = ranked.where(F.col("rn") > F.expr("n DIV 2")).select("cents")
+    d = F.col("cents") - F.col("f_cents")
+    losses = ev.crossJoin(F.broadcast(fc)).select(
+        "qx10",
+        "f_cents",
+        F.greatest(F.col("qx10") * d, (F.col("qx10") - 10) * d).alias("l_x10"),
+    )
+    return losses.groupBy("qx10", "f_cents").agg(
+        F.count(F.lit(1)).alias("n_eval_days"),
+        F.sum("l_x10").cast("long").alias("pinball_x10_sum"),
+        F.expr("sum(l_x10) DIV (10 * count(1))")
+        .cast("long")
+        .alias("avg_pinball_cents"),
+    )
