@@ -815,3 +815,105 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.getField("pid").alias("purchase_id"),
         (dist / F.lit(1000000)).cast("long").alias("dist_s"),
     )
+
+
+@register(
+    "q_join_scd2_pointintime",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM changes),
+    facts AS (
+      SELECT user_id, ts, round(value * 100)::BIGINT AS cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT d.state,
+           count(*)::BIGINT AS n_purchases,
+           sum(f.cents)::BIGINT AS cents
+    FROM facts f
+    JOIN dim d ON f.user_id = d.user_id
+      AND f.ts >= d.vf AND (d.vt IS NULL OR f.ts < d.vt)
+    GROUP BY d.state
+    """,
+    category="join",
+)
+def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal AS-OF) read against the SCD2 dimension
+    q_scd2_dimension builds: every purchase is enriched with the
+    user's ENGAGEMENT state valid at the purchase timestamp — the
+    last non-purchase activity type in effect (valid_from ≤ t <
+    valid_to over the non-purchase change stream) — and revenue
+    aggregates by that historical state ("what were they doing when
+    they bought"). The read side of slowly-changing-dimension
+    warehousing, and the query that silently goes wrong when people
+    join the CURRENT dimension row onto historical facts. Purchases
+    with no preceding dimension version drop, exactly like the
+    oracle's inner interval join.
+
+    Engine vs oracle formulations intentionally DIFFER (same
+    discipline as q_join_asof): the oracle spells the textbook
+    interval-containment join on [valid_from, valid_to); the engine
+    never builds intervals at all — change rows and fact rows union
+    into ONE stream, sorted (ts, change-before-fact, event_id) within
+    the user partition, and `last(state) ignore nulls` carries the
+    in-effect state onto each fact. Equal-timestamp semantics (a
+    purchase that itself triggers the change sees the NEW state; of
+    two same-microsecond changes the higher event_id wins) fall out
+    identically in both.
+
+    Scale posture: zero join operators — two user_id hash Exchanges
+    total (one under the change-detection lag, one re-partitioning
+    the change+fact union for the carry window; a union cannot
+    inherit its children's partitioning), and the final aggregate is
+    value-table sized. The interval join the oracle uses would
+    shuffle both sides AND range-explode per dimension version; the
+    union+window shape keeps the fact stream to plain hash
+    exchanges."""
+    e = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.where(F.col("event_type") != "purchase")
+        .withColumn("prev", F.lag("event_type").over(w_ord))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(0).alias("is_fact"),
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_fact"),
+        F.lit(None).cast("string").alias("state"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = changes.unionByName(facts).withColumn(
+        "state_at", F.last("state", ignorenulls=True).over(w_carry)
+    )
+    return (
+        carried.where((F.col("is_fact") == 1) & F.col("state_at").isNotNull())
+        .groupBy(F.col("state_at").alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

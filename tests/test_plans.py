@@ -1192,3 +1192,16 @@ def test_sq_ann_broadcast_scan_group_limit(spark):
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_scd2_pointintime_no_join_two_user_exchanges(spark):
+    """q_join_scd2_pointintime: the temporal as-of read plans with ZERO
+    join operators — exactly two user_id hash Exchanges (change-detect
+    lag window + the post-union carry window; a union cannot inherit
+    partitioning). The oracle's interval-containment join is the
+    range-exploding formulation the engine avoids."""
+    plan = plan_of(spark, "q_join_scd2_pointintime")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 2, plan
+    assert "Window" in plan, plan
+    assert "Python" not in plan, plan
