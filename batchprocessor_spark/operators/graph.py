@@ -718,3 +718,112 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scc_id")
     )
+
+
+@register(
+    "q_graph_louvain_matching",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    m AS (SELECT count(*)::BIGINT AS m FROM e),
+    directed AS (
+      SELECT d1 AS u, d2 AS v FROM e
+      UNION ALL SELECT d2, d1 FROM e),
+    gains AS (
+      SELECT d.u, d.v, 2 * m.m - ku.d * kv.d AS gain_num
+      FROM directed d
+      JOIN deg ku ON ku.v = d.u
+      JOIN deg kv ON kv.v = d.v
+      CROSS JOIN m),
+    best AS (
+      SELECT u, v, gain_num FROM (
+        SELECT u, v, gain_num,
+               row_number() OVER (PARTITION BY u
+                 ORDER BY gain_num DESC, v) AS rn
+        FROM gains WHERE gain_num > 0)
+      WHERE rn = 1),
+    merged AS (
+      SELECT a.u, a.v, a.gain_num
+      FROM best a JOIN best b ON a.v = b.u AND b.v = a.u
+      WHERE a.u < a.v)
+    SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+           (SELECT m FROM m)::BIGINT AS n_edges,
+           (SELECT count(*) FROM best)::BIGINT AS n_proposals,
+           count(*)::BIGINT AS n_merged_pairs,
+           coalesce(sum(merged.gain_num), 0)::BIGINT AS gain_num_sum
+    FROM merged
+    """,
+    category="graph",
+)
+def q_graph_louvain_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Louvain-style coarsening round by MUTUAL
+    best-match merging (the matching trick distributed Louvain
+    implementations use to avoid synchronous-move oscillation): from
+    singleton communities, every vertex proposes to the neighbor with
+    the highest modularity gain, and a merge happens iff the proposal
+    is mutual. The gain for merging singletons u,v is
+    ΔQ = (2m·A_uv − k_u·k_v) / (2m²); only its NUMERATOR
+    2m − k_u·k_v is ever computed (A_uv = 1 on neighbors) — an exact
+    BIGINT, so argmax, the positivity filter, and the reported gain
+    sum are all integer-deterministic across engines (tie-break:
+    smallest neighbor id). The coarsening sibling of
+    q_graph_label_propagation (which refines by neighbor-majority).
+
+    Scale posture: degrees are one map-side-combinable aggregate;
+    gains are two |V|-keyed equi-joins onto the directed edge list
+    (one shuffle each, AQE-splittable); m broadcasts as a 1-row
+    scalar; best-proposal is a per-vertex WindowGroupLimit-shaped
+    argmax; the mutuality check is a |V|-row self-equi-join. Nothing
+    touches pairs beyond the existing edge list."""
+    edges = _eps_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("d1").alias("v"))
+        .unionAll(edges.select(F.col("d2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    directed = edges.select(F.col("d1").alias("u"), F.col("d2").alias("vv")).unionAll(
+        edges.select(F.col("d2").alias("u"), F.col("d1").alias("vv"))
+    )
+    gains = (
+        directed.join(deg.select(F.col("v").alias("u"), F.col("d").alias("ku")), "u")
+        .join(deg.select(F.col("v").alias("vv"), F.col("d").alias("kv")), "vv")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "u",
+            "vv",
+            (2 * F.col("m") - F.col("ku") * F.col("kv")).alias("gain_num"),
+        )
+        .where(F.col("gain_num") > 0)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("u").orderBy(F.col("gain_num").desc(), "vv")
+    best = (
+        gains.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("u", "vv", "gain_num")
+    )
+    mutual = (
+        best.alias("a")
+        .join(
+            best.select(
+                F.col("u").alias("bu"), F.col("vv").alias("bv")
+            ).alias("b"),
+            (F.col("a.vv") == F.col("bu")) & (F.col("b.bv") == F.col("a.u")),
+        )
+        .where(F.col("a.u") < F.col("a.vv"))
+        .select(F.col("a.gain_num").alias("gain_num"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_props = best.agg(F.count(F.lit(1)).alias("n_proposals"))
+    return (
+        mutual.agg(
+            F.count(F.lit(1)).alias("n_merged_pairs"),
+            F.coalesce(F.sum("gain_num"), F.lit(0)).cast("long").alias("gain_num_sum"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(m.select(F.col("m").alias("n_edges"))))
+        .crossJoin(F.broadcast(n_props))
+        .select("n_nodes", "n_edges", "n_proposals", "n_merged_pairs", "gain_num_sum")
+    )
