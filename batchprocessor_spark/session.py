@@ -41,6 +41,17 @@ def get_spark(
         # Arrow for any pandas-UDF exchange (vectorized, not per-row).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan parallelism is bounded by max(file count, bytes/split)
+        # — the fixture tables are SINGLE ~20 MB parquet files, so the
+        # default 128 MB split size scans them as ONE task on a
+        # 32-core host (measured 15-25% headline cost; BENCH.md round
+        # 6 "layout note"). 4 MB splits restore parallelism on the
+        # fixtures; a production deployment with real multi-file
+        # tables sets this back to 128m (SPARK_GRAFT_MAX_PARTITION_BYTES).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
+        )
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default; read as raw nanos once here so readers stay
         # side-effect-free (catalog converts to micros with integer div).
