@@ -961,3 +961,183 @@ def q_stream_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_scd2_incremental",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id,
+           event_type AS state,
+           row_number() OVER w AS version,
+           (epoch_us(ts) // 1000000)::BIGINT AS valid_from_s,
+           coalesce((epoch_us(lead(ts) OVER w) // 1000000)::BIGINT,
+                    -1) AS valid_to_s,
+           (CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    category="streaming",
+)
+def q_stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance from a change stream: the events
+    arrive as a sequence of time-ordered micro-batches (the standard
+    CDC-feed assumption) and each foreachBatch merges them into the
+    versioned dimension — closing the open row when a user's state
+    changes across a batch boundary, extending version numbers, and
+    writing an immutable snapshot per batch (the Delta/Iceberg commit
+    pattern without the table format). The oracle is the ONE-SHOT
+    batch build (q_scd2_dimension's exact SQL): after the drain, the
+    incrementally-maintained dimension must EQUAL what a from-scratch
+    rebuild over all events produces — versions, validity intervals,
+    open rows, everything. That equality is the claim that lets a
+    warehouse maintain a 100 TB dimension with per-batch work
+    proportional to the batch, never reprocessing history.
+
+    Scale posture: per batch, change detection is one user_id window
+    over the BATCH plus one |users|-sized equi-join against the open
+    rows of the previous snapshot; the snapshot rewrite is
+    dimension-sized (≪ fact history). Batches sequence via explicit
+    file drops + processAllAvailable (the q_stream_incremental_agg
+    discipline)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    table = pq.read_table(
+        events_path, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    # Time-ordered CDC feed: sort globally by (ts, event_id), slice.
+    # Cast nanos → micros up front so the stream schema is a plain
+    # timestamp (the raw fixture is TIMESTAMP(NANOS), see
+    # _events_stream's probe).
+    import pyarrow as pa
+
+    table = table.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    ts_idx = table.schema.get_field_index("ts")
+    table = table.set_column(
+        ts_idx, "ts", table.column("ts").cast(pa.timestamp("us"))
+    )
+    workdir = scratch_dir("bp_scd2inc_")
+    ingest = os.path.join(workdir, "in")
+    os.makedirs(ingest)
+    n_slices = 4
+    rows = table.num_rows
+    step = (rows + n_slices - 1) // n_slices
+    slices = [table.slice(i * step, step) for i in range(n_slices)]
+    state = {"dim": None}  # path of the latest snapshot
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        with_prev = batch_df.withColumn("prev", F.lag("event_type").over(w))
+        if state["dim"] is None:
+            open_rows = None
+            prev_dim = None
+        else:
+            prev_dim = spark.read.parquet(state["dim"])
+            open_rows = prev_dim.where(F.col("is_current") == 1).select(
+                "user_id",
+                F.col("state").alias("open_state"),
+                F.col("version").alias("open_version"),
+            )
+        if open_rows is not None:
+            cand = with_prev.join(open_rows, "user_id", "left")
+        else:
+            cand = (
+                with_prev.withColumn("open_state", F.lit(None).cast("string"))
+                .withColumn("open_version", F.lit(None).cast("int"))
+            )
+        changes = cand.where(
+            (
+                F.col("prev").isNull()
+                & (
+                    F.col("open_state").isNull()
+                    | (F.col("open_state") != F.col("event_type"))
+                )
+            )
+            | (F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type")))
+        )
+        lead_ts = F.lead("ts").over(w)
+        new_rows = changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            (
+                F.coalesce(F.col("open_version"), F.lit(0))
+                + F.row_number().over(w)
+            ).cast("int").alias("version"),
+            F.unix_timestamp("ts").alias("valid_from_s"),
+            F.coalesce(F.unix_timestamp(lead_ts), F.lit(-1)).alias("valid_to_s"),
+            F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        if prev_dim is None:
+            snapshot = new_rows
+        else:
+            # close each open row whose user has a new first change
+            first_change = (
+                new_rows.groupBy("user_id")
+                .agg(F.min("valid_from_s").alias("next_vf"))
+            )
+            closed = (
+                prev_dim.join(first_change, "user_id", "left")
+                .select(
+                    "user_id",
+                    "state",
+                    "version",
+                    "valid_from_s",
+                    F.when(
+                        (F.col("is_current") == 1) & F.col("next_vf").isNotNull(),
+                        F.col("next_vf"),
+                    )
+                    .otherwise(F.col("valid_to_s"))
+                    .alias("valid_to_s"),
+                    F.when(
+                        (F.col("is_current") == 1) & F.col("next_vf").isNotNull(),
+                        F.lit(0),
+                    )
+                    .otherwise(F.col("is_current"))
+                    .alias("is_current"),
+                )
+            )
+            snapshot = closed.unionByName(new_rows)
+        out = os.path.join(workdir, f"dim_v{batch_id:04d}")
+        snapshot.write.mode("overwrite").parquet(out)
+        state["dim"] = out
+
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING"
+        )
+        .parquet(ingest)
+        # NTZ → session-zone timestamp (UTC session: identity), so
+        # unix_timestamp() matches the oracle's epoch_us // 1e6 floor
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    with _few_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+            .start()
+        )
+        try:
+            for i, sl in enumerate(slices):
+                tmp = os.path.join(workdir, f".tmp_{i}.parquet")
+                pq.write_table(sl, tmp)
+                os.rename(tmp, os.path.join(ingest, f"slice_{i:04d}.parquet"))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    shutil.rmtree(ingest, ignore_errors=True)
+    return spark.read.parquet(state["dim"]).select(
+        "user_id", "state", "version", "valid_from_s", "valid_to_s", "is_current"
+    )
