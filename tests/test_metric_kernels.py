@@ -998,3 +998,155 @@ def test_calibration_ece_matches_python_reference(spark):
             int(r["gap_bp"]),
             int(r["ece_bp"]),
         ) == (n, avg_pred, obs, gap, ece)
+
+
+# -------------------------------------------- round-6 property checks
+# Pure-python, engine-independent properties of the newest kernels —
+# the fixture parity proves one dataset; these prove the ALGORITHM.
+
+@given(
+    d=st.integers(-10_000, 10_000),
+    qx10=st.sampled_from([1, 5, 9]),
+)
+@SETTINGS
+def test_pinball_x10_identity(d, qx10):
+    """The integer x10 formulation equals 10x the textbook pinball
+    loss max(τ·e, (τ−1)·e), and is non-negative with the documented
+    9:1 asymmetry at τ=0.9."""
+    l10 = max(qx10 * d, (qx10 - 10) * d)
+    tau = qx10 / 10
+    textbook = max(tau * d, (tau - 1) * d)
+    assert l10 == round(10 * textbook, 6)
+    assert l10 >= 0
+    if qx10 == 9 and d != 0:
+        under, over = max(9 * abs(d), -abs(d)), max(-9 * abs(d), abs(d))
+        assert under == 9 * over  # miss-low costs 9x miss-high
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda t: t[0] < t[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SETTINGS
+def test_louvain_gain_numerator_matches_modularity_definition(edges):
+    """q_graph_louvain_matching compares gains by the integer
+    numerator 2m − k_u·k_v. Check against the modularity DEFINITION:
+    for any neighboring pair (u, v), merging the two singleton
+    communities changes Q = Σ_c [e_c/m − (d_c/2m)²] by exactly
+    (2m·A_uv − k_u·k_v) / (2m²)."""
+    m = len(edges)
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    nodes = sorted(deg)
+
+    def q_of(partition: dict[int, int]) -> float:
+        comms = set(partition.values())
+        q = 0.0
+        for c in comms:
+            members = {n for n in nodes if partition[n] == c}
+            e_c = sum(1 for (u, v) in edges if u in members and v in members)
+            d_c = sum(deg[n] for n in members)
+            q += e_c / m - (d_c / (2 * m)) ** 2
+        return q
+
+    singletons = {n: n for n in nodes}
+    base = q_of(singletons)
+    for (u, v) in edges:  # neighbors: A_uv = 1
+        merged = dict(singletons)
+        merged[v] = u
+        gain_def = q_of(merged) - base
+        gain_num = 2 * m - deg[u] * deg[v]
+        assert abs(gain_def - gain_num / (2 * m * m)) < 1e-9
+
+
+def _scd2_oneshot(events):
+    """One-shot SCD2 over (user, ts, eid, state) — the oracle logic."""
+    out = []
+    by_user: dict[int, list] = {}
+    for u, ts, eid, s in sorted(events, key=lambda e: (e[0], e[1], e[2])):
+        by_user.setdefault(u, []).append((ts, eid, s))
+    for u, evs in by_user.items():
+        changes = []
+        prev = None
+        for ts, eid, s in evs:
+            if prev is None or prev != s:
+                changes.append((ts, eid, s))
+            prev = s
+        for i, (ts, eid, s) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.append(
+                (u, s, i + 1, ts, nxt if nxt is not None else -1,
+                 1 if nxt is None else 0)
+            )
+    return sorted(out)
+
+
+def _scd2_incremental(events, boundaries):
+    """Mirror of q_stream_scd2_incremental's merge over python data:
+    process time-ordered batches, carry open rows across batches."""
+    stream = sorted(events, key=lambda e: (e[1], e[2]))  # (ts, eid) order
+    dim: list = []  # rows like _scd2_oneshot's
+    open_row: dict[int, tuple] = {}  # user -> (state, version, valid_from)
+    lo = 0
+    for hi in list(boundaries) + [len(stream)]:
+        batch = stream[lo:hi]
+        lo = hi
+        if not batch:
+            continue
+        by_user: dict[int, list] = {}
+        for u, ts, eid, s in sorted(batch, key=lambda e: (e[0], e[1], e[2])):
+            by_user.setdefault(u, []).append((ts, eid, s))
+        for u, evs in by_user.items():
+            prev = open_row.get(u, (None, 0, None))[0]
+            version = open_row.get(u, (None, 0, None))[1]
+            changes = []
+            for ts, eid, s in evs:
+                if prev is None or prev != s:
+                    changes.append((ts, eid, s))
+                prev = s
+            if not changes:
+                continue
+            if u in open_row:
+                st_, ver_, vf_ = open_row[u]
+                dim.append((u, st_, ver_, vf_, changes[0][0], 0))
+            for i, (ts, eid, s) in enumerate(changes):
+                if i + 1 < len(changes):
+                    dim.append((u, s, version + i + 1, ts, changes[i + 1][0], 0))
+                else:
+                    open_row[u] = (s, version + len(changes), ts)
+    for u, (s, ver, vf) in open_row.items():
+        dim.append((u, s, ver, vf, -1, 1))
+    return sorted(dim)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),     # user
+            st.integers(0, 30),    # ts
+            st.integers(0, 10**6), # event_id (uniqueness enforced below)
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda e: e[2],
+    ),
+    n_batches=st.integers(1, 5),
+)
+@SETTINGS
+def test_scd2_incremental_equals_oneshot(events, n_batches):
+    """The incremental-merge algorithm of q_stream_scd2_incremental
+    equals the one-shot rebuild for EVERY time-ordered stream and
+    EVERY batch segmentation — including batches that split a user's
+    burst, same-timestamp ties (event_id order), and users whose
+    state never changes across a boundary."""
+    step = max(1, len(events) // n_batches)
+    boundaries = list(range(step, len(events), step))
+    assert _scd2_incremental(events, boundaries) == _scd2_oneshot(events)
