@@ -12,6 +12,68 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Scan-split size used by the TEST/BENCH HARNESS only.  The fixture
+# tables are SINGLE ~20 MB parquet files, so Spark's production
+# default of 128 MB scans each as ONE task on a 32-core host
+# (measured 15-25% headline cost; BENCH.md round 6 "layout note");
+# 4 MB splits restore scan parallelism on those fixtures.  This is a
+# fixture-shaped tuning and it deliberately does NOT leak into
+# `get_spark`'s defaults: a production deployment with real
+# multi-file tables keeps Spark's 128m (a 4m default there would
+# mean ~26M scan tasks per 100 TB table).  conftest.py and bench.py
+# opt in explicitly; VERDICT r6 #1 pinned this polarity.
+FIXTURE_SPLIT_BYTES = "4m"
+
+# Spark's own default for spark.sql.files.maxPartitionBytes — the
+# engine keeps it in production and merely makes it explicit (and
+# env-overridable) so the polarity is testable.
+PRODUCTION_SPLIT_BYTES = "128m"
+
+
+def engine_confs(
+    cpus: int | str,
+    shuffle_partitions: int | None = None,
+    env: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The engine's session configuration as a plain dict.
+
+    Split out of `get_spark` so the *default polarity* is unit-testable
+    without building a JVM session (the live session is a process-wide
+    singleton, so a test can't observe what a fresh default would be).
+    `env` defaults to os.environ; inject a dict to test overrides.
+    """
+    env = os.environ if env is None else env
+    return {
+        # Correctness parity: interpret timestamps consistently with the
+        # (timezone-naive) parquet test data and the DuckDB oracle.
+        "spark.sql.session.timeZone": "UTC",
+        # Scale posture: adaptive execution re-plans at shuffle
+        # boundaries (skew joins, partition coalescing, join demotion).
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 2 * int(cpus)),
+        # Arrow for any pandas-UDF exchange (vectorized, not per-row).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        # PRODUCTION default scan split: Spark's own 128m. Scan
+        # parallelism is bounded by max(file count, bytes/split); on
+        # real multi-file tables 128m yields one task per ~128 MB of
+        # data. The single-file test fixtures instead opt into
+        # FIXTURE_SPLIT_BYTES via the env var / `extra` (conftest.py,
+        # bench.py) — see FIXTURE_SPLIT_BYTES above for why that
+        # tuning must NOT be the library default.
+        "spark.sql.files.maxPartitionBytes": env.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", PRODUCTION_SPLIT_BYTES
+        ),
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default; read as raw nanos once here so readers stay
+        # side-effect-free (catalog converts to micros with integer div).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": env.get("SPARK_DRIVER_MEMORY", "8g"),
+    }
+
 
 def get_spark(
     app_name: str = "batchprocessor-spark",
@@ -26,39 +88,9 @@ def get_spark(
     and on a real cluster this value would be sized to executor count.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
-    builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
-        # Correctness parity: interpret timestamps consistently with the
-        # (timezone-naive) parquet test data and the DuckDB oracle.
-        .config("spark.sql.session.timeZone", "UTC")
-        # Scale posture: adaptive execution re-plans at shuffle
-        # boundaries (skew joins, partition coalescing, join demotion).
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * int(cpus)))
-        # Arrow for any pandas-UDF exchange (vectorized, not per-row).
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.filterPushdown", "true")
-        # Scan parallelism is bounded by max(file count, bytes/split)
-        # — the fixture tables are SINGLE ~20 MB parquet files, so the
-        # default 128 MB split size scans them as ONE task on a
-        # 32-core host (measured 15-25% headline cost; BENCH.md round
-        # 6 "layout note"). 4 MB splits restore parallelism on the
-        # fixtures; a production deployment with real multi-file
-        # tables sets this back to 128m (SPARK_GRAFT_MAX_PARTITION_BYTES).
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
-        )
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read as raw nanos once here so readers stay
-        # side-effect-free (catalog converts to micros with integer div).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-    )
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in engine_confs(cpus, shuffle_partitions).items():
+        builder = builder.config(k, v)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -22,7 +22,7 @@ import sys
 import time
 
 from batchprocessor_spark.plans.registry import load_all
-from batchprocessor_spark.session import get_spark
+from batchprocessor_spark.session import FIXTURE_SPLIT_BYTES, get_spark
 
 # Headline set: one representative per operator family (scan, joins,
 # aggregates, windows, sort, dedup, similarity, text, timeseries).
@@ -312,7 +312,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = _sf_of(sf_dir)
     registry = load_all()
-    spark = get_spark("bp-bench")
+    # HARNESS opt-in (VERDICT r6 #1): the fixture tables are single
+    # ~20 MB parquet files, so the bench lane requests 4 MB scan
+    # splits for parallelism — keeping round-over-round numbers
+    # like-for-like with rounds ≤6. The library default is Spark's
+    # 128m; a real multi-file deployment never sets this.
+    spark = get_spark(
+        "bp-bench",
+        extra={"spark.sql.files.maxPartitionBytes": FIXTURE_SPLIT_BYTES},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: JVM + codegen + parquet footer caches.
@@ -348,13 +356,23 @@ def main() -> None:
     # `parsed: null`). Write it to its own file + an EARLIER stdout
     # line, and keep the final headline line compact (< ~1 KB) so the
     # driver always captures a complete, parsable line (VERDICT r5 #2).
-    if scaling:
-        scaling_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"
-        )
-        with open(scaling_path, "w") as fh:
-            json.dump(scaling, fh, indent=1)
-        print(f"# full scaling payload -> {scaling_path}", file=sys.stderr)
+    # Run-dependent output goes to a git-ignored path so a bench run
+    # never dirties the working tree (VERDICT r6 #5) — the committed
+    # BENCH_SCALING.json is a curated snapshot, promoted explicitly
+    # (cp .bench/BENCH_SCALING.json BENCH_SCALING.json) when a round
+    # changes the scaling story. When scaling was skipped/unavailable
+    # an empty sentinel is still written so the artifact at this path
+    # always reflects THIS run, never a stale predecessor (ADVICE r6).
+    scaling_path = os.environ.get(
+        "SPARK_GRAFT_SCALING_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench", "BENCH_SCALING.json"
+        ),
+    )
+    os.makedirs(os.path.dirname(scaling_path) or ".", exist_ok=True)
+    with open(scaling_path, "w") as fh:
+        json.dump(scaling or {"skipped": "no scaling points measured"}, fh, indent=1)
+    print(f"# full scaling payload -> {scaling_path}", file=sys.stderr)
     print(
         json.dumps(
             {

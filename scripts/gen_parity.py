@@ -27,7 +27,7 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from batchprocessor_spark.plans.registry import load_all  # noqa: E402
-from batchprocessor_spark.session import get_spark  # noqa: E402
+from batchprocessor_spark.session import FIXTURE_SPLIT_BYTES, get_spark  # noqa: E402
 from tests.oracle import canonical_rows, duckdb_run  # noqa: E402
 
 SF_DIRS = {
@@ -103,7 +103,10 @@ def main() -> int:
         doc["queries"] = prior.get("queries", {})
         doc["sfs"] = {**prior.get("sfs", {}), **doc["sfs"]}
 
-    spark = get_spark("bp-parity")
+    spark = get_spark(
+        "bp-parity",
+        extra={"spark.sql.files.maxPartitionBytes": FIXTURE_SPLIT_BYTES},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     t_start = time.perf_counter()
     n_done = 0

@@ -74,7 +74,18 @@ DIMS = ["region", "nation"]  # constant across SF, like TPC-H
 
 
 def rotated_text(col, k: int):
-    """Caesar-rotate a-z/A-Z by k (length-preserving, deterministic)."""
+    """Caesar-rotate a-z/A-Z by k (length-preserving, deterministic).
+
+    The rotation alphabet has period 26, so a copy index k >= 26 would
+    silently collapse to the identity mapping and emit exact-duplicate
+    document texts — faking a quadratic near-dup blowup in scaling
+    data (ADVICE r6). Guard the period explicitly: beyond 26 copies
+    the generator must grow a second distinguishing transform, not
+    quietly duplicate."""
+    assert 0 <= k < 26, (
+        f"rotated_text period exhausted at k={k}: >26 copies need a "
+        "second text transform (e.g. per-copy token prefix)"
+    )
     if k == 0:
         return col
     lower = "abcdefghijklmnopqrstuvwxyz"

@@ -15,11 +15,16 @@ from batchprocessor_spark.sources.catalog import TABLES
 
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # Spark-written multi-file layout (<name>.parquet/ is a
+            # directory of part files) — same layout load_table reads.
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con.execute(sql).df()
 
 

@@ -55,7 +55,13 @@ def test_coverage_md_tracks_registry(registry_names):
 
 
 def test_latest_parity_artifact_covers_registry(registry_names):
-    parity_files = sorted(REPO.glob("PARITY_r*.json"))
+    # Sort by the PARSED round number, not the raw name — lexical
+    # order would rank a future PARITY_r100.json before r99 and the
+    # gate would silently validate the wrong artifact (ADVICE r6).
+    parity_files = sorted(
+        REPO.glob("PARITY_r*.json"),
+        key=lambda p: int(re.fullmatch(r"PARITY_r(\d+)", p.stem).group(1)),
+    )
     assert parity_files, "no PARITY_r*.json committed"
     latest = parity_files[-1]
     data = json.loads(latest.read_text())
