@@ -1006,10 +1006,17 @@ def q_stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of the previous snapshot; the snapshot rewrite is
     dimension-sized (≪ fact history). Batches sequence via explicit
     file drops + processAllAvailable (the q_stream_incremental_agg
-    discipline)."""
+    discipline).
+
+    The merge itself lives in streaming/scd2.py and is RESTART-SAFE:
+    the previous-snapshot pointer is re-derived from disk per batch
+    (largest committed dim_v{K<batch_id}), never held in driver
+    memory — tests/test_scd2_recovery.py kills the stream mid-batch
+    and proves the checkpoint-restarted dimension hash-equals the
+    one-shot rebuild."""
     import pyarrow.parquet as pq
 
-    from pyspark.sql import Window
+    from batchprocessor_spark.streaming.scd2 import latest_snapshot, merge_batch
 
     events_path = os.path.join(sf_dir, "events.parquet")
     table = pq.read_table(
@@ -1033,85 +1040,9 @@ def q_stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = table.num_rows
     step = (rows + n_slices - 1) // n_slices
     slices = [table.slice(i * step, step) for i in range(n_slices)]
-    state = {"dim": None}  # path of the latest snapshot
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        with_prev = batch_df.withColumn("prev", F.lag("event_type").over(w))
-        if state["dim"] is None:
-            open_rows = None
-            prev_dim = None
-        else:
-            prev_dim = spark.read.parquet(state["dim"])
-            open_rows = prev_dim.where(F.col("is_current") == 1).select(
-                "user_id",
-                F.col("state").alias("open_state"),
-                F.col("version").alias("open_version"),
-            )
-        if open_rows is not None:
-            cand = with_prev.join(open_rows, "user_id", "left")
-        else:
-            cand = (
-                with_prev.withColumn("open_state", F.lit(None).cast("string"))
-                .withColumn("open_version", F.lit(None).cast("int"))
-            )
-        changes = cand.where(
-            (
-                F.col("prev").isNull()
-                & (
-                    F.col("open_state").isNull()
-                    | (F.col("open_state") != F.col("event_type"))
-                )
-            )
-            | (F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type")))
-        )
-        lead_ts = F.lead("ts").over(w)
-        new_rows = changes.select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            (
-                F.coalesce(F.col("open_version"), F.lit(0))
-                + F.row_number().over(w)
-            ).cast("int").alias("version"),
-            F.unix_timestamp("ts").alias("valid_from_s"),
-            F.coalesce(F.unix_timestamp(lead_ts), F.lit(-1)).alias("valid_to_s"),
-            F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
-        )
-        if prev_dim is None:
-            snapshot = new_rows
-        else:
-            # close each open row whose user has a new first change
-            first_change = (
-                new_rows.groupBy("user_id")
-                .agg(F.min("valid_from_s").alias("next_vf"))
-            )
-            closed = (
-                prev_dim.join(first_change, "user_id", "left")
-                .select(
-                    "user_id",
-                    "state",
-                    "version",
-                    "valid_from_s",
-                    F.when(
-                        (F.col("is_current") == 1) & F.col("next_vf").isNotNull(),
-                        F.col("next_vf"),
-                    )
-                    .otherwise(F.col("valid_to_s"))
-                    .alias("valid_to_s"),
-                    F.when(
-                        (F.col("is_current") == 1) & F.col("next_vf").isNotNull(),
-                        F.lit(0),
-                    )
-                    .otherwise(F.col("is_current"))
-                    .alias("is_current"),
-                )
-            )
-            snapshot = closed.unionByName(new_rows)
-        out = os.path.join(workdir, f"dim_v{batch_id:04d}")
-        snapshot.write.mode("overwrite").parquet(out)
-        state["dim"] = out
+        merge_batch(spark, batch_df, batch_id, workdir)
 
     stream = (
         spark.readStream.schema(
@@ -1138,6 +1069,6 @@ def q_stream_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             q.awaitTermination(30)
     shutil.rmtree(ingest, ignore_errors=True)
-    return spark.read.parquet(state["dim"]).select(
+    return spark.read.parquet(latest_snapshot(workdir)).select(
         "user_id", "state", "version", "valid_from_s", "valid_to_s", "is_current"
     )

@@ -74,19 +74,37 @@ def is_green(rec: dict | None) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
-    ap.add_argument("--sf", choices=list(SF_DIRS), action="append")
+    ap.add_argument("--sf", action="append", help="SF name to run (default: all known)")
+    ap.add_argument(
+        "--sf-dir",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="register an extra scale-factor dir (e.g. sf1=.testdata_big/sf1); "
+        "combine with --sf NAME to run just it (VERDICT r6 #3: sf1 parity)",
+    )
     ap.add_argument("--only", help="comma-separated query-name filter")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--out", help="output artifact path (default PARITY_r{NN}.json)")
     args = ap.parse_args()
 
+    for spec_str in args.sf_dir:
+        name, _, path = spec_str.partition("=")
+        if not path or not os.path.isdir(path):
+            ap.error(f"--sf-dir {spec_str}: path missing or not a directory")
+        SF_DIRS[name] = os.path.abspath(path)
+
     sfs = args.sf or list(SF_DIRS)
+    unknown = [s for s in sfs if s not in SF_DIRS]
+    if unknown:
+        ap.error(f"unknown --sf {unknown}; known: {list(SF_DIRS)} (add via --sf-dir)")
     registry = load_all()
     names = list(registry)
     if args.only:
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
 
-    out_path = f"PARITY_r{args.round:02d}.json"
+    out_path = args.out or f"PARITY_r{args.round:02d}.json"
     doc: dict = {
         "generated_by": "python -m scripts.gen_parity --round " + str(args.round),
         "round": args.round,

@@ -105,3 +105,34 @@ def test_bench_sets_are_registered(registry_names):
     assert bench.SUPERLINEAR_EXEMPT <= set(bench.SCALING_EXTRA) | set(
         bench.HEADLINE
     )
+
+
+def test_sf1_parity_artifact(registry_names):
+    """PARITY_SF1.json (VERDICT r6 #3) must cover exactly bench.py's
+    HEADLINE set and be all green — the sf1 scale point is
+    hash-verified correctness evidence, not just timings. A headline
+    change without an sf1 re-run fails here."""
+    import bench
+
+    data = json.loads((REPO / "PARITY_SF1.json").read_text())
+    keys = set(data["queries"])
+    assert keys == set(bench.HEADLINE), (
+        f"PARITY_SF1.json drifted from bench.HEADLINE: "
+        f"missing={sorted(set(bench.HEADLINE) - keys)} "
+        f"stale={sorted(keys - set(bench.HEADLINE))} — rerun "
+        "`python -m scripts.gen_parity --round <N> --sf sf1 "
+        "--sf-dir sf1=.testdata_big/sf1 --out PARITY_SF1.json "
+        "--only <headline csv>`"
+    )
+    red = [
+        (name, sf)
+        for name, per_sf in data["queries"].items()
+        for sf, rec in per_sf.items()
+        if not (
+            rec.get("rows_match")
+            and rec.get("schema_match")
+            and rec.get("hash_match")
+            and rec.get("err") is None
+        )
+    ]
+    assert not red, f"PARITY_SF1.json has red records: {red}"
