@@ -121,13 +121,32 @@ def test_soak_sustained_failures_exact_counts(spark, tmp_path):
     p.close()
 
 
-def test_soak_watermark_dedup_with_flaky_sink(spark, tmp_path):
+@pytest.mark.parametrize(
+    "state_backend",
+    [
+        pytest.param("default", id="hdfs-backed"),
+        pytest.param("rocksdb", id="rocksdb", marks=pytest.mark.slow),
+    ],
+)
+def test_soak_watermark_dedup_with_flaky_sink(spark, tmp_path, state_backend):
     """Stateful streaming dedup under sustained redelivery AND a flaky
     downstream: every event is delivered to the stream THREE times
     (consecutive epochs — an at-least-once upstream), the dedup state
     must emit each id exactly once, and the FlowController must absorb
     a failure on every third epoch's flush. Exact end state: each of
-    the 1200 unique ids in the sink exactly once, zero DLQ."""
+    the 1200 unique ids in the sink exactly once, zero DLQ.
+
+    Runs under BOTH state-store providers (VERDICT r6 #6): the default
+    in-memory map and the disk-backed RocksDB provider — the 100 TB
+    state posture (streaming/statestore.py). Same exact end state
+    either way; only WHERE state lives changes."""
+    import contextlib as _ctx
+
+    from batchprocessor_spark.streaming.statestore import rocksdb_state
+
+    backend_ctx = (
+        rocksdb_state(spark) if state_backend == "rocksdb" else _ctx.nullcontext()
+    )
     n_unique = 1200
     per_wave = 40  # new ids per epoch file
     n_waves = n_unique // per_wave  # 30 waves, ids redelivered 3x
@@ -173,12 +192,15 @@ def test_soak_watermark_dedup_with_flaky_sink(spark, tmp_path):
             .dropDuplicatesWithinWatermark(["id"])
             .select("id", "ts")
         )
-        q = (
-            deduped.writeStream.foreachBatch(forward)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
+        # Provider class is read at query START and pinned into the
+        # checkpoint — only the start needs to be inside the context.
+        with backend_ctx:
+            q = (
+                deduped.writeStream.foreachBatch(forward)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
         # Each wave file carries its NEW ids plus the two previous
         # waves' ids again (3x at-least-once delivery), all inside the
         # watermark window so the dedup state still remembers them.
