@@ -136,3 +136,23 @@ def test_sf1_parity_artifact(registry_names):
         )
     ]
     assert not red, f"PARITY_SF1.json has red records: {red}"
+
+
+def test_queries_md_tracks_registry(registry_names):
+    """QUERIES.md (VERDICT r6 #8: the describe() cards as a browsable
+    committed artifact) must list exactly the registered queries with
+    the registry's count in its header — same regen-or-fail contract
+    as COVERAGE.md."""
+    text = (REPO / "QUERIES.md").read_text()
+    m = re.search(r"^(\d+) registered queries", text, re.M)
+    assert m, "QUERIES.md lost its '<N> registered queries' header"
+    assert int(m.group(1)) == len(registry_names), (
+        f"QUERIES.md says {m.group(1)} queries but the registry has "
+        f"{len(registry_names)} — rerun "
+        "`PYTHONPATH=. python scripts/gen_queries_md.py > QUERIES.md`"
+    )
+    listed = set(re.findall(r"^### `(q_\w+)`", text, re.M))
+    assert listed == registry_names, (
+        f"QUERIES.md inventory drifted: missing={sorted(registry_names - listed)[:5]} "
+        f"stale={sorted(listed - registry_names)[:5]} — regenerate it"
+    )
