@@ -3549,3 +3549,96 @@ def q_ml_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_pinball_cents"),
     )
+
+
+@register(
+    "q_merge_snapshot_diff",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+    c AS (
+      SELECT mn + (mx - mn) // 3 AS t1,
+             mn + ((mx - mn) * 2) // 3 AS t2
+      FROM b),
+    s1 AS (
+      SELECT user_id, event_type AS state FROM events, c
+      WHERE epoch_us(ts) <= t1
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) = 1),
+    s2 AS (
+      SELECT user_id, event_type AS state FROM events, c
+      WHERE epoch_us(ts) <= t2
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) = 1),
+    d AS (
+      SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+                  WHEN s2.user_id IS NULL THEN 'removed'
+                  WHEN s1.state <> s2.state THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             s2.state AS state_now
+      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+    SELECT change_type, count(*)::BIGINT AS n_users,
+           count(DISTINCT state_now)::BIGINT AS n_states
+    FROM d GROUP BY change_type
+    """,
+    category="merge",
+)
+def q_merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the table-format audit every Delta/Iceberg
+    deployment runs between two commits: reconstruct the user-state
+    dimension AS OF two cutoff times (t1 at 1/3 and t2 at 2/3 of the
+    event span, derived in-query so the diff is scale-free), full-
+    outer-join the snapshots on the business key, and classify every
+    key as added / removed / changed / unchanged with exact counts.
+    Complements q_merge_cdc_apply (which APPLIES a changelog) by
+    answering the reverse question: given two states of the table,
+    what changed? 'removed' is structurally impossible for this
+    append-only feed and correctly never appears.
+
+    Scale posture: each snapshot is one user_id window over a
+    time-PRUNED scan (the ts <= cutoff predicate pushes to parquet
+    row-group stats; at 100 TB with date-partitioned layout it prunes
+    partitions outright); the diff join and both windows share the
+    user_id hash partitioning, and the audit output is
+    4-rows-not-|users|. Cutoffs come from one tiny min/max aggregate
+    broadcast into both branches."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    # events.ts may surface as TIMESTAMP_NTZ depending on the session's
+    # parquet path; the cast is an identity under the UTC session and
+    # makes unix_micros applicable either way.
+    em = e.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    cuts = em.agg(
+        F.min("us").alias("mn"), F.max("us").alias("mx")
+    ).select(
+        (F.col("mn") + F.expr("(mx - mn) div 3")).alias("t1"),
+        (F.col("mn") + F.expr("((mx - mn) * 2) div 3")).alias("t2"),
+    )
+
+    def snapshot(cutoff_col: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("us").desc(), F.col("event_id").desc()
+        )
+        return (
+            em.crossJoin(F.broadcast(cuts))
+            .where(F.col("us") <= F.col(cutoff_col))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("state"))
+        )
+
+    s1 = snapshot("t1").withColumnRenamed("state", "state1")
+    s2 = snapshot("t2").withColumnRenamed("state", "state2")
+    d = s1.join(s2, "user_id", "full").select(
+        F.when(s1["user_id"].isNull() | F.col("state1").isNull(), "added")
+        .when(F.col("state2").isNull(), "removed")
+        .when(F.col("state1") != F.col("state2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("state2").alias("state_now"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count_distinct("state_now").cast("long").alias("n_states"),
+    )

@@ -1787,3 +1787,97 @@ def q_llm_simsearch_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _TOP_K)
     )
+
+
+# Standardized mean difference between the two label halves, one
+# shared formula text over identically-named double columns (see
+# q_ml_linreg_normal_eq discipline): identical op sequence on both
+# engines => bit-identical doubles.
+_DRIFT_SMD = (
+    "(sa / na - sb / nb) / "
+    "sqrt(((sqqa - (sa / na) * sa) + (sqqb - (sb / nb) * sb)) / (na + nb))"
+)
+
+
+@register(
+    "q_emb_dim_drift",
+    oracle=f"""
+    WITH x AS (
+      SELECT e.label % 2 AS grp, u.i AS dim,
+             round(e.embedding[u.i]::DOUBLE * 1000000)::BIGINT AS q
+      FROM embeddings e, unnest(generate_series(1, 64)) AS u(i)),
+    m AS (
+      SELECT dim,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN grp = 0 THEN q END)::BIGINT AS s_a,
+             sum(CASE WHEN grp = 1 THEN q END)::BIGINT AS s_b,
+             sum(CASE WHEN grp = 0 THEN q * q END)::BIGINT AS sqq_a,
+             sum(CASE WHEN grp = 1 THEN q * q END)::BIGINT AS sqq_b
+      FROM x GROUP BY dim),
+    d AS (
+      SELECT dim, n_a, n_b,
+             (s_a * n_b - s_b * n_a)::BIGINT AS diff_num,
+             n_a::DOUBLE AS na, n_b::DOUBLE AS nb,
+             s_a::DOUBLE AS sa, s_b::DOUBLE AS sb,
+             sqq_a::DOUBLE AS sqqa, sqq_b::DOUBLE AS sqqb
+      FROM m)
+    SELECT dim, n_a, n_b, diff_num, round({_DRIFT_SMD}, 6) AS smd
+    FROM d
+    """,
+    category="embedding",
+)
+def q_emb_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding DRIFT between two populations (the
+    label halves stand in for e.g. last week's corpus vs this week's,
+    or encoder v1 vs v2): for each of the 64 dimensions, the
+    standardized mean difference (Cohen's-d-style, pooled population
+    variance) plus an EXACT integer cross-moment (s_a·n_b − s_b·n_a,
+    the mean-difference numerator in 1e-6 units × n_a·n_b) that flags
+    any drift without a float anywhere. This is the embedding-QA
+    check a retrieval pipeline runs before swapping in a re-encoded
+    corpus — a shifted dimension breaks every cached dot product.
+    Exactness: components quantize to 1e-6 integer units first, group
+    moments are exact integer sums, and the SMD stage is one shared
+    formula text over identically-named double columns.
+
+    Scale posture: one explode + one 64-row conditional aggregate
+    with map-side combine — per-row work is dims×2 adds; no window,
+    no join, no second pass (contrast q_emb_standardize, which needs
+    the broadcast-back because its OUTPUT is per-value). At 100 TB
+    and 4k dims this stays a single shuffle of 4k rows per mapper."""
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    x = e.select(
+        (F.col("label") % 2).alias("grp"),
+        F.posexplode("embedding").alias("dim0", "valf"),
+    ).select(
+        "grp",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("valf").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = F.col("grp") == 0
+    b = F.col("grp") == 1
+    m = x.groupBy("dim").agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(a, dec(F.col("q")))).cast("long").alias("s_a"),
+        F.sum(F.when(b, dec(F.col("q")))).cast("long").alias("s_b"),
+        F.sum(F.when(a, dec(F.col("q") * F.col("q")))).cast("long").alias("sqq_a"),
+        F.sum(F.when(b, dec(F.col("q") * F.col("q")))).cast("long").alias("sqq_b"),
+    )
+    d = m.selectExpr(
+        "dim",
+        "n_a",
+        "n_b",
+        "CAST(s_a * n_b - s_b * n_a AS BIGINT) AS diff_num",
+        "CAST(n_a AS DOUBLE) AS na",
+        "CAST(n_b AS DOUBLE) AS nb",
+        "CAST(s_a AS DOUBLE) AS sa",
+        "CAST(s_b AS DOUBLE) AS sb",
+        "CAST(sqq_a AS DOUBLE) AS sqqa",
+        "CAST(sqq_b AS DOUBLE) AS sqqb",
+    )
+    return d.selectExpr(
+        "dim", "n_a", "n_b", "diff_num", f"round({_DRIFT_SMD}, 6) AS smd"
+    )

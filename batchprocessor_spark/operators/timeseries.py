@@ -1453,3 +1453,88 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_id")
     )
+
+
+@register(
+    "q_ts_holt",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    o AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    f AS (
+      SELECT event_type, rn, n,
+             cents::DOUBLE AS l, 0.0::DOUBLE AS b
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.rn, o.n,
+             0.5 * o.cents::DOUBLE + 0.5 * (f.l + f.b),
+             0.5 * ((0.5 * o.cents::DOUBLE + 0.5 * (f.l + f.b)) - f.l)
+               + 0.5 * f.b
+      FROM f JOIN o ON o.event_type = f.event_type AND o.rn = f.rn + 1)
+    SELECT event_type, n::BIGINT AS n_days,
+           l AS level, b AS trend, l + b AS forecast_next
+    FROM f WHERE rn = n
+    """,
+    category="timeseries",
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend,
+    α = β = 1/2) over the per-day value totals of each event type,
+    emitting the final smoothed level, trend, and one-step forecast —
+    the classic short-horizon forecaster a metrics warehouse runs per
+    series. Unlike q_ts_ewma (whose single-state recursion unrolls
+    into a lag-weighted window sum), the two-state Holt recursion has
+    no fixed-depth unrolling, so the engine folds each series with
+    `F.aggregate` over its time-ordered day array and the oracle runs
+    the IDENTICAL recurrence as a recursive CTE. Exactness: cents are
+    exact integers; α = β = 1/2 makes every multiplication an exact
+    halving, and the adds/subtracts appear in the same operand order
+    in both engines' formula text — bit-identical doubles, no rounding
+    lanes needed (the shared-formula discipline of
+    q_ml_linreg_normal_eq, extended to a sequential fold).
+
+    Scale posture: one map-side-combined day aggregate, then
+    collect_list per series — state is O(days-per-series) (~30 here,
+    bounded by retention in production), never O(events); the fold is
+    a single catalyst higher-order function, JVM-side, no Python. One
+    exchange on event_type total. A 100 TB deployment runs this per
+    (metric, entity) key with millions of independent series — the
+    same plan, embarrassingly parallel across keys."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"))
+    series = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    y = lambda x: x["cents"].cast("double")  # noqa: E731
+    l_new = lambda acc, x: F.lit(0.5) * y(x) + F.lit(0.5) * (  # noqa: E731
+        acc["l"] + acc["b"]
+    )
+    state = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1)["cents"].cast("double").alias("l"),
+            F.lit(0.0).alias("b"),
+        ),
+        lambda acc, x: F.struct(
+            l_new(acc, x).alias("l"),
+            (
+                F.lit(0.5) * (l_new(acc, x) - acc["l"])
+                + F.lit(0.5) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + state["b"]).alias("forecast_next"),
+    )
