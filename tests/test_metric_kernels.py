@@ -1150,3 +1150,144 @@ def test_scd2_incremental_equals_oneshot(events, n_batches):
     step = max(1, len(events) // n_batches)
     boundaries = list(range(step, len(events), step))
     assert _scd2_incremental(events, boundaries) == _scd2_oneshot(events)
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing (q_ts_holt): pure-python reference
+# fold sharing no code with the Spark F.aggregate lambda or the DuckDB
+# recursive CTE. alpha=beta=1/2 makes every step exactly representable
+# (halvings are exact in binary floating point when operands are),
+# so the comparison is EXACT equality, not approx.
+# ---------------------------------------------------------------------------
+
+
+def _holt_reference(values):
+    level, trend = float(values[0]), 0.0
+    for y in values[1:]:
+        l_new = 0.5 * y + 0.5 * (level + trend)
+        trend = 0.5 * (l_new - level) + 0.5 * trend
+        level = l_new
+    return level, trend
+
+
+def test_holt_matches_python_reference(spark):
+    """The engine's Holt fold must equal the independent python
+    recurrence applied to the same per-day cents series, exactly."""
+    rows = REGISTRY["q_ts_holt"].builder(spark, SF_SMALL).collect()
+    assert rows, "holt output empty"
+    # Rebuild each series independently: pandas day-truncate + integer
+    # cents, no Spark/DuckDB involved.
+    events = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ]
+    ts = pd.to_datetime(events["ts"], utc=False)
+    events = events.assign(
+        day=ts.dt.floor("D"),
+        cents=(events["value"] * 100).round().astype("int64"),
+    )
+    daily = (
+        events.groupby(["event_type", "day"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["event_type", "day"])
+    )
+    for r in rows:
+        series = daily[daily["event_type"] == r.event_type]["cents"].tolist()
+        assert r.n_days == len(series), r.event_type
+        level, trend = _holt_reference(series)
+        assert r.level == level, (r.event_type, r.level, level)
+        assert r.trend == trend, (r.event_type, r.trend, trend)
+        assert r.forecast_next == level + trend
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=40
+    )
+)
+@SETTINGS
+def test_holt_reference_properties(values):
+    """Sanity properties of the recurrence itself: constant series →
+    level equals the constant and trend decays to ~0; exact linear
+    ramp → forecast stays within the ramp's convex hull extension."""
+    level, trend = _holt_reference([float(v) for v in values])
+    if len(set(values)) == 1:
+        assert level == values[0] if len(values) == 1 else abs(
+            level - values[0]
+        ) < abs(values[0]) * 1e-9 + 1e-9
+        assert abs(trend) < abs(values[0]) * 1e-9 + 1e-9
+    lo, hi = min(values), max(values)
+    span = hi - lo
+    assert lo - 2 * span - 1e-9 <= level <= hi + 2 * span + 1e-9
+
+
+def test_snapshot_diff_matches_python_reference(spark):
+    """q_merge_snapshot_diff's classification counts re-derived with
+    pandas only: state-as-of via sort+groupby-last at the same integer
+    cutoffs, then a dict diff."""
+    rows = {
+        r.change_type: (r.n_users, r.n_states)
+        for r in REGISTRY["q_merge_snapshot_diff"].builder(spark, SF_SMALL).collect()
+    }
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "event_type", "ts", "event_id"]
+    ]
+    us = pd.to_datetime(ev["ts"]).astype("int64") // 1000  # ns -> us
+    ev = ev.assign(us=us)
+    mn, mx = int(ev["us"].min()), int(ev["us"].max())
+    t1 = mn + (mx - mn) // 3
+    t2 = mn + ((mx - mn) * 2) // 3
+
+    def state_at(t):
+        sub = ev[ev["us"] <= t].sort_values(["us", "event_id"])
+        return sub.groupby("user_id")["event_type"].last().to_dict()
+
+    s1, s2 = state_at(t1), state_at(t2)
+    diff = {}
+    for u in set(s1) | set(s2):
+        if u not in s1:
+            kind = "added"
+        elif u not in s2:
+            kind = "removed"
+        elif s1[u] != s2[u]:
+            kind = "changed"
+        else:
+            kind = "unchanged"
+        diff.setdefault(kind, [0, set()])
+        diff[kind][0] += 1
+        if u in s2:
+            diff[kind][1].add(s2[u])
+    expect = {k: (n, len(states)) for k, (n, states) in diff.items()}
+    assert rows == expect
+
+
+def test_emb_dim_drift_matches_numpy_reference(spark):
+    """q_emb_dim_drift's exact integer cross-moment and SMD re-derived
+    with numpy from the raw parquet."""
+    got = {
+        r.dim: (r.n_a, r.n_b, r.diff_num, r.smd)
+        for r in REGISTRY["q_emb_dim_drift"].builder(spark, SF_SMALL).collect()
+    }
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = np.vstack(emb["embedding"].to_numpy())
+    q = np.round(vecs.astype("float64") * 1_000_000).astype("int64")
+    grp = (emb["label"].to_numpy() % 2).astype(bool)  # True = group b
+    a, b = q[~grp], q[grp]
+    for dim in range(1, q.shape[1] + 1):
+        xa, xb = a[:, dim - 1], b[:, dim - 1]
+        na, nb = len(xa), len(xb)
+        sa, sb = int(xa.sum()), int(xb.sum())
+        sqqa = int((xa.astype(object) * xa.astype(object)).sum())
+        sqqb = int((xb.astype(object) * xb.astype(object)).sum())
+        diff_num = sa * nb - sb * na
+        sa_d, sb_d, na_d, nb_d = float(sa), float(sb), float(na), float(nb)
+        smd = (sa_d / na_d - sb_d / nb_d) / math.sqrt(
+            (
+                (float(sqqa) - (sa_d / na_d) * sa_d)
+                + (float(sqqb) - (sb_d / nb_d) * sb_d)
+            )
+            / (na_d + nb_d)
+        )
+        n_a, n_b, dn, got_smd = got[dim]
+        assert (n_a, n_b) == (na, nb)
+        assert dn == diff_num, (dim, dn, diff_num)
+        assert abs(got_smd - smd) <= 1e-6, (dim, got_smd, smd)

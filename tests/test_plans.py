@@ -1205,3 +1205,48 @@ def test_scd2_pointintime_no_join_two_user_exchanges(spark):
     assert plan.count("Exchange hashpartitioning(user_id") == 2, plan
     assert "Window" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_holt_is_single_exchange_jvm_fold(spark):
+    """q_ts_holt: the per-series fold is a catalyst higher-order
+    function — one event_type exchange for the collect_list, zero
+    Python nodes, no window, no join (the whole recurrence is inside
+    the aggregate projection)."""
+    plan = plan_of(spark, "q_ts_holt")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(event_type") >= 1, plan
+    # day pre-aggregate + series aggregate only — no third shuffle key.
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"event_type"}, keys
+
+
+def test_snapshot_diff_shares_user_id_partitioning(spark):
+    """q_merge_snapshot_diff: both as-of windows and the diff join run
+    on user_id hash partitioning (no other join key appears), the
+    cutoff aggregate broadcasts, and nothing degenerates to a
+    cartesian product."""
+    import re
+
+    plan = plan_of(spark, "q_merge_snapshot_diff")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert "user_id" in keys, keys
+    # change_type agg is the only non-user_id shuffle.
+    assert keys <= {"user_id", "change_type"}, keys
+
+
+def test_emb_dim_drift_is_one_aggregate_no_join(spark):
+    """q_emb_dim_drift: explode + a single partial/final hash
+    aggregate pair on dim — no join, no window, no Python in the hot
+    path (contrast q_emb_standardize, which legitimately needs the
+    moment broadcast-back for its per-value output)."""
+    plan = plan_of(spark, "q_emb_dim_drift")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(dim") == 1, plan
+    assert "partial_sum" in plan, plan
