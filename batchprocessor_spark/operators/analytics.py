@@ -3642,3 +3642,109 @@ def q_merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.count_distinct("state_now").cast("long").alias("n_states"),
     )
+
+
+# windowFunnel chain budget: the whole view->click->purchase chain
+# must fit in 6 hours from the view (6h picked where the fixture
+# splits users across all depths; production tunes per product).
+_FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "q_funnel_time_window",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+    x AS (
+      SELECT user_id, event_type, us, event_id,
+             last_value(CASE WHEN event_type = 'view' THEN us END
+               IGNORE NULLS) OVER w AS lv
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    y AS (
+      SELECT user_id, event_type, us, lv,
+             last_value(CASE WHEN event_type = 'click' THEN lv END
+               IGNORE NULLS) OVER w AS c_lv
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    d AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND c_lv IS NOT NULL
+                       AND c_lv >= us - {_FUNNEL_WINDOW_US} THEN 3
+                      WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND lv >= us - {_FUNNEL_WINDOW_US} THEN 2
+                      WHEN event_type = 'view' THEN 1
+                      ELSE 0 END) AS depth
+      FROM y GROUP BY user_id)
+    SELECT depth, count(*)::BIGINT AS n_users FROM d GROUP BY depth
+    """,
+    category="analytics",
+)
+def q_funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded ordered funnel (the ClickHouse ``windowFunnel``
+    shape): per user, the deepest view→click→purchase chain whose
+    WHOLE span fits inside a 6-hour window anchored at the view —
+    the third funnel variant next to q_funnel_conversion (gaps
+    allowed, unbounded) and q_seq_pattern_match (strictly
+    consecutive). Emits users per max depth (0–3).
+
+    The naive formulation is an EXISTS over (view, click, purchase)
+    triples — a triangular triple self-join that explodes at scale.
+    This implementation is two cascaded carry windows over ONE
+    user_id partitioning: carry the latest view time onto every row,
+    then carry (from the latest click) that click's carried view
+    time; a purchase then witnesses depth 3 iff that twice-carried
+    view is within the window (greedy latest-view choice is optimal,
+    so EXISTS ⇔ the carried witness qualifies — brute-force-checked
+    in tests/test_metric_kernels.py). Zero joins, timeline scanned
+    once.
+
+    Scale posture: one Exchange on user_id; both windows share the
+    partitioning+sort so Catalyst evaluates them in one WindowExec
+    chain without a second shuffle; the per-user reduce and the
+    4-row depth aggregate are map-side-combined."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    t = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = t.withColumn(
+        "lv",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("us")), ignorenulls=True
+        ).over(w),
+    )
+    y = x.withColumn(
+        "c_lv",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("lv")), ignorenulls=True
+        ).over(w),
+    )
+    T = F.lit(_FUNNEL_WINDOW_US)
+    depth = F.max(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("c_lv").isNotNull()
+            & (F.col("c_lv") >= F.col("us") - T),
+            3,
+        )
+        .when(
+            (F.col("event_type") == "click")
+            & F.col("lv").isNotNull()
+            & (F.col("lv") >= F.col("us") - T),
+            2,
+        )
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    ).alias("depth")
+    d = y.groupBy("user_id").agg(depth)
+    return d.groupBy("depth").agg(F.count(F.lit(1)).cast("long").alias("n_users"))

@@ -1231,7 +1231,12 @@ def test_snapshot_diff_matches_python_reference(spark):
     ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
         ["user_id", "event_type", "ts", "event_id"]
     ]
-    us = pd.to_datetime(ev["ts"]).astype("int64") // 1000  # ns -> us
+    # normalize to ns first (pandas may read the parquet as
+    # datetime64[us]); the diff classification is unit-scale-free, but
+    # keep the column honestly µs anyway
+    us = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+    )
     ev = ev.assign(us=us)
     mn, mx = int(ev["us"].min()), int(ev["us"].max())
     t1 = mn + (mx - mn) // 3
@@ -1291,3 +1296,50 @@ def test_emb_dim_drift_matches_numpy_reference(spark):
         assert (n_a, n_b) == (na, nb)
         assert dn == diff_num, (dim, dn, diff_num)
         assert abs(got_smd - smd) <= 1e-6, (dim, got_smd, smd)
+
+
+def test_funnel_time_window_matches_bruteforce(spark):
+    """q_funnel_time_window's carry-window formulation vs the literal
+    EXISTS-over-triples definition, brute-forced per user in python:
+    depth 3 iff some view<=click<=purchase chain spans <= T from the
+    view; depth 2 iff some view<=click within T; depth 1 iff any view.
+    This is the proof the greedy latest-view carry is equivalent to
+    EXISTS — the one step the shared window formulation could get
+    wrong on both engines at once."""
+    from batchprocessor_spark.operators.analytics import _FUNNEL_WINDOW_US
+
+    got = {
+        r.depth: r.n_users
+        for r in REGISTRY["q_funnel_time_window"].builder(spark, SF_SMALL).collect()
+    }
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "event_type", "ts", "event_id"]
+    ]
+    # normalize to ns BEFORE the integer cast — pandas may surface the
+    # parquet timestamps as datetime64[us], where astype(int64) would
+    # yield µs and the //1000 below would silently produce ms
+    ev = ev.assign(
+        us=pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 1000
+    )
+    T = _FUNNEL_WINDOW_US
+    expect: dict[int, int] = {}
+    for _, g in ev.sort_values(["us", "event_id"]).groupby("user_id"):
+        views = g[g.event_type == "view"]["us"].tolist()
+        clicks = g[g.event_type == "click"]["us"].tolist()
+        buys = g[g.event_type == "purchase"]["us"].tolist()
+        depth = 0
+        if views:
+            depth = 1
+        if any(v <= c <= v + T for v in views for c in clicks):
+            depth = 2
+        if any(
+            v <= c <= p <= v + T
+            for v in views
+            for c in clicks
+            for p in buys
+            if c >= v
+        ):
+            depth = 3
+        expect[depth] = expect.get(depth, 0) + 1
+    assert got == expect

@@ -1250,3 +1250,13 @@ def test_emb_dim_drift_is_one_aggregate_no_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(dim") == 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_funnel_time_window_single_exchange_no_join(spark):
+    """q_funnel_time_window: the EXISTS-over-triples semantics must
+    run as cascaded carry windows on ONE user_id exchange — no join
+    operator anywhere, both windows inside the same partitioning."""
+    plan = plan_of(spark, "q_funnel_time_window")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
