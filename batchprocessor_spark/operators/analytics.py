@@ -3748,3 +3748,74 @@ def q_funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("depth")
     d = y.groupBy("user_id").agg(depth)
     return d.groupBy("depth").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@register(
+    "q_dq_null_profile",
+    oracle="""
+    SELECT 'customer' AS tbl, 'c_acctbal' AS col,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           count(DISTINCT c_acctbal)::BIGINT AS n_distinct
+    FROM customer
+    UNION ALL
+    SELECT 'orders', 'o_orderpriority', count(*)::BIGINT,
+           sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT o_orderpriority)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag', count(*)::BIGINT,
+           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT l_returnflag)::BIGINT
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', 'props', count(*)::BIGINT,
+           sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           count(DISTINCT props)::BIGINT
+    FROM events
+    """,
+    category="dq",
+)
+def q_dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE null/cardinality audit — the catalog-wide health
+    check a warehouse runs nightly: for one representative column per
+    fact table, exact row count, null count, and exact distinct
+    cardinality, unioned into a single scorecard. Complements
+    q_profile_columns (deep single-table profile) with the wide
+    many-table sweep, and q_dq_expectations (assertions) with raw
+    measurements.
+
+    Scale posture: each leg is ONE aggregate over a single-column
+    pruned scan (ReadSchema carries just the audited column);
+    count(DISTINCT) is Spark's standard two-phase expand — at 100 TB
+    swap in approx_count_distinct per the q_agg_approx pattern if
+    exactness isn't required. The union is plan-free concatenation of
+    four 1-row results."""
+    legs = [
+        ("customer", "c_acctbal"),
+        ("orders", "o_orderpriority"),
+        ("lineitem", "l_returnflag"),
+        ("events", "props"),
+    ]
+    outs = []
+    for tbl, col in legs:
+        t = load_table(spark, sf_dir, tbl).select(col)
+        outs.append(
+            t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+            ).select(
+                F.lit(tbl).alias("tbl"),
+                F.lit(col).alias("col"),
+                "n_rows",
+                "n_null",
+                "n_distinct",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

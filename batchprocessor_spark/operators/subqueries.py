@@ -153,3 +153,43 @@ def q_subq_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """
     )
+
+
+_NOT_IN_SQL = """
+    WITH keys AS (
+      SELECT CASE WHEN n_nationkey % 7 = 3 THEN NULL
+                  ELSE n_nationkey END AS k
+      FROM nation),
+    naive AS (
+      SELECT count(*) AS n FROM customer
+      WHERE c_nationkey NOT IN (SELECT k FROM keys)),
+    filtered AS (
+      SELECT count(*) AS n FROM customer
+      WHERE c_nationkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)),
+    hit AS (
+      SELECT count(*) AS n FROM customer
+      WHERE c_nationkey IN (SELECT k FROM keys))
+    SELECT CAST((SELECT n FROM naive) AS BIGINT) AS naive_not_in,
+           CAST((SELECT n FROM filtered) AS BIGINT) AS filtered_not_in,
+           CAST((SELECT n FROM hit) AS BIGINT) AS in_matches,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS total
+"""
+
+
+@register("q_subq_not_in_nullaware", oracle=_NOT_IN_SQL, category="subquery")
+def q_subq_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN against a NULL-bearing subquery — SQL's tri-valued-logic
+    footgun, exercised deliberately: with any NULL in the subquery,
+    `x NOT IN (...)` can never be TRUE (x <> NULL is UNKNOWN), so the
+    naive lane returns 0 rows while the null-filtered lane returns the
+    real complement; the one-row audit emits both counts plus the IN
+    side and the total, so the invariant filtered = total − in_matches
+    (and naive = 0 whenever a NULL exists) is hash-checked against
+    DuckDB's implementation of the same standard semantics.
+
+    Scale posture: Spark plans the naive lane as a NULL-aware anti
+    join (broadcast here — the subquery is tiny; at scale it stays a
+    broadcast because NOT-IN subqueries that need null-awareness must
+    fit the build side) and the filtered lane as an ordinary
+    broadcast anti join."""
+    return _sql(spark, sf_dir, _NOT_IN_SQL)
