@@ -101,3 +101,105 @@ def test_stateful_queries_oracle_parity_under_rocksdb(spark, name):
     with rocksdb_state(spark):
         df = spec.builder(spark, SF_ORACLE)
     compare(df, duckdb_run(spec.oracle, SF_ORACLE), f"{name}@rocksdb")
+
+
+@pytest.mark.parametrize(
+    "backend",
+    [
+        pytest.param("default", id="hdfs-backed"),
+        pytest.param("rocksdb", id="rocksdb"),
+    ],
+)
+def test_dedup_state_survives_restart(spark, tmp_path, backend):
+    """Keyed state RELOAD across a stop/restart: a watermark-dedup
+    stream ingests waves 0..2, stops cleanly, a NEW query starts on
+    the same checkpoint (state restored from the store snapshot /
+    changelog), and waves 3..5 arrive — each re-delivering earlier
+    ids. If restored state were lost, the redelivered ids would pass
+    the dedup a second time; the end state must be every id exactly
+    once. Complements test_scd2_recovery (which rebuilds merge state
+    from DISK snapshots, bypassing the state store) by proving the
+    STATE-STORE recovery path itself, under both providers."""
+    from batchprocessor_spark.streaming.statestore import rocksdb_state
+
+    import contextlib as _ctx
+
+    per_wave = 50
+    n_waves = 6
+    ingest = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out: list[int] = []
+    os.makedirs(ingest)
+
+    def forward(batch_df, batch_id: int) -> None:
+        out.extend(int(r.id) for r in batch_df.select("id").collect())
+
+    def build_stream():
+        stream = spark.readStream.schema("id BIGINT, ts TIMESTAMP").parquet(ingest)
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["id"])
+            .writeStream.foreachBatch(forward)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+        )
+
+    def drop_wave(w: int) -> None:
+        # new ids plus the previous wave's ids again (at-least-once
+        # upstream), all inside the watermark window
+        ids = list(range(w * per_wave, (w + 1) * per_wave))
+        if w > 0:
+            ids += list(range((w - 1) * per_wave, w * per_wave))
+        pd.DataFrame(
+            {
+                "id": ids,
+                "ts": [pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=w)]
+                * len(ids),
+            }
+        ).to_parquet(
+            os.path.join(ingest, f"wave_{w:04d}.parquet"),
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    def backend_ctx():
+        # fresh instance per use — generator-based context managers
+        # are single-shot
+        return rocksdb_state(spark) if backend == "rocksdb" else _ctx.nullcontext()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with backend_ctx():
+            q = build_stream().start()
+        try:
+            for w in range(3):
+                drop_wave(w)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        n_before = len(out)
+        assert sorted(out) == list(range(3 * per_wave)), "pre-restart dedup broken"
+
+        # Restart on the same checkpoint: the dedup state for waves
+        # 0..2 must come back from the store, so wave 3's redelivery
+        # of wave-2 ids is still suppressed.
+        with backend_ctx():
+            q2 = build_stream().start()
+        try:
+            for w in range(3, n_waves):
+                drop_wave(w)
+                q2.processAllAvailable()
+        finally:
+            q2.stop()
+            q2.awaitTermination(30)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert n_before < len(out)
+    assert sorted(out) == list(range(n_waves * per_wave)), (
+        f"state lost across restart: {len(out)} delivered, "
+        f"{len(set(out))} unique"
+    )
