@@ -3819,3 +3819,176 @@ def q_dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "q_events_rolling_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day
+      FROM events),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    fan AS (
+      SELECT DISTINCT ud.user_id, ud.day + u.x::INT AS d
+      FROM ud, unnest(generate_series(0, 6)) AS u(x), b
+      WHERE ud.day + u.x::INT BETWEEN b.lo AND b.hi),
+    wau AS (SELECT d, count(*)::BIGINT AS wau_7 FROM fan GROUP BY d),
+    dau AS (SELECT day AS d, count(*)::BIGINT AS dau FROM ud GROUP BY day)
+    SELECT strftime(w.d, '%Y-%m-%d') AS day,
+           coalesce(dau.dau, 0)::BIGINT AS dau, w.wau_7,
+           ((10000 * coalesce(dau.dau, 0)) // w.wau_7)::BIGINT
+             AS dau_wau_bp
+    FROM wau w LEFT JOIN dau ON dau.d = w.d
+    """,
+    category="events",
+)
+def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per calendar day (DAU + trailing
+    WAU + DAU/WAU stickiness in basis points) — the engagement
+    time-series behind every growth dashboard. The naive formulation
+    is COUNT(DISTINCT user) OVER a 7-day range window, which Spark
+    rejects (no DISTINCT in windows) and which would hold per-day user
+    SETS in window state anyway. Instead each distinct (user, day)
+    fans out to the ≤7 trailing report days it contributes to, a
+    second distinct collapses multi-day users once per report day,
+    and a plain count finishes — bounded 7× fan-out with map-side
+    combine, no window state, no sets (the q_agg_bitmap_distinct
+    alternative trades the fan-out for bitmap unions when the window
+    is long).
+
+    Scale posture: three hash exchanges — (user,day) distinct,
+    (user,d) distinct after the literal-bounded explode, and the d
+    aggregate; the day-bounds filter broadcasts. A 100 TB events feed
+    with 90-day windows would switch to per-bucket bitmaps; at 7 days
+    the fan-out is strictly cheaper."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ud = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias("day"),
+    ).distinct()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("d"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("d").between(F.col("lo"), F.col("hi")))
+        .select("user_id", "d")
+        .distinct()
+    )
+    wau = fan.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("wau_7"))
+    dau = ud.groupBy(F.col("day").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    return (
+        wau.join(dau, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            "wau_7",
+            F.expr("(10000 * coalesce(dau, 0)) div wau_7")
+            .cast("long")
+            .alias("dau_wau_bp"),
+        )
+    )
+
+
+# Two-sided alpha=0.05 / power=0.80 normal quantiles, written as
+# literals in ONE shared formula text (q_ml_linreg_normal_eq
+# discipline) so both engines run the identical double ops.
+_POWER_FORMULAS = {
+    "delta": "(sx2 / n2 - sx1 / n1)",
+    "s2p": (
+        "(((sxx1 - (sx1 / n1) * sx1) / (n1 - 1))"
+        " + ((sxx2 - (sx2 / n2) * sx2) / (n2 - 1))) / 2"
+    ),
+}
+_POWER_FORMULAS["mde"] = (
+    f"(1.959963984540054 + 0.8416212335729143)"
+    f" * sqrt(2.0 * ({_POWER_FORMULAS['s2p']}) / least(n1, n2))"
+)
+_POWER_FORMULAS["n_required"] = (
+    f"ceil(2.0 * (1.959963984540054 + 0.8416212335729143)"
+    f" * (1.959963984540054 + 0.8416212335729143)"
+    f" * ({_POWER_FORMULAS['s2p']})"
+    f" / (({_POWER_FORMULAS['delta']}) * ({_POWER_FORMULAS['delta']})))"
+)
+
+
+@register(
+    "q_ab_power_mde",
+    oracle=f"""
+    WITH s AS (
+      SELECT count(*) FILTER (event_type = 'click')::BIGINT AS n1_i,
+             sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'click') AS sx1_i,
+             sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)
+               FILTER (event_type = 'click') AS sxx1_i,
+             count(*) FILTER (event_type = 'purchase')::BIGINT AS n2_i,
+             sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase') AS sx2_i,
+             sum(round(value * 100)::BIGINT * round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase') AS sxx2_i
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    d AS (
+      SELECT n1_i AS n1_out, n2_i AS n2_out,
+             n1_i::DOUBLE AS n1, sx1_i::DOUBLE AS sx1, sxx1_i::DOUBLE AS sxx1,
+             n2_i::DOUBLE AS n2, sx2_i::DOUBLE AS sx2, sxx2_i::DOUBLE AS sxx2
+      FROM s)
+    SELECT n1_out AS n1, n2_out AS n2,
+           round({_POWER_FORMULAS['delta']}, 6) AS delta_cents,
+           round({_POWER_FORMULAS['mde']}, 6) AS mde_cents,
+           ({_POWER_FORMULAS['n_required']})::BIGINT AS n_required
+    FROM d
+    """,
+    category="experimentation",
+)
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis from observed moments: with the click arm as
+    control and the purchase arm as treatment (the q_ab_welch_ttest
+    fixture convention), compute the observed mean delta, the minimum
+    detectable effect at alpha=0.05 two-sided / 80% power given the
+    CURRENT per-arm n, and the required per-arm n to detect the
+    OBSERVED delta — the pre-experiment sizing / post-experiment
+    sensitivity readout every experimentation platform serves next to
+    the t-test. Exactness: integer-cents moments (one conditional
+    aggregate), then one shared formula text with the normal quantiles
+    as literals — identical double ops on both engines; the only
+    integer output (n_required) is ceil of an identical double.
+
+    Scale posture: a single map-side-combined aggregate over a pushed
+    two-value IN filter; the formula stage is 1-row scalar math.
+    Per-experiment versions add the grouping key to the same plan."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "purchase"
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = e.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1_i"),
+        F.sum(F.when(is1, dec(cents))).cast("long").alias("sx1_i"),
+        F.sum(F.when(is1, dec(cents * cents))).cast("long").alias("sxx1_i"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("long").alias("n2_i"),
+        F.sum(F.when(is2, dec(cents))).cast("long").alias("sx2_i"),
+        F.sum(F.when(is2, dec(cents * cents))).cast("long").alias("sxx2_i"),
+    )
+    d = s.selectExpr(
+        "n1_i AS n1_out",
+        "n2_i AS n2_out",
+        "CAST(n1_i AS DOUBLE) AS n1",
+        "CAST(sx1_i AS DOUBLE) AS sx1",
+        "CAST(sxx1_i AS DOUBLE) AS sxx1",
+        "CAST(n2_i AS DOUBLE) AS n2",
+        "CAST(sx2_i AS DOUBLE) AS sx2",
+        "CAST(sxx2_i AS DOUBLE) AS sxx2",
+    )
+    return d.selectExpr(
+        "n1_out AS n1",
+        "n2_out AS n2",
+        f"round({_POWER_FORMULAS['delta']}, 6) AS delta_cents",
+        f"round({_POWER_FORMULAS['mde']}, 6) AS mde_cents",
+        f"CAST({_POWER_FORMULAS['n_required']} AS BIGINT) AS n_required",
+    )
