@@ -1343,3 +1343,59 @@ def test_funnel_time_window_matches_bruteforce(spark):
             depth = 3
         expect[depth] = expect.get(depth, 0) + 1
     assert got == expect
+
+
+def test_rolling_active_users_matches_bruteforce(spark):
+    """q_events_rolling_active_users vs a literal set-based
+    re-derivation: for each day d in range, |union of active-user sets
+    over [d-6, d]| — no fan-out trick, just sets."""
+    import datetime
+
+    rows = {
+        r.day: (r.dau, r.wau_7, r.dau_wau_bp)
+        for r in REGISTRY["q_events_rolling_active_users"]
+        .builder(spark, SF_SMALL)
+        .collect()
+    }
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[["user_id", "ts"]]
+    days = pd.to_datetime(ev["ts"]).dt.date
+    by_day: dict = {}
+    for u, d in zip(ev["user_id"], days):
+        by_day.setdefault(d, set()).add(int(u))
+    lo, hi = min(by_day), max(by_day)
+    expect = {}
+    d = lo
+    while d <= hi:
+        active = set()
+        for back in range(7):
+            active |= by_day.get(d - datetime.timedelta(days=back), set())
+        if active:
+            dau = len(by_day.get(d, set()))
+            expect[d.isoformat()] = (dau, len(active), (10000 * dau) // len(active))
+        d += datetime.timedelta(days=1)
+    assert rows == expect
+
+
+def test_power_mde_matches_python_reference(spark):
+    """q_ab_power_mde vs a from-scratch python computation over the
+    raw cents (statistics.variance-style two-pass, not the moment
+    identity) — catches a shared moment-formula mistake."""
+    r = REGISTRY["q_ab_power_mde"].builder(spark, SF_SMALL).collect()[0]
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[["event_type", "value"]]
+    cents = (ev["value"] * 100).round().astype("int64")
+    x1 = cents[ev["event_type"] == "click"].to_numpy(dtype="float64")
+    x2 = cents[ev["event_type"] == "purchase"].to_numpy(dtype="float64")
+    delta = x2.mean() - x1.mean()
+    s2p = (x1.var(ddof=1) + x2.var(ddof=1)) / 2
+    z = 1.959963984540054 + 0.8416212335729143
+    mde = z * math.sqrt(2 * s2p / min(len(x1), len(x2)))
+    n_req = math.ceil(2 * z * z * s2p / (delta * delta))
+    assert (r.n1, r.n2) == (len(x1), len(x2))
+    assert abs(r.delta_cents - delta) < 1e-6 + abs(delta) * 1e-9
+    assert abs(r.mde_cents - mde) < 1e-6 + mde * 1e-9
+    # ceil near an integer boundary could legitimately differ by 1
+    # between the two-pass and moment formulations; require exact
+    # match unless the argument is within 1e-9 of an integer.
+    assert abs(r.n_required - n_req) <= (
+        1 if abs(2 * z * z * s2p / (delta * delta) % 1) < 1e-9 else 0
+    )
