@@ -3992,3 +3992,91 @@ def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({_POWER_FORMULAS['mde']}, 6) AS mde_cents",
         f"CAST({_POWER_FORMULAS['n_required']} AS BIGINT) AS n_required",
     )
+
+
+@register(
+    "q_events_cohort_ltv",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 604800000000 AS week,
+             round(value * 100)::BIGINT AS cents
+      FROM events),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, count(*)::BIGINT AS n_users
+      FROM cohorts GROUP BY cohort_week),
+    rev AS (
+      SELECT c.cohort_week, (e.week - c.cohort_week)::BIGINT AS week_idx,
+             sum(e.cents)::BIGINT AS cents
+      FROM e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_week, week_idx, cents,
+             sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_idx
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_cents
+      FROM rev)
+    SELECT cum.cohort_week::BIGINT AS cohort_week, cum.week_idx,
+           s.n_users, cum.cents, cum.cum_cents,
+           (100 * cum.cum_cents // s.n_users)::BIGINT AS cum_cents_per_user_c2
+    FROM cum JOIN sizes s ON s.cohort_week = cum.cohort_week
+    """,
+    category="events",
+)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the revenue companion to
+    q_retention_cohorts: users are cohorted by their FIRST-activity
+    week, purchase revenue is bucketed by weeks-since-cohort-start,
+    and a running per-cohort cumulative sum yields the classic
+    (cohort × age) LTV matrix with a per-user cumulative value in
+    1/100-cent integer units. Weeks are epoch-anchored integer
+    day-groups (epoch_us ÷ 604800e6), not calendar weeks — identical
+    integer arithmetic on both engines, no locale/week-start
+    semantics to disagree on. Every column is an exact integer lane;
+    the per-user rate uses DIV on non-negative operands.
+
+    Scale posture: one user_id aggregate for cohorts, a user_id
+    equi-join to tag purchases (both sides share the partitioning),
+    a (cohort, idx)-keyed aggregate, and ONE small window over the
+    per-cohort triangle (|weeks|² rows, not |events|). The cohort
+    sizes join broadcasts. At 100 TB the triangle stays tiny —
+    window cost is independent of event volume."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 604800000000").alias(
+            "week"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_idx"),
+        )
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w).cast("long"))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        "week_idx",
+        "n_users",
+        "cents",
+        "cum_cents",
+        F.expr("(100 * cum_cents) div n_users").cast("long").alias(
+            "cum_cents_per_user_c2"
+        ),
+    )
