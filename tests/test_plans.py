@@ -1260,3 +1260,42 @@ def test_funnel_time_window_single_exchange_no_join(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_active_users_bounded_fanout_shape(spark):
+    """q_events_rolling_active_users: no window operator (the rolling
+    distinct is the bounded explode + re-distinct, never per-day sets
+    in window state), no Python, and the day-bounds filter arrives by
+    broadcast."""
+    plan = plan_of(spark, "q_events_rolling_active_users")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "Explode" in plan or "Generate" in plan, plan
+
+
+def test_power_mde_single_aggregate_pushed_filter(spark):
+    """q_ab_power_mde: one partial/final aggregate pair over a pushed
+    IN filter; the formula stage is 1-row scalar math — no join, no
+    window, no second pass."""
+    plan = plan_of(spark, "q_ab_power_mde")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "In(event_type" in plan or "PushedFilters: [" in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # single-partition final agg
+
+
+def test_cohort_ltv_small_window_broadcast_sizes(spark):
+    """q_events_cohort_ltv: the running sum windows over the tiny
+    (cohort, age) triangle, never the event table; cohort sizes join
+    by broadcast; user-side join and cohort aggregate share the
+    user_id partitioning."""
+    plan = plan_of(spark, "q_events_cohort_ltv")
+    assert "Window" in plan, plan
+    # the window consumes the (cohort_week, week_idx) AGGREGATE output,
+    # not raw events: the aggregate appears below the window
+    assert plan.find("Window") < plan.find(
+        "HashAggregate(keys=[cohort_week"
+    ), plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1, plan
