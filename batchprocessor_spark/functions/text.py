@@ -1899,3 +1899,114 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Winnowing parameters: k-gram size (words) and window size (number of
+# consecutive k-gram hashes per window). Guarantee: any shared run of
+# _WIN_K + _WIN_W - 1 words between two documents yields at least one
+# shared fingerprint (the MOSS matching guarantee).
+_WIN_K = 3
+_WIN_W = 4
+# position tie-break packing: key = hash * 2^20 + (2^20 - 1 - pos);
+# min(key) = smallest hash, rightmost position on ties (the original
+# winnowing rule, which bounds fingerprint density). Caps documents
+# at 2^20 k-grams — chunk longer docs first (q_llm_chunk_documents).
+_WIN_POS_MOD = 1 << 20
+
+
+@register(
+    "q_llm_winnowing",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(len(ws))) AS pos FROM docs),
+    g AS (
+      SELECT doc_id, pos,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+               AS gram
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY gram IS NOT NULL),
+    k AS (
+      SELECT doc_id, pos,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT * {_WIN_POS_MOD}
+               + ({_WIN_POS_MOD - 1} - pos) AS key
+      FROM g),
+    sel AS (
+      SELECT doc_id,
+             min(key) OVER w AS skey,
+             count(*) OVER w AS wn
+      FROM k
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)),
+    fp AS (SELECT DISTINCT doc_id, skey FROM sel WHERE wn = {_WIN_W})
+    SELECT doc_id, count(*)::BIGINT AS n_fp,
+           sum(skey // {_WIN_POS_MOD})::BIGINT AS fp_hash_sum,
+           min(skey // {_WIN_POS_MOD})::BIGINT AS fp_min
+    FROM fp GROUP BY doc_id
+    """,
+    category="text",
+)
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word 3-gram, slide a 4-hash window,
+    keep each window's minimum (rightmost on ties), dedupe — a
+    guaranteed-density fingerprint set where any shared ≥6-word run
+    between documents produces at least one shared fingerprint.
+    Complements q_llm_fingerprint_rolling (one hash per whole doc:
+    exact-dup only) with the local fingerprints plagiarism/clone
+    detection joins on. Per-doc audit output: fingerprint count, hash
+    checksum, minimum — a changed selection rule or window shifts all
+    three. Exactness: md5-hex-prefix hashes (identical on both
+    engines, unlike xxhash) and the tie-break packed into one BIGINT
+    key so min() implements argmin.
+
+    Scale posture: explode to k-grams, ONE doc_id window evaluating
+    lead/min/count in a single pass (all frames share the
+    partitioning+sort), distinct + aggregate — no joins; at 100 TB
+    the follow-up near-dup join is fingerprint-equality (bounded
+    buckets, the q_llm_dup_passages shape), never doc×doc. Documents
+    are capped at 2^20 k-grams by the tie-break packing — chunk
+    longer inputs first (q_llm_chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    g = (
+        words.select(
+            "doc_id",
+            "pos",
+            "w",
+            F.lead("w", 1).over(win).alias("w1"),
+            F.lead("w", 2).over(win).alias("w2"),
+        )
+        # concat_ws skips nulls, so trailing positions would produce
+        # short grams instead of NULL — require the full k words
+        # (filter on the materialized column; windows can't sit in
+        # WHERE).
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "pos", F.concat_ws(" ", "w", "w1", "w2").alias("gram"))
+    )
+    key = (
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+        * F.lit(_WIN_POS_MOD)
+        + (F.lit(_WIN_POS_MOD - 1) - F.col("pos"))
+    )
+    k = g.select("doc_id", "pos", key.alias("key"))
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    sel = k.select(
+        "doc_id",
+        F.min("key").over(wsel).alias("skey"),
+        F.count(F.lit(1)).over(wsel).alias("wn"),
+    )
+    fp = sel.where(F.col("wn") == _WIN_W).select("doc_id", "skey").distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.sum(F.expr(f"skey div {_WIN_POS_MOD}")).cast("long").alias("fp_hash_sum"),
+        F.expr(f"min(skey) div {_WIN_POS_MOD}").cast("long").alias("fp_min"),
+    )

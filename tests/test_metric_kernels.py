@@ -1399,3 +1399,66 @@ def test_power_mde_matches_python_reference(spark):
     assert abs(r.n_required - n_req) <= (
         1 if abs(2 * z * z * s2p / (delta * delta) % 1) < 1e-9 else 0
     )
+
+
+def test_winnowing_matches_python_reference(spark):
+    """q_llm_winnowing vs a from-scratch python winnowing (explicit
+    per-window scan with the rightmost-min tie rule, hashes from
+    hashlib.md5 — no Spark/DuckDB expression shared)."""
+    import hashlib
+
+    from batchprocessor_spark.functions.text import _WIN_K, _WIN_W
+
+    rows = {
+        r.doc_id: (r.n_fp, r.fp_hash_sum, r.fp_min)
+        for r in REGISTRY["q_llm_winnowing"].builder(spark, SF_SMALL).collect()
+    }
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[["doc_id", "text"]]
+    expect = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = text.split(" ")
+        grams = [
+            " ".join(ws[i : i + _WIN_K]) for i in range(len(ws) - _WIN_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        fps = set()
+        for j in range(len(hs) - _WIN_W + 1):
+            window = hs[j : j + _WIN_W]
+            m = min(window)
+            # rightmost occurrence of the min in this window
+            pos = j + max(i for i, h in enumerate(window) if h == m)
+            fps.add((m, pos))
+        fp_hashes = [h for h, _ in fps]
+        if fp_hashes:
+            expect[int(doc_id)] = (
+                len(fps),
+                sum(fp_hashes),
+                min(fp_hashes),
+            )
+    assert rows == expect
+
+
+def test_winnowing_matching_guarantee(spark):
+    """The MOSS guarantee on synthetic data: two documents sharing a
+    run of >= _WIN_K + _WIN_W - 1 words MUST share at least one
+    fingerprint (h, regardless of position)."""
+    import hashlib
+
+    from batchprocessor_spark.functions.text import _WIN_K, _WIN_W
+
+    shared = "alpha beta gamma delta epsilon zeta".split()  # 6 = k+w-1
+    assert len(shared) >= _WIN_K + _WIN_W - 1
+    d1 = ["x%d" % i for i in range(10)] + shared + ["y%d" % i for i in range(7)]
+    d2 = ["p%d" % i for i in range(4)] + shared + ["q%d" % i for i in range(12)]
+
+    def fps(ws):
+        grams = [" ".join(ws[i : i + _WIN_K]) for i in range(len(ws) - _WIN_K + 1)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        out = set()
+        for j in range(len(hs) - _WIN_W + 1):
+            out.add(min(hs[j : j + _WIN_W]))
+        return out
+
+    assert fps(d1) & fps(d2), "matching guarantee violated"
