@@ -1914,6 +1914,51 @@ _WIN_W = 4
 _WIN_POS_MOD = 1 << 20
 
 
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, skey) winnowing fingerprint selection for a
+    (doc_id, text) frame, skey = hash*2^20 + tie — the shared kernel
+    of q_llm_winnowing (per-doc audit over (hash, position) selections,
+    skey granularity) and q_llm_winnowing_pairs (MOSS matching over
+    distinct hashes, skey div 2^20). One doc_id window pass; see
+    q_llm_winnowing's docstring for the algorithm and caps."""
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    g = (
+        words.select(
+            "doc_id",
+            "pos",
+            "w",
+            F.lead("w", 1).over(win).alias("w1"),
+            F.lead("w", 2).over(win).alias("w2"),
+        )
+        # concat_ws skips nulls, so trailing positions would produce
+        # short grams instead of NULL — require the full k words
+        # (filter on the materialized column; windows can't sit in
+        # WHERE).
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "pos", F.concat_ws(" ", "w", "w1", "w2").alias("gram"))
+    )
+    key = (
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+        * F.lit(_WIN_POS_MOD)
+        + (F.lit(_WIN_POS_MOD - 1) - F.col("pos"))
+    )
+    k = g.select("doc_id", "pos", key.alias("key"))
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    sel = k.select(
+        "doc_id",
+        F.min("key").over(wsel).alias("skey"),
+        F.count(F.lit(1)).over(wsel).alias("wn"),
+    )
+    return sel.where(F.col("wn") == _WIN_W).select("doc_id", "skey").distinct()
+
+
 @register(
     "q_llm_winnowing",
     oracle=f"""
@@ -1969,44 +2014,104 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     are capped at 2^20 k-grams by the tie-break packing — chunk
     longer inputs first (q_llm_chunk_documents)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    g = (
-        words.select(
-            "doc_id",
-            "pos",
-            "w",
-            F.lead("w", 1).over(win).alias("w1"),
-            F.lead("w", 2).over(win).alias("w2"),
-        )
-        # concat_ws skips nulls, so trailing positions would produce
-        # short grams instead of NULL — require the full k words
-        # (filter on the materialized column; windows can't sit in
-        # WHERE).
-        .where(F.col("w2").isNotNull())
-        .select("doc_id", "pos", F.concat_ws(" ", "w", "w1", "w2").alias("gram"))
-    )
-    key = (
-        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
-        * F.lit(_WIN_POS_MOD)
-        + (F.lit(_WIN_POS_MOD - 1) - F.col("pos"))
-    )
-    k = g.select("doc_id", "pos", key.alias("key"))
-    wsel = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WIN_W - 1)
-    )
-    sel = k.select(
-        "doc_id",
-        F.min("key").over(wsel).alias("skey"),
-        F.count(F.lit(1)).over(wsel).alias("wn"),
-    )
-    fp = sel.where(F.col("wn") == _WIN_W).select("doc_id", "skey").distinct()
+    fp = winnowing_fingerprints(docs)
     return fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp"),
         F.sum(F.expr(f"skey div {_WIN_POS_MOD}")).cast("long").alias("fp_hash_sum"),
         F.expr(f"min(skey) div {_WIN_POS_MOD}").cast("long").alias("fp_min"),
+    )
+
+
+# Minimum shared distinct fingerprint hashes for a reported match.
+_WIN_MIN_SHARED = 3
+
+
+@register(
+    "q_llm_winnowing_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(len(ws))) AS pos FROM docs),
+    g AS (
+      SELECT doc_id, pos,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+               AS gram
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY gram IS NOT NULL),
+    k AS (
+      SELECT doc_id, pos,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT * {_WIN_POS_MOD}
+               + ({_WIN_POS_MOD - 1} - pos) AS key
+      FROM g),
+    sel AS (
+      SELECT doc_id,
+             min(key) OVER w AS skey,
+             count(*) OVER w AS wn
+      FROM k
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)),
+    fp AS (
+      SELECT DISTINCT doc_id, skey // {_WIN_POS_MOD} AS h
+      FROM sel WHERE wn = {_WIN_W}),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fp GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_shared
+      FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_WIN_MIN_SHARED})
+    SELECT s.d1, s.d2, s.n_shared,
+           ((10000 * s.n_shared) // least(s1.n_fp, s2.n_fp))::BIGINT
+             AS containment_bp
+    FROM shared s
+    JOIN sizes s1 ON s1.doc_id = s.d1
+    JOIN sizes s2 ON s2.doc_id = s.d2
+    """,
+    category="text",
+)
+def q_llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS matching: document pairs sharing >= 3 (_WIN_MIN_SHARED)
+    distinct winnowing fingerprint hashes, with a containment score
+    (shared / smaller fingerprint set, basis points) — the clone /
+    plagiarism / boilerplate-overlap report built on
+    q_llm_winnowing's fingerprints. By the winnowing guarantee a
+    reported pair shares at least one ≥6-word run per shared
+    fingerprint class; unlike the MinHash candidates (probabilistic),
+    this is a deterministic exact-set intersection on an already
+    ~10×-compressed representation.
+
+    Scale posture: the pair generation is a fingerprint-equality
+    self-join — work is Σ C(bucket,2) over fingerprint buckets,
+    bounded because winnowing hashes are near-uniform (a
+    mass-duplicated boilerplate fp is the LSH hot-bucket regime;
+    operators/skew.capped_bucket_pairs is the drop-in governor, same
+    as the minhash path). Doc-size join for the score broadcasts the
+    per-doc counts. Never doc×doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = winnowing_fingerprints(docs).select(
+        "doc_id", F.expr(f"skey div {_WIN_POS_MOD}").alias("h")
+    ).distinct()
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("d1"), "h")
+    b = fp.select(F.col("doc_id").alias("d2"), "h")
+    shared = (
+        a.join(b, "h")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_fp").alias("n2"))
+    return (
+        shared.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1",
+            "d2",
+            "n_shared",
+            F.expr("(10000 * n_shared) div least(n1, n2)")
+            .cast("long")
+            .alias("containment_bp"),
+        )
     )
