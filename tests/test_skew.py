@@ -381,3 +381,55 @@ def test_aqe_skew_join_on_skewed_orders_fixture(spark):
         sec_split,
         sec_plain,
     )
+
+
+def test_winnowing_hot_fingerprint_capped(spark):
+    """The winnowing pair join is fingerprint-equality — a 60-doc
+    boilerplate cluster puts all its docs in every one of its
+    fingerprint buckets, so the uncapped join pays C(60,2) per
+    fingerprint class while capped_bucket_pairs (the same governor the
+    minhash path uses; q_llm_winnowing_pairs' docstring names it)
+    collapses each hot bucket to a 59-edge star and leaves cold
+    buckets untouched."""
+    from batchprocessor_spark.functions.text import (
+        _WIN_POS_MOD,
+        winnowing_fingerprints,
+    )
+
+    docs = _adversarial_docs(spark)
+    fp = winnowing_fingerprints(docs).select(
+        "doc_id", F.expr(f"skey div {_WIN_POS_MOD}").alias("h")
+    ).distinct()
+    uncapped = {
+        (r.d1, r.d2)
+        for r in capped_bucket_pairs(fp, ["h"], "doc_id", None, "d1", "d2").collect()
+    }
+    capped = {
+        (r.d1, r.d2)
+        for r in capped_bucket_pairs(fp, ["h"], "doc_id", 16, "d1", "d2").collect()
+    }
+
+    def in_cluster(p):
+        return p[0] < _CLUSTER and p[1] < _CLUSTER
+
+    assert {p for p in uncapped if in_cluster(p)} == {
+        (i, j) for i in range(_CLUSTER) for j in range(i + 1, _CLUSTER)
+    }, "boilerplate cluster must co-bucket in every fingerprint class"
+    assert {p for p in capped if in_cluster(p)} == {
+        (0, j) for j in range(1, _CLUSTER)
+    }, "hot fingerprint buckets must star-collapse"
+    # The planted trigram carriers share its k-gram fingerprints
+    # (df=48 > cap), so they form a SECOND hot family: capped
+    # planted-planted pairs are a strict subset of uncapped (stars
+    # only REMOVE same-bucket pairs, never invent).
+    planted = {i for i in range(_CLUSTER, _N_DOCS) if i % 5 == 0}
+
+    def both_planted(p):
+        return p[0] in planted and p[1] in planted
+
+    assert {p for p in capped if both_planted(p)} <= {
+        p for p in uncapped if both_planted(p)
+    }
+    # pairs touching neither hot family are byte-identical
+    cold = lambda p: not in_cluster(p) and not both_planted(p)  # noqa: E731
+    assert {p for p in capped if cold(p)} == {p for p in uncapped if cold(p)}
