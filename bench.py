@@ -163,6 +163,10 @@ SCALING_EXTRA = [
     "q_profile_columns",
     "q_agg_median_distributed",
     "q_emb_pca_power",
+    # Round-7 heavy additions:
+    "q_llm_winnowing_pairs",
+    "q_llm_winnowing",
+    "q_events_rolling_active_users",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with
