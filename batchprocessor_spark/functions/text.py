@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from batchprocessor_spark.operators.skew import capped_bucket_pairs
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
@@ -2025,6 +2026,71 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Minimum shared distinct fingerprint hashes for a reported match.
 _WIN_MIN_SHARED = 3
 
+# Hot-fingerprint governor: fingerprint classes held by more than this
+# many documents (mass-duplicated boilerplate — winnowing hashes are
+# near-uniform otherwise) emit an anchor star instead of all C(k,2)
+# pairs, exactly like the minhash LSH buckets (_MAX_BUCKET_DOCS in
+# operators/dedup.py). Fixture class maxima are ~20 docs, so capped
+# and uncapped outputs coincide on every parity lane; the adversarial
+# regime is pinned in tests/test_skew.py against THIS registered
+# builder.
+_WIN_MAX_BUCKET = 1024
+
+
+def winnowing_distinct_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) distinct winnowing fingerprint HASHES (position
+    tie-break stripped) — the representation the MOSS pair matching
+    joins on. Split out of q_llm_winnowing_pairs so the plan gate can
+    inspect the un-checkpointed pipeline."""
+    return (
+        winnowing_fingerprints(docs)
+        .select("doc_id", F.expr(f"skey div {_WIN_POS_MOD}").alias("h"))
+        .distinct()
+    )
+
+
+def winnowing_pair_matches(
+    fp: DataFrame, cap: int | None = None
+) -> DataFrame:
+    """MOSS pair scoring over a distinct (doc_id, h) fingerprint frame:
+    pairs sharing >= _WIN_MIN_SHARED fingerprint classes with a
+    containment score (shared / smaller set, basis points).
+
+    Shape: pair generation goes through skew.capped_bucket_pairs
+    (dedupe=False — fp is distinct per (doc_id, h), so the per-pair
+    row count IS the shared-class count), which is ONE shuffle
+    (groupBy h → sorted member array → in-array pair expansion) with
+    the hot-bucket star governor; then one count aggregate and two
+    plain equi-joins against the per-doc sizes. No broadcast hints:
+    sizes is corpus-cardinality (one row per doc), so a forced
+    broadcast would OOM the driver at 10^9 docs — AQE picks broadcast
+    when (and only when) the table is actually small."""
+    if cap is None:
+        cap = _WIN_MAX_BUCKET
+    sizes = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    shared = (
+        capped_bucket_pairs(fp, ["h"], "doc_id", cap, dedupe=False)
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_fp").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_fp").alias("n2"))
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "n_shared",
+            F.expr("(10000 * n_shared) div least(n1, n2)")
+            .cast("long")
+            .alias("containment_bp"),
+        )
+    )
+
 
 @register(
     "q_llm_winnowing_pairs",
@@ -2080,38 +2146,24 @@ def q_llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a deterministic exact-set intersection on an already
     ~10×-compressed representation.
 
-    Scale posture: the pair generation is a fingerprint-equality
-    self-join — work is Σ C(bucket,2) over fingerprint buckets,
-    bounded because winnowing hashes are near-uniform (a
-    mass-duplicated boilerplate fp is the LSH hot-bucket regime;
-    operators/skew.capped_bucket_pairs is the drop-in governor, same
-    as the minhash path). Doc-size join for the score broadcasts the
-    per-doc counts. Never doc×doc."""
+    Scale posture: pair generation runs through
+    operators/skew.capped_bucket_pairs — one shuffle on the
+    fingerprint hash, hot classes (mass-duplicated boilerplate)
+    star-capped at _WIN_MAX_BUCKET exactly like the minhash LSH path
+    (dedup.py minhash_candidates), never doc×doc. The fingerprint
+    frame feeds pair generation AND the per-doc sizes, so it is
+    scope-cached (cache → localCheckpoint the small pair output →
+    unpersist in finally, the _minhash_pipeline pattern — nothing
+    stays pinned after return, tests/test_no_cache_leak.py) instead
+    of re-running the explode+window subtree per consumer. The sizes
+    joins carry NO broadcast hint: sizes is corpus-cardinality, and a
+    forced broadcast is never demoted by AQE — at 10^9 documents it
+    would OOM the driver; AQE broadcasts it only while it is actually
+    small. Plan-gated in tests/test_plans.py; governor behavior of
+    THIS builder pinned in tests/test_skew.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    fp = winnowing_fingerprints(docs).select(
-        "doc_id", F.expr(f"skey div {_WIN_POS_MOD}").alias("h")
-    ).distinct()
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
-    a = fp.select(F.col("doc_id").alias("d1"), "h")
-    b = fp.select(F.col("doc_id").alias("d2"), "h")
-    shared = (
-        a.join(b, "h")
-        .where(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_fp").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_fp").alias("n2"))
-    return (
-        shared.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
-        .select(
-            "d1",
-            "d2",
-            "n_shared",
-            F.expr("(10000 * n_shared) div least(n1, n2)")
-            .cast("long")
-            .alias("containment_bp"),
-        )
-    )
+    fp = winnowing_distinct_fingerprints(docs).cache()
+    try:
+        return winnowing_pair_matches(fp).localCheckpoint()
+    finally:
+        fp.unpersist()

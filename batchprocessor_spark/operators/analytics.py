@@ -3630,9 +3630,14 @@ def q_merge_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = snapshot("t1").withColumnRenamed("state", "state1")
     s2 = snapshot("t2").withColumnRenamed("state", "state2")
+    # Classification keys STRICTLY off join-key nullness (the oracle's
+    # s1.user_id / s2.user_id rule): a NULL state (NULL event_type in
+    # the feed) must read as a present-but-NULL-state key — branching
+    # on the state columns would call it added/removed where the
+    # oracle says unchanged (ADVICE r7).
     d = s1.join(s2, "user_id", "full").select(
-        F.when(s1["user_id"].isNull() | F.col("state1").isNull(), "added")
-        .when(F.col("state2").isNull(), "removed")
+        F.when(s1["user_id"].isNull(), "added")
+        .when(s2["user_id"].isNull(), "removed")
         .when(F.col("state1") != F.col("state2"), "changed")
         .otherwise("unchanged")
         .alias("change_type"),
@@ -3908,11 +3913,16 @@ _POWER_FORMULAS["mde"] = (
     f"(1.959963984540054 + 0.8416212335729143)"
     f" * sqrt(2.0 * ({_POWER_FORMULAS['s2p']}) / least(n1, n2))"
 )
+# nullif guards the coincident-means case (delta == 0): without it the
+# Spark lane casts Infinity to Long.MaxValue while DuckDB raises on
+# Infinity::BIGINT — NULL ("no effect observed, no finite n exists")
+# is the only answer both engines agree on and the only meaningful one
+# (ADVICE r7).
 _POWER_FORMULAS["n_required"] = (
     f"ceil(2.0 * (1.959963984540054 + 0.8416212335729143)"
     f" * (1.959963984540054 + 0.8416212335729143)"
     f" * ({_POWER_FORMULAS['s2p']})"
-    f" / (({_POWER_FORMULAS['delta']}) * ({_POWER_FORMULAS['delta']})))"
+    f" / nullif(({_POWER_FORMULAS['delta']}) * ({_POWER_FORMULAS['delta']}), 0.0))"
 )
 
 

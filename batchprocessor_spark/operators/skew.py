@@ -93,6 +93,7 @@ def capped_bucket_pairs(
     cap: int | None,
     out1: str = "d1",
     out2: str = "d2",
+    dedupe: bool = True,
 ) -> DataFrame:
     """All (id, id') pairs co-bucketed under ``key_cols`` with
     ``out1 < out2`` — LSH candidate generation — with a HOT-BUCKET
@@ -123,16 +124,25 @@ def capped_bucket_pairs(
     (~100 M identical docs) is removed by the exact-dedup stage that
     precedes near-dup in the curation pipeline. ``cap=None`` keeps
     the textbook self-join as the exactness baseline.
+
+    ``dedupe=False`` keeps one output row per (bucket, pair)
+    co-occurrence instead of collapsing to distinct pairs — callers
+    that COUNT shared buckets per pair (winnowing's n_shared =
+    |shared fingerprint classes|) need the multiplicity; when each id
+    appears at most once per bucket (a distinct (id, key) input) the
+    per-pair row count IS the number of shared buckets for every pair
+    the governor emits in full (hot >cap buckets contribute counts
+    only to their anchor-star edges — the declared boundedness trade).
     """
     if cap is None:
         x = bands.select(*key_cols, F.col(id_col).alias(out1))
         y = bands.select(*key_cols, F.col(id_col).alias(out2))
-        return (
+        pairs = (
             x.join(y, key_cols)
             .where(F.col(out1) < F.col(out2))
             .select(out1, out2)
-            .distinct()
         )
+        return pairs.distinct() if dedupe else pairs
     grouped = (
         bands.groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list(id_col)).alias("__ids"))
@@ -154,13 +164,10 @@ def capped_bucket_pairs(
         F.slice(ids, 2, n),
         lambda y: F.struct(F.element_at(ids, 1).alias(out1), y.alias(out2)),
     )
-    return (
-        grouped.select(
-            F.explode(F.when(n <= cap, all_pairs).otherwise(star)).alias("__p")
-        )
-        .select(F.col(f"__p.{out1}").alias(out1), F.col(f"__p.{out2}").alias(out2))
-        .distinct()
-    )
+    pairs = grouped.select(
+        F.explode(F.when(n <= cap, all_pairs).otherwise(star)).alias("__p")
+    ).select(F.col(f"__p.{out1}").alias(out1), F.col(f"__p.{out2}").alias(out2))
+    return pairs.distinct() if dedupe else pairs
 
 
 def hot_key_salted_equi_join(

@@ -81,11 +81,13 @@ def rotated_text(col, k: int):
     document texts — faking a quadratic near-dup blowup in scaling
     data (ADVICE r6). Guard the period explicitly: beyond 26 copies
     the generator must grow a second distinguishing transform, not
-    quietly duplicate."""
-    assert 0 <= k < 26, (
-        f"rotated_text period exhausted at k={k}: >26 copies need a "
-        "second text transform (e.g. per-copy token prefix)"
-    )
+    quietly duplicate. ValueError, not assert, so the guard survives
+    ``python -O`` (ADVICE r7)."""
+    if not 0 <= k < 26:
+        raise ValueError(
+            f"rotated_text period exhausted at k={k}: >26 copies need a "
+            "second text transform (e.g. per-copy token prefix)"
+        )
     if k == 0:
         return col
     lower = "abcdefghijklmnopqrstuvwxyz"

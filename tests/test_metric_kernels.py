@@ -1324,21 +1324,28 @@ def test_funnel_time_window_matches_bruteforce(spark):
     )
     T = _FUNNEL_WINDOW_US
     expect: dict[int, int] = {}
+    # Chain order is the ENGINE's order: (us, event_id) tuples, not
+    # bare timestamps — a view and click sharing a microsecond with
+    # the view's event_id larger must NOT chain (the carry windows
+    # order by us, event_id on both engines; ADVICE r7). The time
+    # budget stays on us alone.
     for _, g in ev.sort_values(["us", "event_id"]).groupby("user_id"):
-        views = g[g.event_type == "view"]["us"].tolist()
-        clicks = g[g.event_type == "click"]["us"].tolist()
-        buys = g[g.event_type == "purchase"]["us"].tolist()
+        views = list(zip(g[g.event_type == "view"]["us"],
+                         g[g.event_type == "view"]["event_id"]))
+        clicks = list(zip(g[g.event_type == "click"]["us"],
+                          g[g.event_type == "click"]["event_id"]))
+        buys = list(zip(g[g.event_type == "purchase"]["us"],
+                        g[g.event_type == "purchase"]["event_id"]))
         depth = 0
         if views:
             depth = 1
-        if any(v <= c <= v + T for v in views for c in clicks):
+        if any(v <= c and c[0] <= v[0] + T for v in views for c in clicks):
             depth = 2
         if any(
-            v <= c <= p <= v + T
+            v <= c <= p and p[0] <= v[0] + T
             for v in views
             for c in clicks
             for p in buys
-            if c >= v
         ):
             depth = 3
         expect[depth] = expect.get(depth, 0) + 1

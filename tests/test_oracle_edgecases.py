@@ -1,0 +1,98 @@
+"""Engine-vs-oracle agreement on the edge regimes the driver fixtures
+never produce (ADVICE r7): a NULL event_type reaching the snapshot
+diff's classification, and coincident arm means (delta == 0) reaching
+the power-analysis divisor. Both lanes run on the SAME synthetic
+parquet, so these pin the shared classification/formula rules, not
+fixture luck."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from batchprocessor_spark.plans.registry import load_all
+from tests.oracle import canonical_rows
+
+REGISTRY = load_all()
+
+
+def _duck(sql: str, views: dict[str, str]):
+    con = duckdb.connect()
+    for t, p in views.items():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).df()
+
+
+def _us(micros: int) -> datetime.datetime:
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
+
+
+def test_snapshot_diff_null_state_classifies_by_join_key(spark, tmp_path):
+    """A user whose as-of state is a NULL event_type is PRESENT in the
+    snapshot: both lanes must classify off join-key nullness (added /
+    removed only when the user is absent from a snapshot) and call a
+    NULL-vs-NULL state 'unchanged' (SQL <> three-valued logic). The
+    pre-fix engine branched on the state columns and read that user as
+    'added'."""
+    spec = REGISTRY["q_merge_snapshot_diff"]
+    # span 0..90_000 us -> cutoffs t1=30_000, t2=60_000
+    rows = [
+        # u1: NULL state at both cutoffs -> unchanged (state NULL)
+        (1, None, _us(0), 10),
+        (1, None, _us(50_000), 11),
+        # u2: appears only after t1 -> added
+        (2, "view", _us(40_000), 20),
+        # u3: state flips between cutoffs -> changed
+        (3, "view", _us(10_000), 30),
+        (3, "click", _us(55_000), 31),
+        # u4: same non-null state -> unchanged
+        (4, "view", _us(20_000), 40),
+        # u5: non-null at t1, NULL at t2 -> NULL <> 'view' is NULL -> unchanged
+        (5, "view", _us(5_000), 50),
+        (5, None, _us(45_000), 51),
+        # span anchors (also plain unchanged users)
+        (6, "view", _us(0), 60),
+        (7, "view", _us(90_000), 70),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP, event_id BIGINT"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    as_dict = {
+        r[0]: n for r in got for n in [r[1]]
+    }  # columns sorted: change_type, n_states, n_users -> r=(type, n_states, n_users)
+    # u1, u4, u5, u6, u7 unchanged; u2 added; u3 changed; none removed
+    assert as_dict.keys() == {"unchanged", "added", "changed"}, got
+
+
+def test_power_mde_zero_delta_is_null_on_both_engines(spark, tmp_path):
+    """Coincident arm means: n_required divides by delta^2. Unguarded,
+    Spark casts Infinity to Long.MaxValue while DuckDB raises on
+    Infinity::BIGINT; the shared nullif(…, 0.0) makes both lanes emit
+    NULL ('no finite n detects a zero effect')."""
+    spec = REGISTRY["q_ab_power_mde"]
+    rows = [
+        ("click", 1.0),
+        ("click", 3.0),
+        ("purchase", 2.0),
+        ("purchase", 2.0),
+        ("view", 99.0),  # filtered out by the IN predicate
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, value DOUBLE")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    (row,) = got
+    cols = sorted(["n1", "n2", "delta_cents", "mde_cents", "n_required"])
+    vals = dict(zip(cols, row))
+    assert vals["delta_cents"] == 0.0, vals
+    assert vals["n_required"] is None, vals

@@ -1299,3 +1299,61 @@ def test_cohort_ltv_small_window_broadcast_sizes(spark):
     ), plan
     assert "BroadcastExchange" in plan, plan
     assert plan.count("Exchange hashpartitioning(user_id") >= 1, plan
+
+
+def test_winnowing_single_exchange_no_join(spark):
+    """q_llm_winnowing (VERDICT r7 #2: the winnowing family was the
+    only r7 addition without a plan gate): the whole fingerprint
+    selection — explode, both windows, the distinct, the per-doc
+    aggregate — must share ONE doc_id exchange (the distinct on
+    (doc_id, skey) and the final groupBy reuse the window's
+    partitioning); no join, no Python nodes."""
+    plan = plan_of(spark, "q_llm_winnowing")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_winnowing_pairs_single_subtree_no_forced_broadcast(spark):
+    """q_llm_winnowing_pairs plan shape (VERDICT r7 #1): built through
+    the same helpers as the registered builder, pre-checkpoint. The
+    fingerprint subtree must be computed ONCE (a cached relation all
+    three consumers scan — r7's plan re-ran the explode+window subtree
+    4x); pair generation must be the capped in-array expansion (no
+    CartesianProduct / nested-loop, no fp-side self-join); and the
+    corpus-cardinality sizes joins must carry NO broadcast hint (AQE
+    may still pick broadcast at fixture scale — that's its call, and
+    it can demote at 10^9 docs; a forced hint can't be demoted)."""
+    from batchprocessor_spark.functions.text import (
+        winnowing_distinct_fingerprints,
+        winnowing_pair_matches,
+    )
+    from batchprocessor_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    fp = winnowing_distinct_fingerprints(docs).cache()
+    try:
+        df = winnowing_pair_matches(fp)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        optimized = qe.optimizedPlan().toString()
+    finally:
+        fp.unpersist()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every consumer reads the cache: pair-gen + s1 + s2 = 3 scans of
+    # ONE InMemoryRelation; outside its (printed) build plan there is
+    # no other source — the subtree can only run once.
+    assert plan.count("InMemoryTableScan") == 3, plan
+    # ... and nothing else reads the source: each printed
+    # InMemoryRelation block contains exactly one FileScan (its build
+    # plan), so any EXTRA FileScan would be an uncached re-read of the
+    # explode+window subtree (r7's plan had 4 independent ones).
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), plan
+    assert "InMemoryRelation" in plan, plan
+    # no forced broadcast anywhere in the builder (AQE-chosen
+    # broadcasts appear only in the physical plan, never as a
+    # strategy hint on the optimized logical join).
+    assert "strategy=broadcast" not in optimized, optimized

