@@ -835,10 +835,14 @@ def q_llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join would drop.
 
     Scale posture: the pair graph and its clusters are proportional to
-    the DUPLICATED subset, which is tiny next to the corpus, so both
-    the cluster-membership and canonical maps are broadcast to the
-    full-corpus scan — the corpus itself never shuffles. The window
-    argmax runs only over cluster members, not the corpus.
+    the DUPLICATED subset. That is usually far smaller than the
+    corpus, but it is a DATA-DEPENDENT fraction (web crawls run 20-30%
+    duplicated), so the membership/canonical joins carry NO broadcast
+    hint — AQE broadcasts them while they are actually small and
+    falls back to a shuffle join when they are not (a forced hint is
+    never demoted and would OOM the driver on a heavily-duplicated
+    corpus; VERDICT r7 #7 broadcast audit). The window argmax runs
+    only over cluster members, not the corpus.
     """
     full = load_table(spark, sf_dir, "documents")
     docs = full.select("doc_id", "n_chars")
@@ -858,8 +862,8 @@ def q_llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", F.col("doc_id").alias("canonical_id"))
     )
     return (
-        docs.join(F.broadcast(member), "doc_id", "left")
-        .join(F.broadcast(canon), "cluster_id", "left")
+        docs.join(member, "doc_id", "left")
+        .join(canon, "cluster_id", "left")
         .select(
             "doc_id",
             F.coalesce("canonical_id", "doc_id").alias("canonical_id"),
@@ -1125,8 +1129,11 @@ def q_llm_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     batch = d.where(F.col("doc_id") >= _INGEST_SPLIT).select("doc_id")
+    # rejected ⊆ the new batch, but a batch's duplicate fraction is
+    # data-dependent — no broadcast hint, AQE picks one while the
+    # reject set is actually small (VERDICT r7 #7 broadcast audit).
     return batch.join(
-        F.broadcast(rejected.withColumnRenamed("new_id", "doc_id")).withColumn(
+        rejected.withColumnRenamed("new_id", "doc_id").withColumn(
             "hit", F.lit(1)
         ),
         "doc_id",

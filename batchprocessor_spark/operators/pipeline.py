@@ -176,11 +176,16 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # The dup and contamination sets are corpus FRACTIONS whose size
+    # is data-dependent (a crawl can be 20-30% duplicated), so these
+    # joins carry no broadcast hint — AQE broadcasts them while they
+    # are actually small and shuffles when they are not (VERDICT r7 #7
+    # broadcast audit: a forced hint is never demoted).
     flagged = (
         corpus.select("doc_id", "lang", "n_chars", "q_pass")
-        .join(F.broadcast(dups.withColumn("is_dup", F.lit(1))), "doc_id", "left")
+        .join(dups.withColumn("is_dup", F.lit(1)), "doc_id", "left")
         .join(
-            F.broadcast(contam.withColumn("contaminated", F.lit(1))),
+            contam.withColumn("contaminated", F.lit(1)),
             "doc_id",
             "left",
         )

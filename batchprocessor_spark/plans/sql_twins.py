@@ -128,6 +128,271 @@ SPARK_SQL_TWINS: dict[str, str] = {
     """,
 }
 
+
+def _extended_twins() -> dict[str, str]:
+    """Spark-SQL twins for the most user-facing EXTENDED operators
+    (VERDICT r7 #6): the analytics an analyst reaches for first —
+    funnels, rolling WAU, cohort LTV/retention, sessionization,
+    stickiness, snapshot diff, A/B stats — exposed through
+    ``engine.sql()`` with results value-identical to the DataFrame
+    builders (tests/test_sql_twins.py::test_extended_twin_matches_builder).
+
+    Same twin-writing discipline as the contract set: exact-integer
+    lanes spelled with the builder's own operations (round→BIGINT
+    cents, decimal(38,0) accumulators, DIV on non-negative operands),
+    float stages copied operation-for-operation from the shared
+    formula text so the doubles agree bit-for-bit. Built lazily so the
+    module import stays light (the funnel window and power formulas
+    are imported from the operator modules — ONE source of truth)."""
+    from batchprocessor_spark.operators.analytics import (
+        _FUNNEL_WINDOW_US,
+        _POWER_FORMULAS,
+    )
+
+    t_us = _FUNNEL_WINDOW_US
+    return {
+        "q_funnel_time_window": f"""
+    WITH t AS (
+      SELECT user_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events),
+    x AS (
+      SELECT user_id, event_type, us, event_id,
+             last_value(CASE WHEN event_type = 'view' THEN us END)
+               IGNORE NULLS OVER w AS lv
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    y AS (
+      SELECT user_id, event_type, us, lv,
+             last_value(CASE WHEN event_type = 'click' THEN lv END)
+               IGNORE NULLS OVER w AS c_lv
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+    d AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND c_lv IS NOT NULL
+                       AND c_lv >= us - {t_us} THEN 3
+                      WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND lv >= us - {t_us} THEN 2
+                      WHEN event_type = 'view' THEN 1
+                      ELSE 0 END) AS depth
+      FROM y GROUP BY user_id)
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_users FROM d GROUP BY depth
+    """,
+        "q_funnel_conversion": """
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS view_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS click_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS purchase_users
+    """,
+        "q_events_rolling_active_users": """
+    WITH ud AS (
+      SELECT DISTINCT user_id, to_date(date_trunc('day', ts)) AS day
+      FROM events),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+    fan AS (
+      SELECT DISTINCT user_id, date_add(day, x) AS d
+      FROM ud CROSS JOIN b
+      LATERAL VIEW explode(sequence(0, 6)) u AS x
+      WHERE date_add(day, x) BETWEEN b.lo AND b.hi),
+    wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau_7 FROM fan GROUP BY d),
+    dau AS (
+      SELECT day AS d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day)
+    SELECT date_format(w.d, 'yyyy-MM-dd') AS day,
+           CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau, w.wau_7,
+           CAST((10000 * coalesce(dau.dau, 0)) DIV w.wau_7 AS BIGINT)
+             AS dau_wau_bp
+    FROM wau w LEFT JOIN dau ON dau.d = w.d
+    """,
+        "q_events_cohort_ltv": """
+    WITH e AS (
+      SELECT user_id, event_type,
+             unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000 AS week,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cohorts AS (
+      SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM cohorts GROUP BY cohort_week),
+    rev AS (
+      SELECT c.cohort_week, CAST(e.week - c.cohort_week AS BIGINT) AS week_idx,
+             CAST(sum(e.cents) AS BIGINT) AS cents
+      FROM e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_week, week_idx, cents,
+             CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY week_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cents
+      FROM rev)
+    SELECT CAST(cum.cohort_week AS BIGINT) AS cohort_week, cum.week_idx,
+           s.n_users, cum.cents, cum.cum_cents,
+           CAST((100 * cum.cum_cents) DIV s.n_users AS BIGINT)
+             AS cum_cents_per_user_c2
+    FROM cum JOIN sizes s ON s.cohort_week = cum.cohort_week
+    """,
+        "q_win_session": """
+    SELECT user_id,
+           unix_timestamp(CAST(session_window.start AS TIMESTAMP)) AS session_start,
+           unix_timestamp(CAST(session_window.end AS TIMESTAMP)) AS session_end,
+           cnt AS n_events,
+           CAST(sv DIV 100 AS DOUBLE) + CAST(sv % 100 AS DOUBLE) / 100
+             AS total_value
+    FROM (
+      SELECT user_id, session_window,
+             sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0)))
+               AS sv,
+             count(*) AS cnt
+      FROM events
+      GROUP BY session_window(ts, '30 minutes'), user_id)
+    """,
+        "q_retention_cohorts": """
+    WITH withc AS (
+      SELECT user_id, ts,
+             min(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events)
+    SELECT date_format(date_trunc('day', first_ts), 'yyyy-MM-dd')
+             AS cohort_day,
+           datediff(date_trunc('day', ts), date_trunc('day', first_ts))
+             AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM withc GROUP BY 1, 2
+    """,
+        "q_events_stickiness": """
+    WITH t AS (
+      SELECT DISTINCT date_format(ts, 'yyyy-MM') AS month,
+             date_format(ts, 'yyyy-MM-dd') AS day,
+             user_id
+      FROM events)
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS dau_sum,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+           CAST((10000 * count(*))
+              DIV (count(DISTINCT day) * count(DISTINCT user_id)) AS BIGINT)
+             AS stickiness_bp
+    FROM t GROUP BY month
+    """,
+        "q_merge_snapshot_diff": """
+    WITH b AS (
+      SELECT min(unix_micros(CAST(ts AS TIMESTAMP))) AS mn,
+             max(unix_micros(CAST(ts AS TIMESTAMP))) AS mx
+      FROM events),
+    c AS (
+      SELECT mn + (mx - mn) DIV 3 AS t1,
+             mn + ((mx - mn) * 2) DIV 3 AS t2
+      FROM b),
+    r1 AS (
+      SELECT user_id, event_type AS state,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events CROSS JOIN c
+      WHERE unix_micros(CAST(ts AS TIMESTAMP)) <= t1),
+    s1 AS (SELECT user_id, state FROM r1 WHERE rn = 1),
+    r2 AS (
+      SELECT user_id, event_type AS state,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events CROSS JOIN c
+      WHERE unix_micros(CAST(ts AS TIMESTAMP)) <= t2),
+    s2 AS (SELECT user_id, state FROM r2 WHERE rn = 1),
+    d AS (
+      SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+                  WHEN s2.user_id IS NULL THEN 'removed'
+                  WHEN s1.state <> s2.state THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             s2.state AS state_now
+      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT state_now) AS BIGINT) AS n_states
+    FROM d GROUP BY change_type
+    """,
+        "q_ab_welch_ttest": """
+    WITH s AS (
+      SELECT CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS n1,
+             sum(CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE event_type = 'click') AS sx1,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE event_type = 'click') AS sxx1,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS n2,
+             sum(CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE event_type = 'purchase') AS sx2,
+             sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE event_type = 'purchase') AS sxx2
+      FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT n1, n2,
+             CAST(sx1 AS DOUBLE) / n1 AS m1,
+             CAST(sx2 AS DOUBLE) / n2 AS m2,
+             (CAST(sxx1 AS DOUBLE)
+               - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / n1)
+               / (n1 - 1) AS v1,
+             (CAST(sxx2 AS DOUBLE)
+               - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / n2)
+               / (n2 - 1) AS v2
+      FROM s)
+    SELECT n1 AS n_click, n2 AS n_purchase,
+           round(m1 / 100, 6) AS mean_click,
+           round(m2 / 100, 6) AS mean_purchase,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat
+    FROM m
+    """,
+        "q_ab_power_mde": f"""
+    WITH s AS (
+      SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1_i,
+             CAST(sum(CASE WHEN event_type = 'click' THEN
+                   CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                 END) AS BIGINT) AS sx1_i,
+             CAST(sum(CASE WHEN event_type = 'click' THEN
+                   CAST(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)
+                        AS DECIMAL(38,0))
+                 END) AS BIGINT) AS sxx1_i,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2_i,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN
+                   CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))
+                 END) AS BIGINT) AS sx2_i,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN
+                   CAST(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)
+                        AS DECIMAL(38,0))
+                 END) AS BIGINT) AS sxx2_i
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    d AS (
+      SELECT n1_i AS n1_out, n2_i AS n2_out,
+             CAST(n1_i AS DOUBLE) AS n1, CAST(sx1_i AS DOUBLE) AS sx1,
+             CAST(sxx1_i AS DOUBLE) AS sxx1,
+             CAST(n2_i AS DOUBLE) AS n2, CAST(sx2_i AS DOUBLE) AS sx2,
+             CAST(sxx2_i AS DOUBLE) AS sxx2
+      FROM s)
+    SELECT n1_out AS n1, n2_out AS n2,
+           round({_POWER_FORMULAS['delta']}, 6) AS delta_cents,
+           round({_POWER_FORMULAS['mde']}, 6) AS mde_cents,
+           CAST({_POWER_FORMULAS['n_required']} AS BIGINT) AS n_required
+    FROM d
+    """,
+    }
+
 # The queries whose Spark-SQL lane is VERIFIED value-identical to the
 # DataFrame builder (tests/test_sql_twins.py) — the SURVEY §2.2
 # contract set. spark_sql_for refuses names outside it: most other
@@ -159,19 +424,39 @@ VERIFIED_TWINS: frozenset[str] = frozenset(
 _DIV_RE = re.compile(r"\s*//\s*")
 
 
+# The extended-operator twin set (names only; texts built lazily by
+# _extended_twins so importing this module stays cheap).
+EXTENDED_TWIN_NAMES: frozenset[str] = frozenset(
+    {
+        "q_funnel_time_window",
+        "q_funnel_conversion",
+        "q_events_rolling_active_users",
+        "q_events_cohort_ltv",
+        "q_win_session",
+        "q_retention_cohorts",
+        "q_events_stickiness",
+        "q_merge_snapshot_diff",
+        "q_ab_welch_ttest",
+        "q_ab_power_mde",
+    }
+)
+
+
 def spark_sql_for(name: str) -> str:
     """The Spark-SQL text for a VERIFIED query: the hand-written twin
-    when one exists, else the oracle text with DuckDB's ``//`` mapped
-    to Spark's ``DIV``. Raises KeyError for queries outside the
-    verified contract set — returning unvalidated dialect text would
-    be a runtime trap (review r5)."""
+    when one exists (contract set or the extended analytics set), else
+    the oracle text with DuckDB's ``//`` mapped to Spark's ``DIV``.
+    Raises KeyError for queries outside the verified sets — returning
+    unvalidated dialect text would be a runtime trap (review r5)."""
     if name in SPARK_SQL_TWINS:
         return SPARK_SQL_TWINS[name]
+    if name in EXTENDED_TWIN_NAMES:
+        return _extended_twins()[name]
     if name not in VERIFIED_TWINS:
         raise KeyError(
             f"{name} has no verified Spark-SQL twin; use Engine.query() "
             "(the DataFrame builder) — twins exist for the SURVEY §2.2 "
-            "contract set only"
+            "contract set and the extended analytics set only"
         )
     oracle = load_all()[name].oracle
     if oracle is None:

@@ -12,21 +12,17 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Scan-split size used by the TEST/BENCH HARNESS only.  The fixture
-# tables are SINGLE ~20 MB parquet files, so Spark's production
-# default of 128 MB scans each as ONE task on a 32-core host
-# (measured 15-25% headline cost; BENCH.md round 6 "layout note");
-# 4 MB splits restore scan parallelism on those fixtures.  This is a
-# fixture-shaped tuning and it deliberately does NOT leak into
-# `get_spark`'s defaults: a production deployment with real
-# multi-file tables keeps Spark's 128m (a 4m default there would
-# mean ~26M scan tasks per 100 TB table).  conftest.py and bench.py
-# opt in explicitly; VERDICT r6 #1 pinned this polarity.
-FIXTURE_SPLIT_BYTES = "4m"
-
 # Spark's own default for spark.sql.files.maxPartitionBytes — the
 # engine keeps it in production and merely makes it explicit (and
 # env-overridable) so the polarity is testable.
+#
+# History: rounds ≤7 also carried a FIXTURE_SPLIT_BYTES="4m" harness
+# opt-in because the driver fixtures are single parquet files that
+# scan as one task under 128m. Round 8 retired it (VERDICT r7 #3):
+# the harness now mirrors those fixtures into directory-per-table
+# layouts (scripts/fixture_layout.py), so every lane — tests, bench,
+# parity, plan dumps — runs under this production default and scan
+# parallelism comes from the file layout, as on a real cluster.
 PRODUCTION_SPLIT_BYTES = "128m"
 
 
@@ -59,10 +55,11 @@ def engine_confs(
         # PRODUCTION default scan split: Spark's own 128m. Scan
         # parallelism is bounded by max(file count, bytes/split); on
         # real multi-file tables 128m yields one task per ~128 MB of
-        # data. The single-file test fixtures instead opt into
-        # FIXTURE_SPLIT_BYTES via the env var / `extra` (conftest.py,
-        # bench.py) — see FIXTURE_SPLIT_BYTES above for why that
-        # tuning must NOT be the library default.
+        # data, and on many-small-file tables the planner's
+        # bytesPerCore packing keeps parallelism at defaultParallelism
+        # — which is why the harness mirrors the single-file driver
+        # fixtures into directory layouts instead of shrinking this
+        # (see PRODUCTION_SPLIT_BYTES above).
         "spark.sql.files.maxPartitionBytes": env.get(
             "SPARK_GRAFT_MAX_PARTITION_BYTES", PRODUCTION_SPLIT_BYTES
         ),

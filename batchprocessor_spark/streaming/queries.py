@@ -67,16 +67,22 @@ def _events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = Non
     and declare the stream schema to match."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    single_file = os.path.exists(path)
-    if not single_file:
+    if not os.path.exists(path):
         path = os.path.join(sf_dir, "events")
+    # `events.parquet` may be a single FILE (raw driver fixture) or a
+    # DIRECTORY of part files (production layout / fixture mirror) —
+    # isfile, not exists: a directory streamed through a
+    # pathGlobFilter on its own name would match zero part files and
+    # silently yield an empty stream (found when the r8 mirrors made
+    # every lane multi-file).
+    single_file = os.path.isfile(path)
     raw_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
     reader = spark.readStream.schema(EVENTS_RAW_DDL if raw_is_long else EVENTS_TS_DDL)
     if max_files:
         reader = reader.option("maxFilesPerTrigger", max_files)
-    # The stream source must follow the same layout the probe resolved:
-    # a single file is picked out of sf_dir by glob; a directory table
-    # streams the directory itself (a glob here would match nothing).
+    # The stream source must follow the layout the probe resolved: a
+    # single file is picked out of sf_dir by glob; a directory table
+    # streams the directory itself.
     if single_file:
         raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     else:

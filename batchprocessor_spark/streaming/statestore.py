@@ -33,21 +33,39 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
+_BOUNDED_KEY = "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"
+_MAX_MEM_KEY = "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"
+
 
 @contextmanager
-def rocksdb_state(spark: SparkSession):
+def rocksdb_state(spark: SparkSession, bounded_memory_mb: int | None = None):
     """Start stateful streaming queries inside this block to back their
-    state with RocksDB (disk-backed, bounded memory) instead of the
-    default in-memory map. Restores the previous provider on exit."""
-    try:
-        prev = spark.conf.get(PROVIDER_KEY)
-    except Exception:
-        prev = None
+    state with RocksDB (disk-backed) instead of the default in-memory
+    map. Restores the previous confs on exit.
+
+    ``bounded_memory_mb`` additionally turns on RocksDB's
+    write-buffer-manager + shared-block-cache memory cap (Spark's
+    ``boundedMemoryUsage``/``maxMemoryUsageMB``): native state memory
+    is then HARD-capped per executor no matter how many keys
+    accumulate — the knob a 100 TB deployment sets so state growth
+    spends disk, not RAM. tests/test_stateful_rocksdb.py measures the
+    effect quantitatively against the in-memory provider on an
+    identical growing-key workload."""
+    prev: dict[str, str | None] = {}
+    for key in (PROVIDER_KEY, _BOUNDED_KEY, _MAX_MEM_KEY):
+        try:
+            prev[key] = spark.conf.get(key)
+        except Exception:
+            prev[key] = None
     spark.conf.set(PROVIDER_KEY, ROCKSDB_PROVIDER)
+    if bounded_memory_mb is not None:
+        spark.conf.set(_BOUNDED_KEY, "true")
+        spark.conf.set(_MAX_MEM_KEY, str(bounded_memory_mb))
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(PROVIDER_KEY)
-        else:
-            spark.conf.set(PROVIDER_KEY, prev)
+        for key, value in prev.items():
+            if value is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, value)

@@ -22,7 +22,8 @@ import sys
 import time
 
 from batchprocessor_spark.plans.registry import load_all
-from batchprocessor_spark.session import FIXTURE_SPLIT_BYTES, get_spark
+from batchprocessor_spark.session import get_spark
+from scripts.fixture_layout import ensure_multifile
 
 # Headline set: one representative per operator family (scan, joins,
 # aggregates, windows, sort, dedup, similarity, text, timeseries).
@@ -212,7 +213,9 @@ def _scale_dirs(main_sf_dir: str) -> tuple[list, list]:
         if sf in seen:
             continue
         seen.add(sf)
-        (below if sf < main_sf else above).append((sf, path))
+        # Scale points get the same production-shaped treatment as the
+        # main point (already-multi-file dirs pass through untouched).
+        (below if sf < main_sf else above).append((sf, ensure_multifile(path)))
     below.sort()
     above.sort()
     return below, above
@@ -313,18 +316,19 @@ def scaling_curve(
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # PRODUCTION-shaped lane (VERDICT r7 #3): single-file driver
+    # fixtures are mirrored into directory-per-table layouts
+    # (content-identical; scripts/fixture_layout.py) and the session
+    # keeps Spark's 128m scan-split default — every reported number is
+    # measured under the configuration a real cluster runs. Rounds ≤7
+    # instead benched the single files under a 4 MB split; BENCH.md
+    # records the r8 re-baseline.
+    sf_dir = ensure_multifile(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     sf = _sf_of(sf_dir)
     registry = load_all()
-    # HARNESS opt-in (VERDICT r6 #1): the fixture tables are single
-    # ~20 MB parquet files, so the bench lane requests 4 MB scan
-    # splits for parallelism — keeping round-over-round numbers
-    # like-for-like with rounds ≤6. The library default is Spark's
-    # 128m; a real multi-file deployment never sets this.
-    spark = get_spark(
-        "bp-bench",
-        extra={"spark.sql.files.maxPartitionBytes": FIXTURE_SPLIT_BYTES},
-    )
+    spark = get_spark("bp-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup: JVM + codegen + parquet footer caches.

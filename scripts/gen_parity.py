@@ -27,12 +27,16 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from batchprocessor_spark.plans.registry import load_all  # noqa: E402
-from batchprocessor_spark.session import FIXTURE_SPLIT_BYTES, get_spark  # noqa: E402
+from batchprocessor_spark.session import get_spark  # noqa: E402
+from scripts.fixture_layout import ensure_multifile  # noqa: E402
 from tests.oracle import canonical_rows, duckdb_run  # noqa: E402
 
+# Production-shaped lanes (VERDICT r7 #3): single-file driver fixtures
+# are mirrored into directory-per-table layouts, the session keeps the
+# 128m scan-split default, and DuckDB reads the same part files.
 SF_DIRS = {
-    "sf0.01": "/root/testdata/sf0.01",
-    "sf0.1": "/root/testdata/sf0.1",
+    "sf0.01": ensure_multifile("/root/testdata/sf0.01"),
+    "sf0.1": ensure_multifile("/root/testdata/sf0.1"),
 }
 
 
@@ -92,7 +96,7 @@ def main() -> int:
         name, _, path = spec_str.partition("=")
         if not path or not os.path.isdir(path):
             ap.error(f"--sf-dir {spec_str}: path missing or not a directory")
-        SF_DIRS[name] = os.path.abspath(path)
+        SF_DIRS[name] = ensure_multifile(os.path.abspath(path))
 
     sfs = args.sf or list(SF_DIRS)
     unknown = [s for s in sfs if s not in SF_DIRS]
@@ -121,10 +125,7 @@ def main() -> int:
         doc["queries"] = prior.get("queries", {})
         doc["sfs"] = {**prior.get("sfs", {}), **doc["sfs"]}
 
-    spark = get_spark(
-        "bp-parity",
-        extra={"spark.sql.files.maxPartitionBytes": FIXTURE_SPLIT_BYTES},
-    )
+    spark = get_spark("bp-parity")
     spark.sparkContext.setLogLevel("ERROR")
     t_start = time.perf_counter()
     n_done = 0

@@ -1,14 +1,16 @@
-"""Production-layout lane (VERDICT r6 #1/#2): the library session
-default for `spark.sql.files.maxPartitionBytes` is Spark's 128m, the
-4 MB split is a HARNESS opt-in for the single-file fixtures, and the
-engine's queries run correctly — with real scan parallelism — against
-the multi-file parquet layout every production table actually has.
+"""Production-layout lane (VERDICT r6 #1/#2, r7 #3): the library
+session default for `spark.sql.files.maxPartitionBytes` is Spark's
+128m, and the engine's queries run correctly — with real scan
+parallelism — against the multi-file parquet layout every production
+table actually has.
 
-Round 6 shipped the 4m split as the engine-wide default; at 100 TB
-that is ~26M scan tasks per table. These tests pin the inverted
-polarity (so it can't silently flip back) and exercise the layout no
-other test read: a table directory of many part files under the
-production default.
+Round 6 shipped a 4m split as the engine-wide default (at 100 TB that
+is ~26M scan tasks per table); round 7 demoted it to a harness knob;
+round 8 deleted the knob entirely — every lane now runs the fixture
+MIRRORS (scripts/fixture_layout.py) under the production default.
+These tests pin the polarity (so it can't silently flip back) and
+keep an independent Spark-written multi-file layout exercised
+alongside the pyarrow-split mirrors.
 """
 
 from __future__ import annotations
@@ -20,11 +22,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import load_all
-from batchprocessor_spark.session import (
-    FIXTURE_SPLIT_BYTES,
-    PRODUCTION_SPLIT_BYTES,
-    engine_confs,
-)
+from batchprocessor_spark.session import PRODUCTION_SPLIT_BYTES, engine_confs
 from batchprocessor_spark.sources.catalog import TABLES
 from tests.conftest import SF_ORACLE_BIG
 from tests.oracle import compare, duckdb_run
@@ -49,14 +47,14 @@ MULTIFILE_QUERIES = [
 
 def test_production_default_is_128m():
     """Polarity pin (VERDICT r6 #1): a fresh engine session WITHOUT
-    the harness env var gets Spark's production 128m scan split; the
-    4m fixture tuning exists only as the explicit harness constant.
-    If someone flips the default back to the fixture value, this
-    fails before any benchmark can hide it."""
+    the harness env var gets Spark's production 128m scan split —
+    there is no fixture-split constant left to leak (the r7 harness
+    knob was deleted in r8; parallelism comes from the mirrored file
+    layout). If someone reintroduces a small default, this fails
+    before any benchmark can hide it."""
     confs = engine_confs(cpus=8, env={})
     assert confs["spark.sql.files.maxPartitionBytes"] == PRODUCTION_SPLIT_BYTES
     assert PRODUCTION_SPLIT_BYTES == "128m"
-    assert FIXTURE_SPLIT_BYTES == "4m"
     # The env override still works for one-off experiments.
     confs = engine_confs(cpus=8, env={"SPARK_GRAFT_MAX_PARTITION_BYTES": "64m"})
     assert confs["spark.sql.files.maxPartitionBytes"] == "64m"
@@ -129,7 +127,9 @@ def test_multifile_scan_restores_parallelism_under_production_default(
         assert len(counts) >= 8, counts
         assert max(counts) / total < 0.3, counts
 
-        single = spark.read.parquet(f"{SF_ORACLE_BIG}/lineitem.parquet")
+        # the RAW driver fixture (SF_ORACLE_BIG now points at the
+        # multi-file mirror, so reach for the original single file)
+        single = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
         s_counts = [
             r.n
             for r in single.groupBy(

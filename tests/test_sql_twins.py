@@ -33,11 +33,33 @@ def test_sql_twin_matches_builder(views, name):
     compare(builder_df, twin_pdf, f"{name} (sql twin)")
 
 
+@pytest.mark.parametrize("name", sorted(__import__(
+    "batchprocessor_spark.plans.sql_twins", fromlist=["EXTENDED_TWIN_NAMES"]
+).EXTENDED_TWIN_NAMES))
+def test_extended_twin_matches_builder(views, name):
+    """The extended analytics twins (VERDICT r7 #6: funnels, rolling
+    WAU, cohort LTV/retention, sessionization, stickiness, snapshot
+    diff, A/B stats) run through a real spark.sql() and must be
+    value-identical to the DataFrame builders."""
+    spark = views
+    twin_pdf = spark.sql(spark_sql_for(name)).toPandas()
+    builder_df = REGISTRY[name].builder(spark, SF_ORACLE)
+    compare(builder_df, twin_pdf, f"{name} (extended sql twin)")
+
+
 def test_verified_set_matches_contract():
-    from batchprocessor_spark.plans.sql_twins import SPARK_SQL_TWINS, VERIFIED_TWINS
+    from batchprocessor_spark.plans.sql_twins import (
+        EXTENDED_TWIN_NAMES,
+        SPARK_SQL_TWINS,
+        VERIFIED_TWINS,
+        _extended_twins,
+    )
 
     assert VERIFIED_TWINS == SEC_2_2
     assert set(SPARK_SQL_TWINS) <= VERIFIED_TWINS
+    assert set(_extended_twins()) == EXTENDED_TWIN_NAMES
+    assert EXTENDED_TWIN_NAMES <= set(REGISTRY)
+    assert not (EXTENDED_TWIN_NAMES & VERIFIED_TWINS)
 
 
 def test_unverified_name_raises():
