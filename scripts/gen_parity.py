@@ -124,6 +124,10 @@ def main() -> int:
             prior = json.load(f)
         doc["queries"] = prior.get("queries", {})
         doc["sfs"] = {**prior.get("sfs", {}), **doc["sfs"]}
+        # Hand-curated exclusion notes (declared O(n^2) baselines,
+        # lane documentation) ride along across regenerations.
+        if "excluded" in prior:
+            doc["excluded"] = prior["excluded"]
 
     spark = get_spark("bp-parity")
     spark.sparkContext.setLogLevel("ERROR")
@@ -184,7 +188,18 @@ def _summarize(doc: dict, sfs: list[str]) -> None:
     doc["n_queries"] = len(doc["queries"])
     doc["summary"] = {
         "per_sf": per_sf,
+        # all_green: every RECORDED check passed and every query has at
+        # least one record. complete_grid additionally says every query
+        # was checked at every SF — true for the full registry lanes
+        # (PARITY_r*.json), intentionally false for multi-lane
+        # artifacts like PARITY_SF1.json (headline+heavy at sf1, the
+        # graph family at the sf1-derived subgraph).
         "all_green": all(
+            s["pass"] == s["checked"] for s in per_sf.values()
+        )
+        and all(len(q) > 0 for q in doc["queries"].values())
+        and doc["n_queries"] > 0,
+        "complete_grid": all(
             s["checked"] == doc["n_queries"] and s["pass"] == s["checked"]
             for s in per_sf.values()
         ),
