@@ -244,13 +244,25 @@ def test_stream_reads_directory_layout(tmp_path, spark):
     the glob filter that picks the single file out of sf_dir must not
     be applied to the directory form (it would match nothing and
     silently drain an empty stream)."""
+    import os
     import shutil
 
     from batchprocessor_spark.streaming.queries import _events_stream, run_to_memory
 
     src = f"{SF_ORACLE}/events.parquet"
     (tmp_path / "events").mkdir()
-    shutil.copy(src, tmp_path / "events" / "part-00000.parquet")
+    # SF_ORACLE is the multi-file mirror since r8, so the source table
+    # may itself be a directory of part files; both layouts must land
+    # as a plain `events/part-*.parquet` directory here.
+    if os.path.isdir(src):
+        for i, part in enumerate(sorted(os.listdir(src))):
+            if part.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src, part),
+                    tmp_path / "events" / f"part-{i:05d}.parquet",
+                )
+    else:
+        shutil.copy(src, tmp_path / "events" / "part-00000.parquet")
     streamed = run_to_memory(
         _events_stream(spark, str(tmp_path)).agg(F.count(F.lit(1)).alias("n"))
     ).collect()[0].n
