@@ -1660,3 +1660,218 @@ def q_llm_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFr
         .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard_ppm")
     )
     return out
+
+
+@register(
+    "q_llm_dup_token_mass",
+    oracle="""
+    WITH d AS (
+      SELECT md5(text) AS h,
+             len(string_split(text, ' '))::BIGINT AS toks
+      FROM documents),
+    g AS (
+      SELECT h, count(*)::BIGINT AS dup_count, sum(toks)::BIGINT AS toks
+      FROM d GROUP BY h),
+    k AS (
+      SELECT dup_count, count(*)::BIGINT AS n_groups,
+             sum(dup_count)::BIGINT AS n_docs,
+             sum(toks)::BIGINT AS token_mass
+      FROM g GROUP BY dup_count),
+    t AS (SELECT sum(token_mass)::BIGINT AS total FROM k)
+    SELECT dup_count, n_groups, n_docs, token_mass,
+           ((10000 * token_mass) // (SELECT total FROM t))::BIGINT AS mass_bp
+    FROM k
+    """,
+    category="dedup",
+)
+def q_llm_dup_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication token-mass curve — the audit behind the
+    "deduplicate before you train" decision (Lee et al. 2022 measure
+    repeated data's outsized loss impact by exactly this curve): for
+    each exact-duplication multiplicity k, how many TOKENS (not
+    documents) sit in texts that appear k times, in integer basis
+    points of the corpus. A corpus whose k>=2 rows carry 30% of mass
+    trains ~epochs on those tokens without asking; the k=1 row is the
+    unique mass left after exact dedup.
+
+    Exactness: md5 text groups (identical on both engines),
+    whitespace token counts, integer DIV on non-negative operands.
+
+    Scale posture: one scan -> one md5 hash aggregate (map-side
+    combined; the shuffle key is the 32-hex digest, uniformly
+    distributed by construction) -> one ~max-multiplicity-row
+    aggregate; the grand total is an unpartitioned window over THAT
+    tiny aggregate (a handful of rows in one partition — not a
+    second scan of the corpus, which a self-joined total would
+    cost). Never materializes texts after the first projection."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    g = d.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+        F.sum("toks").cast("long").alias("toks"),
+    )
+    k = g.groupBy("dup_count").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("dup_count").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("token_mass"),
+    )
+    return k.select(
+        "dup_count",
+        "n_groups",
+        "n_docs",
+        "token_mass",
+        F.expr("(10000 * token_mass) DIV (sum(token_mass) OVER ())")
+        .cast("long")
+        .alias("mass_bp"),
+    )
+
+
+@register(
+    "q_llm_normalize_dedup_gain",
+    oracle="""
+    WITH d AS (
+      SELECT text,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS distinct_raw,
+           count(DISTINCT md5(norm))::BIGINT AS distinct_norm,
+           (count(*) - count(DISTINCT md5(text)))::BIGINT AS dup_raw,
+           (count(*) - count(DISTINCT md5(norm)))::BIGINT AS dup_norm,
+           ((10000 * ((count(*) - count(DISTINCT md5(norm)))
+                      - (count(*) - count(DISTINCT md5(text)))))
+              // count(*))::BIGINT AS gain_bp
+    FROM d
+    """,
+    category="dedup",
+)
+def q_llm_normalize_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization dedup gain: how many MORE duplicates exact dedup
+    finds after canonicalizing text (lowercase, punctuation to
+    spaces, whitespace collapsed, trimmed) — the number that decides
+    whether a pipeline normalizes before hashing. Near-dup pipelines
+    (C4, RefinedWeb) report exactly this ratio when picking the
+    cheap-normalize-then-hash stage over MinHash for the first pass.
+
+    Exactness: both engines run the SAME two regex rewrites + md5;
+    distinct counts are exact integers; gain in basis points with DIV
+    on non-negative operands.
+
+    Scale posture: ONE scan, one multi-distinct aggregate (Catalyst
+    expand on the two digests — 2x the projected rows, never the raw
+    text after the first map), zero joins, 1-row output."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("h_raw"), F.md5(norm).alias("h_norm")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("h_raw").cast("long").alias("distinct_raw"),
+        F.count_distinct("h_norm").cast("long").alias("distinct_norm"),
+        (F.count(F.lit(1)) - F.count_distinct("h_raw"))
+        .cast("long")
+        .alias("dup_raw"),
+        (F.count(F.lit(1)) - F.count_distinct("h_norm"))
+        .cast("long")
+        .alias("dup_norm"),
+        F.expr(
+            "(10000 * ((count(1) - count(DISTINCT h_norm))"
+            " - (count(1) - count(DISTINCT h_raw)))) DIV count(1)"
+        )
+        .cast("long")
+        .alias("gain_bp"),
+    )
+
+
+@register(
+    "q_llm_split_leakage",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM docs),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+      QUALIFY shingle IS NOT NULL),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    nd AS (
+      SELECT d1, d2
+      FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id
+                   JOIN sizes s2 ON p.d2 = s2.doc_id
+      WHERE inter::DOUBLE / (s1.n + s2.n - inter) > {_JACCARD_THRESHOLD}),
+    sp AS (
+      SELECT nd.d1, nd.d2,
+             CASE WHEN ('0x' || substring(md5('split:' || (nd.d1)::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substring(md5('split:' || (nd.d1)::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS sp1,
+             CASE WHEN ('0x' || substring(md5('split:' || (nd.d2)::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substring(md5('split:' || (nd.d2)::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS sp2
+      FROM nd)
+    SELECT least(sp1, sp2) AS split_a, greatest(sp1, sp2) AS split_b,
+           count(*)::BIGINT AS n_pairs,
+           (least(sp1, sp2) <> greatest(sp1, sp2)) AS is_leak
+    FROM sp GROUP BY 1, 2
+    """,
+    category="dedup",
+)
+def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs (exact shingle
+    Jaccard > 0.5, the corpus's dedup contract) crossed with the
+    deterministic 80/10/10 hash split (q_sample_hash_split's rule) —
+    every pair straddling two splits is evaluation contamination: the
+    model effectively trains on its test set. The standard fix this
+    measures the need for: split by near-dup CLUSTER, not by
+    document. Output: per (split_a, split_b) pair counts with the
+    leak flag.
+
+    Scale posture: pair generation is the inverted-index
+    + hot-shingle-governed path every exact-Jaccard query here uses
+    (_jaccard_pairs -> _overlap_pairs, never doc x doc); the split
+    assignment is two narrow md5 projections on the pair list; final
+    aggregate is at most 6 rows. At 100 TB the pair list would come
+    from the MinHash candidates instead — same downstream shape."""
+    from batchprocessor_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    nd = (
+        _jaccard_pairs(docs)
+        .where(F.col("jaccard") > _JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+
+    def split_of(col: str):
+        b = hash_bucket(F.col(col), "split:", 100)
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    sp = nd.select(split_of("d1").alias("sp1"), split_of("d2").alias("sp2"))
+    return (
+        sp.select(
+            F.least("sp1", "sp2").alias("split_a"),
+            F.greatest("sp1", "sp2").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )

@@ -1469,3 +1469,89 @@ def test_winnowing_matching_guarantee(spark):
         return out
 
     assert fps(d1) & fps(d2), "matching guarantee violated"
+
+
+def test_dup_token_mass_matches_pandas(spark):
+    """q_llm_dup_token_mass vs a literal pandas re-derivation: group
+    texts by value, histogram token mass by multiplicity, basis
+    points by integer division — every column exact."""
+    got = {
+        r.dup_count: (r.n_groups, r.n_docs, r.token_mass, r.mass_bp)
+        for r in REGISTRY["q_llm_dup_token_mass"].builder(spark, SF_SMALL).collect()
+    }
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    toks = docs["text"].str.split(" ").str.len()
+    g = pd.DataFrame({"text": docs["text"], "toks": toks}).groupby("text").agg(
+        dup_count=("toks", "size"), toks=("toks", "sum")
+    )
+    k = g.groupby("dup_count").agg(
+        n_groups=("toks", "size"), token_mass=("toks", "sum")
+    )
+    total = int(k["token_mass"].sum())
+    expect = {
+        int(dc): (
+            int(row.n_groups),
+            int(dc) * int(row.n_groups),
+            int(row.token_mass),
+            (10000 * int(row.token_mass)) // total,
+        )
+        for dc, row in k.iterrows()
+    }
+    assert got == expect
+
+
+def test_normalize_dedup_gain_matches_pandas(spark):
+    """q_llm_normalize_dedup_gain vs the same two regex rewrites in
+    python: lowercase, [^a-z0-9 ] -> space, collapse runs, trim."""
+    import re
+
+    (row,) = REGISTRY["q_llm_normalize_dedup_gain"].builder(spark, SF_SMALL).collect()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["text"])
+
+    def norm(t: str) -> str:
+        return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+
+    n = len(docs)
+    distinct_raw = docs["text"].nunique()
+    distinct_norm = docs["text"].map(norm).nunique()
+    assert row.n_docs == n
+    assert row.distinct_raw == distinct_raw
+    assert row.distinct_norm == distinct_norm
+    assert row.dup_raw == n - distinct_raw
+    assert row.dup_norm == n - distinct_norm
+    assert row.gain_bp == (10000 * ((n - distinct_norm) - (n - distinct_raw))) // n
+    # normalization can only merge texts, never split them
+    assert row.distinct_norm <= row.distinct_raw
+
+
+def test_split_leakage_matches_bruteforce(spark):
+    """q_llm_split_leakage vs brute force: exact 3-gram-shingle
+    Jaccard over all pairs in python, the md5 split rule from
+    q_sample_hash_split re-derived with hashlib."""
+    import hashlib
+    from itertools import combinations
+
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.is_leak)
+        for r in REGISTRY["q_llm_split_leakage"].builder(spark, SF_SMALL).collect()
+    }
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+
+    def shingles(t: str) -> set:
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    sh = {int(r.doc_id): shingles(r.text) for r in docs.itertuples()}
+    expect: dict = {}
+    for d1, d2 in combinations(sorted(sh), 2):
+        a, b = sh[d1], sh[d2]
+        inter = len(a & b)
+        if inter and inter / (len(a) + len(b) - inter) > 0.5:
+            key = tuple(sorted((split_of(d1), split_of(d2))))
+            n, _ = expect.get(key, (0, key[0] != key[1]))
+            expect[key] = (n + 1, key[0] != key[1])
+    assert got == expect

@@ -1357,3 +1357,37 @@ def test_winnowing_pairs_single_subtree_no_forced_broadcast(spark):
     # broadcasts appear only in the physical plan, never as a
     # strategy hint on the optimized logical join).
     assert "strategy=broadcast" not in optimized, optimized
+
+
+def test_dup_token_mass_single_scan_no_join(spark):
+    """q_llm_dup_token_mass: ONE parquet scan, two hash aggregates,
+    and the grand total is an unpartitioned window over the tiny
+    multiplicity histogram — no join of any kind (a self-joined total
+    would re-scan the corpus), no Python nodes."""
+    plan = plan_of(spark, "q_llm_dup_token_mass")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_gain_single_aggregate(spark):
+    """q_llm_normalize_dedup_gain: one scan, one (expanded)
+    multi-distinct aggregate, no join, no window."""
+    plan = plan_of(spark, "q_llm_normalize_dedup_gain")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Expand" in plan, plan  # the two-distinct rewrite
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_split_leakage_no_cartesian(spark):
+    """q_llm_split_leakage rides the inverted-index pair path: never
+    doc x doc, no Python nodes. The single nested-loop allowed is the
+    bounded salt-range cross (a 16-row spark.range broadcast) inside
+    hot_key_salted_equi_join's hot-shingle lane."""
+    plan = plan_of(spark, "q_llm_split_leakage")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
