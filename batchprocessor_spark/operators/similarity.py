@@ -1881,3 +1881,254 @@ def q_emb_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.selectExpr(
         "dim", "n_a", "n_b", "diff_num", f"round({_DRIFT_SMD}, 6) AS smd"
     )
+
+
+# ------------------------------------------------------------------ PQ ANN
+
+_PQ_M = 16  # subspaces
+_PQ_SUBD = 4  # dims per subspace (16 x 4 = the 64-dim embeddings)
+_PQ_K = 16  # centroids per subspace codebook (4-bit codes)
+_PQ_ITERS = 2  # Lloyd rounds per subspace, unrolled in the oracle
+
+
+def _pq_isqd(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two BIGINT arrays.
+    Sum of 1e-6-unit squares: |x| <= ~2e6 per component, squared
+    ~4e12, x4 components ~2e13 — comfortably inside BIGINT, and
+    integer addition is order-free so the fold order cannot matter."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, s, sv): the corpus quantized to 1e-6 integer units
+    (the q_emb_dim_drift lane — round(x*1e6) is the one float op,
+    identical on both engines) and split into _PQ_M contiguous
+    subvectors per vector. One scan, one explode, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            as_double("embedding"), lambda x: F.round(x * 1000000).cast("long")
+        ).alias("q"),
+    )
+    return emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+        "q",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("q"), F.col("s") * _PQ_SUBD + 1, _PQ_SUBD).alias("sv"),
+    )
+
+
+def _pq_cents_df(spark: SparkSession, cents: list) -> DataFrame:
+    """Codebook rows (s, cid, cv) as a literal frame — model-sized
+    (_PQ_M x _PQ_K = 256 rows), sorted so the frame is reproducible."""
+    return spark.createDataFrame(
+        sorted((s, cid, list(cv)) for s, cid, cv in cents),
+        "s INT, cid INT, cv ARRAY<BIGINT>",
+    )
+
+
+def _pq_assign(sub: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment per (vec_id, s): broadcast the
+    per-subspace codebook as ONE struct array row per s and take a
+    per-row array_min over (d, cid) structs — lexicographic struct
+    comparison = exact integer argmin with lower-cid tie-break, zero
+    shuffle on the corpus (the crossJoin-then-window alternative
+    shuffles every subvector)."""
+    cagg = F.broadcast(
+        cents_df.groupBy("s").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
+    )
+    scored = F.transform(
+        "cs",
+        lambda c: F.struct(
+            _pq_isqd(F.col("sv"), c["cv"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    return sub.join(cagg, "s").select(
+        "vec_id", "s", "sv", F.array_min(scored)["cid"].alias("cid")
+    )
+
+
+def _pq_fit(spark: SparkSession, sub: DataFrame) -> list:
+    """Per-subspace Lloyd k-means on the integer subvectors —
+    init = the _PQ_K lowest vec_ids' subvectors (cid = rank of
+    vec_id), then _PQ_ITERS rounds of exact-integer argmin assignment
+    followed by truncated-integer-mean centroid update
+    (sum(x) DIV count — Spark's div and DuckDB's // both truncate
+    toward zero, verified; empty clusters keep their previous
+    codeword). EVERYTHING is integer arithmetic, so unlike float
+    k-means (kmeans_fit's sorted-partial merging) the trajectory is
+    bit-reproducible for free and the unrolled DuckDB oracle replays
+    it exactly. Per-round driver traffic is the 256-row codebook —
+    model-sized, never the corpus."""
+    first = sub.orderBy("vec_id", "s").limit(_PQ_K * _PQ_M).collect()
+    ids = sorted({r.vec_id for r in first})
+    cents = [(r.s, ids.index(r.vec_id), list(r.sv)) for r in first]
+    for _ in range(_PQ_ITERS):
+        assigned = _pq_assign(sub, _pq_cents_df(spark, cents))
+        m = (
+            assigned.select("s", "cid", F.posexplode("sv").alias("j", "x"))
+            .groupBy("s", "cid", "j")
+            .agg(F.expr("CAST(sum(x) DIV count(1) AS BIGINT)").alias("mv"))
+        )
+        rows = (
+            m.groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mv"))),
+                    lambda t: t["mv"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        got = {(r.s, r.cid): list(r.cv) for r in rows}
+        cents = [(s, cid, got.get((s, cid), cv)) for s, cid, cv in cents]
+    return cents
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ trajectory as DuckDB SQL — quantize, slice into
+    subspaces, init codebooks from the _PQ_K lowest vec_ids, _PQ_ITERS
+    exact-integer Lloyd rounds per subspace, encode, ADC score, rank.
+    Same discipline as _kmeans_oracle, with the float freedom REMOVED:
+    after round(x*1e6) every quantity is an integer, so the hash
+    cannot drift by summation order."""
+    m, subd, k, nq, topk = _PQ_M, _PQ_SUBD, _PQ_K, _N_QUERIES, _TOP_K
+
+    def dist(va: str, vb: str) -> str:
+        return (
+            f"list_sum(list_transform(range({subd}), i ->"
+            f" ({va}[i+1] - {vb}[i+1]) * ({va}[i+1] - {vb}[i+1])))"
+        )
+
+    parts = [
+        "WITH v AS (SELECT vec_id,",
+        "  list_transform(embedding::DOUBLE[],"
+        " x -> round(x * 1000000)::BIGINT) AS q FROM embeddings),",
+        f"ss AS (SELECT unnest(range({m})) AS s),",
+        f"sub AS (SELECT vec_id, s,"
+        f" list_slice(q, s*{subd}+1, s*{subd}+{subd}) AS sv FROM v, ss),",
+        "c0 AS (SELECT s,"
+        " row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS cid,"
+        " sv AS cv FROM sub"
+        f" WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k})),",
+    ]
+    assign = (
+        "{name} AS (SELECT vec_id, s, sv, cid FROM (\n"
+        "  SELECT b.vec_id, b.s, b.sv, c.cid,\n"
+        "         row_number() OVER (PARTITION BY b.vec_id, b.s\n"
+        "           ORDER BY " + dist("b.sv", "c.cv") + ", c.cid) AS rn\n"
+        "  FROM sub b JOIN {prev} c ON c.s = b.s) WHERE rn = 1),"
+    )
+    for it in range(1, _PQ_ITERS + 1):
+        parts.append(assign.format(name=f"a{it}", prev=f"c{it - 1}"))
+        parts.append(
+            f"m{it} AS (SELECT s, cid, list(mv ORDER BY j) AS cv FROM (\n"
+            f"  SELECT s, cid, j, (sum(x) // count(*))::BIGINT AS mv FROM (\n"
+            f"    SELECT s, cid, generate_subscripts(sv, 1) AS j,\n"
+            f"           unnest(sv) AS x FROM a{it})\n"
+            f"  GROUP BY s, cid, j) GROUP BY s, cid),"
+        )
+        parts.append(
+            f"c{it} AS (SELECT p.s, p.cid, coalesce(m.cv, p.cv) AS cv\n"
+            f"  FROM c{it - 1} p LEFT JOIN m{it} m"
+            f" ON m.s = p.s AND m.cid = p.cid),"
+        )
+    parts.append(assign.format(name="f", prev=f"c{_PQ_ITERS}"))
+    parts.append(
+        f"lut AS (SELECT b.vec_id AS qid, c.s, c.cid,\n"
+        f"  ({dist('b.sv', 'c.cv')})::BIGINT AS d\n"
+        f"  FROM sub b JOIN c{_PQ_ITERS} c ON c.s = b.s"
+        f" WHERE b.vec_id < {nq}),"
+    )
+    parts.append(
+        "scored AS (SELECT l.qid, f.vec_id, sum(l.d)::BIGINT AS adist\n"
+        "  FROM f JOIN lut l ON l.s = f.s AND l.cid = f.cid"
+        " AND f.vec_id <> l.qid\n"
+        "  GROUP BY l.qid, f.vec_id)"
+    )
+    parts.append(
+        "SELECT qid, vec_id, adist, rnk FROM (\n"
+        "  SELECT qid, vec_id, adist,\n"
+        "         row_number() OVER (PARTITION BY qid"
+        " ORDER BY adist, vec_id) AS rnk\n"
+        f"  FROM scored) WHERE rnk <= {topk}"
+    )
+    return "\n".join(parts)
+
+
+@register("q_llm_simsearch_pq", oracle=_pq_oracle(), category="similarity")
+def q_llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): the 64-dim corpus splits into 16
+    contiguous 4-dim subspaces, each learns a 16-codeword codebook
+    (2 exact-integer Lloyd rounds, deterministic init), every vector
+    encodes as 16 4-bit codes (1 bit/dim — a 64x smaller corpus than
+    float32), and queries rank the corpus by the asymmetric distance
+    (ADC) — the sum over subspaces of the query-subvector-to-codeword
+    distance looked up from a per-query table. Completes the
+    quantization family: SQ4 (q_llm_simsearch_sq) is the
+    training-free grid path at 4 bits/dim, PQ is the trained path at
+    a further 4x compression.
+
+    Cross-engine exactness: components quantize to 1e-6 integer units
+    first (the q_emb_dim_drift lane), then EVERY quantity — training
+    distances, truncated-mean centroid updates (div/​// both truncate
+    toward zero), codes, LUT entries, ADC sums — is exact BIGINT
+    arithmetic, so the unrolled SQL oracle replays the full iterative
+    trajectory bit-identically; ranks tie-break (adist, vec_id).
+
+    Scale posture: the corpus is scanned through a scoped cache
+    (cache → train/encode → localCheckpoint → unpersist, the minhash
+    pattern) so the 2 training rounds + final encode never re-read
+    parquet; per-round driver traffic is the 256-row codebook;
+    encoding is a broadcast-codebook per-row argmin (zero corpus
+    shuffle); the ADC LUT (n_queries x 16 x 16 rows — query-sized,
+    not corpus-sized) broadcasts onto the CODE table, and the only
+    corpus-sized exchange is the (qid, vec_id) partial-aggregated
+    16-term sum + per-query WindowGroupLimit, which at 100 TB touches
+    8-byte codes instead of 256-byte float vectors — the whole point
+    of PQ. Recall vs exact L2 top-k is pinned by
+    tests/test_similarity_pq.py."""
+    sub = _pq_subvectors(spark, sf_dir).cache()
+    try:
+        cdf = _pq_cents_df(spark, _pq_fit(spark, sub))
+        return _pq_adc_rank(sub, cdf).localCheckpoint()
+    finally:
+        sub.unpersist()
+
+
+def _pq_adc_rank(sub: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Encode + ADC score + rank against a trained codebook — the
+    post-fit composition, factored out so tests/test_plans.py gates
+    the REGISTERED shape pre-checkpoint (the winnowing-pairs lesson:
+    a governor documented but not wired is not a governor)."""
+    codes = _pq_assign(sub, cdf).select("vec_id", "s", "cid")
+    lut = (
+        sub.where(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cdf), "s")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "s",
+            "cid",
+            _pq_isqd(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy("adist", "vec_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _TOP_K
+    )

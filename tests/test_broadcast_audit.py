@@ -98,6 +98,8 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "operators/similarity.py::q_emb_standardize": (1, "per-dimension moments — dim-sized (64 rows)"),
     "operators/similarity.py::q_llm_hard_negatives": (1, "fixed query set"),
     "operators/similarity.py::q_llm_mmr_rerank": (1, "1-row query vector"),
+    "operators/similarity.py::_pq_assign": (1, "per-subspace codebook structs — M rows (model-sized)"),
+    "operators/similarity.py::_pq_adc_rank": (2, "M x K codebook + (n_queries x M x K) ADC lookup table — both model/query-sized"),
     "operators/similarity.py::q_llm_simsearch_neardup": (1, "DECLARED O(n^2) exactness baseline — docstring/VERDICT-documented, never the scale path"),
     "operators/similarity.py::q_llm_simsearch_sq": (2, "per-dimension quantization grid + query set"),
     "operators/similarity.py::q_llm_simsearch_topk": (1, "fixed query set"),

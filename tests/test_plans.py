@@ -1391,3 +1391,55 @@ def test_split_leakage_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_broadcast_lut_no_corpus_reread(spark):
+    """q_llm_simsearch_pq post-fit shape, gated through the SAME
+    helper the registered builder calls (_pq_adc_rank) on the scoped
+    cache: the codebook and the ADC lookup table arrive by broadcast
+    (never a corpus-side shuffle), the encode + LUT consumers read
+    ONE cached relation (no parquet re-read of the explode+slice
+    subtree), the only corpus-sized exchanges are the (qid, vec_id)
+    ADC partial-sum and the per-query rank, and nothing is a
+    cartesian/nested-loop join or a Python node."""
+    import re
+
+    from batchprocessor_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBD,
+        _pq_adc_rank,
+        _pq_cents_df,
+        _pq_subvectors,
+    )
+
+    sub = _pq_subvectors(spark, SF_ORACLE).cache()
+    try:
+        cdf = _pq_cents_df(
+            spark,
+            [
+                (s, c, [s + c + j for j in range(_PQ_SUBD)])
+                for s in range(_PQ_M)
+                for c in range(_PQ_K)
+            ],
+        )
+        plan = (
+            _pq_adc_rank(sub, cdf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        sub.unpersist()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codes + LUT both read the cache; no extra parquet scan outside
+    # the InMemoryRelation's own build plan.
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert plan.count("FileScan parquet") == plan.count("InMemoryRelation"), plan
+    # LUT lands on the code table via broadcast-hash, and the only
+    # corpus-sized hash exchanges are the ADC sum + per-query rank.
+    assert "BroadcastHashJoin" in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"qid", "s"}, keys
