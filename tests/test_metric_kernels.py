@@ -1555,3 +1555,57 @@ def test_split_leakage_matches_bruteforce(spark):
             n, _ = expect.get(key, (0, key[0] != key[1]))
             expect[key] = (n + 1, key[0] != key[1])
     assert got == expect
+
+
+def test_random_projection_matches_numpy_reference(spark):
+    """q_emb_random_projection vs numpy: the ±1 matrix re-derived
+    from the python sign twin, projections / pair distances / ratio
+    recomputed with exact python ints — integer equality, no
+    tolerance — plus a distribution sanity pin (median ratio within
+    [6000, 16000] bp) that a degenerate sign matrix (the affine-hash
+    checkerboard the docstring warns about) fails by orders of
+    magnitude."""
+    from batchprocessor_spark.operators.similarity import (
+        _JL_SCALE,
+        _JL_TARGET,
+        _jl_sign_py,
+    )
+
+    emb = pd.read_parquet(
+        f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_values("vec_id")
+    ids = emb.vec_id.to_numpy()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    scaled = vecs * _JL_SCALE
+    q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+    S = np.array(
+        [[_jl_sign_py(i, j) for j in range(_JL_TARGET)] for i in range(64)],
+        dtype=np.int64,
+    )
+    y = q @ S
+    by_id = {int(v): k for k, v in enumerate(ids)}
+    expect = {}
+    for vid, row in by_id.items():
+        nxt = by_id.get(vid + 1)
+        if nxt is None:
+            continue
+        d_orig = int(((q[row] - q[nxt]) ** 2).sum())
+        d_proj = int(((y[row] - y[nxt]) ** 2).sum())
+        ratio = (
+            (10000 * d_proj) // (_JL_TARGET * d_orig) if d_orig else None
+        )
+        expect[vid] = (d_orig, d_proj, ratio)
+    got = {
+        int(r.vec_id): (
+            int(r.d_orig),
+            int(r.d_proj),
+            None if r.ratio_bp is None else int(r.ratio_bp),
+        )
+        for r in REGISTRY["q_emb_random_projection"]
+        .builder(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == expect
+    ratios = sorted(v[2] for v in got.values() if v[2] is not None)
+    median = ratios[len(ratios) // 2]
+    assert 6000 <= median <= 16000, median

@@ -1443,3 +1443,19 @@ def test_pq_adc_broadcast_lut_no_corpus_reread(spark):
     assert "BroadcastHashJoin" in plan, plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"qid", "s"}, keys
+
+
+def test_random_projection_jvm_fold_single_exchange(spark):
+    """q_emb_random_projection: the 64x16 projection must be a
+    constant-folded JVM array expression (no Python nodes, no
+    window), and the adjacent-pair audit ONE self-join on vec_id —
+    a single corpus-sized hash exchange key, no cartesian."""
+    import re
+
+    plan = plan_of(spark, "q_emb_random_projection")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"vec_id"}, keys
