@@ -2167,3 +2167,171 @@ def q_llm_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return winnowing_pair_matches(fp).localCheckpoint()
     finally:
         fp.unpersist()
+
+
+# ------------------------------------------------------------ lexical richness
+
+@register(
+    "q_text_lexical_richness",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    f AS (
+      SELECT source, w, count(*)::BIGINT AS c
+      FROM w WHERE w <> '' GROUP BY source, w)
+    SELECT source,
+           sum(c)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           ((10000 * count(*)) // sum(c))::BIGINT AS ttr_bp,
+           ((1000000 * sum(c * (c - 1)))
+              // nullif(sum(c) * (sum(c) - 1), 0))::BIGINT AS simpson_ppm
+    FROM f GROUP BY source
+    """,
+    category="text",
+)
+def q_text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness scorecard — the vocabulary-health
+    audit a corpus-mixing pipeline runs per data source: token count,
+    type (distinct-word) count, hapax legomena (words seen once —
+    high hapax mass = productive vocabulary, near-zero = boilerplate
+    or template spam), type/token ratio in basis points, and
+    Simpson's repeat-concentration index sum(f(f-1))/(N(N-1)) in ppm
+    (the probability two sampled tokens are the SAME word — the
+    lexical analogue of q_agg_hhi's market concentration).
+
+    Cross-engine exactness: whitespace tokens (empty strings from
+    runs filtered identically), then every output is an exact integer
+    count or an integer floor-division of exact counts — no floats.
+    Overflow note: sum(c*(c-1)) and N(N-1) square per-source token
+    mass; the 1e6 scaling keeps headroom to N ~ 3e9 tokens per
+    source, past which the ppm lane would move to DECIMAL(38,0) —
+    documented rather than silently truncated.
+
+    Scale posture: explode -> ONE (source, word) pre-aggregate with
+    map-side combine (the corpus collapses to vocab-sized rows at the
+    first shuffle — the hot-word reducer row carries a count, never
+    the occurrences) -> one enum-sized (source) aggregate. No joins,
+    no windows, nothing row-at-a-time."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    f = w.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return f.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.expr("CAST((10000 * count(1)) DIV sum(c) AS BIGINT)").alias("ttr_bp"),
+        F.expr(
+            "CAST((1000000 * sum(c * (c - 1)))"
+            " DIV nullif(sum(c) * (sum(c) - 1), 0) AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+# ---------------------------------------------------------------- readability
+
+# Shared Flesch formula text over identically-named double columns
+# (the q_ml_linreg_normal_eq discipline): identical op sequence on
+# both engines => bit-identical doubles before the 4 dp round.
+_FLESCH = (
+    "206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words)"
+)
+
+
+@register(
+    "q_text_readability",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS n_syllables
+      FROM documents),
+    s AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(n_words)::BIGINT AS n_words,
+             sum(n_sentences)::BIGINT AS n_sentences,
+             sum(n_syllables)::BIGINT AS n_syllables
+      FROM d GROUP BY source),
+    x AS (
+      SELECT source, n_docs, n_words, n_sentences, n_syllables,
+             n_words::DOUBLE AS words, n_sentences::DOUBLE AS sentences,
+             n_syllables::DOUBLE AS syllables
+      FROM s)
+    SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           round({_FLESCH}, 4) AS flesch
+    FROM x
+    """,
+    category="text",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease estimate: exact word counts
+    (whitespace tokens, empty runs filtered), sentence counts
+    (runs of terminal punctuation, floored at 1 per document so
+    punctuation-free text — like this fixture's word-soup documents —
+    degrades to words-per-document instead of dividing by zero), and
+    the classic vowel-group syllable heuristic (maximal [aeiouy]+
+    runs in lowercased text — the standard cheap estimator; a
+    two-vowel-group word like "data" counts 2). Readability scoring
+    is a stock quality-filter feature (e.g. alongside
+    q_llm_quality_filter's length/stopword ratios) for corpus
+    curation.
+
+    Cross-engine exactness: the three counts are exact integers from
+    identical regex/split semantics (non-overlapping leftmost
+    matches in both engines); the Flesch score is ONE shared formula
+    text over identically-named double columns computed from
+    source-level integer sums, rounded at 4 dp.
+
+    Scale posture: one scan, per-row regexp counting inside
+    whole-stage codegen, one enum-sized (source) aggregate with
+    map-side combine. No joins, no windows, no Python."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_sentences").cast("long").alias("n_sentences"),
+        F.sum("n_syllables").cast("long").alias("n_syllables"),
+    )
+    x = s.selectExpr(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        "CAST(n_words AS DOUBLE) AS words",
+        "CAST(n_sentences AS DOUBLE) AS sentences",
+        "CAST(n_syllables AS DOUBLE) AS syllables",
+    )
+    return x.selectExpr(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        f"round({_FLESCH}, 4) AS flesch",
+    )

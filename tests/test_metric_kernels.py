@@ -1609,3 +1609,78 @@ def test_random_projection_matches_numpy_reference(spark):
     ratios = sorted(v[2] for v in got.values() if v[2] is not None)
     median = ratios[len(ratios) // 2]
     assert 6000 <= median <= 16000, median
+
+
+def test_lexical_richness_matches_python_counter(spark):
+    """q_text_lexical_richness vs a collections.Counter recompute —
+    exact integer equality for all five measures per source."""
+    from collections import Counter
+
+    docs = pd.read_parquet(
+        f"{SF_SMALL}/documents.parquet", columns=["source", "text"]
+    )
+    per_src: dict[str, Counter] = {}
+    for r in docs.itertuples():
+        c = per_src.setdefault(r.source, Counter())
+        c.update(w for w in r.text.split(" ") if w)
+    expect = {}
+    for src, c in per_src.items():
+        n = sum(c.values())
+        v = len(c)
+        hapax = sum(1 for f in c.values() if f == 1)
+        s2 = sum(f * (f - 1) for f in c.values())
+        expect[src] = (
+            n,
+            v,
+            hapax,
+            (10000 * v) // n,
+            (1000000 * s2) // (n * (n - 1)) if n > 1 else None,
+        )
+    got = {
+        r.source: (
+            int(r.n_tokens),
+            int(r.n_types),
+            int(r.n_hapax),
+            int(r.ttr_bp),
+            None if r.simpson_ppm is None else int(r.simpson_ppm),
+        )
+        for r in REGISTRY["q_text_lexical_richness"]
+        .builder(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == expect
+
+
+def test_readability_matches_python_re(spark):
+    """q_text_readability vs a stdlib-re recompute: exact integer
+    counts and the identical float formula at 4 dp."""
+    import re as _re
+
+    docs = pd.read_parquet(
+        f"{SF_SMALL}/documents.parquet", columns=["source", "text"]
+    )
+    agg: dict[str, list] = {}
+    for r in docs.itertuples():
+        words = sum(1 for w in r.text.split(" ") if w)
+        sentences = max(1, len(_re.findall(r"[.!?]+", r.text)))
+        syllables = len(_re.findall(r"[aeiouy]+", r.text.lower()))
+        a = agg.setdefault(r.source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += words
+        a[2] += sentences
+        a[3] += syllables
+    expect = {}
+    for src, (d, w, s, y) in agg.items():
+        flesch = round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4)
+        expect[src] = (d, w, s, y, flesch)
+    got = {
+        r.source: (
+            int(r.n_docs),
+            int(r.n_words),
+            int(r.n_sentences),
+            int(r.n_syllables),
+            float(r.flesch),
+        )
+        for r in REGISTRY["q_text_readability"].builder(spark, SF_SMALL).collect()
+    }
+    assert got == expect

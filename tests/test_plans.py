@@ -1459,3 +1459,32 @@ def test_random_projection_jvm_fold_single_exchange(spark):
     assert "Window" not in plan, plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"vec_id"}, keys
+
+
+def test_lexical_richness_two_aggregates_no_join(spark):
+    """q_text_lexical_richness: explode -> (source, w) pre-aggregate
+    (map-side combined — the corpus collapses to vocab-sized rows at
+    the first shuffle) -> (source) aggregate. No join, no window, no
+    Python nodes, exactly the two hash exchanges."""
+    import re
+
+    plan = plan_of(spark, "q_text_lexical_richness")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)[,#]", plan)
+    assert sorted(keys) == ["source", "source"], keys
+
+
+def test_readability_single_aggregate_codegen(spark):
+    """q_text_readability: per-row regexp counting feeding ONE
+    enum-sized (source) partial/final aggregate pair — no
+    join/window/Python (the AQE pre-execution print doesn't show
+    codegen spans, so the structural shape is the gate)."""
+    plan = plan_of(spark, "q_text_readability")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1, plan
+    assert "partial_sum" in plan, plan
