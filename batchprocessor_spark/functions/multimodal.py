@@ -780,3 +780,102 @@ def q_llm_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_crossings BIGINT"
         ),
     )
+
+
+# ------------------------------------------------------------- perceptual hash
+
+_DHASH_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 16 + 4)::BIGINT AS w, (doc_id % 8 + 4)::BIGINT AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM dims),
+    g AS (
+      SELECT doc_id,
+             ((p % w) * 4) // w AS gx,
+             ((p // w) * 4) // h AS gy,
+             (  (doc_id * 31 + p * 3) % 256
+              + (doc_id * 31 + p * 3 + 1) % 256
+              + (doc_id * 31 + p * 3 + 2) % 256) AS gray
+      FROM px),
+    cells AS (
+      SELECT doc_id, gy, gx, (sum(gray) // count(*))::BIGINT AS m
+      FROM g GROUP BY doc_id, gy, gx),
+    bits AS (
+      SELECT a.doc_id,
+             sum(CASE WHEN a.m > b.m
+                 THEN (1 << (a.gy * 3 + a.gx))::BIGINT ELSE 0 END)::BIGINT
+               AS dhash
+      FROM cells a
+      JOIN cells b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      GROUP BY a.doc_id)
+    SELECT doc_id, dhash,
+           (count(*) OVER (PARTITION BY dhash))::BIGINT AS bucket_size
+    FROM bits
+"""
+
+
+@register("q_llm_multimodal_dhash", oracle=_DHASH_ORACLE, category="multimodal")
+def q_llm_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference-hash (dHash) image near-dup keys over
+    REAL decoded rasters: every BMP payload decodes (bottom-up BGR
+    rows, padding stripped), collapses to integer grayscale
+    (r+g+b per pixel), block-averages onto a 4x4 grid with EXACT
+    truncated-integer cell means, and emits the 12-bit
+    horizontal-gradient fingerprint (bit gy*3+gx set iff
+    cell(gy,gx) > cell(gy,gx+1)) plus its corpus-wide bucket size —
+    the standard first pass of image dedup (pHash/dHash family:
+    near-identical images share fingerprints; buckets with
+    bucket_size > 1 are the near-dup candidates, exactly like a
+    minhash band bucket for text).
+
+    The oracle re-derives the hash from the generator's pixel law, so
+    the driver value-checks SPATIAL decode correctness — a decoder
+    that got the BMP row order, channel order, or stride wrong would
+    match q_llm_multimodal_decode_bmp's channel SUMS but scramble the
+    gradient bits here (position-sensitive where sums are not).
+    Cell means are sum DIV count on non-negative integers (floor ==
+    trunc, identical on both engines); grid assignment is
+    (x*4) DIV w — every cell non-empty since w, h >= 4.
+
+    Scale posture: decode + hash is an Arrow-batched mapInPandas
+    (one pass, narrow schema, no shuffle); the only exchange is the
+    bucket-size window on the 8-byte hash — the near-dup join key. At
+    100 TB the bucket pairing would go through capped_bucket_pairs
+    like every other dedup family; the fingerprint is this operator's
+    contract."""
+    from pyspark.sql import Window
+
+    media = image_media_table(spark, sf_dir, "bmp")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "dhash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, img = decode_image(payload)
+                gray = img.sum(axis=2, dtype=np.int64)  # h x w, 0..765
+                xs = (np.arange(w) * 4) // w
+                ys = (np.arange(h) * 4) // h
+                m = np.zeros((4, 4), dtype=np.int64)
+                for gy in range(4):
+                    for gx in range(4):
+                        cell = gray[np.ix_(ys == gy, xs == gx)]
+                        m[gy, gx] = int(cell.sum()) // cell.size
+                bits = 0
+                for gy in range(4):
+                    for gx in range(3):
+                        if m[gy, gx] > m[gy, gx + 1]:
+                            bits |= 1 << (gy * 3 + gx)
+                out["doc_id"].append(int(doc_id))
+                out["dhash"].append(bits)
+            yield pd.DataFrame(out)
+
+    hashed = media.mapInPandas(batches, schema="doc_id BIGINT, dhash BIGINT")
+    return hashed.select(
+        "doc_id",
+        "dhash",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("dhash"))
+        .cast("long")
+        .alias("bucket_size"),
+    )

@@ -68,3 +68,39 @@ def test_decode_payload_prefers_real_decoder():
     # Opaque text payload → deterministic fallback shape.
     w2, h2, feats2 = _decode_payload(b"just some text", "text/plain")
     assert len(feats2) == 8
+
+
+def test_dhash_is_position_sensitive():
+    """The dHash docstring's teeth: a decoder that scrambles spatial
+    layout (here: vertically flipped rows — the exact mistake a BMP
+    parser makes if it forgets bottom-up order) keeps the channel
+    SUMS identical but flips gradient bits on real images, so
+    q_llm_multimodal_dhash catches what the decode-stats oracle
+    can't. Verified on the generator's own images across many
+    doc_ids: at least one fingerprint must differ."""
+
+    def dhash_of(img, w, h):
+        gray = img.sum(axis=2, dtype=np.int64)
+        xs = (np.arange(w) * 4) // w
+        ys = (np.arange(h) * 4) // h
+        bits = 0
+        m = np.zeros((4, 4), dtype=np.int64)
+        for gy in range(4):
+            for gx in range(4):
+                cell = gray[np.ix_(ys == gy, xs == gx)]
+                m[gy, gx] = int(cell.sum()) // cell.size
+        for gy in range(4):
+            for gx in range(3):
+                if m[gy, gx] > m[gy, gx + 1]:
+                    bits |= 1 << (gy * 3 + gx)
+        return bits
+
+    diffs = 0
+    for doc_id in range(64):
+        w, h = doc_id % 16 + 4, doc_id % 8 + 4
+        _, _, img = decode_image(make_bmp_bytes(doc_id, w, h))
+        flipped = img[::-1, :, :]
+        assert img.sum() == flipped.sum()  # sums can't tell them apart
+        if dhash_of(img, w, h) != dhash_of(flipped, w, h):
+            diffs += 1
+    assert diffs > 0, "vertical flip never changed a fingerprint"

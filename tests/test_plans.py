@@ -1488,3 +1488,19 @@ def test_readability_single_aggregate_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(source") == 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_dhash_single_arrow_pass_one_exchange(spark):
+    """q_llm_multimodal_dhash: decode+hash must be Arrow-batched
+    mapInPandas passes (the sanctioned Python path for binary
+    decode — never row-at-a-time UDFs), with the bucket-size window
+    on dhash as the ONLY hash exchange and no join."""
+    import re
+
+    plan = plan_of(spark, "q_llm_multimodal_dhash")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"dhash", "doc_id"}, keys
+    assert plan.count("Exchange hashpartitioning(dhash") == 1, plan
