@@ -149,8 +149,117 @@ def _extended_twins() -> dict[str, str]:
         _POWER_FORMULAS,
     )
 
+    from batchprocessor_spark.functions.text import _FLESCH
+    from batchprocessor_spark.operators.similarity import (
+        _JL_SCALE,
+        _JL_SIGN,
+        _JL_TARGET,
+    )
+
     t_us = _FUNNEL_WINDOW_US
+    jl_sign = _JL_SIGN.format(h="i*64 + j + 1", div="div")
     return {
+        "q_text_lexical_richness": """
+    WITH w AS (
+      SELECT source, w FROM documents
+      LATERAL VIEW explode(split(text, ' ')) t AS w
+      WHERE w <> ''),
+    f AS (
+      SELECT source, w, CAST(count(1) AS BIGINT) AS c
+      FROM w GROUP BY source, w)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(1) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((10000 * count(1)) DIV sum(c) AS BIGINT) AS ttr_bp,
+           CAST((1000000 * sum(c * (c - 1)))
+                DIV nullif(sum(c) * (sum(c) - 1), 0) AS BIGINT) AS simpson_ppm
+    FROM f GROUP BY source
+    """,
+        "q_text_readability": f"""
+    WITH d AS (
+      SELECT source,
+             CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_words,
+             CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0)))
+               AS BIGINT) AS n_sentences,
+             CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+               AS BIGINT) AS n_syllables
+      FROM documents),
+    s AS (
+      SELECT source, CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_words,
+             CAST(sum(n_sentences) AS BIGINT) AS n_sentences,
+             CAST(sum(n_syllables) AS BIGINT) AS n_syllables
+      FROM d GROUP BY source),
+    x AS (
+      SELECT source, n_docs, n_words, n_sentences, n_syllables,
+             CAST(n_words AS DOUBLE) AS words,
+             CAST(n_sentences AS DOUBLE) AS sentences,
+             CAST(n_syllables AS DOUBLE) AS syllables
+      FROM s)
+    SELECT source, n_docs, n_words, n_sentences, n_syllables,
+           round({_FLESCH}, 4) AS flesch
+    FROM x
+    """,
+        "q_llm_dup_token_mass": """
+    WITH d AS (
+      SELECT md5(text) AS h,
+             CAST(size(split(text, ' ')) AS BIGINT) AS toks
+      FROM documents),
+    g AS (
+      SELECT h, CAST(count(1) AS BIGINT) AS dup_count,
+             CAST(sum(toks) AS BIGINT) AS toks
+      FROM d GROUP BY h),
+    k AS (
+      SELECT dup_count, CAST(count(1) AS BIGINT) AS n_groups,
+             CAST(sum(dup_count) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS token_mass
+      FROM g GROUP BY dup_count)
+    SELECT dup_count, n_groups, n_docs, token_mass,
+           CAST((10000 * token_mass) DIV (sum(token_mass) OVER ()) AS BIGINT)
+             AS mass_bp
+    FROM k
+    """,
+        "q_llm_normalize_dedup_gain": """
+    WITH d AS (
+      SELECT md5(text) AS h_raw,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' '), ' +', ' '))) AS h_norm
+      FROM documents)
+    SELECT CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h_raw) AS BIGINT) AS distinct_raw,
+           CAST(count(DISTINCT h_norm) AS BIGINT) AS distinct_norm,
+           CAST(count(1) - count(DISTINCT h_raw) AS BIGINT) AS dup_raw,
+           CAST(count(1) - count(DISTINCT h_norm) AS BIGINT) AS dup_norm,
+           CAST((10000 * ((count(1) - count(DISTINCT h_norm))
+                          - (count(1) - count(DISTINCT h_raw))))
+                DIV count(1) AS BIGINT) AS gain_bp
+    FROM d
+    """,
+        "q_emb_random_projection": f"""
+    WITH v AS (
+      SELECT vec_id,
+             transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * {_JL_SCALE}) AS BIGINT)) AS q
+      FROM embeddings),
+    p AS (
+      SELECT vec_id, q,
+             transform(sequence(0, {_JL_TARGET - 1}), j ->
+               aggregate(zip_with(q, sequence(0, 63), (x, i) ->
+                 x * {jl_sign}), CAST(0 AS BIGINT), (acc, v) -> acc + v)) AS y
+      FROM v),
+    pairs AS (
+      SELECT a.vec_id,
+             aggregate(zip_with(a.q, b.q, (x, z) -> (x - z) * (x - z)),
+                       CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d_orig,
+             aggregate(zip_with(a.y, b.y, (x, z) -> (x - z) * (x - z)),
+                       CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d_proj
+      FROM p a JOIN p b ON b.vec_id = a.vec_id + 1)
+    SELECT vec_id, d_orig, d_proj,
+           (10000 * d_proj) DIV nullif({_JL_TARGET} * d_orig, 0) AS ratio_bp
+    FROM pairs
+    """,
         "q_funnel_time_window": f"""
     WITH t AS (
       SELECT user_id, event_type, unix_micros(CAST(ts AS TIMESTAMP)) AS us, event_id
@@ -429,6 +538,11 @@ _DIV_RE = re.compile(r"\s*//\s*")
 EXTENDED_TWIN_NAMES: frozenset[str] = frozenset(
     {
         "q_funnel_time_window",
+        "q_text_lexical_richness",
+        "q_text_readability",
+        "q_llm_dup_token_mass",
+        "q_llm_normalize_dedup_gain",
+        "q_emb_random_projection",
         "q_funnel_conversion",
         "q_events_rolling_active_users",
         "q_events_cohort_ltv",
