@@ -168,6 +168,10 @@ SCALING_EXTRA = [
     "q_llm_winnowing_pairs",
     "q_llm_winnowing",
     "q_events_rolling_active_users",
+    # Round-8 additions (trained PQ ANN + the corpus scorecards):
+    "q_llm_simsearch_pq",
+    "q_llm_multimodal_dhash",
+    "q_text_lexical_richness",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with
