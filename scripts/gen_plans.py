@@ -68,6 +68,11 @@ HEADLINE = [
     "q_merge_snapshot_diff",
     "q_funnel_time_window",
     "q_ts_holt",
+    # Round-8 operators with distinctive plan shapes:
+    "q_llm_simsearch_pq",
+    "q_llm_multimodal_dhash",
+    "q_emb_random_projection",
+    "q_text_lexical_richness",
 ]
 
 
@@ -107,10 +112,37 @@ def _twin_winnowing_pairs(spark, sf_dir):
     return winnowing_pair_matches(winnowing_distinct_fingerprints(docs).cache())
 
 
+def _twin_pq(spark, sf_dir):
+    # Plan shape is codebook-value-independent: a synthetic codebook
+    # gives the same executed shape as the trained one without the
+    # collect rounds (the live gate in tests/test_plans.py uses the
+    # identical composition).
+    from batchprocessor_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBD,
+        _pq_adc_rank,
+        _pq_cents_df,
+        _pq_subvectors,
+    )
+
+    sub = _pq_subvectors(spark, sf_dir).cache()
+    cdf = _pq_cents_df(
+        spark,
+        [
+            (s, c, [s + c + j for j in range(_PQ_SUBD)])
+            for s in range(_PQ_M)
+            for c in range(_PQ_K)
+        ],
+    )
+    return _pq_adc_rank(sub, cdf)
+
+
 def _pre_checkpoint_twins():
     from batchprocessor_spark.operators import dedup
 
     return {
+        "q_llm_simsearch_pq": _twin_pq,
         "q_llm_dedup_minhash": _twin_minhash(1, dedup._NUM_HASHES),
         "q_llm_dedup_minhash_banded": _twin_minhash(
             dedup._BAND_ROWS, dedup._NUM_BANDS
