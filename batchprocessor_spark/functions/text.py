@@ -2335,3 +2335,70 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         f"round({_FLESCH}, 4) AS flesch",
     )
+
+
+# --------------------------------------------------------- tokenizer fertility
+
+@register(
+    "q_llm_tokenizer_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n_words,
+             len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_tokens,
+             length(text)::BIGINT AS n_chars
+      FROM documents)
+    SELECT source,
+           sum(n_words)::BIGINT AS n_words,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           sum(n_chars)::BIGINT AS n_chars,
+           ((10000 * sum(n_tokens)) // nullif(sum(n_words), 0))::BIGINT
+             AS fertility_bp,
+           ((10000 * sum(n_chars)) // nullif(sum(n_tokens), 0))::BIGINT
+             AS chars_per_token_bp
+    FROM d GROUP BY source
+    """,
+    category="text",
+)
+def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility — the cost model behind corpus
+    mixing and context budgeting: how many pre-tokenizer pieces
+    (word pieces / digit runs / single symbols, the same _TOKEN_RE
+    lane as q_llm_text_stats) each whitespace word explodes into
+    (fertility, in basis points — 10000 = one token per word; high-
+    fertility sources eat context windows and training budget), and
+    how many characters ride in each token. Tokenizer papers report
+    exactly this ratio per language/domain when comparing vocab
+    builds; a pipeline uses it to convert byte budgets into token
+    budgets per source before sampling (q_llm_budget_allocation).
+
+    Cross-engine exactness: identical split/regex token counts,
+    char lengths, and integer floor-divisions of non-negative sums —
+    no floats anywhere.
+
+    Scale posture: one scan, per-row regexp counting in whole-stage
+    codegen, ONE enum-sized (source) aggregate with map-side combine.
+    No joins, no windows, no Python."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return d.groupBy("source").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST((10000 * sum(n_tokens)) DIV nullif(sum(n_words), 0) AS BIGINT)"
+        ).alias("fertility_bp"),
+        F.expr(
+            "CAST((10000 * sum(n_chars)) DIV nullif(sum(n_tokens), 0) AS BIGINT)"
+        ).alias("chars_per_token_bp"),
+    )

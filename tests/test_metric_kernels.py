@@ -1684,3 +1684,44 @@ def test_readability_matches_python_re(spark):
         for r in REGISTRY["q_text_readability"].builder(spark, SF_SMALL).collect()
     }
     assert got == expect
+
+
+def test_tokenizer_fertility_matches_python_re(spark):
+    """q_llm_tokenizer_fertility vs a stdlib-re recompute — exact
+    integer equality including the basis-point floor divisions."""
+    import re as _re
+
+    from batchprocessor_spark.functions.text import _TOKEN_RE
+
+    docs = pd.read_parquet(
+        f"{SF_SMALL}/documents.parquet", columns=["source", "text"]
+    )
+    agg: dict[str, list] = {}
+    for r in docs.itertuples():
+        a = agg.setdefault(r.source, [0, 0, 0])
+        a[0] += sum(1 for w in r.text.split(" ") if w)
+        a[1] += len(_re.findall(_TOKEN_RE, r.text))
+        a[2] += len(r.text)
+    expect = {
+        src: (
+            w,
+            t,
+            c,
+            (10000 * t) // w if w else None,
+            (10000 * c) // t if t else None,
+        )
+        for src, (w, t, c) in agg.items()
+    }
+    got = {
+        r.source: (
+            int(r.n_words),
+            int(r.n_tokens),
+            int(r.n_chars),
+            None if r.fertility_bp is None else int(r.fertility_bp),
+            None if r.chars_per_token_bp is None else int(r.chars_per_token_bp),
+        )
+        for r in REGISTRY["q_llm_tokenizer_fertility"]
+        .builder(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == expect

@@ -1504,3 +1504,14 @@ def test_dhash_single_arrow_pass_one_exchange(spark):
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"dhash", "doc_id"}, keys
     assert plan.count("Exchange hashpartitioning(dhash") == 1, plan
+
+
+def test_tokenizer_fertility_single_aggregate(spark):
+    """q_llm_tokenizer_fertility: one scan, one enum-sized (source)
+    partial/final aggregate — no join/window/Python."""
+    plan = plan_of(spark, "q_llm_tokenizer_fertility")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(source") == 1, plan
+    assert "partial_sum" in plan, plan
