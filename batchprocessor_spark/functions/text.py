@@ -2402,3 +2402,137 @@ def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * sum(n_chars)) DIV nullif(sum(n_tokens), 0) AS BIGINT)"
         ).alias("chars_per_token_bp"),
     )
+
+
+# ------------------------------------------------------------- Gopher rules
+
+# Gopher's published stopword-presence rule list (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", appendix A1.1): a document
+# must contain at least two of these eight function words.
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "q_llm_gopher_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+               AS n_words,
+             length(replace(text, ' ', ''))::BIGINT AS nc,
+             len(list_filter(string_split(text, ' '),
+                 w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT AS n_alpha,
+             len(list_filter(string_split(lower(text), ' '),
+                 w -> list_contains(
+                   [{", ".join("'" + w + "'" for w in _GOPHER_STOPS)}], w)))::BIGINT
+               AS n_stop,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                 x -> x <> '')))::BIGINT AS n_distinct
+      FROM documents),
+    r AS (
+      SELECT lang, source,
+             CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS p_wc,
+             CASE WHEN 3 * n_words <= nc AND nc <= 10 * n_words
+                  THEN 1 ELSE 0 END AS p_mwl,
+             CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS p_alpha,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+             CASE WHEN 2 * n_distinct >= n_words THEN 1 ELSE 0 END AS p_rep
+      FROM d)
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs,
+           sum(p_wc)::BIGINT AS n_pass_wordcount,
+           sum(p_mwl)::BIGINT AS n_pass_meanwordlen,
+           sum(p_alpha)::BIGINT AS n_pass_alphawords,
+           sum(p_stop)::BIGINT AS n_pass_stopwords,
+           sum(p_rep)::BIGINT AS n_pass_repetition,
+           sum(p_wc * p_mwl * p_alpha * p_stop * p_rep)::BIGINT AS n_pass_all,
+           ((10000 * sum(p_wc * p_mwl * p_alpha * p_stop * p_rep))
+              // count(*))::BIGINT AS pass_all_bp
+    FROM r GROUP BY lang, source
+    """,
+    category="text",
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule scorecard per (lang, source) — the
+    published heuristic filter battery (Rae et al. 2021, appendix
+    A1.1; the same family MassiveText/RefinedWeb/Dolma run before any
+    model-based scoring), evaluated as a per-document rule bitmap and
+    aggregated to pass counts:
+
+    - word count in [50, 100000] (canonical Gopher bounds);
+    - mean word length in [3, 10], tested as the INTEGER
+      cross-multiplication 3·n_words <= chars_nospace <= 10·n_words —
+      no division, no floats;
+    - >= 80% of words contain an alphabetic character
+      (5·n_alpha >= 4·n_words);
+    - at least two hits from Gopher's published eight-stopword list
+      (the/be/to/of/and/that/have/with);
+    - a repetition gate: >= 50% distinct words
+      (2·n_distinct >= n_words) — the fixture-meaningful stand-in for
+      Gopher's duplicate-line/top-2-gram family, whose line-based
+      variants degenerate on this corpus' single-line documents (the
+      n-gram repetition profile is its own operator,
+      q_llm_repetition_stats).
+
+    Unlike q_llm_quality_filter (which EMITS the surviving rows),
+    this is the curation AUDIT view: how much of each source×language
+    cell survives each rule and all of them together — the table a
+    data-mix owner reads before deciding which sources to re-crawl or
+    drop.
+
+    Cross-engine exactness: every rule is an integer comparison on
+    exact token/char counts; pass shares are integer basis points
+    (DIV). No floats anywhere.
+
+    Scale posture: one scan, per-row split/regex counting inside
+    whole-stage codegen, ONE enum-sized (lang × source) aggregate
+    with map-side combine. No joins, no windows, no Python.
+
+    Reference scope: the reference engine (batchprocessor-core) has
+    no text surface; this extends SURVEY.md §2.4's curation family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("nc"),
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("long").alias("n_alpha"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "),
+                lambda w: F.array_contains(stops, w),
+            )
+        ).cast("long").alias("n_stop"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    r = per_doc.select(
+        "lang",
+        "source",
+        flag(F.col("n_words").between(50, 100000)).alias("p_wc"),
+        flag(
+            (3 * F.col("n_words") <= F.col("nc"))
+            & (F.col("nc") <= 10 * F.col("n_words"))
+        ).alias("p_mwl"),
+        flag(5 * F.col("n_alpha") >= 4 * F.col("n_words")).alias("p_alpha"),
+        flag(F.col("n_stop") >= 2).alias("p_stop"),
+        flag(2 * F.col("n_distinct") >= F.col("n_words")).alias("p_rep"),
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("p_wc").cast("long").alias("n_pass_wordcount"),
+        F.sum("p_mwl").cast("long").alias("n_pass_meanwordlen"),
+        F.sum("p_alpha").cast("long").alias("n_pass_alphawords"),
+        F.sum("p_stop").cast("long").alias("n_pass_stopwords"),
+        F.sum("p_rep").cast("long").alias("n_pass_repetition"),
+        F.sum(
+            F.col("p_wc") * F.col("p_mwl") * F.col("p_alpha") * F.col("p_stop") * F.col("p_rep")
+        ).cast("long").alias("n_pass_all"),
+        F.expr(
+            "CAST((10000 * sum(p_wc * p_mwl * p_alpha * p_stop * p_rep))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("pass_all_bp"),
+    )

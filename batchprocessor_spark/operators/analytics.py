@@ -4090,3 +4090,163 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_cents_per_user_c2"
         ),
     )
+
+
+# --------------------------------------------------------- Kaplan-Meier
+
+@register(
+    "q_ml_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS v_ts,
+             max(ts) AS t_max
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND v.v_ts IS NOT NULL
+        AND e.ts >= v.v_ts
+      GROUP BY e.user_id),
+    subj AS (
+      SELECT v.user_id,
+             ((epoch_us(coalesce(p.p_ts, v.t_max)) - epoch_us(v.v_ts))
+              // 86400000000)::BIGINT AS dur,
+             CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS evt
+      FROM v LEFT JOIN p ON p.user_id = v.user_id
+      WHERE v.v_ts IS NOT NULL),
+    km AS (
+      SELECT dur, sum(evt)::BIGINT AS e, count(*)::BIGINT AS leave
+      FROM subj GROUP BY dur),
+    risk AS (
+      SELECT dur, e,
+             sum(leave) OVER (ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+               AS n_risk
+      FROM km),
+    ev AS (
+      SELECT dur, e, n_risk,
+             row_number() OVER (ORDER BY dur) AS rn,
+             count(*) OVER () AS n
+      FROM risk WHERE e > 0),
+    f AS (
+      SELECT rn, n, dur, e, n_risk,
+             ((1000000000000 * (n_risk - e)) // n_risk)::BIGINT AS surv
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT ev.rn, ev.n, ev.dur, ev.e, ev.n_risk,
+             ((f.surv * (ev.n_risk - ev.e)) // ev.n_risk)::BIGINT
+      FROM f JOIN ev ON ev.rn = f.rn + 1)
+    SELECT dur AS duration_days, n_risk, e AS n_events,
+           surv AS survival_e12
+    FROM f
+    """,
+    category="ml",
+)
+def q_ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve of view→purchase
+    conversion: subjects are users with a first view; the event is
+    their first purchase at/after it (the q_events_time_to_convert
+    stage rule); users who never purchase are RIGHT-CENSORED at their
+    last observed activity — the estimator that makes conversion /
+    churn analysis honest about open-ended observation windows, which
+    a naive conversion-rate cut ignores. Emits one row per event
+    time: duration (whole days), the risk set size, events at that
+    time, and S(t) = Π (n_i − d_i)/n_i.
+
+    Cross-engine exactness: durations are integer floor-days of
+    microsecond diffs; risk sets are suffix sums over the bounded
+    duration histogram; the survival product runs in integer 1e-12
+    units with the iterative floor recurrence
+    S_k = (S_{k−1} · (n_k − d_k)) DIV n_k — both engines state the
+    identical integer recurrence (Spark: one `aggregate` fold whose
+    accumulator also APPENDS each step, so the full curve comes out
+    of one fold; DuckDB: a recursive CTE), so the curve is
+    hash-exact with zero float products.
+
+    Scale posture: one user_id window pass + one per-user collapse
+    (the subjects table is user-grain), then everything runs on the
+    BOUNDED duration histogram (≤ observation-window days, ~60 rows
+    at any SF): suffix-sum window, fold, explode — the value-table
+    window discipline. The fold state is O(event times), never
+    O(users). Two exchanges total (user_id, then the 1-row series
+    collapse).
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's analytics family.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v_ts = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    per_user = (
+        e.withColumn("v_ts", v_ts)
+        .where(F.col("v_ts").isNotNull())
+        .groupBy("user_id", "v_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("v_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts"),
+            F.max("ts").alias("t_max"),
+        )
+    )
+    subj = per_user.select(
+        F.expr(
+            "(unix_micros(cast(coalesce(p_ts, t_max) as timestamp))"
+            " - unix_micros(cast(v_ts as timestamp))) DIV 86400000000"
+        )
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("p_ts").isNull(), 0).otherwise(1).alias("evt"),
+    )
+    km = subj.groupBy("dur").agg(
+        F.sum("evt").cast("long").alias("e"),
+        F.count(F.lit(1)).cast("long").alias("leave"),
+    )
+    risk = km.select(
+        "dur",
+        "e",
+        F.sum("leave")
+        .over(
+            Window.orderBy("dur").rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    series = (
+        risk.where(F.col("e") > 0)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dur", "n_risk", "e"))
+            ).alias("xs")
+        )
+    )
+    folded = series.selectExpr(
+        """
+        aggregate(
+          xs,
+          struct(CAST(1000000000000 AS BIGINT) AS s,
+                 CAST(array() AS
+                   ARRAY<STRUCT<dur: BIGINT, n: BIGINT,
+                                e: BIGINT, surv: BIGINT>>) AS out),
+          (acc, x) -> struct(
+            (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS s,
+            array_append(acc.out,
+              struct(x.dur AS dur, x.n_risk AS n, x.e AS e,
+                     (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS surv))
+              AS out)
+        ).out AS out
+        """
+    )
+    step = F.explode("out").alias("st")
+    return folded.select(step).select(
+        F.col("st.dur").alias("duration_days"),
+        F.col("st.n").alias("n_risk"),
+        F.col("st.e").alias("n_events"),
+        F.col("st.surv").alias("survival_e12"),
+    )

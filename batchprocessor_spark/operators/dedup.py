@@ -1875,3 +1875,141 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("is_leak"),
         )
     )
+
+
+# ----------------------------------------------- sorted-neighborhood method
+
+@register(
+    "q_dedup_sorted_neighborhood",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars
+      FROM documents),
+    nb AS (
+      SELECT lang, doc_id AS doc_a,
+             lead(doc_id, 1) OVER w AS nb1,
+             lead(doc_id, 2) OVER w AS nb2,
+             lead(doc_id, 3) OVER w AS nb3
+      FROM k
+      WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+    cand AS (
+      SELECT lang, doc_a, nb1 AS doc_b FROM nb WHERE nb1 IS NOT NULL
+      UNION ALL
+      SELECT lang, doc_a, nb2 FROM nb WHERE nb2 IS NOT NULL
+      UNION ALL
+      SELECT lang, doc_a, nb3 FROM nb WHERE nb3 IS NOT NULL),
+    ws AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS words
+      FROM documents),
+    scored AS (
+      SELECT c.lang, c.doc_a, c.doc_b,
+             len(a.words)::BIGINT AS words_a,
+             len(b.words)::BIGINT AS words_b,
+             len(list_intersect(a.words, b.words))::BIGINT AS n_common
+      FROM cand c
+      JOIN ws a ON a.doc_id = c.doc_a
+      JOIN ws b ON b.doc_id = c.doc_b)
+    SELECT lang, doc_a, doc_b, words_a, words_b, n_common,
+           ((10000 * n_common) // (words_a + words_b - n_common))::BIGINT
+             AS jaccard_bp
+    FROM scored
+    WHERE 3 * n_common >= words_a + words_b
+    """,
+    category="dedup",
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidate generation
+    (Hernandez & Stolfo 1995) — the THIRD classic blocking family
+    beside hash blocking (q_llm_dedup_fuzzy's length×prefix blocks)
+    and LSH (q_llm_dedup_minhash): sort records by a domain key so
+    likely duplicates become rank-adjacent, slide a fixed window of
+    w = 4 down the sort order, and emit only rank-neighbors as
+    candidate pairs — O(n·w) candidates regardless of how skewed the
+    value distribution is (hash blocking's quadratic-hot-block
+    failure mode cannot occur: every record pairs with exactly the
+    w−1 records behind it).
+
+    Sort key here: (lang, n_chars, doc_id) — same-language documents
+    of near-identical length. Candidates are verified with exact
+    distinct-word-set Jaccard; pairs at >= 0.5 survive (the integer
+    cross-multiplication 3·|A∩B| >= |A|+|B|, no division). The
+    verify joins carry only (doc_id, doc_id) skinny pairs back onto
+    the word-set table — candidates-then-verify, never arrays
+    through the window.
+
+    Cross-engine exactness: rank adjacency uses the deterministic
+    total order (n_chars, doc_id); set sizes and the 3i >= a+b gate
+    are exact integers; jaccard_bp is an integer DIV.
+
+    Scale posture: the window needs only (doc_id, n_chars) — bytes
+    per row, not documents; it partitions by lang here, and at 100 TB
+    the standard deployment shards the sort key into range blocks
+    with a (w−1)-row overlap replicated to the previous block (each
+    block sorts locally; the overlap makes rank-adjacency exact), so
+    no single task ever sorts a whole language. The verify side is
+    two equi-joins on doc_id (AQE-planned) touching candidates only.
+
+    Reference scope: the reference engine has no ER surface; this
+    extends SURVEY.md §2.4's dedup family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    # All w-1 leads come from ONE window projection and explode into
+    # candidate rows — a union of per-lead branches would recompute
+    # the window (scan + exchange) once per lead.
+    nb = k.select(
+        "lang",
+        F.col("doc_id").alias("doc_a"),
+        F.array(
+            F.lead("doc_id", 1).over(w),
+            F.lead("doc_id", 2).over(w),
+            F.lead("doc_id", 3).over(w),
+        ).alias("nbs"),
+    )
+    cand = nb.select(
+        "lang", "doc_a", F.explode("nbs").alias("doc_b")
+    ).where(F.col("doc_b").isNotNull())
+    ws = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("words"),
+    )
+    a = ws.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("words").alias("words_arr_a"),
+    )
+    b = ws.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("words").alias("words_arr_b"),
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "lang",
+            "doc_a",
+            "doc_b",
+            F.size("words_arr_a").cast("long").alias("words_a"),
+            F.size("words_arr_b").cast("long").alias("words_b"),
+            F.size(F.array_intersect("words_arr_a", "words_arr_b"))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    return scored.where(
+        3 * F.col("n_common") >= F.col("words_a") + F.col("words_b")
+    ).select(
+        "lang",
+        "doc_a",
+        "doc_b",
+        "words_a",
+        "words_b",
+        "n_common",
+        F.expr(
+            "CAST((10000 * n_common) DIV (words_a + words_b - n_common) AS BIGINT)"
+        ).alias("jaccard_bp"),
+    )

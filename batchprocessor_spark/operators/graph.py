@@ -827,3 +827,92 @@ def q_graph_louvain_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_props))
         .select("n_nodes", "n_edges", "n_proposals", "n_merged_pairs", "gain_num_sum")
     )
+
+
+# ------------------------------------------------- bipartite projection
+
+@register(
+    "q_graph_bipartite_projection",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+      FROM lineitem),
+    capped AS (
+      SELECT part, supp
+      FROM (SELECT part, supp,
+                   row_number() OVER (PARTITION BY part ORDER BY supp) AS rn
+            FROM ps)
+      WHERE rn <= 8),
+    pairs AS (
+      SELECT a.supp AS supp_a, b.supp AS supp_b
+      FROM capped a JOIN capped b
+        ON a.part = b.part AND a.supp < b.supp)
+    SELECT supp_a, supp_b, count(*)::BIGINT AS weight
+    FROM pairs GROUP BY supp_a, supp_b
+    ORDER BY weight DESC, supp_a, supp_b
+    LIMIT 20
+    """,
+    category="graph",
+)
+def q_graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the part–supplier bipartite graph
+    (Newman 2001's collaboration-network construction): two suppliers
+    become linked with weight = how many parts they co-supply — the
+    co-occurrence graph behind recommender item-item similarity,
+    co-authorship networks, and supplier-substitutability analysis.
+    Emits the 20 heaviest projected edges (weight DESC, then the
+    deterministic (supp_a, supp_b) tie-break).
+
+    The scale hazard of every bipartite projection is the hub: a part
+    carried by k suppliers expands to C(k,2) pairs, and this fixture
+    averages k≈26 (C(26,2)≈325× amplification). The standard fix —
+    identical to what capped_bucket_pairs does for LSH buckets and
+    what large co-occurrence systems do to their hot items — is a
+    deterministic per-part truncation BEFORE pairing: each part
+    contributes only its first 8 suppliers in (supp) order
+    (row_number <= 8 over the part partition), bounding the per-part
+    expansion at C(8,2) = 28 while keeping the projection exact on
+    the capped relation (both engines state the SAME cap, so the
+    weights are exactly comparable; hub-truncated co-occurrence
+    weights are the documented semantics, as in any production
+    item-item pipeline).
+
+    Cross-engine exactness: DISTINCT pairs, deterministic cap,
+    integer weights, total-order tie-break — hash-exact.
+
+    Scale posture: one shuffle on part for the distinct + cap window
+    (skinny (part, supp) rows), a self-equi-join on part whose
+    per-key fan-out is <= 28 rows (AQE-planned, skew-immune by the
+    cap), one pair-keyed aggregate with map-side combine, and
+    TakeOrderedAndProject for the top-20 (never a global sort).
+
+    Reference scope: the reference engine has no graph surface; this
+    extends SURVEY.md §2.4's graph family.
+    """
+    from pyspark.sql import Window
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    capped = (
+        ps.select(
+            "part",
+            "supp",
+            F.row_number()
+            .over(Window.partitionBy("part").orderBy("supp"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 8)
+        .select("part", "supp")
+    )
+    a = capped.select("part", F.col("supp").alias("supp_a"))
+    b = capped.select("part", F.col("supp").alias("supp_b"))
+    pairs = a.join(b, "part").where(F.col("supp_a") < F.col("supp_b"))
+    return (
+        pairs.groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), "supp_a", "supp_b")
+        .limit(20)
+    )

@@ -1538,3 +1538,114 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["b"].alias("trend"),
         (state["l"] + state["b"]).alias("forecast_next"),
     )
+
+
+@register(
+    "q_ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    o AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    f AS (
+      SELECT event_type, rn, n,
+             cents::DOUBLE AS l, 0.0::DOUBLE AS b,
+             [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS s
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.rn, o.n,
+             0.5 * (o.cents::DOUBLE - f.s[1]) + 0.5 * (f.l + f.b),
+             0.5 * ((0.5 * (o.cents::DOUBLE - f.s[1]) + 0.5 * (f.l + f.b))
+                    - f.l) + 0.5 * f.b,
+             f.s[2:7] || [0.5 * (o.cents::DOUBLE
+                    - (0.5 * (o.cents::DOUBLE - f.s[1]) + 0.5 * (f.l + f.b)))
+                  + 0.5 * f.s[1]]
+      FROM f JOIN o ON o.event_type = f.event_type AND o.rn = f.rn + 1)
+    SELECT event_type, n::BIGINT AS n_days,
+           l AS level, b AS trend, s[1] AS s_next,
+           l + b + s[1] AS forecast_next
+    FROM f WHERE rn = n
+    """,
+    category="timeseries",
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters TRIPLE exponential smoothing (level +
+    trend + weekly seasonality, m = 7, α = β = γ = 1/2) per
+    event-type day series — completing the smoothing ladder beside
+    q_ts_ewma (single) and q_ts_holt (double). Emits the final
+    level/trend, the next season slot, and the one-step forecast
+    l + b + s_{t+1-m}.
+
+    The seasonal state rides as a 7-slot QUEUE: s[1] is always the
+    value from m steps ago (what the recurrence consumes), and each
+    step pops the head and appends the updated seasonal —
+    slice(s, 2, 6) || [s_t] — so neither engine needs indexed list
+    writes. Conventions stated once and shared: zero-initialized
+    seasonals, l_0 = x_0, b_0 = 0,
+    l_t = ½(x_t − s_{t−m}) + ½(l_{t−1} + b_{t−1}),
+    b_t = ½(l_t − l_{t−1}) + ½ b_{t−1},
+    s_t = ½(x_t − l_t) + ½ s_{t−m}.
+
+    Cross-engine exactness: cents are exact integers; α = β = γ = ½
+    makes every multiplication an exact halving and every state a
+    dyadic rational, and adds/subtracts share operand order between
+    the Spark fold and the recursive-CTE oracle — bit-identical
+    doubles end-to-end (the q_ts_holt discipline extended to vector
+    state).
+
+    Scale posture: one map-side-combined day aggregate, then
+    collect_list per series (state O(days-per-series), never
+    O(events)); the fold is one catalyst higher-order function,
+    JVM-side, no Python, one exchange on event_type. At 100 TB this
+    runs per (metric, entity) key — embarrassingly parallel across
+    millions of independent series.
+
+    Reference scope: the reference engine has no time-series surface;
+    this extends SURVEY.md §2.4's analytics family.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"))
+    series = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    y = lambda x: x["cents"].cast("double")  # noqa: E731
+    half = F.lit(0.5)
+    l_new = lambda acc, x: half * (y(x) - F.element_at(acc["s"], 1)) + half * (  # noqa: E731
+        acc["l"] + acc["b"]
+    )
+    state = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1)["cents"].cast("double").alias("l"),
+            F.lit(0.0).alias("b"),
+            F.array(*[F.lit(0.0) for _ in range(7)]).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            l_new(acc, x).alias("l"),
+            (half * (l_new(acc, x) - acc["l"]) + half * acc["b"]).alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, 6),
+                F.array(
+                    half * (y(x) - l_new(acc, x))
+                    + half * F.element_at(acc["s"], 1)
+                ),
+            ).alias("s"),
+        ),
+    )
+    return series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        F.element_at(state["s"], 1).alias("s_next"),
+        (state["l"] + state["b"] + F.element_at(state["s"], 1)).alias(
+            "forecast_next"
+        ),
+    )

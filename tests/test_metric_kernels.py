@@ -1725,3 +1725,171 @@ def test_tokenizer_fertility_matches_python_re(spark):
         .collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive triple smoothing (q_ts_holt_winters): independent
+# python fold with an explicitly-indexed seasonal array (the engine and
+# oracle carry a pop/append QUEUE instead — a different mechanization of
+# s_{t-m}), alpha=beta=gamma=1/2 so every step is an exact halving and
+# the comparison is EXACT equality.
+# ---------------------------------------------------------------------------
+
+
+def _holt_winters_reference(values, m=7):
+    level, trend = float(values[0]), 0.0
+    seasonal = {}  # t -> s_t, consumed at t+m; missing = 0.0
+    for t, y in enumerate(values[1:], start=1):
+        s_lag = seasonal.get(t - m, 0.0)
+        l_new = 0.5 * (y - s_lag) + 0.5 * (level + trend)
+        trend = 0.5 * (l_new - level) + 0.5 * trend
+        seasonal[t] = 0.5 * (y - l_new) + 0.5 * s_lag
+        level = l_new
+    t_next = len(values)
+    s_next = seasonal.get(t_next - m, 0.0)
+    return level, trend, s_next
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """The engine's Holt-Winters queue-state fold must equal the
+    independent dict-indexed python recurrence exactly."""
+    rows = REGISTRY["q_ts_holt_winters"].builder(spark, SF_SMALL).collect()
+    assert rows, "holt-winters output empty"
+    events = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ]
+    ts = pd.to_datetime(events["ts"], utc=False)
+    events = events.assign(
+        day=ts.dt.floor("D"),
+        cents=(events["value"] * 100).round().astype("int64"),
+    )
+    daily = (
+        events.groupby(["event_type", "day"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["event_type", "day"])
+    )
+    for r in rows:
+        series = [
+            float(v)
+            for v in daily[daily["event_type"] == r.event_type]["cents"]
+        ]
+        assert r.n_days == len(series), r.event_type
+        level, trend, s_next = _holt_winters_reference(series)
+        assert r.level == level, (r.event_type, r.level, level)
+        assert r.trend == trend, (r.event_type, r.trend, trend)
+        assert r.s_next == s_next, (r.event_type, r.s_next, s_next)
+        assert r.forecast_next == level + trend + s_next
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=40
+    )
+)
+@SETTINGS
+def test_holt_winters_reference_properties(values):
+    """With fewer than m+1 points no seasonal lag is ever populated,
+    so Holt-Winters must DEGENERATE to plain Holt exactly; constant
+    series keep the level near the constant."""
+    vals = [float(v) for v in values]
+    level, trend, s_next = _holt_winters_reference(vals)
+    if len(vals) <= 7:
+        h_level, h_trend = _holt_reference(vals)
+        assert level == h_level and trend == h_trend
+    if len(set(values)) == 1 and len(vals) > 1:
+        assert abs(level - values[0]) < abs(values[0]) * 1e-9 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier product-limit estimator (q_ml_kaplan_meier): independent
+# python implementation over subjects re-derived with pandas (first view,
+# first purchase at/after it, censor at last activity), carrying the
+# survival product in the SAME integer 1e-12 floor recurrence — the
+# declared exactness convention — plus textbook properties.
+# ---------------------------------------------------------------------------
+
+
+def _km_reference(durations, events):
+    """[(dur, n_risk, n_events, survival_e12)] for event times only."""
+    import collections
+
+    by_dur = collections.defaultdict(lambda: [0, 0])  # dur -> [events, total]
+    for d, e in zip(durations, events):
+        by_dur[d][0] += int(e)
+        by_dur[d][1] += 1
+    out, s, at_risk = [], 10**12, len(durations)
+    for d in sorted(by_dur):
+        ev, tot = by_dur[d]
+        if ev > 0:
+            s = (s * (at_risk - ev)) // at_risk
+            out.append((d, at_risk, ev, s))
+        at_risk -= tot
+    return out
+
+
+def test_kaplan_meier_matches_python_reference(spark):
+    rows = sorted(
+        REGISTRY["q_ml_kaplan_meier"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert rows, "km output empty"
+    events = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    # normalize to int64 MICROseconds regardless of the parquet
+    # reader's datetime64 resolution (ns at some pandas/pyarrow
+    # versions, us at others)
+    events["us"] = (
+        pd.to_datetime(events["ts"]).astype("datetime64[us]").astype("int64")
+    )
+    durs, evts = [], []
+    for _, g in events.groupby("user_id"):
+        views = g[g["event_type"] == "view"]["us"]
+        if views.empty:
+            continue
+        v0 = views.min()
+        purch = g[(g["event_type"] == "purchase") & (g["us"] >= v0)]["us"]
+        if purch.empty:
+            durs.append((g["us"].max() - v0) // 86_400_000_000)
+            evts.append(0)
+        else:
+            durs.append((purch.min() - v0) // 86_400_000_000)
+            evts.append(1)
+    ref = _km_reference(durs, evts)
+    got = [
+        (r.duration_days, r.n_risk, r.n_events, r.survival_e12) for r in rows
+    ]
+    assert got == ref
+    # Textbook properties: survival non-increasing in [0, 1e12]; the
+    # risk set strictly shrinks along event times.
+    survs = [r.survival_e12 for r in rows]
+    assert all(0 <= s <= 10**12 for s in survs)
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    risks = [r.n_risk for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_km_reference_properties(subjects):
+    """KM on all-event data equals the empirical survival function
+    (the estimator's defining degenerate case), in the same integer
+    floor lane."""
+    durs = [d for d, _ in subjects]
+    out = _km_reference(durs, [1] * len(subjects))
+    n = len(durs)
+    for d, n_risk, ev, surv in out:
+        exact_survivors = sum(1 for x in durs if x > d)
+        # with no censoring the product telescopes: S = survivors/n,
+        # up to the declared per-step floor (each step loses < 1 unit)
+        approx = exact_survivors * 10**12 // n
+        assert abs(surv - approx) <= len(out), (d, surv, approx)

