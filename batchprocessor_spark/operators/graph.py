@@ -880,36 +880,46 @@ def q_graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: DISTINCT pairs, deterministic cap,
     integer weights, total-order tie-break — hash-exact.
 
-    Scale posture: one shuffle on part for the distinct + cap window
-    (skinny (part, supp) rows), a self-equi-join on part whose
-    per-key fan-out is <= 28 rows (AQE-planned, skew-immune by the
-    cap), one pair-keyed aggregate with map-side combine, and
-    TakeOrderedAndProject for the top-20 (never a global sort).
+    Scale posture: the engine never self-joins — each part's capped
+    supplier set rides as ONE sorted array (collect_set → sort →
+    slice 8) off a single part-keyed exchange, and the <= 28 pairs
+    expand with array combinatorics inside codegen (the oracle states
+    the equivalent row_number-cap + self-join formulation — a
+    different mechanization of the same relation). Then one
+    pair-keyed aggregate with map-side combine and
+    TakeOrderedAndProject for the top-20 (never a global sort). Two
+    exchanges total, zero joins, skew-immune by the cap.
 
     Reference scope: the reference engine has no graph surface; this
     extends SURVEY.md §2.4's graph family.
     """
-    from pyspark.sql import Window
-
-    ps = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp"))
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
     )
-    capped = (
-        ps.select(
-            "part",
-            "supp",
-            F.row_number()
-            .over(Window.partitionBy("part").orderBy("supp"))
-            .alias("rn"),
-        )
-        .where(F.col("rn") <= 8)
-        .select("part", "supp")
+    capped = li.groupBy("part").agg(
+        F.slice(F.array_sort(F.collect_set("supp")), 1, 8).alias("supps")
     )
-    a = capped.select("part", F.col("supp").alias("supp_a"))
-    b = capped.select("part", F.col("supp").alias("supp_b"))
-    pairs = a.join(b, "part").where(F.col("supp_a") < F.col("supp_b"))
+    pairs = capped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "supps",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "supps",
+                            i + F.lit(2),
+                            F.greatest(
+                                F.size("supps") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("supp_a"), y.alias("supp_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.supp_a", "p.supp_b")
     return (
         pairs.groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))

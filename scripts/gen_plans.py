@@ -73,6 +73,11 @@ HEADLINE = [
     "q_llm_multimodal_dhash",
     "q_emb_random_projection",
     "q_text_lexical_richness",
+    "q_llm_gopher_rules",
+    "q_dedup_sorted_neighborhood",
+    "q_graph_bipartite_projection",
+    "q_ts_holt_winters",
+    "q_ml_kaplan_meier",
 ]
 
 
