@@ -2536,3 +2536,72 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("pass_all_bp"),
     )
+
+
+# ------------------------------------------------------- lang-ID confusion
+
+from batchprocessor_spark.plans.registry import REGISTRY as _REGISTRY
+
+
+@register(
+    "q_llm_lang_confusion",
+    # The oracle NESTS the registered q_llm_lang_id SQL verbatim (the
+    # q_ml_eval_metrics discipline), so the predictor being evaluated
+    # and the evaluator can never drift apart.
+    oracle=f"""
+    WITH pred AS ({_REGISTRY['q_llm_lang_id'].oracle}),
+    cells AS (
+      SELECT lang_actual, lang_pred, count(*)::BIGINT AS n
+      FROM pred GROUP BY lang_actual, lang_pred)
+    SELECT lang_actual, lang_pred, n,
+           ((10000 * n) // sum(n) OVER (PARTITION BY lang_actual))::BIGINT
+             AS recall_bp,
+           ((10000 * n) // sum(n) OVER (PARTITION BY lang_pred))::BIGINT
+             AS precision_bp
+    FROM cells
+    """,
+    category="text",
+)
+def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the evaluation view of
+    q_llm_lang_id's stopword-vote classifier: one row per
+    (actual, predicted) cell with the cell count, per-actual recall
+    and per-predicted precision in integer basis points. This is the
+    audit a pipeline owner reads before trusting the lang column for
+    mixture weighting (q_llm_budget_allocation) or per-language
+    dedup: which languages leak into which, and how asymmetric the
+    errors are. The builder CALLS the registered q_llm_lang_id
+    builder and the oracle nests its SQL verbatim, so predictor and
+    evaluator cannot drift (the q_ml_eval_metrics discipline).
+
+    Cross-engine exactness: integer cell counts; recall/precision
+    are integer DIV basis points over window sums of the bounded
+    cell table.
+
+    Scale posture: the per-doc prediction pass is q_llm_lang_id's
+    (one scan, codegen regex votes); the confusion aggregate
+    collapses to ≤ |langs|² rows BEFORE the two windows run (the
+    value-table window discipline — windows never touch the corpus).
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's text family."""
+    pred = q_llm_lang_id(spark, sf_dir).select("lang_actual", "lang_pred")
+    cells = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_actual = Window.partitionBy("lang_actual")
+    w_pred = Window.partitionBy("lang_pred")
+    return cells.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        F.expr("10000 * n").alias("_n10k"),
+        F.sum("n").over(w_actual).alias("_row_total"),
+        F.sum("n").over(w_pred).alias("_col_total"),
+    ).selectExpr(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        "CAST(_n10k DIV _row_total AS BIGINT) AS recall_bp",
+        "CAST(_n10k DIV _col_total AS BIGINT) AS precision_bp",
+    )

@@ -4250,3 +4250,178 @@ def q_ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.e").alias("n_events"),
         F.col("st.surv").alias("survival_e12"),
     )
+
+
+# ------------------------------------------------------ bootstrap CI
+
+_BCI_R = 40  # bootstrap replicates; nearest-rank 2.5%/97.5% = 1st/39th
+
+
+def _bci_oracle() -> str:
+    from batchprocessor_spark.operators.sampling import _BOOT_T
+
+    h = (
+        "('0x' || substring(md5('bci' || rep::VARCHAR || ':' ||"
+        " event_id::VARCHAR), 1, 8))::BIGINT"
+    )
+    ladder = " ".join(f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T))
+    return f"""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1,
+             round(value * 100)::BIGINT AS c
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    reps AS (
+      SELECT rep,
+             (CASE {ladder} ELSE {len(_BOOT_T)} END)::BIGINT AS k,
+             is1, c
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_BCI_R - 1}))
+                         AS rep)),
+    per_rep AS (
+      SELECT rep,
+             sum(k * is1)::BIGINT AS w1,
+             sum(k * is1 * c)::BIGINT AS wc1,
+             sum(k * (1 - is1))::BIGINT AS w2,
+             sum(k * (1 - is1) * c)::BIGINT AS wc2
+      FROM reps GROUP BY rep),
+    deltas AS (
+      SELECT rep,
+             wc1::DOUBLE / greatest(w1, 1) - wc2::DOUBLE / greatest(w2, 1)
+               AS delta,
+             row_number() OVER (ORDER BY
+               wc1::DOUBLE / greatest(w1, 1)
+                 - wc2::DOUBLE / greatest(w2, 1), rep) AS rn
+      FROM per_rep),
+    obs AS (
+      SELECT count(*) FILTER (is1 = 1)::BIGINT AS n1,
+             count(*) FILTER (is1 = 0)::BIGINT AS n2,
+             sum(c) FILTER (is1 = 1)::BIGINT AS s1,
+             sum(c) FILTER (is1 = 0)::BIGINT AS s2
+      FROM e)
+    SELECT obs.n1 AS n_click, obs.n2 AS n_purchase,
+           {_BCI_R} AS n_boot,
+           round(obs.s1::DOUBLE / obs.n1 - obs.s2::DOUBLE / obs.n2, 6)
+             AS delta_obs,
+           round((SELECT delta FROM deltas WHERE rn = 1), 6) AS ci_lo,
+           round((SELECT delta FROM deltas WHERE rn = {_BCI_R - 1}), 6)
+             AS ci_hi
+    FROM obs
+    """
+
+
+@register("q_ab_bootstrap_ci", oracle=_bci_oracle(), category="experimentation")
+def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the difference in
+    mean event value between two arms (click vs purchase, the
+    q_ab_welch_ttest arms) — the distribution-free companion to the
+    Welch test: 40 one-pass Poisson(1) bootstrap replicates
+    (Oza–Russell, the q_sample_poisson_bootstrap integer threshold
+    ladder keyed on ('bci<rep>:' || event_id)), each replicate's
+    arm-mean difference computed from exact integer weighted sums,
+    and the CI read off the replicate order statistics by the
+    declared nearest-rank convention (2.5% → 1st, 97.5% → 39th of
+    B = 40).
+
+    Cross-engine exactness: multiplicities are integer ladder
+    lookups on identical 32-bit hashes; per-replicate weighted sums
+    are exact BIGINTs; each delta is the SAME two IEEE divisions and
+    one subtraction of identical integers — bit-identical doubles —
+    so the rank selection picks identical replicates (tie-break on
+    rep id); 6-dp rounds are a belt.
+
+    Scale posture: replicates explode map-side from ONE filtered
+    fact scan (a 40-struct array per row — the count-min shape) and
+    combine to 40 rows before any shuffle; the order-statistic
+    window runs over the 40-row replicate table only; the observed
+    means ride a second conditional aggregate, 1 row, broadcast. B
+    replicates cost B columns of integer math, not B passes.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's experimentation family.
+    """
+    from batchprocessor_spark.operators.sampling import _BOOT_T
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+
+    def k_of(rep):
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bci"),
+                        rep.cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        expr = F.lit(len(_BOOT_T))
+        for k in range(len(_BOOT_T) - 1, -1, -1):
+            expr = F.when(h < _BOOT_T[k], k).otherwise(expr)
+        return expr.cast("long")
+
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(_BCI_R - 1)),
+        lambda r: F.struct(r.cast("int").alias("rep"), k_of(r).alias("k")),
+    )
+    per_rep = (
+        e.select("is1", "c", F.explode(cells).alias("x"))
+        .select(F.col("x.rep").alias("rep"), F.col("x.k").alias("k"), "is1", "c")
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("k") * F.col("is1")).cast("long").alias("w1"),
+            F.sum(F.col("k") * F.col("is1") * F.col("c")).cast("long").alias("wc1"),
+            F.sum(F.col("k") * (1 - F.col("is1"))).cast("long").alias("w2"),
+            F.sum(F.col("k") * (1 - F.col("is1")) * F.col("c"))
+            .cast("long")
+            .alias("wc2"),
+        )
+    )
+    delta = (
+        F.col("wc1").cast("double") / F.greatest(F.col("w1"), F.lit(1))
+        - F.col("wc2").cast("double") / F.greatest(F.col("w2"), F.lit(1))
+    )
+    ranked = per_rep.select(
+        delta.alias("delta"),
+        F.row_number()
+        .over(Window.orderBy(delta, F.col("rep")))
+        .alias("rn"),
+    )
+    ci = ranked.agg(
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("delta"))), 6).alias("ci_lo"),
+        F.round(
+            F.max(F.when(F.col("rn") == _BCI_R - 1, F.col("delta"))), 6
+        ).alias("ci_hi"),
+    )
+    obs = e.agg(
+        F.count(F.when(F.col("is1") == 1, 1)).cast("long").alias("n_click"),
+        F.count(F.when(F.col("is1") == 0, 1)).cast("long").alias("n_purchase"),
+        F.round(
+            F.sum(F.when(F.col("is1") == 1, F.col("c"))).cast("double")
+            / F.count(F.when(F.col("is1") == 1, 1))
+            - F.sum(F.when(F.col("is1") == 0, F.col("c"))).cast("double")
+            / F.count(F.when(F.col("is1") == 0, 1)),
+            6,
+        ).alias("delta_obs"),
+    )
+    return obs.crossJoin(F.broadcast(ci)).select(
+        "n_click",
+        "n_purchase",
+        F.lit(_BCI_R).cast("int").alias("n_boot"),
+        "delta_obs",
+        "ci_lo",
+        "ci_hi",
+    )

@@ -2013,3 +2013,221 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * n_common) DIV (words_a + words_b - n_common) AS BIGINT)"
         ).alias("jaccard_bp"),
     )
+
+
+# --------------------------------------------------- Fellegi-Sunter linkage
+
+# Declared m-probabilities (P(field agrees | true match)) as exact
+# rationals — the assumed error model of the linkage, stated once and
+# shared by builder and oracle. u-probabilities (P(agrees | random
+# pair)) are ESTIMATED from the data: u = sum_v c_v(c_v-1) / N(N-1).
+_FS_M = {
+    "lang": (19, 20),
+    "source": (9, 10),
+    "wbucket": (4, 5),
+    "fp3": (99, 100),
+}
+
+# Shared formula text: per-field agreement/disagreement weights in ppm
+# (the likelihood ratios m/u and (1-m)/(1-u), floor-quantized), and the
+# staged pattern score (two DIV re-quantizations keep every
+# intermediate under 1e13 — BIGINT-safe at any SF).
+def _fs_weight_sql(f: str) -> tuple[str, str]:
+    # nullif guards the degenerate corpora (a field where no random
+    # pair — or every random pair — agrees): both engines then emit
+    # NULL weights/score for the affected pattern instead of Spark
+    # returning NULL while DuckDB raises on division by zero (the
+    # q_ab_power_mde zero-delta lesson from ADVICE r7).
+    mn, md = _FS_M[f]
+    agree = f"(1000000 * {mn} * u_den) DIV nullif({md} * u_{f}, 0)"
+    disagree = (
+        f"(1000000 * {md - mn} * u_den)"
+        f" DIV nullif({md} * (u_den - u_{f}), 0)"
+    )
+    return agree, disagree
+
+
+@register(
+    "q_dedup_fellegi_sunter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             (len(list_filter(string_split(text, ' '), x -> x <> ''))
+              // 10)::BIGINT AS wbucket,
+             substring(md5(text), 1, 3) AS fp3,
+             (n_chars // 4)::BIGINT AS blk
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS ag_lang,
+             CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS ag_source,
+             CASE WHEN a.wbucket = b.wbucket THEN 1 ELSE 0 END AS ag_wbucket,
+             CASE WHEN a.fp3 = b.fp3 THEN 1 ELSE 0 END AS ag_fp3
+      FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+    pat AS (
+      SELECT ag_lang, ag_source, ag_wbucket, ag_fp3,
+             count(*)::BIGINT AS n_pairs
+      FROM pairs GROUP BY 1, 2, 3, 4),
+    u AS (
+      SELECT (SELECT count(*) * (count(*) - 1) FROM base)::BIGINT AS u_den,
+             (SELECT sum(c * (c - 1)) FROM
+                (SELECT count(*) AS c FROM base GROUP BY lang))::BIGINT
+               AS u_lang,
+             (SELECT sum(c * (c - 1)) FROM
+                (SELECT count(*) AS c FROM base GROUP BY source))::BIGINT
+               AS u_source,
+             (SELECT sum(c * (c - 1)) FROM
+                (SELECT count(*) AS c FROM base GROUP BY wbucket))::BIGINT
+               AS u_wbucket,
+             (SELECT sum(c * (c - 1)) FROM
+                (SELECT count(*) AS c FROM base GROUP BY fp3))::BIGINT
+               AS u_fp3),
+    w AS (
+      SELECT pat.*,
+             CASE WHEN ag_lang = 1
+                  THEN {_fs_weight_sql('lang')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('lang')[1].replace('DIV', '//')}
+             END AS w1,
+             CASE WHEN ag_source = 1
+                  THEN {_fs_weight_sql('source')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('source')[1].replace('DIV', '//')}
+             END AS w2,
+             CASE WHEN ag_wbucket = 1
+                  THEN {_fs_weight_sql('wbucket')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('wbucket')[1].replace('DIV', '//')}
+             END AS w3,
+             CASE WHEN ag_fp3 = 1
+                  THEN {_fs_weight_sql('fp3')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('fp3')[1].replace('DIV', '//')}
+             END AS w4
+      FROM pat CROSS JOIN u)
+    SELECT ag_lang, ag_source, ag_wbucket, ag_fp3, n_pairs,
+           ((((w1 * w2) // 1000000) * ((w3 * w4) // 1000000))
+              // 1000000)::BIGINT AS score_ppm,
+           CASE WHEN (((w1 * w2) // 1000000) * ((w3 * w4) // 1000000))
+                     // 1000000 >= 100000000 THEN 'match'
+                WHEN (((w1 * w2) // 1000000) * ((w3 * w4) // 1000000))
+                     // 1000000 >= 1000000 THEN 'possible'
+                ELSE 'nonmatch' END AS class
+    FROM w
+    """,
+    category="dedup",
+)
+def q_dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (the 1969 theory
+    behind every production ER scorer — Splink, census linkage,
+    master-data dedup): candidate pairs from length blocking are
+    summarized by their field-AGREEMENT PATTERN over (lang, source,
+    word-count bucket, md5-prefix fingerprint), each pattern gets the
+    likelihood-ratio match weight Π_f (m_f/u_f)^{agree} ·
+    ((1−m_f)/(1−u_f))^{disagree}, and patterns classify into
+    match / possible / nonmatch by ratio thresholds (100, 1) — the
+    decision-theoretic layer that q_llm_dedup_fuzzy (distance
+    blocking) and q_dedup_sorted_neighborhood (rank blocking) stop
+    short of. Output is the BOUNDED pattern table (≤ 2⁴ rows).
+
+    m-probabilities are the declared error model (exact rationals,
+    stated once in _FS_M); u-probabilities are estimated from the
+    corpus itself as the exact random-pair agreement rate
+    u = Σ_v c_v(c_v−1) / N(N−1) — all BIGINT counts.
+
+    Cross-engine exactness: weights are floor-quantized integer ppm
+    — w = (10⁶·m_num·u_den) DIV (m_den·u_num) — and the 4-field
+    product re-quantizes after each pairing ((w1·w2) DIV 10⁶, etc.),
+    keeping every intermediate < 10¹³: BIGINT-exact at any SF, no
+    floats, no logs. Builder and oracle share the formula text
+    verbatim (DIV↔// is the only dialect change).
+
+    Scale posture: candidate generation runs through
+    skew.capped_bucket_pairs (ONE shuffle on the block key, array
+    pair expansion, hot blocks star-capped at 1024 — fixture blocks
+    are ~40 docs so capped == uncapped here; the governor engages on
+    degenerate blocks a real corpus produces); pattern flags come
+    from two skinny equi-joins of (d1, d2) id pairs onto the
+    attribute table; u-statistics are four value-histogram aggregates
+    broadcast as ONE row. The pattern aggregate is 16 rows.
+
+    Reference scope: the reference engine has no ER surface; this
+    extends SURVEY.md §2.4's dedup family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), x -> x != '')) DIV 10 AS BIGINT)"
+        ).alias("wbucket"),
+        F.substring(F.md5("text"), 1, 3).alias("fp3"),
+        F.expr("CAST(n_chars DIV 4 AS BIGINT)").alias("blk"),
+    )
+    pairs = capped_bucket_pairs(
+        base.select("blk", "doc_id"), ["blk"], "doc_id", cap=1024
+    )
+    a = base.select(
+        F.col("doc_id").alias("d1"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("wbucket").alias("wbucket_a"),
+        F.col("fp3").alias("fp3_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("d2"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("wbucket").alias("wbucket_b"),
+        F.col("fp3").alias("fp3_b"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    pat = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            flag(F.col("lang_a") == F.col("lang_b")).alias("ag_lang"),
+            flag(F.col("source_a") == F.col("source_b")).alias("ag_source"),
+            flag(F.col("wbucket_a") == F.col("wbucket_b")).alias("ag_wbucket"),
+            flag(F.col("fp3_a") == F.col("fp3_b")).alias("ag_fp3"),
+        )
+        .groupBy("ag_lang", "ag_source", "ag_wbucket", "ag_fp3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+    def u_of(col: str):
+        return (
+            base.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1)")).cast("long").alias(f"u_{col}"))
+        )
+
+    n = base.agg(
+        F.expr("CAST(count(1) * (count(1) - 1) AS BIGINT)").alias("u_den")
+    )
+    ustats = (
+        n.crossJoin(F.broadcast(u_of("lang")))
+        .crossJoin(F.broadcast(u_of("source")))
+        .crossJoin(F.broadcast(u_of("wbucket")))
+        .crossJoin(F.broadcast(u_of("fp3")))
+    )
+    w_exprs = []
+    for i, f_name in enumerate(["lang", "source", "wbucket", "fp3"], start=1):
+        ag, dis = _fs_weight_sql(f_name)
+        w_exprs.append(
+            f"CASE WHEN ag_{f_name} = 1 THEN {ag} ELSE {dis} END AS w{i}"
+        )
+    scored = pat.crossJoin(F.broadcast(ustats)).selectExpr(
+        "ag_lang", "ag_source", "ag_wbucket", "ag_fp3", "n_pairs", *w_exprs
+    )
+    return scored.selectExpr(
+        "ag_lang",
+        "ag_source",
+        "ag_wbucket",
+        "ag_fp3",
+        "n_pairs",
+        "CAST((((w1 * w2) DIV 1000000) * ((w3 * w4) DIV 1000000))"
+        " DIV 1000000 AS BIGINT) AS score_ppm",
+        "CASE WHEN (((w1 * w2) DIV 1000000) * ((w3 * w4) DIV 1000000))"
+        " DIV 1000000 >= 100000000 THEN 'match'"
+        " WHEN (((w1 * w2) DIV 1000000) * ((w3 * w4) DIV 1000000))"
+        " DIV 1000000 >= 1000000 THEN 'possible'"
+        " ELSE 'nonmatch' END AS class",
+    )

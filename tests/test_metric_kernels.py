@@ -1893,3 +1893,140 @@ def test_km_reference_properties(subjects):
         # up to the declared per-step floor (each step loses < 1 unit)
         approx = exact_survivors * 10**12 // n
         assert abs(surv - approx) <= len(out), (d, surv, approx)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter linkage weights (q_dedup_fellegi_sunter): pure-python
+# re-derivation of blocking pairs, agreement patterns, data-estimated
+# u-probabilities, and the staged integer-ppm likelihood products —
+# sharing no code with the Spark builder or the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _fs_reference(docs):
+    """docs: list of (doc_id, lang, source, wbucket, fp3, blk).
+    Returns {pattern: (n_pairs, score_ppm, class)}."""
+    import collections
+    import itertools
+
+    n = len(docs)
+    u_den = n * (n - 1)
+    m = {"lang": (19, 20), "source": (9, 10), "wbucket": (4, 5), "fp3": (99, 100)}
+    fields = ["lang", "source", "wbucket", "fp3"]
+    idx = {"lang": 1, "source": 2, "wbucket": 3, "fp3": 4}
+    u_num = {}
+    for f in fields:
+        counts = collections.Counter(d[idx[f]] for d in docs)
+        u_num[f] = sum(c * (c - 1) for c in counts.values())
+    blocks = collections.defaultdict(list)
+    for d in docs:
+        blocks[d[5]].append(d)
+    pat_counts = collections.Counter()
+    for blk in blocks.values():
+        blk = sorted(blk)
+        for a, b in itertools.combinations(blk, 2):
+            pat = tuple(int(a[idx[f]] == b[idx[f]]) for f in fields)
+            pat_counts[pat] += 1
+    out = {}
+    for pat, cnt in pat_counts.items():
+        ws = []
+        for f, ag in zip(fields, pat):
+            mn, md = m[f]
+            if ag:
+                ws.append((1_000_000 * mn * u_den) // (md * u_num[f]))
+            else:
+                ws.append(
+                    (1_000_000 * (md - mn) * u_den)
+                    // (md * (u_den - u_num[f]))
+                )
+        score = (((ws[0] * ws[1]) // 1_000_000) * ((ws[2] * ws[3]) // 1_000_000)) // 1_000_000
+        cls = (
+            "match"
+            if score >= 100_000_000
+            else "possible" if score >= 1_000_000 else "nonmatch"
+        )
+        out[pat] = (cnt, score, cls)
+    return out
+
+
+def test_fellegi_sunter_matches_python_reference(spark):
+    import hashlib
+
+    rows = REGISTRY["q_dedup_fellegi_sunter"].builder(spark, SF_SMALL).collect()
+    assert rows, "fs output empty"
+    docs_pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    docs = []
+    for r in docs_pdf.itertuples(index=False):
+        wbucket = len([w for w in r.text.split(" ") if w != ""]) // 10
+        fp3 = hashlib.md5(r.text.encode()).hexdigest()[:3]
+        docs.append(
+            (int(r.doc_id), r.lang, r.source, wbucket, fp3, int(r.n_chars) // 4)
+        )
+    ref = _fs_reference(docs)
+    got = {
+        (r.ag_lang, r.ag_source, r.ag_wbucket, r.ag_fp3): (
+            r.n_pairs,
+            r.score_ppm,
+            r["class"],
+        )
+        for r in rows
+    }
+    assert got == ref
+    # monotonicity property: flipping any field from disagree to agree
+    # must never DECREASE the pattern weight (m/u > (1-m)/(1-u) holds
+    # for every field on this corpus)
+    for pat, (_, score, _) in got.items():
+        for i in range(4):
+            if pat[i] == 0:
+                flipped = tuple(1 if j == i else pat[j] for j in range(4))
+                if flipped in got:
+                    assert got[flipped][1] >= score, (pat, flipped)
+
+
+# ---------------------------------------------------------------------------
+# Percentile bootstrap CI (q_ab_bootstrap_ci): pure-python recompute of
+# the hash ladder, per-replicate weighted deltas, and the nearest-rank
+# selection.
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    import hashlib
+
+    from batchprocessor_spark.operators.analytics import _BCI_R
+    from batchprocessor_spark.operators.sampling import _BOOT_T
+
+    row = REGISTRY["q_ab_bootstrap_ci"].builder(spark, SF_SMALL).collect()[0]
+    e = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    e = e[e["event_type"].isin(["click", "purchase"])]
+    cents = (e["value"] * 100).round().astype("int64").to_numpy()
+    is1 = (e["event_type"] == "click").to_numpy()
+    ids = e["event_id"].astype("int64").to_numpy()
+
+    def mult(rep, eid):
+        h = int(hashlib.md5(f"bci{rep}:{eid}".encode()).hexdigest()[:8], 16)
+        for k, t in enumerate(_BOOT_T):
+            if h < t:
+                return k
+        return len(_BOOT_T)
+
+    deltas = []
+    for rep in range(_BCI_R):
+        ks = np.array([mult(rep, i) for i in ids], dtype="int64")
+        w1, wc1 = ks[is1].sum(), (ks[is1] * cents[is1]).sum()
+        w2, wc2 = ks[~is1].sum(), (ks[~is1] * cents[~is1]).sum()
+        deltas.append(wc1 / max(w1, 1) - wc2 / max(w2, 1))
+    order = sorted(range(_BCI_R), key=lambda r: (deltas[r], r))
+    assert row.n_boot == _BCI_R
+    assert row.n_click == int(is1.sum())
+    assert row.n_purchase == int((~is1).sum())
+    assert row.ci_lo == round(deltas[order[0]], 6)
+    assert row.ci_hi == round(deltas[order[_BCI_R - 2]], 6)
+    assert row.delta_obs == round(
+        cents[is1].sum() / is1.sum() - cents[~is1].sum() / (~is1).sum(), 6
+    )
+    # and the interval must contain the bulk of the replicate mass
+    inside = sum(
+        1 for d in deltas if deltas[order[0]] <= d <= deltas[order[_BCI_R - 2]]
+    )
+    assert inside >= _BCI_R - 2

@@ -1588,3 +1588,56 @@ def test_kaplan_meier_windows_over_histogram_not_facts(spark):
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"user_id", "dur"}, keys
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_fellegi_sunter_governed_pairs_broadcast_ustats(spark):
+    """q_dedup_fellegi_sunter: candidate pairs come from the
+    capped_bucket_pairs governor (one blk shuffle + array expansion —
+    no bucket self-join), attribute flags are skinny equi-joins on
+    doc ids, and every u-statistic rides as a broadcast 1-row frame.
+    No cartesian on corpus-sized frames (the 1-row u-stat cross joins
+    plan as BroadcastNestedLoop over ONE row), no Python."""
+    import re
+
+    plan = plan_of(spark, "q_dedup_fellegi_sunter")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    # blk: governor bucket shuffle; d1/d2: flag joins; field names:
+    # the four u value-histograms; ag_lang: the 16-row pattern agg
+    assert keys <= {
+        "blk", "d1", "d2", "lang", "source", "wbucket", "fp3",
+        "doc_id", "ag_lang",
+    }, keys
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_bootstrap_ci_map_side_replicates(spark):
+    """q_ab_bootstrap_ci: the 40 replicates explode map-side from the
+    filtered fact scan and combine to 40 rows BEFORE any shuffle (the
+    only fact-derived exchange key is rep); the rank window runs over
+    the 40-row replicate table; the CI row broadcasts onto the 1-row
+    observed aggregate. No Python, no cartesian on corpus frames."""
+    import re
+
+    plan = plan_of(spark, "q_ab_bootstrap_ci")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"rep"}, keys
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_lang_confusion_windows_over_cells(spark):
+    """q_llm_lang_confusion: the prediction pass is codegen regex
+    votes; the confusion matrix collapses to <= |langs|^2 rows before
+    the precision/recall windows run. No join, no Python; every
+    exchange key is a lang column."""
+    import re
+
+    plan = plan_of(spark, "q_llm_lang_confusion")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"lang_actual", "lang_pred"}, keys
