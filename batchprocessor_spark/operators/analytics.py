@@ -4425,3 +4425,139 @@ def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+# ------------------------------------------------- lifecycle accounting
+
+@register(
+    "q_events_lifecycle",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             (epoch_us(ts) // 86400000000)::BIGINT AS day
+      FROM events WHERE event_type = 'purchase'),
+    marked AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS first_day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_d,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_d
+      FROM uw),
+    maxd AS (SELECT max(day)::BIGINT AS max_day FROM uw),
+    status AS (
+      SELECT day,
+             CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_d = day - 1 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN day > first_day
+                   AND (prev_d IS NULL OR prev_d < day - 1)
+                  THEN 1 ELSE 0 END AS is_resurrected,
+             0 AS is_churned
+      FROM marked
+      UNION ALL
+      SELECT m.day + 1, 0, 0, 0, 1
+      FROM marked m CROSS JOIN maxd
+      WHERE (m.next_d IS NULL OR m.next_d > m.day + 1)
+        AND m.day + 1 <= maxd.max_day)
+    SELECT day,
+           sum(is_new)::BIGINT AS n_new,
+           sum(is_retained)::BIGINT AS n_retained,
+           sum(is_resurrected)::BIGINT AS n_resurrected,
+           sum(is_churned)::BIGINT AS n_churned,
+           sum(is_new + is_retained + is_resurrected)::BIGINT AS n_active
+    FROM status GROUP BY day
+    """,
+    category="analytics",
+)
+def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting user lifecycle states per day — the
+    new / retained / resurrected / churned decomposition every growth
+    team reconciles active-user movement with (n_active ≡ new +
+    retained + resurrected by construction; churn counted the day
+    AFTER the last active day, censored at the data horizon).
+    Activity = PURCHASE days (the fixture's every-type activity is
+    dense enough that coarser grains degenerate to all-retained —
+    purchase days exercise all four states); per (user, day) activity
+    is classified from that user's own timeline only, so the whole
+    operator is one user-keyed pass plus a bounded day aggregate.
+
+    Days are epoch-anchored integers (unix_micros DIV 86400e6); churn
+    rows emit at day+1 via the same lead that detects the gap, and
+    the day table is bounded by the observation window.
+
+    Cross-engine exactness: integer weeks, integer flag sums; the
+    new/retained/resurrected split is exhaustive and disjoint by the
+    CASE order both engines share.
+
+    Scale posture: one distinct over (user, week) — the only
+    corpus-sized shuffle — then first/lag/lead windows sharing ONE
+    user_id exchange, a 1-row max-week broadcast bounding the churn
+    horizon, and an enum-sized week aggregate. No self-joins (the
+    classic formulation joins week w to w−1 per user; the lag form
+    does it in one pass).
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's analytics family.
+    """
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(unix_micros(cast(ts as timestamp))"
+                " DIV 86400000000 AS BIGINT)"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w_user = Window.partitionBy("user_id")
+    w_ord = Window.partitionBy("user_id").orderBy("day")
+    marked = uw.select(
+        "user_id",
+        "day",
+        F.min("day").over(w_user).alias("first_day"),
+        F.lag("day").over(w_ord).alias("prev_d"),
+        F.lead("day").over(w_ord).alias("next_d"),
+    )
+    maxd = uw.agg(F.max("day").cast("long").alias("max_day"))
+    status = marked.select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_d") == F.col("day") - 1, 1).otherwise(0).alias("is_retained"),
+        F.when(
+            (F.col("day") > F.col("first_day"))
+            & (F.col("prev_d").isNull() | (F.col("prev_d") < F.col("day") - 1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+        F.lit(0).alias("is_churned"),
+    )
+    churn = (
+        marked.crossJoin(F.broadcast(maxd))
+        .where(
+            (F.col("next_d").isNull() | (F.col("next_d") > F.col("day") + 1))
+            & (F.col("day") + 1 <= F.col("max_day"))
+        )
+        .select(
+            (F.col("day") + 1).alias("day"),
+            F.lit(0).alias("is_new"),
+            F.lit(0).alias("is_retained"),
+            F.lit(0).alias("is_resurrected"),
+            F.lit(1).alias("is_churned"),
+        )
+    )
+    return (
+        status.unionAll(churn)
+        .groupBy("day")
+        .agg(
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum("is_retained").cast("long").alias("n_retained"),
+            F.sum("is_resurrected").cast("long").alias("n_resurrected"),
+            F.sum("is_churned").cast("long").alias("n_churned"),
+            F.sum(
+                F.col("is_new") + F.col("is_retained") + F.col("is_resurrected")
+            )
+            .cast("long")
+            .alias("n_active"),
+        )
+    )

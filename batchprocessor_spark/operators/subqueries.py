@@ -193,3 +193,57 @@ def q_subq_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit the build side) and the filtered lane as an ordinary
     broadcast anti join."""
     return _sql(spark, sf_dir, _NOT_IN_SQL)
+
+
+_QUANTIFIED_SPARK_SQL = """
+    WITH sup AS (
+      SELECT s_nationkey, max(s_acctbal) AS mx, count(*) AS n_sup
+      FROM supplier GROUP BY s_nationkey)
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CASE WHEN sup.n_sup IS NULL THEN TRUE
+                ELSE c_acctbal > sup.mx END AS beats_all,
+           CASE WHEN sup.n_sup IS NULL THEN FALSE
+                ELSE c_acctbal < sup.mx END AS below_any,
+           coalesce(sup.n_sup, CAST(0 AS BIGINT)) AS n_sup
+    FROM customer LEFT JOIN sup ON sup.s_nationkey = c_nationkey
+"""
+
+_QUANTIFIED_ORACLE = """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           c_acctbal > ALL (SELECT s_acctbal FROM supplier s
+                            WHERE s.s_nationkey = c.c_nationkey)
+             AS beats_all,
+           c_acctbal < ANY (SELECT s_acctbal FROM supplier s
+                            WHERE s.s_nationkey = c.c_nationkey)
+             AS below_any,
+           (SELECT count(*) FROM supplier s
+            WHERE s.s_nationkey = c.c_nationkey)::BIGINT AS n_sup
+    FROM customer c
+"""
+
+
+@register("q_subq_quantified", oracle=_QUANTIFIED_ORACLE, category="subquery")
+def q_subq_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries — `> ALL` / `< ANY` against a
+    correlated set (does this customer out-bank EVERY supplier in its
+    nation? is it below AT LEAST ONE?). Spark SQL has no ALL/ANY
+    quantifiers, so the engine runs the canonical aggregate rewrite —
+    > ALL(S) ≡ > max(S), < ANY(S) ≡ < max(S) — as ONE grouped
+    aggregate LEFT-joined back; the DuckDB oracle runs the LITERAL
+    quantified subqueries, so the rewrite's semantics (including the
+    vacuous-truth footgun: ALL over an EMPTY set is TRUE, ANY is
+    FALSE — the n_sup column exposes which rows that rule decided)
+    are verified against a native implementation, the same
+    cross-engine discipline as q_subq_not_in_nullaware's tri-valued
+    NOT IN.
+
+    Cross-engine exactness: both engines compare the same parquet
+    doubles against the same per-nation max; flags are booleans,
+    n_sup an exact count.
+
+    Scale posture: the correlated quantifier decorrelates to one
+    nation-keyed aggregate (25 rows) broadcast onto the customer
+    scan — per-row subquery re-execution (the naive plan) never
+    happens; at 100 TB this is the difference between one shuffle
+    and |customer| subquery probes."""
+    return _sql(spark, sf_dir, _QUANTIFIED_SPARK_SQL)

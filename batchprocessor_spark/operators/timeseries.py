@@ -1649,3 +1649,124 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+@register(
+    "q_ts_page_hinkley",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000)::BIGINT AS day_no,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    o AS (
+      SELECT event_type, day_no, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_no)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    base AS (
+      SELECT event_type, sum(cents)::BIGINT AS b
+      FROM o WHERE rn <= 7 GROUP BY event_type),
+    f AS (
+      SELECT o.event_type, o.rn, o.n, base.b,
+             0::BIGINT AS s, 0::BIGINT AS mx,
+             NULL::BIGINT AS alarm
+      FROM o JOIN base ON base.event_type = o.event_type
+      WHERE o.rn = 7
+      UNION ALL
+      SELECT o.event_type, o.rn, o.n, f.b,
+             greatest(0, f.s + 7 * o.cents - f.b - (f.b // 10)),
+             greatest(f.mx,
+                      greatest(0, f.s + 7 * o.cents - f.b - (f.b // 10))),
+             coalesce(f.alarm,
+               CASE WHEN greatest(0, f.s + 7 * o.cents - f.b - (f.b // 10))
+                         > f.b // 2
+                    THEN o.day_no END)
+      FROM f JOIN o ON o.event_type = f.event_type AND o.rn = f.rn + 1)
+    SELECT event_type, n::BIGINT AS n_days, b AS baseline_cents,
+           mx AS max_stat, alarm AS alarm_day_no
+    FROM f WHERE rn = n
+    """,
+    category="timeseries",
+)
+def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley sequential drift detection (Page 1954 — the
+    reset-at-zero one-sided CUSUM every streaming drift monitor
+    ships) per event-type daily series: the first 7 days fix the
+    baseline B = Σx (7× the baseline daily mean), then each later
+    day accumulates s_k = max(0, s_{k−1} + 7·x_k − B − B DIV 10) —
+    the ×7 scaling keeps the mean comparison integer, B DIV 10 is
+    the declared 10% drift allowance — and the detector ALARMS at
+    the first day where s_k exceeds h = B DIV 2 (half a baseline-day
+    of cumulative excess — tuned so this fixture's series split into
+    alarming and quiet ones; production tunes h per false-alarm
+    budget). Emits the max statistic and the alarm day
+    (NULL = no drift). Unlike q_ts_changepoint (offline argmax
+    split over the whole series), this is the ONLINE kernel: state
+    is O(1), each step looks only forward, and the reset means a
+    recovered series re-arms the detector.
+
+    Cross-engine exactness: pure BIGINT arithmetic (sums, ×7,
+    floor DIV, max) — the fold recurrence is stated once and shared
+    by the Spark `aggregate` and the recursive-CTE oracle; no
+    floats anywhere.
+
+    Scale posture: one map-side-combined day aggregate, then
+    collect_list per series (state O(days), never O(events)); the
+    fold is one catalyst higher-order function, JVM-side, no
+    Python, one event_type exchange — the q_ts_holt shape with
+    detection state.
+
+    Reference scope: the reference engine has no time-series
+    surface; this extends SURVEY.md §2.4's analytics family.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = e.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(cast(ts as timestamp)) DIV 86400000000 AS BIGINT)"
+        ).alias("day_no"),
+    ).agg(dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"))
+    series = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day_no", "cents"))).alias("xs")
+    )
+    stepped = series.selectExpr(
+        "event_type",
+        "CAST(size(xs) AS BIGINT) AS n_days",
+        "aggregate(slice(xs, 1, 7), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x.cents) AS baseline_cents",
+        "xs",
+    ).selectExpr(
+        "event_type",
+        "n_days",
+        "baseline_cents",
+        """
+        aggregate(
+          slice(xs, 8, greatest(size(xs) - 7, 0)),
+          struct(CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS mx,
+                 CAST(NULL AS BIGINT) AS alarm),
+          (acc, x) -> struct(
+            greatest(CAST(0 AS BIGINT),
+                     acc.s + 7 * x.cents - baseline_cents
+                       - (baseline_cents DIV 10)) AS s,
+            greatest(acc.mx,
+                     greatest(CAST(0 AS BIGINT),
+                              acc.s + 7 * x.cents - baseline_cents
+                                - (baseline_cents DIV 10))) AS mx,
+            coalesce(acc.alarm,
+              CASE WHEN greatest(CAST(0 AS BIGINT),
+                                 acc.s + 7 * x.cents - baseline_cents
+                                   - (baseline_cents DIV 10))
+                        > baseline_cents DIV 2
+                   THEN x.day_no END) AS alarm)
+        ) AS ph
+        """,
+    )
+    return stepped.select(
+        "event_type",
+        "n_days",
+        "baseline_cents",
+        F.col("ph.mx").alias("max_stat"),
+        F.col("ph.alarm").alias("alarm_day_no"),
+    )

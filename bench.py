@@ -172,6 +172,13 @@ SCALING_EXTRA = [
     "q_llm_simsearch_pq",
     "q_llm_multimodal_dhash",
     "q_text_lexical_richness",
+    # Round-8 second-session additions (ER / survival / projection):
+    "q_dedup_sorted_neighborhood",
+    "q_dedup_fellegi_sunter",
+    "q_graph_bipartite_projection",
+    "q_ml_kaplan_meier",
+    "q_ab_bootstrap_ci",
+    "q_llm_gopher_rules",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

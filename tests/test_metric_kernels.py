@@ -2030,3 +2030,87 @@ def test_bootstrap_ci_matches_python_reference(spark):
         1 for d in deltas if deltas[order[0]] <= d <= deltas[order[_BCI_R - 2]]
     )
     assert inside >= _BCI_R - 2
+
+
+# ---------------------------------------------------------------------------
+# Growth-accounting lifecycle (q_events_lifecycle): pure-python
+# re-derivation from per-user purchase-day sets, plus the accounting
+# identities the decomposition must satisfy.
+# ---------------------------------------------------------------------------
+
+
+def test_lifecycle_matches_python_reference(spark):
+    rows = REGISTRY["q_events_lifecycle"].builder(spark, SF_SMALL).collect()
+    got = {
+        r.day: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned, r.n_active)
+        for r in rows
+    }
+    e = pd.read_parquet(f"{SF_SMALL}/events.parquet")
+    e = e[e["event_type"] == "purchase"]
+    us = pd.to_datetime(e["ts"]).astype("datetime64[us]").astype("int64")
+    days = us // 86_400_000_000
+    per_user = {}
+    for uid, d in zip(e["user_id"], days):
+        per_user.setdefault(int(uid), set()).add(int(d))
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    max_day = max(max(s) for s in per_user.values())
+    for uid, ds in per_user.items():
+        first = min(ds)
+        for d in ds:
+            rec = agg[d]
+            if d == first:
+                rec[0] += 1
+            elif d - 1 in ds:
+                rec[1] += 1
+            else:
+                rec[2] += 1
+            rec[4] += 1
+            if d + 1 not in ds and d + 1 <= max_day:
+                agg[d + 1][3] += 1
+    ref = {d: tuple(v) for d, v in agg.items()}
+    assert got == ref
+    # identities: active = new + retained + resurrected per day; total
+    # new == number of users; every churn has a preceding active day
+    for d, (n, r, rs, _, a) in got.items():
+        assert a == n + r + rs, d
+    assert sum(v[0] for v in got.values()) == len(per_user)
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detector (q_ts_page_hinkley): independent python
+# fold with plain ints.
+# ---------------------------------------------------------------------------
+
+
+def test_page_hinkley_matches_python_reference(spark):
+    rows = REGISTRY["q_ts_page_hinkley"].builder(spark, SF_SMALL).collect()
+    e = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ]
+    us = pd.to_datetime(e["ts"]).astype("datetime64[us]").astype("int64")
+    e = e.assign(
+        day_no=us // 86_400_000_000,
+        cents=(e["value"] * 100).round().astype("int64"),
+    )
+    daily = (
+        e.groupby(["event_type", "day_no"], as_index=False)["cents"]
+        .sum()
+        .sort_values(["event_type", "day_no"])
+    )
+    for r in rows:
+        g = daily[daily["event_type"] == r.event_type]
+        series = list(zip(g["day_no"], g["cents"]))
+        assert r.n_days == len(series)
+        b = sum(c for _, c in series[:7])
+        s = mx = 0
+        alarm = None
+        for day_no, x in series[7:]:
+            s = max(0, s + 7 * int(x) - b - b // 10)
+            mx = max(mx, s)
+            if alarm is None and s > b // 2:
+                alarm = int(day_no)
+        assert r.baseline_cents == b, r.event_type
+        assert r.max_stat == mx, r.event_type
+        assert r.alarm_day_no == alarm, r.event_type

@@ -1641,3 +1641,42 @@ def test_lang_confusion_windows_over_cells(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"lang_actual", "lang_pred"}, keys
+
+
+def test_quantified_subquery_decorrelates_to_broadcast(spark):
+    """q_subq_quantified: the ALL/ANY rewrite plans as ONE nation-keyed
+    aggregate broadcast onto the customer scan — never a per-row
+    subquery probe, never a cartesian."""
+    plan = plan_of(spark, "q_subq_quantified")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_lifecycle_single_user_pass(spark):
+    """q_events_lifecycle: the distinct + all three windows share ONE
+    user_id exchange lineage; churn emission is a filter off the same
+    windowed frame (never a week-to-week self-join); the max-day
+    horizon broadcasts as one row; the final aggregate is day-keyed."""
+    import re
+
+    plan = plan_of(spark, "q_events_lifecycle")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"user_id", "day"}, keys
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_page_hinkley_single_exchange_jvm_fold(spark):
+    """q_ts_page_hinkley: the q_ts_holt posture — the detector fold is
+    a catalyst higher-order function over the per-series day array,
+    one event_type exchange lineage, no Python, no join, no window."""
+    import re
+
+    plan = plan_of(spark, "q_ts_page_hinkley")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"event_type"}, keys
