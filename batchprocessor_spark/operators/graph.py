@@ -926,3 +926,129 @@ def q_graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weight").desc(), "supp_a", "supp_b")
         .limit(20)
     )
+
+
+# ------------------------------------------------------------------ HITS
+
+_HITS_SCALE = 10**12
+
+
+@register(
+    "q_graph_hits",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    nsrc AS (SELECT count(DISTINCT src)::BIGINT AS n FROM edges),
+    h0 AS (
+      SELECT src AS node, ({_HITS_SCALE} // nsrc.n)::BIGINT AS h
+      FROM (SELECT DISTINCT src FROM edges) CROSS JOIN nsrc),
+    a1p AS (
+      SELECT e.dst AS node, sum(h0.h)::BIGINT AS s
+      FROM edges e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+    a1 AS (
+      SELECT node, ((s::HUGEINT * {_HITS_SCALE}) // t.sa)::BIGINT AS a
+      FROM a1p CROSS JOIN (SELECT sum(s)::BIGINT AS sa FROM a1p) t),
+    h1p AS (
+      SELECT e.src AS node, sum(a1.a)::BIGINT AS s
+      FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+    h1 AS (
+      SELECT node, ((s::HUGEINT * {_HITS_SCALE}) // t.sh)::BIGINT AS h
+      FROM h1p CROSS JOIN (SELECT sum(s)::BIGINT AS sh FROM h1p) t),
+    a2p AS (
+      SELECT e.dst AS node, sum(h1.h)::BIGINT AS s
+      FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+    a2 AS (
+      SELECT node, ((s::HUGEINT * {_HITS_SCALE}) // t.sa)::BIGINT AS a
+      FROM a2p CROSS JOIN (SELECT sum(s)::BIGINT AS sa FROM a2p) t),
+    h2p AS (
+      SELECT e.src AS node, sum(a2.a)::BIGINT AS s
+      FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+    h2 AS (
+      SELECT node, ((s::HUGEINT * {_HITS_SCALE}) // t.sh)::BIGINT AS h
+      FROM h2p CROSS JOIN (SELECT sum(s)::BIGINT AS sh FROM h2p) t),
+    top_a AS (
+      SELECT 'authority' AS role, node, a AS score
+      FROM a2 ORDER BY a DESC, node LIMIT 10),
+    top_h AS (
+      SELECT 'hub' AS role, node, h AS score
+      FROM h2 ORDER BY h DESC, node LIMIT 10)
+    SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+    """,
+    category="graph",
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the
+    supplier→customer trade graph: suppliers are hubs, customers are
+    authorities; two mutual-reinforcement rounds (a ← Σ h over
+    in-edges, h ← Σ a over out-edges, L1-renormalized each half-step)
+    and the top-10 of each role — the OTHER classic link-analysis
+    eigenvector beside q_graph_pagerank, with a different fixed
+    point: PageRank rewards being pointed at by few-out-degree
+    nodes, HITS rewards dense bipartite cores.
+
+    Cross-engine exactness: the q_graph_pagerank fixed-point
+    discipline — scores live in integer 1e-12 units, every
+    renormalization is (10¹²·s) DIV Σs computed in a WIDE-integer
+    intermediate (Spark DECIMAL(38,0), DuckDB HUGEINT: the raw sums
+    reach the 10¹² scale themselves, so the product overflows BIGINT)
+    with one floor division back to BIGINT — both engines walk
+    identical integer sequences; the top-10 tie-break is
+    (score DESC, node).
+
+    Scale posture: the distinct edge list materializes once
+    (localCheckpoint, the pagerank hygiene); each half-step is ONE
+    equi-join of scores onto edges + ONE aggregate onto the other
+    side, with the L1 mass as a 1-row broadcast — work is O(|E|) per
+    round, the driver holds only loop control (no collect inside the
+    loop), and top-10s are TakeOrderedAndProject.
+
+    Reference scope: the reference engine has no graph surface; this
+    extends SURVEY.md §2.4's graph family.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_src = edges.select("src").distinct().count()
+    h = edges.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(_HITS_SCALE // n_src).cast("long").alias("score"),
+    )
+
+    def half_step(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            edges.join(
+                scores.select(F.col("node").alias(from_col), "score"), from_col
+            )
+            .groupBy(F.col(to_col).alias("node"))
+            .agg(F.sum("score").cast("long").alias("s"))
+        )
+        total = raw.agg(F.sum("s").cast("long").alias("t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.expr(
+                f"CAST((CAST(s AS DECIMAL(38, 0)) * {_HITS_SCALE})"
+                " DIV t AS BIGINT)"
+            ).alias("score"),
+        )
+
+    a = half_step(h, "src", "dst")          # authorities round 1
+    h = half_step(a, "dst", "src")          # hubs round 1
+    a = half_step(h, "src", "dst")          # authorities round 2
+    h = half_step(a, "dst", "src")          # hubs round 2
+    top_a = (
+        a.select(F.lit("authority").alias("role"), "node", "score")
+        .orderBy(F.col("score").desc(), "node")
+        .limit(10)
+    )
+    top_h = (
+        h.select(F.lit("hub").alias("role"), "node", "score")
+        .orderBy(F.col("score").desc(), "node")
+        .limit(10)
+    )
+    return top_a.unionAll(top_h)

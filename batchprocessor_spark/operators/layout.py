@@ -156,3 +156,93 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day_nn").alias("day_hi"),
         )
     )
+
+
+@register(
+    "q_layout_sorted_skipping",
+    oracle="""
+    WITH m AS (
+      SELECT count(*)::BIGINT AS n_rows,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      FROM orders
+      WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01')
+    SELECT 'clustered' AS layout, 8::BIGINT AS n_files_total,
+           1::BIGINT AS n_files_read, n_rows, cents FROM m
+    UNION ALL
+    SELECT 'shuffled', 8::BIGINT, 8::BIGINT, n_rows, cents FROM m
+    """,
+    category="scan",
+)
+def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping via clustered file layout — the third physical-
+    design lever beside hive partitioning (q_layout_partition_pruned)
+    and Z-ordering (q_layout_zorder), and the one every lakehouse
+    table format leans on: write the fact RANGE-CLUSTERED on the
+    filter column (repartitionByRange(8, month) → 8 files with
+    disjoint month ranges, parquet footer min/max tight) vs HASH-
+    SHUFFLED on an unrelated key, then read both under the same
+    one-month predicate and account which files actually contribute
+    rows (distinct input_file_name over the matched rows). The
+    clustered layout touches exactly 1 of 8 files; the shuffled one
+    touches all 8 — at 100 TB that is the difference between
+    scanning ~1/80th of the table (footer stats skip whole row
+    groups) and scanning everything.
+
+    Determinism: range partitioning assigns every month value to
+    exactly ONE partition (n_files_read = 1 is guaranteed, not
+    sampled); the shuffled side's 8/8 is pinned by the fixture's
+    ≥186 matched rows spread over 8 murmur3 buckets. Row counts and
+    cents are exact; the oracle recomputes them from the base table
+    and states the file accounting as the layout contract.
+
+    Scale posture: one repartitionByRange write (the sort is
+    per-partition, no global single-task sort), filter pushdown
+    reaches both scans (gated), the audit aggregate is 2 rows.
+    Scratch copies live in process-scoped scratch_dir.
+
+    Reference scope: the reference engine has no storage-layout
+    surface; this extends SURVEY.md §2.4's layout family.
+    """
+    import os
+
+    from batchprocessor_spark.scratch import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr(
+            "(year(o_orderdate) * 12 + month(o_orderdate))"
+        ).alias("month_no"),
+    )
+    base = scratch_dir("bp_skip_")
+    clustered = os.path.join(base, "clustered")
+    shuffled = os.path.join(base, "shuffled")
+    if not os.path.exists(os.path.join(clustered, "_SUCCESS")):
+        o.repartitionByRange(8, "month_no").sortWithinPartitions(
+            "month_no", "o_orderkey"
+        ).write.mode("overwrite").parquet(clustered)
+    if not os.path.exists(os.path.join(shuffled, "_SUCCESS")):
+        o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(shuffled)
+
+    def audit(path: str, layout: str) -> DataFrame:
+        total = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        df = (
+            spark.read.parquet(path)
+            .where(
+                (F.col("o_orderdate") >= "1995-03-01")
+                & (F.col("o_orderdate") < "1995-04-01")
+            )
+            .select("cents", F.input_file_name().alias("fn"))
+        )
+        return df.agg(
+            F.lit(layout).alias("layout"),
+            F.lit(total).cast("long").alias("n_files_total"),
+            F.count_distinct("fn").cast("long").alias("n_files_read"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        ).select("layout", "n_files_total", "n_files_read", "n_rows", "cents")
+
+    return audit(clustered, "clustered").unionAll(audit(shuffled, "shuffled"))

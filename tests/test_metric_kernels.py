@@ -2114,3 +2114,53 @@ def test_page_hinkley_matches_python_reference(spark):
         assert r.baseline_cents == b, r.event_type
         assert r.max_stat == mx, r.event_type
         assert r.alarm_day_no == alarm, r.event_type
+
+
+# ---------------------------------------------------------------------------
+# HITS (q_graph_hits): pure-python mutual-reinforcement rounds with the
+# same integer floor-renormalization, re-deriving the edge list with
+# pandas.
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_python_reference(spark):
+    import collections
+
+    rows = REGISTRY["q_graph_hits"].builder(spark, SF_SMALL).collect()
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    od = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    m = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    edges = sorted(
+        {(int(s), int(c)) for s, c in zip(m["l_suppkey"], m["o_custkey"])}
+    )
+    srcs = sorted({s for s, _ in edges})
+    SCALE = 10**12
+    h = {s: SCALE // len(srcs) for s in srcs}
+
+    def half(scores, forward):
+        raw = collections.defaultdict(int)
+        for s, d in edges:
+            if forward:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        t = sum(raw.values())
+        return {n: (v * SCALE) // t for n, v in raw.items()}
+
+    a = half(h, True)
+    h = half(a, False)
+    a = half(h, True)
+    h = half(a, False)
+    top_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got_a = [(r.node, r.score) for r in rows if r.role == "authority"]
+    got_h = [(r.node, r.score) for r in rows if r.role == "hub"]
+    assert got_a == top_a
+    assert got_h == top_h
+    # L1 mass is conserved up to per-node floor loss
+    assert SCALE - len(a) <= sum(a.values()) <= SCALE
+    assert SCALE - len(h) <= sum(h.values()) <= SCALE

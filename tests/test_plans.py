@@ -1680,3 +1680,27 @@ def test_page_hinkley_single_exchange_jvm_fold(spark):
     assert "Window" not in plan, plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"event_type"}, keys
+
+
+def test_layout_sorted_skipping_pushdown(spark):
+    """q_layout_sorted_skipping: the month predicate is pushed into
+    BOTH scratch-layout scans, and the audit is 2 aggregate rows —
+    no join, no Python."""
+    plan = plan_of(spark, "q_layout_sorted_skipping")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") == 2, plan
+
+
+def test_hits_edges_checkpointed_once_no_collect_loop(spark):
+    """q_graph_hits: each half-step is one equi-join of scores onto
+    the CHECKPOINTED edge list + one aggregate; the L1 masses ride as
+    1-row broadcasts; top-10s are TakeOrderedAndProject. The edge
+    list itself must appear as an in-memory scan (localCheckpoint),
+    never re-derived from parquet inside the loop."""
+    plan = plan_of(spark, "q_graph_hits")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
