@@ -78,6 +78,14 @@ HEADLINE = [
     "q_graph_bipartite_projection",
     "q_ts_holt_winters",
     "q_ml_kaplan_meier",
+    "q_dedup_fellegi_sunter",
+    "q_ab_bootstrap_ci",
+    "q_llm_lang_confusion",
+    "q_events_lifecycle",
+    "q_ts_page_hinkley",
+    "q_subq_quantified",
+    "q_layout_sorted_skipping",
+    "q_graph_hits",
 ]
 
 
