@@ -156,7 +156,10 @@ def _extended_twins() -> dict[str, str]:
         _JL_TARGET,
     )
 
+    from batchprocessor_spark.functions.text import _GOPHER_STOPS
+
     t_us = _FUNNEL_WINDOW_US
+    _gopher_stop_list = ", ".join("'" + w + "'" for w in _GOPHER_STOPS)
     jl_sign = _JL_SIGN.format(h="i*64 + j + 1", div="div")
     return {
         "q_text_lexical_richness": """
@@ -500,6 +503,163 @@ def _extended_twins() -> dict[str, str]:
            CAST({_POWER_FORMULAS['n_required']} AS BIGINT) AS n_required
     FROM d
     """,
+        "q_events_lifecycle": """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(unix_micros(cast(ts as timestamp))
+                  DIV 86400000000 AS BIGINT) AS day
+      FROM events WHERE event_type = 'purchase'),
+    marked AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS first_day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_d,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_d
+      FROM uw),
+    maxd AS (SELECT CAST(max(day) AS BIGINT) AS max_day FROM uw),
+    status AS (
+      SELECT day,
+             CASE WHEN day = first_day THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_d = day - 1 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN day > first_day
+                   AND (prev_d IS NULL OR prev_d < day - 1)
+                  THEN 1 ELSE 0 END AS is_resurrected,
+             0 AS is_churned
+      FROM marked
+      UNION ALL
+      SELECT m.day + 1, 0, 0, 0, 1
+      FROM marked m CROSS JOIN maxd
+      WHERE (m.next_d IS NULL OR m.next_d > m.day + 1)
+        AND m.day + 1 <= maxd.max_day)
+    SELECT day,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(sum(is_retained) AS BIGINT) AS n_retained,
+           CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected,
+           CAST(sum(is_churned) AS BIGINT) AS n_churned,
+           CAST(sum(is_new + is_retained + is_resurrected) AS BIGINT)
+             AS n_active
+    FROM status GROUP BY day
+    """,
+        "q_llm_gopher_rules": f"""
+    WITH d AS (
+      SELECT lang, source,
+             CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc,
+             CAST(size(filter(split(text, ' '),
+                  w -> w rlike '[a-zA-Z]')) AS BIGINT) AS n_alpha,
+             CAST(size(filter(split(lower(text), ' '),
+                  w -> array_contains(array({_gopher_stop_list}), w)))
+               AS BIGINT) AS n_stop,
+             CAST(size(array_distinct(filter(split(text, ' '),
+                  x -> x <> ''))) AS BIGINT) AS n_distinct
+      FROM documents),
+    r AS (
+      SELECT lang, source,
+             CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS p_wc,
+             CASE WHEN 3 * n_words <= nc AND nc <= 10 * n_words
+                  THEN 1 ELSE 0 END AS p_mwl,
+             CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS p_alpha,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop,
+             CASE WHEN 2 * n_distinct >= n_words THEN 1 ELSE 0 END AS p_rep
+      FROM d)
+    SELECT lang, source,
+           CAST(count(1) AS BIGINT) AS n_docs,
+           CAST(sum(p_wc) AS BIGINT) AS n_pass_wordcount,
+           CAST(sum(p_mwl) AS BIGINT) AS n_pass_meanwordlen,
+           CAST(sum(p_alpha) AS BIGINT) AS n_pass_alphawords,
+           CAST(sum(p_stop) AS BIGINT) AS n_pass_stopwords,
+           CAST(sum(p_rep) AS BIGINT) AS n_pass_repetition,
+           CAST(sum(p_wc * p_mwl * p_alpha * p_stop * p_rep) AS BIGINT)
+             AS n_pass_all,
+           CAST((10000 * sum(p_wc * p_mwl * p_alpha * p_stop * p_rep))
+                DIV count(1) AS BIGINT) AS pass_all_bp
+    FROM r GROUP BY lang, source
+    """,
+        "q_ml_kaplan_meier": """
+    WITH e AS (SELECT user_id, ts, event_type FROM events),
+    vw AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS v_ts
+      FROM e),
+    per_user AS (
+      SELECT user_id, v_ts,
+             min(CASE WHEN event_type = 'purchase' AND ts >= v_ts
+                      THEN ts END) AS p_ts,
+             max(ts) AS t_max
+      FROM vw WHERE v_ts IS NOT NULL
+      GROUP BY user_id, v_ts),
+    subj AS (
+      SELECT CAST((unix_micros(cast(coalesce(p_ts, t_max) as timestamp))
+                   - unix_micros(cast(v_ts as timestamp)))
+                  DIV 86400000000 AS BIGINT) AS dur,
+             CASE WHEN p_ts IS NULL THEN 0 ELSE 1 END AS evt
+      FROM per_user),
+    km AS (
+      SELECT dur, CAST(sum(evt) AS BIGINT) AS e,
+             CAST(count(1) AS BIGINT) AS leave
+      FROM subj GROUP BY dur),
+    risk AS (
+      SELECT dur, e,
+             CAST(sum(leave) OVER (ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS n_risk
+      FROM km),
+    series AS (
+      SELECT array_sort(collect_list(struct(dur, n_risk, e))) AS xs
+      FROM risk WHERE e > 0),
+    folded AS (
+      SELECT aggregate(
+        xs,
+        struct(CAST(1000000000000 AS BIGINT) AS s,
+               CAST(array() AS
+                 ARRAY<STRUCT<dur: BIGINT, n: BIGINT,
+                              e: BIGINT, surv: BIGINT>>) AS out),
+        (acc, x) -> struct(
+          (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS s,
+          array_append(acc.out,
+            struct(x.dur AS dur, x.n_risk AS n, x.e AS e,
+                   (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS surv))
+            AS out)
+      ).out AS out
+      FROM series)
+    SELECT st.dur AS duration_days, st.n AS n_risk, st.e AS n_events,
+           st.surv AS survival_e12
+    FROM folded LATERAL VIEW explode(out) t AS st
+    """,
+        "q_dedup_sorted_neighborhood": """
+    WITH k AS (SELECT doc_id, lang, n_chars FROM documents),
+    nb AS (
+      SELECT lang, doc_id AS doc_a,
+             array(lead(doc_id, 1) OVER w,
+                   lead(doc_id, 2) OVER w,
+                   lead(doc_id, 3) OVER w) AS nbs
+      FROM k
+      WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+    cand AS (
+      SELECT lang, doc_a, doc_b
+      FROM nb LATERAL VIEW explode(nbs) t AS doc_b
+      WHERE doc_b IS NOT NULL),
+    ws AS (
+      SELECT doc_id,
+             array_distinct(filter(split(text, ' '), x -> x <> ''))
+               AS words
+      FROM documents),
+    scored AS (
+      SELECT c.lang, c.doc_a, c.doc_b,
+             CAST(size(a.words) AS BIGINT) AS words_a,
+             CAST(size(b.words) AS BIGINT) AS words_b,
+             CAST(size(array_intersect(a.words, b.words)) AS BIGINT)
+               AS n_common
+      FROM cand c
+      JOIN ws a ON a.doc_id = c.doc_a
+      JOIN ws b ON b.doc_id = c.doc_b)
+    SELECT lang, doc_a, doc_b, words_a, words_b, n_common,
+           CAST((10000 * n_common)
+                DIV (words_a + words_b - n_common) AS BIGINT) AS jaccard_bp
+    FROM scored
+    WHERE 3 * n_common >= words_a + words_b
+    """,
     }
 
 # The queries whose Spark-SQL lane is VERIFIED value-identical to the
@@ -552,6 +712,10 @@ EXTENDED_TWIN_NAMES: frozenset[str] = frozenset(
         "q_merge_snapshot_diff",
         "q_ab_welch_ttest",
         "q_ab_power_mde",
+        "q_events_lifecycle",
+        "q_llm_gopher_rules",
+        "q_ml_kaplan_meier",
+        "q_dedup_sorted_neighborhood",
     }
 )
 
