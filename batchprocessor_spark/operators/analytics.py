@@ -4300,8 +4300,8 @@ def _bci_oracle() -> str:
       FROM e)
     SELECT obs.n1 AS n_click, obs.n2 AS n_purchase,
            {_BCI_R} AS n_boot,
-           round(obs.s1::DOUBLE / obs.n1 - obs.s2::DOUBLE / obs.n2, 6)
-             AS delta_obs,
+           round(obs.s1::DOUBLE / nullif(obs.n1, 0)
+                 - obs.s2::DOUBLE / nullif(obs.n2, 0), 6) AS delta_obs,
            round((SELECT delta FROM deltas WHERE rn = 1), 6) AS ci_lo,
            round((SELECT delta FROM deltas WHERE rn = {_BCI_R - 1}), 6)
              AS ci_hi
@@ -4409,11 +4409,16 @@ def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = e.agg(
         F.count(F.when(F.col("is1") == 1, 1)).cast("long").alias("n_click"),
         F.count(F.when(F.col("is1") == 0, 1)).cast("long").alias("n_purchase"),
+        # nullif: an empty arm must read as NULL on BOTH engines
+        # (ANSI Spark raises on double/0 while DuckDB emits inf — the
+        # q_ab_power_mde divergence class)
         F.round(
-            F.sum(F.when(F.col("is1") == 1, F.col("c"))).cast("double")
-            / F.count(F.when(F.col("is1") == 1, 1))
-            - F.sum(F.when(F.col("is1") == 0, F.col("c"))).cast("double")
-            / F.count(F.when(F.col("is1") == 0, 1)),
+            F.expr(
+                "CAST(sum(CASE WHEN is1 = 1 THEN c END) AS DOUBLE)"
+                " / nullif(count(CASE WHEN is1 = 1 THEN 1 END), 0)"
+                " - CAST(sum(CASE WHEN is1 = 0 THEN c END) AS DOUBLE)"
+                " / nullif(count(CASE WHEN is1 = 0 THEN 1 END), 0)"
+            ),
             6,
         ).alias("delta_obs"),
     )

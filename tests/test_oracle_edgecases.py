@@ -96,3 +96,83 @@ def test_power_mde_zero_delta_is_null_on_both_engines(spark, tmp_path):
     vals = dict(zip(cols, row))
     assert vals["delta_cents"] == 0.0, vals
     assert vals["n_required"] is None, vals
+
+
+def test_bootstrap_ci_empty_arm_is_null_on_both_engines(spark, tmp_path):
+    """Only clicks, zero purchases: the observed delta divides by the
+    purchase-arm count. Unguarded, ANSI Spark raises DIVIDE_BY_ZERO
+    while DuckDB emits inf; the shared nullif makes both lanes emit
+    NULL. Replicate deltas use the declared greatest(w, 1) floor on
+    both sides, so the CI columns stay finite and equal."""
+    spec = REGISTRY["q_ab_bootstrap_ci"]
+    rows = [(i, "click", float(i + 1)) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    (row,) = got
+    cols = sorted(["n_click", "n_purchase", "n_boot", "delta_obs", "ci_lo", "ci_hi"])
+    vals = dict(zip(cols, row))
+    assert vals["n_purchase"] == 0, vals
+    assert vals["delta_obs"] is None, vals
+
+
+def test_fellegi_sunter_single_document_corpus(spark, tmp_path):
+    """One document: u_den = N(N-1) = 0 and there are no candidate
+    pairs — both lanes must return an EMPTY pattern table (the weight
+    formulas never evaluate), not a division error."""
+    spec = REGISTRY["q_dedup_fellegi_sunter"]
+    df = spark.createDataFrame(
+        [(1, "hello world", "en", "src0", 11)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = spec.builder(spark, str(tmp_path)).toPandas()
+    want = _duck(spec.oracle, {"documents": f"{path}/*.parquet"})
+    assert len(got) == 0 and len(want) == 0
+
+
+def test_lifecycle_single_user_single_day(spark, tmp_path):
+    """One user, one purchase day: exactly one 'new' row, no churn
+    (day+1 is past the horizon — censoring), identical on both
+    engines."""
+    spec = REGISTRY["q_events_lifecycle"]
+    df = spark.createDataFrame(
+        [(1, _us(5_000_000), 7, "purchase", 1.0, "{}")],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want
+    assert len(got) == 1
+    # columns sorted: day, n_active, n_churned, n_new, n_resurrected, n_retained
+    (day, n_active, n_churned, n_new, n_res, n_ret) = got[0]
+    assert (n_new, n_ret, n_res, n_churned, n_active) == (1, 0, 0, 0, 1)
+
+
+def test_kaplan_meier_all_censored(spark, tmp_path):
+    """Views but zero purchases: every subject is censored, there are
+    no event times, and the survival curve is EMPTY on both engines
+    (not a crash in the fold over an empty series)."""
+    spec = REGISTRY["q_ml_kaplan_meier"]
+    rows = [
+        (i, _us(i * 1_000_000), i % 3, "view", 1.0, "{}") for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = spec.builder(spark, str(tmp_path)).toPandas()
+    want = _duck(spec.oracle, {"events": f"{path}/*.parquet"})
+    assert len(got) == 0 and len(want) == 0
