@@ -2231,3 +2231,150 @@ def q_dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         " DIV 1000000 >= 1000000 THEN 'possible'"
         " ELSE 'nonmatch' END AS class",
     )
+
+
+# ------------------------------------------------------- span removal
+
+@register(
+    "q_llm_dedup_span_removal",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+    g0 AS (
+      SELECT doc_id, ws,
+             unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS i
+      FROM w),
+    g AS (
+      SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS gram FROM g0),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 5)) AS pos
+      FROM g JOIN dup USING (gram)),
+    posw AS (
+      SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws
+      FROM w),
+    posw2 AS (
+      SELECT doc_id, pos, ws[pos] AS word FROM posw),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.word
+      FROM posw2 p LEFT JOIN covered c
+        ON c.doc_id = p.doc_id AND c.pos = p.pos
+      WHERE c.pos IS NULL),
+    rebuilt AS (
+      SELECT w.doc_id,
+             len(w.ws)::BIGINT AS n_words_before,
+             coalesce(k.n_after, 0)::BIGINT AS n_words_after,
+             md5(coalesce(k.clean, '')) AS clean_md5
+      FROM w LEFT JOIN (
+        SELECT doc_id, count(*)::BIGINT AS n_after,
+               array_to_string(list(word ORDER BY pos), ' ') AS clean
+        FROM kept GROUP BY doc_id) k ON k.doc_id = w.doc_id)
+    SELECT doc_id, n_words_before, n_words_after,
+           (n_words_before - n_words_after)::BIGINT AS n_removed,
+           clean_md5
+    FROM rebuilt
+    """,
+    category="dedup",
+)
+def q_llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the exact-substring
+    dedup step (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") at word-5-gram grain: any 5-gram
+    occurring in ≥ 2 distinct documents marks its five word positions
+    COVERED in every occurrence; covered positions are cut and the
+    document is reassembled from the surviving words. Unlike document
+    dedup (q_llm_dedup_minhash keeps/drops whole docs) or
+    q_llm_boilerplate_filter (a top-N global token strip), this
+    removes the duplicated PASSAGES while keeping each document's
+    unique remainder — the RefinedWeb/C4 repeated-span hygiene pass.
+    Emits per doc: words before/after, removed count, and the md5 of
+    the reassembled text so the full transformation is value-checked.
+
+    Cross-engine exactness: positions, spans, and set algebra are all
+    integers; reassembly is a deterministic position sort + join with
+    single spaces; md5 ties the actual output text cross-engine
+    (empty survivors hash the empty string on both).
+
+    Scale posture: grams derive from ONE array transform per doc (no
+    per-gram window); the duplicated-gram set comes from a gram-keyed
+    aggregate and flows back through a gram equi-join (corpus-scale,
+    never broadcast); coverage explodes ≤ 5 positions per duplicated
+    occurrence with a distinct; reassembly is a position anti-join +
+    one doc_id collapse. Four shuffles total (gram, gram-join,
+    (doc, pos) distinct/anti, doc rebuild) — each on a key whose
+    cardinality GROWS with the corpus, so no reducer ever sees more
+    than one gram/doc's rows.
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's dedup family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws"),
+    )
+    # Spark sequence(1, n) DESCENDS when n < 1 — guard short docs with
+    # an explicit empty array instead.
+    gram_cells = F.when(
+        F.size("ws") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 4),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.array_join(F.slice("ws", i, 5), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<i: INT, gram: STRING>>)"))
+    g = w.select("doc_id", F.explode(gram_cells).alias("c")).select(
+        "doc_id", F.col("c.i").alias("i"), F.col("c.gram").alias("gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        g.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 4)).alias("pos"),
+        )
+        .distinct()
+    )
+    posw = w.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    kept = posw.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5_nonempty"),
+    )
+    return (
+        w.select("doc_id", F.size("ws").cast("long").alias("n_words_before"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_words_after"),
+            (
+                F.col("n_words_before")
+                - F.coalesce(F.col("n_after"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("clean_md5_nonempty"), F.md5(F.lit(""))).alias(
+                "clean_md5"
+            ),
+        )
+    )

@@ -1704,3 +1704,18 @@ def test_hits_edges_checkpointed_once_no_collect_loop(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "Scan parquet" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_span_removal_gram_equijoin_no_broadcast_dupset(spark):
+    """q_llm_dedup_span_removal: the duplicated-gram set is
+    corpus-scale and must flow back through a shuffled gram EQUI-join
+    (never a forced broadcast), coverage/reassembly run on (doc, pos)
+    keys, and there is no cartesian and no Python anywhere."""
+    import re
+
+    plan = plan_of(spark, "q_llm_dedup_span_removal")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"gram", "doc_id", "pos"}, keys
