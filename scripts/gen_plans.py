@@ -86,6 +86,7 @@ HEADLINE = [
     "q_subq_quantified",
     "q_layout_sorted_skipping",
     "q_graph_hits",
+    "q_llm_dedup_span_removal",
 ]
 
 
