@@ -4566,3 +4566,141 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_active"),
         )
     )
+
+
+# ------------------------------------------------- cross-table rules
+
+@register(
+    "q_dq_cross_table_rules",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_shipdate, l.l_discount, o.o_orderdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    lsum AS (
+      SELECT l_orderkey,
+             sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       * 100)::BIGINT)::BIGINT AS calc_cents
+      FROM lineitem GROUP BY l_orderkey),
+    ord AS (
+      SELECT o.o_orderkey, round(o.o_totalprice * 100)::BIGINT AS total_cents,
+             lsum.calc_cents
+      FROM orders o LEFT JOIN lsum ON lsum.l_orderkey = o.o_orderkey)
+    SELECT 'ship_on_or_after_order' AS rule,
+           count(*)::BIGINT AS n_checked,
+           sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)::BIGINT
+             AS n_violations,
+           ((10000 * sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END))
+              // count(*))::BIGINT AS violation_bp
+    FROM lo
+    UNION ALL
+    SELECT 'discount_in_domain', count(*)::BIGINT,
+           sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1
+                    THEN 1 ELSE 0 END)::BIGINT,
+           ((10000 * sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1
+                              THEN 1 ELSE 0 END)) // count(*))::BIGINT
+    FROM lo
+    UNION ALL
+    SELECT 'order_has_lineitems', count(*)::BIGINT,
+           sum(CASE WHEN calc_cents IS NULL THEN 1 ELSE 0 END)::BIGINT,
+           ((10000 * sum(CASE WHEN calc_cents IS NULL THEN 1 ELSE 0 END))
+              // count(*))::BIGINT
+    FROM ord
+    UNION ALL
+    SELECT 'totalprice_matches_lines',
+           count(*) FILTER (calc_cents IS NOT NULL)::BIGINT,
+           sum(CASE WHEN calc_cents IS NOT NULL
+                     AND abs(total_cents - calc_cents) > 1
+                    THEN 1 ELSE 0 END)::BIGINT,
+           ((10000 * sum(CASE WHEN calc_cents IS NOT NULL
+                               AND abs(total_cents - calc_cents) > 1
+                              THEN 1 ELSE 0 END))
+              // nullif(count(*) FILTER (calc_cents IS NOT NULL), 0))::BIGINT
+    FROM ord
+    """,
+    category="dq",
+)
+def q_dq_cross_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE data-quality rules — the relationship-level audit
+    the per-table expectation report (q_dq_expectations) and the
+    key-existence audit (q_dq_referential_integrity) both stop short
+    of: (1) every line must ship ON OR AFTER its order date; (2) the
+    order header's total must equal the line-level reconstruction
+    Σ round(extprice·(1−disc)·(1+tax)·100) within one cent; (3) every
+    order must have at least one line; (4) discounts must stay in
+    the declared [0, 0.1] domain. One row per rule with checked /
+    violation counts and the violation share in integer basis points
+    — this fixture genuinely fails (1)–(3), so the audit reports real
+    findings, not vacuous greens.
+
+    Cross-engine exactness: the consistency rule rounds each LINE to
+    integer cents BEFORE the sum (per-row double math over identical
+    parquet values is IEEE-identical; the integer sum is
+    order-independent — a float group-sum would be summation-order
+    sensitive and could flip the 1-cent tolerance), dates compare as
+    dates, shares are integer DIV with a nullif guard.
+
+    Scale posture: rules (1)+(4) ride ONE line⋈order equi-join
+    (AQE-planned) reduced by conditional aggregates; rules (2)+(3)
+    ride one per-order line aggregate LEFT-joined to the header —
+    each branch is scan → join → 1-row aggregate, unioned into a
+    4-row report. No windows, no Python.
+
+    Reference scope: the reference engine has no DQ surface; this
+    extends SURVEY.md §2.4's data-quality family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lo = li.select(
+        "l_orderkey", "l_shipdate", "l_discount",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+            " * 100) AS BIGINT)"
+        ).alias("line_cents"),
+    ).join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    r1 = lo.agg(
+        F.lit("ship_on_or_after_order").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        flag(F.col("l_shipdate") < F.col("o_orderdate")).alias("n_violations"),
+    )
+    r4 = lo.agg(
+        F.lit("discount_in_domain").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        flag(~F.col("l_discount").between(0, 0.1)).alias("n_violations"),
+    )
+    lsum = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+                " * 100) AS BIGINT)"
+            )
+        ).cast("long").alias("calc_cents")
+    )
+    ordx = o.select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("total_cents"),
+    ).join(lsum, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    r3 = ordx.agg(
+        F.lit("order_has_lineitems").alias("rule"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        flag(F.col("calc_cents").isNull()).alias("n_violations"),
+    )
+    r2 = ordx.agg(
+        F.lit("totalprice_matches_lines").alias("rule"),
+        F.count(F.when(F.col("calc_cents").isNotNull(), 1))
+        .cast("long")
+        .alias("n_checked"),
+        flag(
+            F.col("calc_cents").isNotNull()
+            & (F.abs(F.col("total_cents") - F.col("calc_cents")) > 1)
+        ).alias("n_violations"),
+    )
+    report = r1.unionAll(r4).unionAll(r3).unionAll(r2)
+    return report.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.expr(
+            "CAST((10000 * n_violations) DIV nullif(n_checked, 0) AS BIGINT)"
+        ).alias("violation_bp"),
+    )

@@ -1719,3 +1719,15 @@ def test_span_removal_gram_equijoin_no_broadcast_dupset(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"gram", "doc_id", "pos"}, keys
+
+
+def test_cross_table_rules_two_join_lineages_no_python(spark):
+    """q_dq_cross_table_rules: each rule branch is scan → equi-join →
+    1-row conditional aggregate (the line⋈order join for the row
+    rules, the per-order aggregate LEFT join for the header rules) —
+    no cartesian, no window, no Python."""
+    plan = plan_of(spark, "q_dq_cross_table_rules")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
