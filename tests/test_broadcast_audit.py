@@ -54,6 +54,7 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "operators/aggregates.py::q_agg_freq_items": (1, "1-row total count"),
     "operators/aggregates.py::q_agg_winsorized_mean": (1, "per-returnflag percentile fences — enum-sized"),
     "operators/aggregates.py::q_sketch_countmin": (1, "CM sketch counters — fixed (rows x buckets) grid"),
+    "operators/analytics.py::q_ab_bootstrap_ci": (1, "1-row CI order statistics"),
     "operators/analytics.py::q_anomaly_iqr": (1, "per-event_type IQR fences — enum-sized"),
     "operators/analytics.py::q_dq_drift_psi": (1, "1-row totals"),
     "operators/analytics.py::q_dq_expectations": (1, "1-row row count"),
@@ -62,6 +63,7 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "operators/analytics.py::q_events_audience_overlap": (2, "per-event_type audience sizes — enum-sized"),
     "operators/analytics.py::q_events_cohort_ltv": (1, "per-cohort-week sizes — calendar-sized"),
     "operators/analytics.py::q_events_rfm_segmentation": (4, "1-row global max + three tercile-threshold rows"),
+    "operators/analytics.py::q_events_lifecycle": (1, "1-row max-day horizon"),
     "operators/analytics.py::q_events_rolling_active_users": (1, "1-row day bounds"),
     "operators/analytics.py::q_merge_snapshot_diff.snapshot": (1, "1-row cutoff timestamps"),
     "operators/analytics.py::q_ml_calibration": (2, "per-score-bucket rates (fixed buckets) + 1-row prior"),
@@ -71,9 +73,11 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "operators/analytics.py::q_ml_pinball_loss": (2, "fixed quantile grid + per-(type,quantile) forecasts — enum-sized"),
     "operators/analytics.py::q_ml_pr_auc": (1, "1-row positive count"),
     "operators/analytics.py::q_ts_control_chart": (1, "per-event_type control limits — enum-sized"),
+    "operators/dedup.py::q_dedup_fellegi_sunter": (5, "four 1-row u-statistic aggregates + their 1-row combination"),
     "operators/dedup.py::q_llm_cross_source_contamination": (2, "per-source doc counts — enum-sized"),
     "operators/dedup.py::q_llm_decontaminate": (1, "benchmark shingle set — benchmark-sized by definition"),
     "operators/dedup.py::q_llm_decontaminate_bloom": (2, "Bloom filter word array — fixed m/64 rows"),
+    "operators/graph.py::q_graph_hits.half_step": (1, "1-row L1 mass total"),
     "operators/graph.py::q_graph_louvain_matching": (4, "1-row edge/node/community counts"),
     "operators/graph.py::q_graph_modularity": (2, "customer/supplier dimension tables"),
     "operators/hierarchy.py::q_graph_pagerank": (1, "1-row dangling mass"),
