@@ -2029,20 +2029,34 @@ _FS_M = {
 }
 
 # Shared formula text: per-field agreement/disagreement weights in ppm
-# (the likelihood ratios m/u and (1-m)/(1-u), floor-quantized), and the
-# staged pattern score (two DIV re-quantizations keep every
-# intermediate under 1e13 — BIGINT-safe at any SF).
-def _fs_weight_sql(f: str) -> tuple[str, str]:
+# (the likelihood ratios m/u and (1-m)/(1-u), floor-quantized), each
+# WINSORIZED at ratio 30 (3e7 ppm) — the weight cap every production
+# linker applies to rare-value fields (a near-unique fingerprint
+# otherwise dominates the score with a ratio in the millions AND
+# overflows integer staging). With w <= 3e7, w1·w2 <= 9e14 and
+# (w1·w2 DIV 1e6)·(w3·w4 DIV 1e6) <= 8.1e17 — every intermediate is
+# provably BIGINT-safe at ANY corpus size, not just the fixtures'.
+# The weight NUMERATOR 1e6·m·u_den itself reaches ~2.5e17 at sf1
+# (u_den = N(N−1)) and would pass 9.2e18 near N ≈ 3e5, so it computes
+# through a wide-integer cast (Spark DECIMAL(38,0), DuckDB HUGEINT)
+# before the floor division brings it back to BIGINT.
+_FS_W_CAP = 30_000_000
+
+
+def _fs_weight_sql(f: str, wide: str = "DECIMAL(38, 0)") -> tuple[str, str]:
     # nullif guards the degenerate corpora (a field where no random
     # pair — or every random pair — agrees): both engines then emit
     # NULL weights/score for the affected pattern instead of Spark
     # returning NULL while DuckDB raises on division by zero (the
     # q_ab_power_mde zero-delta lesson from ADVICE r7).
     mn, md = _FS_M[f]
-    agree = f"(1000000 * {mn} * u_den) DIV nullif({md} * u_{f}, 0)"
+    agree = (
+        f"least((1000000 * {mn} * CAST(u_den AS {wide}))"
+        f" DIV nullif({md} * u_{f}, 0), {_FS_W_CAP})"
+    )
     disagree = (
-        f"(1000000 * {md - mn} * u_den)"
-        f" DIV nullif({md} * (u_den - u_{f}), 0)"
+        f"least((1000000 * {md - mn} * CAST(u_den AS {wide}))"
+        f" DIV nullif({md} * (u_den - u_{f}), 0), {_FS_W_CAP})"
     )
     return agree, disagree
 
@@ -2085,20 +2099,20 @@ def _fs_weight_sql(f: str) -> tuple[str, str]:
     w AS (
       SELECT pat.*,
              CASE WHEN ag_lang = 1
-                  THEN {_fs_weight_sql('lang')[0].replace('DIV', '//')}
-                  ELSE {_fs_weight_sql('lang')[1].replace('DIV', '//')}
+                  THEN {_fs_weight_sql('lang', 'HUGEINT')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('lang', 'HUGEINT')[1].replace('DIV', '//')}
              END AS w1,
              CASE WHEN ag_source = 1
-                  THEN {_fs_weight_sql('source')[0].replace('DIV', '//')}
-                  ELSE {_fs_weight_sql('source')[1].replace('DIV', '//')}
+                  THEN {_fs_weight_sql('source', 'HUGEINT')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('source', 'HUGEINT')[1].replace('DIV', '//')}
              END AS w2,
              CASE WHEN ag_wbucket = 1
-                  THEN {_fs_weight_sql('wbucket')[0].replace('DIV', '//')}
-                  ELSE {_fs_weight_sql('wbucket')[1].replace('DIV', '//')}
+                  THEN {_fs_weight_sql('wbucket', 'HUGEINT')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('wbucket', 'HUGEINT')[1].replace('DIV', '//')}
              END AS w3,
              CASE WHEN ag_fp3 = 1
-                  THEN {_fs_weight_sql('fp3')[0].replace('DIV', '//')}
-                  ELSE {_fs_weight_sql('fp3')[1].replace('DIV', '//')}
+                  THEN {_fs_weight_sql('fp3', 'HUGEINT')[0].replace('DIV', '//')}
+                  ELSE {_fs_weight_sql('fp3', 'HUGEINT')[1].replace('DIV', '//')}
              END AS w4
       FROM pat CROSS JOIN u)
     SELECT ag_lang, ag_source, ag_wbucket, ag_fp3, n_pairs,
@@ -2132,11 +2146,16 @@ def q_dedup_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = Σ_v c_v(c_v−1) / N(N−1) — all BIGINT counts.
 
     Cross-engine exactness: weights are floor-quantized integer ppm
-    — w = (10⁶·m_num·u_den) DIV (m_den·u_num) — and the 4-field
-    product re-quantizes after each pairing ((w1·w2) DIV 10⁶, etc.),
-    keeping every intermediate < 10¹³: BIGINT-exact at any SF, no
-    floats, no logs. Builder and oracle share the formula text
-    verbatim (DIV↔// is the only dialect change).
+    — w = (10⁶·m_num·u_den) DIV (m_den·u_num) — WINSORIZED at ratio
+    30 (the production-linker cap for rare-value fields: a
+    near-unique fingerprint otherwise dominates the score AND
+    overflows integer staging), the numerator computed through a
+    wide-integer cast (DECIMAL(38,0) / HUGEINT — u_den = N(N−1) puts
+    it at ~2.5e17 by sf1), and the 4-field product re-quantizing
+    after each pairing ((w1·w2) DIV 10⁶, etc.) so every intermediate
+    is provably < 8.1·10¹⁷ at ANY corpus size. No floats, no logs;
+    builder and oracle share the formula text verbatim (DIV↔// and
+    the wide-cast spelling are the only dialect changes).
 
     Scale posture: candidate generation runs through
     skew.capped_bucket_pairs (ONE shuffle on the block key, array

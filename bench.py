@@ -179,6 +179,8 @@ SCALING_EXTRA = [
     "q_ml_kaplan_meier",
     "q_ab_bootstrap_ci",
     "q_llm_gopher_rules",
+    "q_llm_dedup_span_removal",
+    "q_dq_cross_table_rules",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

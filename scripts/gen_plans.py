@@ -87,6 +87,7 @@ HEADLINE = [
     "q_layout_sorted_skipping",
     "q_graph_hits",
     "q_llm_dedup_span_removal",
+    "q_dq_cross_table_rules",
 ]
 
 

@@ -1918,6 +1918,7 @@ def _fs_reference(docs):
     for f in fields:
         counts = collections.Counter(d[idx[f]] for d in docs)
         u_num[f] = sum(c * (c - 1) for c in counts.values())
+    CAP = 30_000_000  # the declared ratio-30 winsorization
     blocks = collections.defaultdict(list)
     for d in docs:
         blocks[d[5]].append(d)
@@ -1933,11 +1934,14 @@ def _fs_reference(docs):
         for f, ag in zip(fields, pat):
             mn, md = m[f]
             if ag:
-                ws.append((1_000_000 * mn * u_den) // (md * u_num[f]))
+                ws.append(min((1_000_000 * mn * u_den) // (md * u_num[f]), CAP))
             else:
                 ws.append(
-                    (1_000_000 * (md - mn) * u_den)
-                    // (md * (u_den - u_num[f]))
+                    min(
+                        (1_000_000 * (md - mn) * u_den)
+                        // (md * (u_den - u_num[f])),
+                        CAP,
+                    )
                 )
         score = (((ws[0] * ws[1]) // 1_000_000) * ((ws[2] * ws[3]) // 1_000_000)) // 1_000_000
         cls = (
