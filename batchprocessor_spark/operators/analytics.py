@@ -4131,11 +4131,12 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM risk WHERE e > 0),
     f AS (
       SELECT rn, n, dur, e, n_risk,
-             ((1000000000000 * (n_risk - e)) // n_risk)::BIGINT AS surv
+             ((1000000000000::HUGEINT * (n_risk - e)) // n_risk)::BIGINT
+               AS surv
       FROM ev WHERE rn = 1
       UNION ALL
       SELECT ev.rn, ev.n, ev.dur, ev.e, ev.n_risk,
-             ((f.surv * (ev.n_risk - ev.e)) // ev.n_risk)::BIGINT
+             ((f.surv::HUGEINT * (ev.n_risk - ev.e)) // ev.n_risk)::BIGINT
       FROM f JOIN ev ON ev.rn = f.rn + 1)
     SELECT dur AS duration_days, n_risk, e AS n_events,
            surv AS survival_e12
@@ -4161,8 +4162,12 @@ def q_ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     S_k = (S_{k−1} · (n_k − d_k)) DIV n_k — both engines state the
     identical integer recurrence (Spark: one `aggregate` fold whose
     accumulator also APPENDS each step, so the full curve comes out
-    of one fold; DuckDB: a recursive CTE), so the curve is
-    hash-exact with zero float products.
+    of one fold; DuckDB: a recursive CTE), with the S·(n−d) product
+    computed through a wide-integer cast (DECIMAL(38,0) / HUGEINT):
+    S sits at the 1e12 scale, so the product would pass BIGINT once
+    the risk set exceeds ~9.2M subjects — wide staging makes the
+    lane exact at ANY population. The curve is hash-exact with zero
+    float products.
 
     Scale posture: one user_id window pass + one per-user collapse
     (the subjects table is user-grain), then everything runs on the
@@ -4235,10 +4240,12 @@ def q_ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ARRAY<STRUCT<dur: BIGINT, n: BIGINT,
                                 e: BIGINT, surv: BIGINT>>) AS out),
           (acc, x) -> struct(
-            (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS s,
+            CAST((CAST(acc.s AS DECIMAL(38, 0)) * (x.n_risk - x.e))
+                 DIV x.n_risk AS BIGINT) AS s,
             array_append(acc.out,
               struct(x.dur AS dur, x.n_risk AS n, x.e AS e,
-                     (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS surv))
+                     CAST((CAST(acc.s AS DECIMAL(38, 0)) * (x.n_risk - x.e))
+                          DIV x.n_risk AS BIGINT) AS surv))
               AS out)
         ).out AS out
         """

@@ -1770,3 +1770,106 @@ def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ph.mx").alias("max_stat"),
         F.col("ph.alarm").alias("alarm_day_no"),
     )
+
+
+@register(
+    "q_ts_croston",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT l_partkey AS part,
+             (epoch_us(l_shipdate) // 86400000000)::BIGINT AS day,
+             sum(l_quantity)::BIGINT AS qty
+      FROM lineitem GROUP BY 1, 2),
+    o AS (
+      SELECT part, day, qty,
+             row_number() OVER (PARTITION BY part ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY part) AS n
+      FROM d),
+    f AS (
+      SELECT part, rn, n, day,
+             qty::DOUBLE AS s, CAST(NULL AS DOUBLE) AS i
+      FROM o WHERE rn = 1 AND n >= 2
+      UNION ALL
+      SELECT o.part, o.rn, o.n, o.day,
+             0.5 * o.qty::DOUBLE + 0.5 * f.s,
+             CASE WHEN f.i IS NULL THEN (o.day - f.day)::DOUBLE
+                  ELSE 0.5 * (o.day - f.day)::DOUBLE + 0.5 * f.i END
+      FROM f JOIN o ON o.part = f.part AND o.rn = f.rn + 1)
+    SELECT part, n::BIGINT AS n_events,
+           s AS size_est, i AS interval_est,
+           round(s / i, 6) AS forecast_per_day
+    FROM f WHERE rn = n
+    """,
+    category="timeseries",
+)
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for INTERMITTENT demand — the
+    forecasting kernel retail/spare-parts pipelines run when most
+    days have no demand at all, where plain smoothing (q_ts_ewma /
+    q_ts_holt) decays toward zero between orders: per part, separate
+    exponential smoothing of the non-zero demand SIZES and of the
+    INTER-DEMAND intervals (both α = ½), with the demand-rate
+    forecast size_est / interval_est per day. The fixture's
+    part-level shipments are genuinely intermittent (~30 demand days
+    per part spread over ~6.5 years, mean gap ~84 days).
+
+    Conventions stated once and shared: size state initialized to
+    the first demand, interval state to the FIRST gap, updates from
+    the second event on: s ← ½·qty + ½·s, i ← ½·gap + ½·i.
+
+    Cross-engine exactness: quantities and day gaps are exact
+    integers; α = ½ makes every state a dyadic rational (the
+    q_ts_holt discipline); the ONE division per part (s/i) is the
+    same IEEE op on identical operands; 6-dp round as a belt.
+
+    Scale posture: one map-side-combined (part, day) aggregate, then
+    collect_list per part (state O(demand events per part), never
+    O(lines)); the fold is one catalyst higher-order function
+    carrying (s, i, prev_day) — JVM-side, no Python, one part
+    exchange; millions of SKUs parallelize embarrassingly.
+
+    Reference scope: the reference engine has no time-series surface;
+    this extends SURVEY.md §2.4's analytics family.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "CAST(unix_micros(cast(l_shipdate as timestamp))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day"),
+        F.col("l_quantity"),
+    )
+    d = li.groupBy("part", "day").agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    series = (
+        d.groupBy("part")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "qty"))).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
+    folded = series.selectExpr(
+        "part",
+        "CAST(size(xs) AS BIGINT) AS n_events",
+        """
+        aggregate(
+          slice(xs, 2, size(xs) - 1),
+          struct(CAST(element_at(xs, 1).qty AS DOUBLE) AS s,
+                 CAST(NULL AS DOUBLE) AS i,
+                 element_at(xs, 1).day AS prev_day),
+          (acc, x) -> struct(
+            0.5 * CAST(x.qty AS DOUBLE) + 0.5 * acc.s AS s,
+            CASE WHEN acc.i IS NULL
+                 THEN CAST(x.day - acc.prev_day AS DOUBLE)
+                 ELSE 0.5 * CAST(x.day - acc.prev_day AS DOUBLE)
+                      + 0.5 * acc.i END AS i,
+            x.day AS prev_day)
+        ) AS st
+        """,
+    )
+    return folded.select(
+        "part",
+        "n_events",
+        F.col("st.s").alias("size_est"),
+        F.col("st.i").alias("interval_est"),
+        F.round(F.col("st.s") / F.col("st.i"), 6).alias("forecast_per_day"),
+    )

@@ -88,6 +88,7 @@ HEADLINE = [
     "q_graph_hits",
     "q_llm_dedup_span_removal",
     "q_dq_cross_table_rules",
+    "q_ts_croston",
 ]
 
 

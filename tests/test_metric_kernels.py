@@ -2168,3 +2168,52 @@ def test_hits_matches_python_reference(spark):
     # L1 mass is conserved up to per-node floor loss
     assert SCALE - len(a) <= sum(a.values()) <= SCALE
     assert SCALE - len(h) <= sum(h.values()) <= SCALE
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand smoothing (q_ts_croston): independent
+# python fold over pandas-derived per-part demand events; alpha=1/2 so
+# the comparison is EXACT.
+# ---------------------------------------------------------------------------
+
+
+def test_croston_matches_python_reference(spark):
+    rows = REGISTRY["q_ts_croston"].builder(spark, SF_SMALL).collect()
+    assert rows, "croston output empty"
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+        ["l_partkey", "l_shipdate", "l_quantity"]
+    ]
+    us = pd.to_datetime(li["l_shipdate"]).astype("datetime64[us]").astype("int64")
+    li = li.assign(day=us // 86_400_000_000)
+    daily = (
+        li.groupby(["l_partkey", "day"], as_index=False)["l_quantity"]
+        .sum()
+        .sort_values(["l_partkey", "day"])
+    )
+    daily["qty"] = daily["l_quantity"].round().astype("int64")
+    got = {
+        r.part: (r.n_events, r.size_est, r.interval_est, r.forecast_per_day)
+        for r in rows
+    }
+    by_part = {
+        int(p): list(zip(g["day"], g["qty"]))
+        for p, g in daily.groupby("l_partkey")
+    }
+    for part, ev in by_part.items():
+        if len(ev) < 2:
+            assert part not in got
+            continue
+        s, i, prev = float(ev[0][1]), None, ev[0][0]
+        for day, qty in ev[1:]:
+            gap = float(day - prev)
+            i = gap if i is None else 0.5 * gap + 0.5 * i
+            s = 0.5 * float(qty) + 0.5 * s
+            prev = day
+        n, s_got, i_got, f_got = got[part]
+        assert n == len(ev) and s_got == s and i_got == i, part
+        assert f_got == round(s / i, 6), part
+        # sanity: the estimates live inside the observed ranges
+        qtys = [q for _, q in ev]
+        gaps = [b[0] - a[0] for a, b in zip(ev, ev[1:])]
+        assert min(qtys) <= s <= max(qtys)
+        assert min(gaps) <= i <= max(gaps)

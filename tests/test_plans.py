@@ -1731,3 +1731,18 @@ def test_cross_table_rules_two_join_lineages_no_python(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_croston_single_exchange_jvm_fold(spark):
+    """q_ts_croston: the q_ts_holt posture on a per-part key — the
+    (size, interval, prev_day) fold is one catalyst higher-order
+    function, one part exchange lineage, no Python, no join, no
+    window."""
+    import re
+
+    plan = plan_of(spark, "q_ts_croston")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"part"}, keys
