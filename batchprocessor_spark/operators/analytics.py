@@ -4711,3 +4711,218 @@ def q_dq_cross_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * n_violations) DIV nullif(n_checked, 0) AS BIGINT)"
         ).alias("violation_bp"),
     )
+
+
+# ----------------------------------------------------------- Brier score
+
+@register(
+    "q_ml_brier_score",
+    oracle="""
+    WITH train AS (
+      SELECT n_chars // 100 AS bucket,
+             ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
+               AS pred_bp
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY bucket),
+    prior AS (
+      SELECT ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
+               AS prior_bp
+      FROM documents WHERE doc_id % 2 = 0),
+    test AS (
+      SELECT coalesce(t.pred_bp, p.prior_bp) AS pred_bp, p.prior_bp,
+             CASE WHEN d.lang = 'en' THEN 10000 ELSE 0 END AS y_bp
+      FROM documents d
+      LEFT JOIN train t ON d.n_chars // 100 = t.bucket
+      CROSS JOIN prior p
+      WHERE d.doc_id % 2 = 1)
+    SELECT count(*)::BIGINT AS n_test,
+           (sum((pred_bp - y_bp) * (pred_bp - y_bp)) // count(*))::BIGINT
+             AS brier_e8,
+           (sum((prior_bp - y_bp) * (prior_bp - y_bp)) // count(*))::BIGINT
+             AS brier_base_e8,
+           ((10000 * (sum((prior_bp - y_bp) * (prior_bp - y_bp)) // count(*)
+                      - sum((pred_bp - y_bp) * (pred_bp - y_bp)) // count(*)))
+              // nullif(sum((prior_bp - y_bp) * (prior_bp - y_bp))
+                        // count(*), 0))::BIGINT AS skill_bp
+    FROM test
+    """,
+    category="ml",
+)
+def q_ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the q_ml_calibration histogram classifier
+    (length bucket → P(lang=en), trained on even doc_ids, scored on
+    odd), plus the climatology BASELINE (always predict the train
+    prior) and the Brier skill score — the proper scoring rule that
+    completes the evaluation family beside rank quality (AUC/PR-AUC),
+    calibration (ECE), and threshold metrics (precision/recall/F1):
+    a model can be well-calibrated yet useless, and skill_bp > 0 is
+    the single number that says the model beats climatology.
+
+    Cross-engine exactness: probabilities live in integer basis
+    points, so every squared error (p_bp − 10000·y)² is an exact
+    BIGINT ≤ 10⁸ and the score is one integer DIV (declared unit
+    1e-8); the skill ratio is integer bp with a nullif guard for the
+    degenerate always-one-class corpus.
+
+    Scale posture: train is one bucket histogram (bounded), broadcast
+    onto the scoring scan with the 1-row prior; the score is ONE
+    conditional aggregate — no windows, no Python, the
+    q_ml_calibration shape with a different reduction.
+
+    Reference scope: the reference engine has no ML-eval surface;
+    this extends SURVEY.md §2.4's evaluation family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    train = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .groupBy(F.expr("n_chars DIV 100").alias("bucket"))
+        .agg(
+            F.expr(
+                "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
+                " DIV count(1) AS BIGINT)"
+            ).alias("pred_bp")
+        )
+    )
+    prior = d.where(F.col("doc_id") % 2 == 0).agg(
+        F.expr(
+            "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("prior_bp")
+    )
+    test = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select("lang", F.expr("n_chars DIV 100").alias("bucket"))
+        .join(F.broadcast(train), "bucket", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.coalesce(F.col("pred_bp"), F.col("prior_bp")).alias("pred_bp"),
+            "prior_bp",
+            F.when(F.col("lang") == "en", 10000).otherwise(0).alias("y_bp"),
+        )
+    )
+    return test.selectExpr(
+        "pred_bp", "prior_bp", "y_bp"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.expr(
+            "CAST(sum((pred_bp - y_bp) * (pred_bp - y_bp)) DIV count(1)"
+            " AS BIGINT)"
+        ).alias("brier_e8"),
+        F.expr(
+            "CAST(sum((prior_bp - y_bp) * (prior_bp - y_bp)) DIV count(1)"
+            " AS BIGINT)"
+        ).alias("brier_base_e8"),
+        F.expr(
+            "CAST((10000 * (sum((prior_bp - y_bp) * (prior_bp - y_bp))"
+            " DIV count(1) - sum((pred_bp - y_bp) * (pred_bp - y_bp))"
+            " DIV count(1))) DIV nullif(sum((prior_bp - y_bp)"
+            " * (prior_bp - y_bp)) DIV count(1), 0) AS BIGINT)"
+        ).alias("skill_bp"),
+    )
+
+
+@register(
+    "q_ml_mcc",
+    oracle="""
+    WITH train AS (
+      SELECT n_chars // 100 AS bucket,
+             ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
+               AS pred_bp
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY bucket),
+    prior AS (
+      SELECT ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
+               AS prior_bp
+      FROM documents WHERE doc_id % 2 = 0),
+    test AS (
+      SELECT CASE WHEN coalesce(t.pred_bp, p.prior_bp) >= p.prior_bp
+                  THEN 1 ELSE 0 END AS pred,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d
+      LEFT JOIN train t ON d.n_chars // 100 = t.bucket
+      CROSS JOIN prior p
+      WHERE d.doc_id % 2 = 1),
+    c AS (
+      SELECT sum(pred * y)::BIGINT AS tp,
+             sum(pred * (1 - y))::BIGINT AS fp,
+             sum((1 - pred) * y)::BIGINT AS fn,
+             sum((1 - pred) * (1 - y))::BIGINT AS tn
+      FROM test)
+    SELECT tp, fp, fn, tn,
+           round((tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+                 / sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+                        * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE), 6)
+             AS mcc
+    FROM c
+    """,
+    category="ml",
+)
+def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the thresholded histogram
+    classifier (predict 'en' when the bucket rate reaches the train
+    prior) — the single-number confusion summary that stays honest
+    under class imbalance where accuracy and F1 both mislead;
+    completes the threshold-metric family beside
+    precision/recall/F1 (q_ml_eval_metrics) and chance-corrected
+    agreement (q_ml_cohens_kappa).
+
+    Cross-engine exactness: the confusion cells are exact integer
+    sums; MCC applies the SAME sequence of IEEE ops (four products,
+    one sqrt, one division — each double exactly representing an
+    integer ≤ 2^53) to identical cells on both engines, so even the
+    unrounded double agrees bit-for-bit; the 6-dp round is a belt.
+
+    Scale posture: bucket model + 1-row prior broadcast onto the
+    scoring scan, ONE conditional aggregate to a 1-row confusion —
+    no windows, no Python.
+
+    Reference scope: the reference engine has no ML-eval surface;
+    this extends SURVEY.md §2.4's evaluation family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    train = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .groupBy(F.expr("n_chars DIV 100").alias("bucket"))
+        .agg(
+            F.expr(
+                "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
+                " DIV count(1) AS BIGINT)"
+            ).alias("pred_bp")
+        )
+    )
+    prior = d.where(F.col("doc_id") % 2 == 0).agg(
+        F.expr(
+            "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("prior_bp")
+    )
+    test = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select("lang", F.expr("n_chars DIV 100").alias("bucket"))
+        .join(F.broadcast(train), "bucket", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.when(
+                F.coalesce(F.col("pred_bp"), F.col("prior_bp"))
+                >= F.col("prior_bp"),
+                1,
+            )
+            .otherwise(0)
+            .alias("pred"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+    c = test.agg(
+        F.sum(F.expr("pred * y")).cast("long").alias("tp"),
+        F.sum(F.expr("pred * (1 - y)")).cast("long").alias("fp"),
+        F.sum(F.expr("(1 - pred) * y")).cast("long").alias("fn"),
+        F.sum(F.expr("(1 - pred) * (1 - y)")).cast("long").alias("tn"),
+    )
+    return c.selectExpr(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
+        " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
+        " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+        " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc",
+    )

@@ -1873,3 +1873,216 @@ def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.i").alias("interval_est"),
         F.round(F.col("st.s") / F.col("st.i"), 6).alias("forecast_per_day"),
     )
+
+
+@register(
+    "q_ts_weekday_effect",
+    oracle="""
+    WITH daily AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day_no,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT (day_no % 7)::BIGINT AS dow7,
+             count(*)::BIGINT AS n_days,
+             sum(cents)::BIGINT AS sum_cents,
+             sum(cents::HUGEINT * cents)::HUGEINT AS ssq
+      FROM daily GROUP BY 1),
+    tot AS (
+      SELECT sum(n_days)::BIGINT AS n, sum(sum_cents)::BIGINT AS s,
+             sum(ssq)::HUGEINT AS q,
+             sum((sum_cents::DOUBLE * sum_cents::DOUBLE) / n_days)
+               AS sum_gsq
+      FROM g)
+    SELECT g.dow7, g.n_days, g.sum_cents,
+           ((1000 * g.sum_cents) // g.n_days)::BIGINT AS mean_millicents,
+           round(10000 * (t.sum_gsq - (t.s::DOUBLE * t.s::DOUBLE) / t.n)
+                 / (t.q::DOUBLE - (t.s::DOUBLE * t.s::DOUBLE) / t.n), 2)
+             AS eta2_bp
+    FROM g CROSS JOIN tot t
+    """,
+    category="timeseries",
+)
+def q_ts_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect size on daily revenue — the one-way ANOVA
+    η² (between-group share of total variance) that answers "does
+    weekday actually matter for this metric" BEFORE anyone builds a
+    seasonal model: per epoch-anchored weekday (day_no MOD 7 — no
+    calendar week semantics to disagree on), the day counts, revenue
+    sums, and means, plus η² in basis points repeated on every row
+    (the 7-row report reads as one table). η² near 0 on this
+    fixture's uniform synthetic dates is the honest finding — the
+    audit exists to STOP unneeded seasonal terms too. The group mean
+    is integer MILLI-cents (1000·Σ DIV n): at 1e9-cent magnitudes a
+    round(double, 6) turned out to diverge between the engines'
+    rounding implementations at the double's precision limit —
+    caught by the sf0.1 parity lane in development.
+
+    Cross-engine exactness: per-weekday n/Σx/Σx² are exact integers
+    (Σx² through a wide-integer lane — daily cents squared passes
+    BIGINT sums by sf1); the float stage (group means, the η² ratio)
+    applies the SAME operation sequence to those identical integers
+    on both engines — bit-identical doubles, 6/2-dp rounds as a
+    belt.
+
+    Scale posture: one map-side-combined day aggregate, one 7-row
+    weekday aggregate, a 1-row total broadcast back onto the 7-row
+    table. No windows over facts, no Python.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's analytics family.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(cast(o_orderdate as timestamp))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day_no")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    g = daily.groupBy(F.expr("day_no % 7").cast("long").alias("dow7")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38, 0)) * cents")).alias("ssq"),
+    )
+    tot = g.agg(
+        F.sum("n_days").cast("long").alias("n"),
+        F.sum("sum_cents").cast("long").alias("s"),
+        F.sum("ssq").alias("q"),
+        F.sum(
+            F.expr(
+                "(CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE))"
+                " / n_days"
+            )
+        ).alias("sum_gsq"),
+    )
+    return g.crossJoin(F.broadcast(tot)).selectExpr(
+        "dow7",
+        "n_days",
+        "sum_cents",
+        "CAST((1000 * sum_cents) DIV n_days AS BIGINT) AS mean_millicents",
+        "round(10000 * (sum_gsq - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+        " / n) / (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE)"
+        " * CAST(s AS DOUBLE)) / n), 2) AS eta2_bp",
+    )
+
+
+@register(
+    "q_sample_time_split",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000)::BIGINT AS day
+      FROM events),
+    days AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS rn,
+             count(*) OVER () AS n
+      FROM (SELECT DISTINCT day FROM d)),
+    b AS (
+      SELECT day AS boundary_day FROM days
+      WHERE rn = ((8 * n + 9) // 10)),
+    marked AS (
+      SELECT event_type,
+             CASE WHEN day < b.boundary_day THEN 1 ELSE 0 END AS is_train,
+             b.boundary_day
+      FROM d CROSS JOIN b),
+    per_type AS (
+      SELECT event_type, boundary_day,
+             sum(is_train)::BIGINT AS n_train,
+             sum(1 - is_train)::BIGINT AS n_test
+      FROM marked GROUP BY event_type, boundary_day)
+    SELECT event_type, boundary_day, n_train, n_test,
+           ((10000 * n_train) // sum(n_train) OVER ())::BIGINT
+             AS train_share_bp,
+           ((10000 * n_test) // sum(n_test) OVER ())::BIGINT
+             AS test_share_bp,
+           (((10000 * n_test) // sum(n_test) OVER ())
+            - ((10000 * n_train) // sum(n_train) OVER ()))::BIGINT
+             AS drift_bp
+    FROM per_type
+    """,
+    category="sampling",
+)
+def q_sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split audit — the split EVERY forecasting
+    and recommendation pipeline must use instead of the hash split
+    (q_sample_hash_split), because random splits leak the future into
+    training: the boundary is the exact 80th-percentile distinct day
+    (nearest-rank ceil(0.8·n) over the bounded day table), events
+    strictly before it train, the rest test, and the report gives
+    per-event-type counts plus the LABEL-SHIFT audit (within-split
+    composition in basis points and its drift) that tells you whether
+    the test period is distributionally comparable before you trust
+    offline metrics on it.
+
+    Cross-engine exactness: the boundary is an integer order
+    statistic with the declared nearest-rank rule ((8n+9) DIV 10 ==
+    ceil(0.8·n) for integer n); counts and shares are exact integer
+    DIV basis points.
+
+    Scale posture: the day table is bounded by the observation
+    window, so its rank window is value-table-sized; the boundary
+    broadcasts as one row onto the fact scan; one (event_type)
+    aggregate + windows over the ≤|event types| report rows. No
+    fact-table windows, no Python.
+
+    Reference scope: the reference engine has no sampling surface;
+    this extends SURVEY.md §2.4's sampling family.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(cast(ts as timestamp)) DIV 86400000000"
+            " AS BIGINT)"
+        ).alias("day"),
+    )
+    days = (
+        e.select("day")
+        .distinct()
+        .select(
+            "day",
+            F.row_number().over(Window.orderBy("day")).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+    )
+    b = days.where(F.expr("rn = (8 * n + 9) DIV 10")).select(
+        F.col("day").alias("boundary_day")
+    )
+    per_type = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("event_type", "boundary_day")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("boundary_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("day") >= F.col("boundary_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_type.select(
+        "event_type",
+        "boundary_day",
+        "n_train",
+        "n_test",
+        F.expr("10000 * n_train").alias("_tr10k"),
+        F.expr("10000 * n_test").alias("_te10k"),
+        F.sum("n_train").over(w).alias("_tr_tot"),
+        F.sum("n_test").over(w).alias("_te_tot"),
+    ).selectExpr(
+        "event_type",
+        "boundary_day",
+        "n_train",
+        "n_test",
+        "CAST(_tr10k DIV _tr_tot AS BIGINT) AS train_share_bp",
+        "CAST(_te10k DIV _te_tot AS BIGINT) AS test_share_bp",
+        "CAST(_te10k DIV _te_tot - _tr10k DIV _tr_tot AS BIGINT) AS drift_bp",
+    )

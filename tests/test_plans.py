@@ -1746,3 +1746,47 @@ def test_croston_single_exchange_jvm_fold(spark):
     assert "Window" not in plan, plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"part"}, keys
+
+
+def test_brier_and_mcc_broadcast_model_single_aggregate(spark):
+    """q_ml_brier_score / q_ml_mcc: the bucket model and the 1-row
+    prior broadcast onto the scoring scan; the reduction is ONE
+    conditional aggregate — no window, no Python, no shuffled join."""
+    import re
+
+    for name in ("q_ml_brier_score", "q_ml_mcc"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastExchange" in plan, (name, plan)
+        keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+        # expression group-bys surface as _groupingexpression
+        assert keys <= {"bucket", "_groupingexpression"}, (name, keys)
+
+
+def test_weekday_effect_bounded_aggregates(spark):
+    """q_ts_weekday_effect: day aggregate → 7-row weekday aggregate →
+    1-row total broadcast back. No window, no Python."""
+    import re
+
+    plan = plan_of(spark, "q_ts_weekday_effect")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"day_no", "dow7", "_groupingexpression"}, keys
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_time_split_windows_over_bounded_tables(spark):
+    """q_sample_time_split: the rank window runs over the DISTINCT
+    day table and the share windows over the ≤|event-type| report —
+    never the fact; the boundary broadcasts as one row."""
+    import re
+
+    plan = plan_of(spark, "q_sample_time_split")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"day", "event_type"}, keys
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
