@@ -55,6 +55,8 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "operators/aggregates.py::q_agg_winsorized_mean": (1, "per-returnflag percentile fences — enum-sized"),
     "operators/aggregates.py::q_sketch_countmin": (1, "CM sketch counters — fixed (rows x buckets) grid"),
     "operators/analytics.py::q_ab_bootstrap_ci": (1, "1-row CI order statistics"),
+    "operators/analytics.py::q_ml_brier_score": (2, "bucket model (bounded histogram) + 1-row prior"),
+    "operators/analytics.py::q_ml_mcc": (2, "bucket model (bounded histogram) + 1-row prior"),
     "operators/analytics.py::q_anomaly_iqr": (1, "per-event_type IQR fences — enum-sized"),
     "operators/analytics.py::q_dq_drift_psi": (1, "1-row totals"),
     "operators/analytics.py::q_dq_expectations": (1, "1-row row count"),
