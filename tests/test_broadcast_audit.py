@@ -116,6 +116,8 @@ WHITELIST: dict[str, tuple[int, str]] = {
     "operators/skew.py::hot_key_salted_equi_join": (2, "hot-key list (> threshold keys only) + salt_n-row range"),
     "operators/skew.py::salted_join": (1, "salt_n-row range"),
     "operators/timeseries.py::q_ts_acf": (1, "fixed lag set"),
+    "operators/timeseries.py::q_ts_weekday_effect": (1, "1-row grand totals"),
+    "operators/timeseries.py::q_sample_time_split": (1, "1-row boundary day"),
     "operators/timeseries.py::q_ts_changepoint": (1, "distinct event types — enum-sized"),
     "operators/timeseries.py::q_ts_cross_correlation": (1, "fixed lag set"),
     "operators/timeseries.py::q_ts_gapfill": (2, "1-row day-zero anchor + distinct event types"),
