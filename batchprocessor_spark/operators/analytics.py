@@ -4495,15 +4495,15 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows emit at day+1 via the same lead that detects the gap, and
     the day table is bounded by the observation window.
 
-    Cross-engine exactness: integer weeks, integer flag sums; the
+    Cross-engine exactness: integer days, integer flag sums; the
     new/retained/resurrected split is exhaustive and disjoint by the
     CASE order both engines share.
 
-    Scale posture: one distinct over (user, week) — the only
+    Scale posture: one distinct over (user, day) — the only
     corpus-sized shuffle — then first/lag/lead windows sharing ONE
-    user_id exchange, a 1-row max-week broadcast bounding the churn
-    horizon, and an enum-sized week aggregate. No self-joins (the
-    classic formulation joins week w to w−1 per user; the lag form
+    user_id exchange, a 1-row max-day broadcast bounding the churn
+    horizon, and a bounded day aggregate. No self-joins (the
+    classic formulation joins day d to d−1 per user; the lag form
     does it in one pass).
 
     Reference scope: the reference engine has no analytics surface;
@@ -4657,13 +4657,10 @@ def q_dq_cross_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    lo = li.select(
-        "l_orderkey", "l_shipdate", "l_discount",
-        F.expr(
-            "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
-            " * 100) AS BIGINT)"
-        ).alias("line_cents"),
-    ).join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    lo = li.select("l_orderkey", "l_shipdate", "l_discount").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
     flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     r1 = lo.agg(
         F.lit("ship_on_or_after_order").alias("rule"),
@@ -4713,12 +4710,12 @@ def q_dq_cross_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----------------------------------------------------------- Brier score
-
-@register(
-    "q_ml_brier_score",
-    oracle="""
-    WITH train AS (
+# Shared "length bucket -> P(lang=en)" histogram classifier (trained on
+# even doc_ids) used by BOTH q_ml_brier_score and q_ml_mcc, as one
+# helper + one oracle CTE text — the q_llm_lang_confusion no-drift
+# rule: evaluators of the same model must share its construction.
+_CLF_ORACLE_CTES = """
+    train AS (
       SELECT n_chars // 100 AS bucket,
              ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
                AS pred_bp
@@ -4726,7 +4723,37 @@ def q_dq_cross_table_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior AS (
       SELECT ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
                AS prior_bp
-      FROM documents WHERE doc_id % 2 = 0),
+      FROM documents WHERE doc_id % 2 = 0)
+"""
+
+
+def _histogram_classifier(d):
+    """(train, prior) frames of the shared even-doc_id classifier."""
+    train = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .groupBy(F.expr("n_chars DIV 100").alias("bucket"))
+        .agg(
+            F.expr(
+                "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
+                " DIV count(1) AS BIGINT)"
+            ).alias("pred_bp")
+        )
+    )
+    prior = d.where(F.col("doc_id") % 2 == 0).agg(
+        F.expr(
+            "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
+            " DIV count(1) AS BIGINT)"
+        ).alias("prior_bp")
+    )
+    return train, prior
+
+
+# ----------------------------------------------------------- Brier score
+
+@register(
+    "q_ml_brier_score",
+    oracle=f"""
+    WITH {_CLF_ORACLE_CTES},
     test AS (
       SELECT coalesce(t.pred_bp, p.prior_bp) AS pred_bp, p.prior_bp,
              CASE WHEN d.lang = 'en' THEN 10000 ELSE 0 END AS y_bp
@@ -4772,22 +4799,7 @@ def q_ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     this extends SURVEY.md §2.4's evaluation family.
     """
     d = load_table(spark, sf_dir, "documents")
-    train = (
-        d.where(F.col("doc_id") % 2 == 0)
-        .groupBy(F.expr("n_chars DIV 100").alias("bucket"))
-        .agg(
-            F.expr(
-                "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
-                " DIV count(1) AS BIGINT)"
-            ).alias("pred_bp")
-        )
-    )
-    prior = d.where(F.col("doc_id") % 2 == 0).agg(
-        F.expr(
-            "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
-            " DIV count(1) AS BIGINT)"
-        ).alias("prior_bp")
-    )
+    train, prior = _histogram_classifier(d)
     test = (
         d.where(F.col("doc_id") % 2 == 1)
         .select("lang", F.expr("n_chars DIV 100").alias("bucket"))
@@ -4822,16 +4834,8 @@ def q_ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ml_mcc",
-    oracle="""
-    WITH train AS (
-      SELECT n_chars // 100 AS bucket,
-             ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
-               AS pred_bp
-      FROM documents WHERE doc_id % 2 = 0 GROUP BY bucket),
-    prior AS (
-      SELECT ((10000 * count(*) FILTER (lang = 'en')) // count(*))::BIGINT
-               AS prior_bp
-      FROM documents WHERE doc_id % 2 = 0),
+    oracle=f"""
+    WITH {_CLF_ORACLE_CTES},
     test AS (
       SELECT CASE WHEN coalesce(t.pred_bp, p.prior_bp) >= p.prior_bp
                   THEN 1 ELSE 0 END AS pred,
@@ -4848,8 +4852,8 @@ def q_ml_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM test)
     SELECT tp, fp, fn, tn,
            round((tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
-                 / sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
-                        * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE), 6)
+                 / nullif(sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE
+                        * (tn + fp)::DOUBLE * (tn + fn)::DOUBLE), 0.0), 6)
              AS mcc
     FROM c
     """,
@@ -4878,22 +4882,7 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     this extends SURVEY.md §2.4's evaluation family.
     """
     d = load_table(spark, sf_dir, "documents")
-    train = (
-        d.where(F.col("doc_id") % 2 == 0)
-        .groupBy(F.expr("n_chars DIV 100").alias("bucket"))
-        .agg(
-            F.expr(
-                "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
-                " DIV count(1) AS BIGINT)"
-            ).alias("pred_bp")
-        )
-    )
-    prior = d.where(F.col("doc_id") % 2 == 0).agg(
-        F.expr(
-            "CAST((10000 * count(CASE WHEN lang = 'en' THEN 1 END))"
-            " DIV count(1) AS BIGINT)"
-        ).alias("prior_bp")
-    )
+    train, prior = _histogram_classifier(d)
     test = (
         d.where(F.col("doc_id") % 2 == 1)
         .select("lang", F.expr("n_chars DIV 100").alias("bucket"))
@@ -4921,8 +4910,11 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         "fn",
         "tn",
+        # nullif: a zero confusion margin (single-class truth or
+        # single-class predictions) must read NULL on BOTH engines
         "round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)"
         " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))"
-        " / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
-        " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) AS mcc",
+        " / nullif(sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)"
+        " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0.0), 6)"
+        " AS mcc",
     )

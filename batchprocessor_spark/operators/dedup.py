@@ -2044,19 +2044,24 @@ _FS_W_CAP = 30_000_000
 
 
 def _fs_weight_sql(f: str, wide: str = "DECIMAL(38, 0)") -> tuple[str, str]:
-    # nullif guards the degenerate corpora (a field where no random
-    # pair — or every random pair — agrees): both engines then emit
-    # NULL weights/score for the affected pattern instead of Spark
-    # returning NULL while DuckDB raises on division by zero (the
-    # q_ab_power_mde zero-delta lesson from ADVICE r7).
+    # The zero-divisor CASE guards the degenerate corpora (a field
+    # where no random pair — or every random pair — agrees): both
+    # engines then emit NULL weights/score for the affected pattern
+    # instead of Spark returning NULL while DuckDB raises on division
+    # by zero (the q_ab_power_mde zero-delta lesson from ADVICE r7).
+    # NB the NULL must be decided OUTSIDE the winsorization: both
+    # engines\' least() SKIPS NULL arguments, so least(NULL, cap)
+    # would silently return the cap and break the stated contract.
     mn, md = _FS_M[f]
     agree = (
-        f"least((1000000 * {mn} * CAST(u_den AS {wide}))"
-        f" DIV nullif({md} * u_{f}, 0), {_FS_W_CAP})"
+        f"CASE WHEN u_{f} = 0 THEN NULL"
+        f" ELSE least((1000000 * {mn} * CAST(u_den AS {wide}))"
+        f" DIV ({md} * u_{f}), {_FS_W_CAP}) END"
     )
     disagree = (
-        f"least((1000000 * {md - mn} * CAST(u_den AS {wide}))"
-        f" DIV nullif({md} * (u_den - u_{f}), 0), {_FS_W_CAP})"
+        f"CASE WHEN u_den - u_{f} = 0 THEN NULL"
+        f" ELSE least((1000000 * {md - mn} * CAST(u_den AS {wide}))"
+        f" DIV ({md} * (u_den - u_{f})), {_FS_W_CAP}) END"
     )
     return agree, disagree
 

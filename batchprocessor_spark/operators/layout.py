@@ -158,6 +158,9 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKIP_SCRATCH: dict[str, str] = {}
+
+
 @register(
     "q_layout_sorted_skipping",
     oracle="""
@@ -166,10 +169,10 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
       FROM orders
       WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01')
-    SELECT 'clustered' AS layout, 8::BIGINT AS n_files_total,
-           1::BIGINT AS n_files_read, n_rows, cents FROM m
+    SELECT 'clustered' AS layout, FALSE AS reads_multiple_files,
+           n_rows, cents FROM m
     UNION ALL
-    SELECT 'shuffled', 8::BIGINT, 8::BIGINT, n_rows, cents FROM m
+    SELECT 'shuffled', TRUE, n_rows, cents FROM m
     """,
     category="scan",
 )
@@ -189,11 +192,16 @@ def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups) and scanning everything.
 
     Determinism: range partitioning assigns every month value to
-    exactly ONE partition (n_files_read = 1 is guaranteed, not
-    sampled); the shuffled side's 8/8 is pinned by the fixture's
-    ≥186 matched rows spread over 8 murmur3 buckets. Row counts and
-    cents are exact; the oracle recomputes them from the base table
-    and states the file accounting as the layout contract.
+    exactly ONE partition, so reads_multiple_files = FALSE for the
+    clustered layout is GUARANTEED at any SF, and the shuffled
+    layout's TRUE holds whenever ≥2 murmur3 buckets are hit — the
+    hash-checked columns are the two provable booleans plus exact
+    row/cents sums (the oracle states them from the base table).
+    The exact 1-of-8 vs 8-of-8 file counts are data-deterministic
+    but not oracle-computable at arbitrary SF (a 21-row month can
+    miss a hash bucket), so they pin in
+    tests/test_plans.py::test_layout_sorted_skipping_file_counts at
+    the parity SF instead.
 
     Scale posture: one repartitionByRange write (the sort is
     per-partition, no global single-task sort), filter pushdown
@@ -205,8 +213,6 @@ def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from batchprocessor_spark.scratch import scratch_dir
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderdate",
@@ -215,7 +221,14 @@ def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(year(o_orderdate) * 12 + month(o_orderdate))"
         ).alias("month_no"),
     )
-    base = scratch_dir("bp_skip_")
+    # One scratch dir PER SOURCE for the process lifetime: a fresh
+    # mkdtemp per call would make the _SUCCESS cache guards below dead
+    # code and rewrite both layouts on every bench/parity invocation.
+    base = _SKIP_SCRATCH.get(sf_dir)
+    if base is None:
+        from batchprocessor_spark.scratch import scratch_dir
+
+        base = _SKIP_SCRATCH[sf_dir] = scratch_dir("bp_skip_")
     clustered = os.path.join(base, "clustered")
     shuffled = os.path.join(base, "shuffled")
     if not os.path.exists(os.path.join(clustered, "_SUCCESS")):
@@ -226,9 +239,6 @@ def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(shuffled)
 
     def audit(path: str, layout: str) -> DataFrame:
-        total = len(
-            [f for f in os.listdir(path) if f.endswith(".parquet")]
-        )
         df = (
             spark.read.parquet(path)
             .where(
@@ -239,10 +249,9 @@ def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return df.agg(
             F.lit(layout).alias("layout"),
-            F.lit(total).cast("long").alias("n_files_total"),
-            F.count_distinct("fn").cast("long").alias("n_files_read"),
+            (F.count_distinct("fn") > 1).alias("reads_multiple_files"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("cents").cast("long").alias("cents"),
-        ).select("layout", "n_files_total", "n_files_read", "n_rows", "cents")
+        ).select("layout", "reads_multiple_files", "n_rows", "cents")
 
     return audit(clustered, "clustered").unionAll(audit(shuffled, "shuffled"))

@@ -1673,7 +1673,7 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
              0::BIGINT AS s, 0::BIGINT AS mx,
              NULL::BIGINT AS alarm
       FROM o JOIN base ON base.event_type = o.event_type
-      WHERE o.rn = 7
+      WHERE o.rn = 7 AND o.n >= 7
       UNION ALL
       SELECT o.event_type, o.rn, o.n, f.b,
              greatest(0, f.s + 7 * o.cents - f.b - (f.b // 10)),
@@ -1728,8 +1728,18 @@ def q_ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(unix_micros(cast(ts as timestamp)) DIV 86400000000 AS BIGINT)"
         ).alias("day_no"),
     ).agg(dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"))
-    series = d.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("day_no", "cents"))).alias("xs")
+    series = (
+        d.groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("day_no", "cents"))).alias(
+                "xs"
+            )
+        )
+        # series shorter than the 7-day baseline are undefined for the
+        # detector and EXCLUDED on both lanes (the oracle's recursive
+        # seed requires rn = 7; without this filter the engine emitted
+        # partial-baseline rows the oracle never produced)
+        .where(F.size("xs") >= 7)
     )
     stepped = series.selectExpr(
         "event_type",
@@ -1897,7 +1907,8 @@ def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.dow7, g.n_days, g.sum_cents,
            ((1000 * g.sum_cents) // g.n_days)::BIGINT AS mean_millicents,
            round(10000 * (t.sum_gsq - (t.s::DOUBLE * t.s::DOUBLE) / t.n)
-                 / (t.q::DOUBLE - (t.s::DOUBLE * t.s::DOUBLE) / t.n), 2)
+                 / nullif(t.q::DOUBLE
+                          - (t.s::DOUBLE * t.s::DOUBLE) / t.n, 0.0), 2)
              AS eta2_bp
     FROM g CROSS JOIN tot t
     """,
@@ -1964,9 +1975,11 @@ def q_ts_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "sum_cents",
         "CAST((1000 * sum_cents) DIV n_days AS BIGINT) AS mean_millicents",
+        # nullif: a zero-variance series must read NULL on BOTH engines
+        # (ANSI Spark raises on double/0 while DuckDB emits NULL)
         "round(10000 * (sum_gsq - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
-        " / n) / (CAST(q AS DOUBLE) - (CAST(s AS DOUBLE)"
-        " * CAST(s AS DOUBLE)) / n), 2) AS eta2_bp",
+        " / n) / nullif(CAST(q AS DOUBLE) - (CAST(s AS DOUBLE)"
+        " * CAST(s AS DOUBLE)) / n, 0.0), 2) AS eta2_bp",
     )
 
 

@@ -616,10 +616,12 @@ def _extended_twins() -> dict[str, str]:
                  ARRAY<STRUCT<dur: BIGINT, n: BIGINT,
                               e: BIGINT, surv: BIGINT>>) AS out),
         (acc, x) -> struct(
-          (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS s,
+          CAST((CAST(acc.s AS DECIMAL(38, 0)) * (x.n_risk - x.e))
+               DIV x.n_risk AS BIGINT) AS s,
           array_append(acc.out,
             struct(x.dur AS dur, x.n_risk AS n, x.e AS e,
-                   (acc.s * (x.n_risk - x.e)) DIV x.n_risk AS surv))
+                   CAST((CAST(acc.s AS DECIMAL(38, 0)) * (x.n_risk - x.e))
+                        DIV x.n_risk AS BIGINT) AS surv))
             AS out)
       ).out AS out
       FROM series)

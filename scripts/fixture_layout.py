@@ -108,7 +108,15 @@ def ensure_sf1_graph_sample(sf1_dir: str, out_name: str = "sf1graph") -> str:
     sf1_dir = sf1_dir.rstrip("/")
     out = os.path.join(os.path.dirname(sf1_dir), out_name)
     meta_path = os.path.join(out, "_sample_meta.json")
-    want = {"source": sf1_dir, "rules": {k: list(v) for k, v in SF1_GRAPH_SAMPLE.items()}}
+    # Source size/mtime stats ride in the meta (the ensure_multifile
+    # discipline): without them a REGENERATED sf1 would silently keep
+    # the stale subsample while the symlinked tables point at the new
+    # data — a mixed dataset whose parity would check the wrong rows.
+    want = {
+        "source": sf1_dir,
+        "tables": _source_meta(sf1_dir),
+        "rules": {k: list(v) for k, v in SF1_GRAPH_SAMPLE.items()},
+    }
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as f:

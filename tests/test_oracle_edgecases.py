@@ -176,3 +176,29 @@ def test_kaplan_meier_all_censored(spark, tmp_path):
     got = spec.builder(spark, str(tmp_path)).toPandas()
     want = _duck(spec.oracle, {"events": f"{path}/*.parquet"})
     assert len(got) == 0 and len(want) == 0
+
+
+def test_page_hinkley_short_series_excluded_on_both_engines(spark, tmp_path):
+    """A series with fewer than the 7 baseline days is undefined for
+    the detector: the oracle's recursive seed requires rn = 7, and
+    the engine now filters size(xs) >= 7 to match — before the fix
+    the engine emitted a partial-baseline row the oracle never
+    produced (a latent hash-parity break found by code review)."""
+    spec = REGISTRY["q_ts_page_hinkley"]
+    rows = []
+    # 'click': 9 days (kept); 'error': 3 days (excluded on both)
+    for d in range(9):
+        rows.append((d, _us(d * 86_400_000_000), 1, "click", 10.0, "{}"))
+    for d in range(3):
+        rows.append((100 + d, _us(d * 86_400_000_000), 2, "error", 5.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    assert len(got) == 1  # only the 9-day series survives

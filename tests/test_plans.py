@@ -1692,6 +1692,37 @@ def test_layout_sorted_skipping_pushdown(spark):
     assert plan.count("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") == 2, plan
 
 
+def test_layout_sorted_skipping_file_counts(spark):
+    """The exact file accounting the hash-checked booleans summarize:
+    at the parity SF the clustered layout contributes rows from
+    EXACTLY 1 of its 8 files and the hash-shuffled one from all 8
+    (data-deterministic here, but not oracle-computable at arbitrary
+    SF — a 21-row month can miss a murmur3 bucket)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from batchprocessor_spark.operators import layout as L
+
+    REGISTRY["q_layout_sorted_skipping"].builder(spark, SF_ORACLE).collect()
+    base = L._SKIP_SCRATCH[SF_ORACLE]
+    for name, expect in (("clustered", 1), ("shuffled", 8)):
+        path = os.path.join(base, name)
+        total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        assert total == 8, (name, total)
+        read = (
+            spark.read.parquet(path)
+            .where(
+                (F.col("o_orderdate") >= "1995-03-01")
+                & (F.col("o_orderdate") < "1995-04-01")
+            )
+            .select(F.input_file_name().alias("fn"))
+            .agg(F.count_distinct("fn"))
+            .collect()[0][0]
+        )
+        assert read == expect, (name, read)
+
+
 def test_hits_edges_checkpointed_once_no_collect_loop(spark):
     """q_graph_hits: each half-step is one equi-join of scores onto
     the CHECKPOINTED edge list + one aggregate; the L1 masses ride as
