@@ -1912,7 +1912,8 @@ def q_llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ws a ON a.doc_id = c.doc_a
       JOIN ws b ON b.doc_id = c.doc_b)
     SELECT lang, doc_a, doc_b, words_a, words_b, n_common,
-           ((10000 * n_common) // (words_a + words_b - n_common))::BIGINT
+           ((10000 * n_common)
+            // nullif(words_a + words_b - n_common, 0))::BIGINT
              AS jaccard_bp
     FROM scored
     WHERE 3 * n_common >= words_a + words_b
@@ -2009,8 +2010,14 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words_a",
         "words_b",
         "n_common",
+        # nullif guards the empty-document pair: two rank-adjacent
+        # whitespace-only documents have words_a = words_b = n_common
+        # = 0, pass the 3·0 >= 0 gate, and the union size is 0 — ANSI
+        # Spark would raise while DuckDB diverges; both lanes now emit
+        # a NULL jaccard_bp for the degenerate pair (ADVICE r8).
         F.expr(
-            "CAST((10000 * n_common) DIV (words_a + words_b - n_common) AS BIGINT)"
+            "CAST((10000 * n_common)"
+            " DIV nullif(words_a + words_b - n_common, 0) AS BIGINT)"
         ).alias("jaccard_bp"),
     )
 

@@ -166,13 +166,16 @@ _SKIP_SCRATCH: dict[str, str] = {}
     oracle="""
     WITH m AS (
       SELECT count(*)::BIGINT AS n_rows,
-             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents,
+             count(DISTINCT o_orderkey % 8)::BIGINT AS buckets_hit
       FROM orders
       WHERE o_orderdate >= '1995-03-01' AND o_orderdate < '1995-04-01')
-    SELECT 'clustered' AS layout, FALSE AS reads_multiple_files,
+    SELECT 'clustered' AS layout,
+           least(n_rows, 1)::BIGINT AS units_hit,
+           FALSE AS reads_multiple_units,
            n_rows, cents FROM m
     UNION ALL
-    SELECT 'shuffled', TRUE, n_rows, cents FROM m
+    SELECT 'shuffled', buckets_hit, buckets_hit > 1, n_rows, cents FROM m
     """,
     category="scan",
 )
@@ -182,26 +185,30 @@ def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Z-ordering (q_layout_zorder), and the one every lakehouse
     table format leans on: write the fact RANGE-CLUSTERED on the
     filter column (repartitionByRange(8, month) → 8 files with
-    disjoint month ranges, parquet footer min/max tight) vs HASH-
-    SHUFFLED on an unrelated key, then read both under the same
-    one-month predicate and account which files actually contribute
-    rows (distinct input_file_name over the matched rows). The
-    clustered layout touches exactly 1 of 8 files; the shuffled one
-    touches all 8 — at 100 TB that is the difference between
-    scanning ~1/80th of the table (footer stats skip whole row
+    disjoint month ranges, parquet footer min/max tight) vs
+    SCATTERED across 8 explicit key buckets (o_orderkey % 8, one
+    hive dir each), then read both under the same one-month
+    predicate and account which storage units actually contribute
+    rows. The clustered layout touches exactly 1 unit; the scattered
+    one touches every bucket the month's keys map to (all 8 at any
+    realistic density) — at 100 TB that is the difference between
+    scanning ~1/8th of the table (footer stats skip whole row
     groups) and scanning everything.
 
-    Determinism: range partitioning assigns every month value to
-    exactly ONE partition, so reads_multiple_files = FALSE for the
-    clustered layout is GUARANTEED at any SF, and the shuffled
-    layout's TRUE holds whenever ≥2 murmur3 buckets are hit — the
-    hash-checked columns are the two provable booleans plus exact
-    row/cents sums (the oracle states them from the base table).
-    The exact 1-of-8 vs 8-of-8 file counts are data-deterministic
-    but not oracle-computable at arbitrary SF (a 21-row month can
-    miss a hash bucket), so they pin in
+    Determinism (ADVICE r8 — the previous contract hard-coded the
+    shuffled lane's boolean TRUE and would break on a sparse month
+    whose keys all hash into one bucket): every hash-checked column
+    is now oracle-computable at ANY corpus. Range partitioning
+    assigns the single filter month to exactly ONE partition, so the
+    clustered lane's units_hit is provably least(n_rows, 1) and its
+    reads_multiple_units provably FALSE; the scattered lane's unit
+    is the EXPLICIT bucket o_orderkey % 8 (a hive partition dir, not
+    a murmur3 accident), so units_hit = count(DISTINCT o_orderkey
+    % 8) over the month on both engines. The physical 1-of-8 vs
+    8-of-8 file accounting still pins in
     tests/test_plans.py::test_layout_sorted_skipping_file_counts at
-    the parity SF instead.
+    the parity SF, and the sparse-month regime pins in
+    tests/test_oracle_edgecases.py.
 
     Scale posture: one repartitionByRange write (the sort is
     per-partition, no global single-task sort), filter pushdown
@@ -236,22 +243,38 @@ def q_layout_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month_no", "o_orderkey"
         ).write.mode("overwrite").parquet(clustered)
     if not os.path.exists(os.path.join(shuffled, "_SUCCESS")):
-        o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(shuffled)
+        # One shuffle on the bucket column first so each hive dir is
+        # written by exactly one task (1 file per bucket dir).
+        o.withColumn("bucket", F.expr("o_orderkey % 8")).repartition(
+            8, "bucket"
+        ).write.partitionBy("bucket").mode("overwrite").parquet(shuffled)
 
-    def audit(path: str, layout: str) -> DataFrame:
-        df = (
-            spark.read.parquet(path)
-            .where(
-                (F.col("o_orderdate") >= "1995-03-01")
-                & (F.col("o_orderdate") < "1995-04-01")
-            )
-            .select("cents", F.input_file_name().alias("fn"))
-        )
-        return df.agg(
-            F.lit(layout).alias("layout"),
-            (F.count_distinct("fn") > 1).alias("reads_multiple_files"),
+    month = (F.col("o_orderdate") >= "1995-03-01") & (
+        F.col("o_orderdate") < "1995-04-01"
+    )
+    clu = (
+        spark.read.parquet(clustered)
+        .where(month)
+        .select("cents", F.input_file_name().alias("fn"))
+        .agg(
+            F.lit("clustered").alias("layout"),
+            F.count_distinct("fn").cast("long").alias("units_hit"),
+            (F.count_distinct("fn") > 1).alias("reads_multiple_units"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("cents").cast("long").alias("cents"),
-        ).select("layout", "reads_multiple_files", "n_rows", "cents")
-
-    return audit(clustered, "clustered").unionAll(audit(shuffled, "shuffled"))
+        )
+    )
+    shu = (
+        spark.read.parquet(shuffled)
+        .where(month)
+        .select("cents", "bucket")
+        .agg(
+            F.lit("shuffled").alias("layout"),
+            F.count_distinct("bucket").cast("long").alias("units_hit"),
+            (F.count_distinct("bucket") > 1).alias("reads_multiple_units"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    cols = ["layout", "units_hit", "reads_multiple_units", "n_rows", "cents"]
+    return clu.select(cols).unionAll(shu.select(cols))

@@ -1901,8 +1901,10 @@ def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (
       SELECT sum(n_days)::BIGINT AS n, sum(sum_cents)::BIGINT AS s,
              sum(ssq)::HUGEINT AS q,
-             sum((sum_cents::DOUBLE * sum_cents::DOUBLE) / n_days)
-               AS sum_gsq
+             list_reduce(
+               list((sum_cents::DOUBLE * sum_cents::DOUBLE) / n_days
+                    ORDER BY dow7),
+               (a, x) -> a + x) AS sum_gsq
       FROM g)
     SELECT g.dow7, g.n_days, g.sum_cents,
            ((1000 * g.sum_cents) // g.n_days)::BIGINT AS mean_millicents,
@@ -1931,10 +1933,13 @@ def q_ts_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: per-weekday n/Σx/Σx² are exact integers
     (Σx² through a wide-integer lane — daily cents squared passes
-    BIGINT sums by sf1); the float stage (group means, the η² ratio)
+    BIGINT sums by sf1); the float stage (sum_gsq, the η² ratio)
     applies the SAME operation sequence to those identical integers
-    on both engines — bit-identical doubles, 6/2-dp rounds as a
-    belt.
+    on both engines — sum_gsq folds the 7 per-group terms in
+    EXPLICIT dow7 order (array_sort + left fold vs list_reduce over
+    an ORDER BY list; ADVICE r8 — a bare float SUM has no guaranteed
+    partial-merge order), so the doubles are genuinely bit-identical,
+    with the 2-dp round as a belt.
 
     Scale posture: one map-side-combined day aggregate, one 7-row
     weekday aggregate, a 1-row total broadcast back onto the 7-row
@@ -1959,16 +1964,28 @@ def q_ts_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.sum(F.expr("CAST(cents AS DECIMAL(38, 0)) * cents")).alias("ssq"),
     )
+    # sum_gsq is the ONE float accumulation here, and a plain SUM of
+    # doubles has no guaranteed partial-merge order across Spark
+    # partitions — a ULP flip at a rounding boundary could diverge
+    # from the oracle (ADVICE r8). Fold the 7 per-weekday terms in
+    # explicit dow7 order instead (array_sort + left fold, mirrored
+    # by the oracle's list_reduce over an ORDER BY dow7 list); the
+    # fold's 0.0D seed is an exact identity so both engines perform
+    # the identical 7-addition sequence.
     tot = g.agg(
         F.sum("n_days").cast("long").alias("n"),
         F.sum("sum_cents").cast("long").alias("s"),
         F.sum("ssq").alias("q"),
-        F.sum(
-            F.expr(
-                "(CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE))"
-                " / n_days"
-            )
-        ).alias("sum_gsq"),
+        F.array_sort(
+            F.collect_list(F.struct("dow7", "n_days", "sum_cents"))
+        ).alias("gs"),
+    ).selectExpr(
+        "n",
+        "s",
+        "q",
+        "aggregate(gs, 0.0D, (a, x) -> a +"
+        " (CAST(x.sum_cents AS DOUBLE) * CAST(x.sum_cents AS DOUBLE))"
+        " / x.n_days) AS sum_gsq",
     )
     return g.crossJoin(F.broadcast(tot)).selectExpr(
         "dow7",
@@ -2008,12 +2025,12 @@ def q_ts_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(1 - is_train)::BIGINT AS n_test
       FROM marked GROUP BY event_type, boundary_day)
     SELECT event_type, boundary_day, n_train, n_test,
-           ((10000 * n_train) // sum(n_train) OVER ())::BIGINT
+           ((10000 * n_train) // nullif(sum(n_train) OVER (), 0))::BIGINT
              AS train_share_bp,
-           ((10000 * n_test) // sum(n_test) OVER ())::BIGINT
+           ((10000 * n_test) // nullif(sum(n_test) OVER (), 0))::BIGINT
              AS test_share_bp,
-           (((10000 * n_test) // sum(n_test) OVER ())
-            - ((10000 * n_train) // sum(n_train) OVER ()))::BIGINT
+           (((10000 * n_test) // nullif(sum(n_test) OVER (), 0))
+            - ((10000 * n_train) // nullif(sum(n_train) OVER (), 0)))::BIGINT
              AS drift_bp
     FROM per_type
     """,
@@ -2095,7 +2112,13 @@ def q_sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boundary_day",
         "n_train",
         "n_test",
-        "CAST(_tr10k DIV _tr_tot AS BIGINT) AS train_share_bp",
-        "CAST(_te10k DIV _te_tot AS BIGINT) AS test_share_bp",
-        "CAST(_te10k DIV _te_tot - _tr10k DIV _tr_tot AS BIGINT) AS drift_bp",
+        # nullif guards the single-distinct-day corpus: the nearest-
+        # rank boundary is then the minimum day, NOTHING is strictly
+        # before it, and _tr_tot is 0 — ANSI Spark would raise while
+        # DuckDB diverges; both engines now emit NULL shares
+        # (ADVICE r8).
+        "CAST(_tr10k DIV nullif(_tr_tot, 0) AS BIGINT) AS train_share_bp",
+        "CAST(_te10k DIV nullif(_te_tot, 0) AS BIGINT) AS test_share_bp",
+        "CAST(_te10k DIV nullif(_te_tot, 0)"
+        " - _tr10k DIV nullif(_tr_tot, 0) AS BIGINT) AS drift_bp",
     )

@@ -658,7 +658,8 @@ def _extended_twins() -> dict[str, str]:
       JOIN ws b ON b.doc_id = c.doc_b)
     SELECT lang, doc_a, doc_b, words_a, words_b, n_common,
            CAST((10000 * n_common)
-                DIV (words_a + words_b - n_common) AS BIGINT) AS jaccard_bp
+                DIV nullif(words_a + words_b - n_common, 0) AS BIGINT)
+             AS jaccard_bp
     FROM scored
     WHERE 3 * n_common >= words_a + words_b
     """,

@@ -202,3 +202,93 @@ def test_page_hinkley_short_series_excluded_on_both_engines(spark, tmp_path):
     want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
     assert got == want, (got, want)
     assert len(got) == 1  # only the 9-day series survives
+
+
+def test_time_split_single_distinct_day_null_shares(spark, tmp_path):
+    """A corpus whose events all land on ONE distinct day: the
+    nearest-rank 80th-percentile boundary is that (minimum) day, so
+    nothing is strictly before it and the train total is 0 — the
+    share divisions must read NULL on BOTH engines (ANSI Spark would
+    raise on DIV 0 while DuckDB diverges; ADVICE r8)."""
+    spec = REGISTRY["q_sample_time_split"]
+    rows = [
+        (i, _us(3 * 86_400_000_000 + i * 1_000_000), i % 2,
+         "click" if i % 3 else "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: boundary_day, drift_bp, event_type, n_test,
+    # n_train, test_share_bp, train_share_bp
+    for boundary_day, drift, _etype, n_test, n_train, te_bp, tr_bp in got:
+        assert boundary_day == 3 and n_train == 0 and n_test > 0
+        assert tr_bp is None and drift is None  # train total is 0
+        assert te_bp is not None  # test total is positive
+
+
+def test_sorted_neighborhood_empty_documents_null_jaccard(spark, tmp_path):
+    """Two rank-adjacent documents with EMPTY word sets (whitespace-
+    only text) pass the 3*0 >= 0 survivor gate with a 0 union size:
+    jaccard_bp must read NULL on BOTH engines instead of Spark
+    raising on the division (ADVICE r8)."""
+    spec = REGISTRY["q_dedup_sorted_neighborhood"]
+    rows = [
+        (1, "  ", "en", "s0", 2),
+        (2, " ", "en", "s0", 1),
+        (3, "alpha beta gamma", "en", "s0", 16),
+        (4, "alpha beta gamma x", "en", "s0", 18),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: doc_a, doc_b, jaccard_bp, lang, n_common, words_a, words_b
+    null_pairs = [r for r in got if r[2] is None]
+    assert any(
+        {r[0], r[1]} == {1, 2} for r in null_pairs
+    ), got  # the empty-empty pair survives with a NULL score
+
+
+def test_layout_sorted_skipping_sparse_month_single_bucket(spark, tmp_path):
+    """A filter month whose only keys map to ONE o_orderkey % 8
+    bucket: the scattered lane must report units_hit = 1 /
+    reads_multiple_units = FALSE on both engines — the pre-fix
+    oracle hard-coded TRUE and broke exactly here (ADVICE r8)."""
+    import datetime as dt
+
+    spec = REGISTRY["q_layout_sorted_skipping"]
+    rows = [
+        # March 1995: two orders, keys 8 and 16 — both bucket 0.
+        (8, dt.date(1995, 3, 5), 100.0),
+        (16, dt.date(1995, 3, 20), 250.0),
+    ] + [
+        # Other months fill the remaining buckets.
+        (i, dt.date(1994, 6, 1 + (i % 27)), 10.0 * i) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE"
+    )
+    path = str(tmp_path / "orders.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"orders": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: cents, layout, n_rows, reads_multiple_units, units_hit
+    by_layout = {r[1]: r for r in got}
+    assert by_layout["clustered"][4] == 1  # units_hit
+    assert by_layout["shuffled"][4] == 1  # single bucket, provably
+    assert by_layout["shuffled"][3] is False  # reads_multiple_units
+    assert by_layout["shuffled"][0] == 35000  # cents: (100+250)*100

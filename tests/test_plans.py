@@ -1693,11 +1693,13 @@ def test_layout_sorted_skipping_pushdown(spark):
 
 
 def test_layout_sorted_skipping_file_counts(spark):
-    """The exact file accounting the hash-checked booleans summarize:
-    at the parity SF the clustered layout contributes rows from
-    EXACTLY 1 of its 8 files and the hash-shuffled one from all 8
-    (data-deterministic here, but not oracle-computable at arbitrary
-    SF — a 21-row month can miss a murmur3 bucket)."""
+    """The exact file accounting the hash-checked unit counts
+    summarize: at the parity SF the clustered layout contributes rows
+    from EXACTLY 1 of its 8 files and the bucket-scattered one from
+    all 8 bucket dirs (each dir exactly one physical file -- the
+    pre-write repartition(8, bucket) guarantees one writing task per
+    bucket)."""
+    import glob
     import os
 
     from pyspark.sql import functions as F
@@ -1706,21 +1708,34 @@ def test_layout_sorted_skipping_file_counts(spark):
 
     REGISTRY["q_layout_sorted_skipping"].builder(spark, SF_ORACLE).collect()
     base = L._SKIP_SCRATCH[SF_ORACLE]
-    for name, expect in (("clustered", 1), ("shuffled", 8)):
-        path = os.path.join(base, name)
-        total = len([f for f in os.listdir(path) if f.endswith(".parquet")])
-        assert total == 8, (name, total)
-        read = (
-            spark.read.parquet(path)
-            .where(
-                (F.col("o_orderdate") >= "1995-03-01")
-                & (F.col("o_orderdate") < "1995-04-01")
-            )
-            .select(F.input_file_name().alias("fn"))
-            .agg(F.count_distinct("fn"))
-            .collect()[0][0]
-        )
-        assert read == expect, (name, read)
+
+    month = (F.col("o_orderdate") >= "1995-03-01") & (
+        F.col("o_orderdate") < "1995-04-01"
+    )
+    clustered = os.path.join(base, "clustered")
+    total = len([f for f in os.listdir(clustered) if f.endswith(".parquet")])
+    assert total == 8, total
+    read = (
+        spark.read.parquet(clustered)
+        .where(month)
+        .select(F.input_file_name().alias("fn"))
+        .agg(F.count_distinct("fn"))
+        .collect()[0][0]
+    )
+    assert read == 1, read
+
+    shuffled = os.path.join(base, "shuffled")
+    dirs = sorted(d for d in os.listdir(shuffled) if d.startswith("bucket="))
+    assert dirs == sorted(f"bucket={i}" for i in range(8)), dirs
+    files = glob.glob(os.path.join(shuffled, "bucket=*", "*.parquet"))
+    assert len(files) == 8, files  # one physical file per bucket dir
+    hit = (
+        spark.read.parquet(shuffled)
+        .where(month)
+        .agg(F.count_distinct("bucket"))
+        .collect()[0][0]
+    )
+    assert hit == 8, hit
 
 
 def test_hits_edges_checkpointed_once_no_collect_loop(spark):
