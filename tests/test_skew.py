@@ -523,3 +523,52 @@ def test_sorted_neighborhood_linear_on_identical_blocking_values(spark, tmp_path
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
     want = canonical_rows(con.execute(spec.oracle).df())
     assert canonical_rows(out) == want
+
+
+def test_sorted_neighborhood_blocked_equals_window_form(spark):
+    """The registered sharded candidate generation
+    (_snm_candidates_blocked) must emit EXACTLY the global window
+    form's pairs on a skew-shaped corpus — one dominant language,
+    heavy n_chars ties, shuffled doc_ids — for block counts from
+    "blocks larger than the data" down to "segments shorter than the
+    window", where the boundary-overlap logic does all the work
+    (VERDICT r8 #1)."""
+    import random
+
+    import pandas as pd
+
+    from batchprocessor_spark.operators.dedup import (
+        _snm_candidates_blocked,
+        _snm_candidates_window,
+    )
+
+    rng = random.Random(42)
+    n = 900
+    ids = list(range(n))
+    rng.shuffle(ids)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            # 90% one language; n_chars drawn from only 11 distinct
+            # values so rank ties cross every block boundary
+            "lang": [
+                "en" if i % 10 else ("fr" if i % 20 else "de") for i in range(n)
+            ],
+            "n_chars": [rng.choice([50, 60, 70, 80, 90, 100, 100, 100, 110, 120, 130]) for _ in range(n)],
+        }
+    )
+    k = spark.createDataFrame(pdf)
+    want = sorted(
+        map(tuple, _snm_candidates_window(k).toPandas().itertuples(index=False))
+    )
+    assert len(want) > 2000  # the corpus actually generates fan-out
+    for nblocks in (2, 7, 32, 1024):
+        got = sorted(
+            map(
+                tuple,
+                _snm_candidates_blocked(k, nblocks).toPandas().itertuples(
+                    index=False
+                ),
+            )
+        )
+        assert got == want, (nblocks, len(got), len(want))
