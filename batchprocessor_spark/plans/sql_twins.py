@@ -629,6 +629,105 @@ def _extended_twins() -> dict[str, str]:
            st.surv AS survival_e12
     FROM folded LATERAL VIEW explode(out) t AS st
     """,
+        "q_llm_text_stats": """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           size(split(text, ' ')) AS n_words,
+           size(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)) AS n_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / size(split(text, ' ')), 6) AS avg_word_len,
+           size(regexp_extract_all(text, '[.!?]', 0)) AS n_sentences,
+           CAST(length(text) - length(replace(text, 'e', ''))
+                AS BIGINT) AS n_letter_e
+    FROM documents
+    """,
+        # Shingle CTE shared shape for the two contamination twins:
+        # Spark concat() is NULL on any NULL argument (concat_ws would
+        # SKIP the missing leads and fabricate short shingles), which
+        # reproduces the oracle's || NULL-propagation + QUALIFY.
+        "q_llm_dedup_minhash_banded": """
+    WITH docs AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    words AS (
+      SELECT doc_id, i, w FROM docs LATERAL VIEW posexplode(ws) t AS i, w),
+    shw AS (
+      SELECT doc_id,
+             concat(w, ' ', lead(w, 1) OVER win, ' ',
+                    lead(w, 2) OVER win) AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shw
+           WHERE shingle IS NOT NULL),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT d1, d2,
+           round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.d1 = s1.doc_id
+    JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.5
+    """,
+        "q_llm_decontaminate": """
+    WITH docs AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    words AS (
+      SELECT doc_id, i, w FROM docs LATERAL VIEW posexplode(ws) t AS i, w),
+    shw AS (
+      SELECT doc_id,
+             concat(w, ' ', lead(w, 1) OVER win, ' ',
+                    lead(w, 2) OVER win) AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shw
+           WHERE shingle IS NOT NULL),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0)
+    SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM sh JOIN bench USING (shingle)
+    WHERE sh.doc_id % 37 <> 0
+    GROUP BY sh.doc_id
+    """,
+        # sequence(1, n) descends when n < 1 (Spark fills [1, 0, ...])
+        # — every explode below is guarded by a size() predicate in a
+        # PRIOR CTE so the generator only ever sees ascending ranges.
+        "q_llm_dedup_span_removal": """
+    WITH w AS (
+      SELECT doc_id, filter(split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+    w5 AS (SELECT doc_id, ws FROM w WHERE size(ws) >= 5),
+    g AS (
+      SELECT doc_id, i, array_join(slice(ws, i, 5), ' ') AS gram
+      FROM w5 LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT DISTINCT g.doc_id, pos
+      FROM g JOIN dup USING (gram)
+      LATERAL VIEW explode(sequence(g.i, g.i + 4)) t AS pos),
+    posw AS (
+      SELECT doc_id, pos, element_at(ws, pos) AS word
+      FROM (SELECT doc_id, ws FROM w WHERE size(ws) >= 1)
+      LATERAL VIEW explode(sequence(1, size(ws))) t AS pos),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.word
+      FROM posw p LEFT JOIN covered c
+        ON c.doc_id = p.doc_id AND c.pos = p.pos
+      WHERE c.pos IS NULL),
+    k AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+             array_join(
+               transform(array_sort(collect_list(struct(pos, word))),
+                         x -> x.word), ' ') AS clean
+      FROM kept GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(size(w.ws) AS BIGINT) AS n_words_before,
+           CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_words_after,
+           CAST(size(w.ws) - coalesce(k.n_after, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(k.clean, '')) AS clean_md5
+    FROM w LEFT JOIN k ON k.doc_id = w.doc_id
+    """,
         "q_dedup_sorted_neighborhood": """
     WITH k AS (SELECT doc_id, lang, n_chars FROM documents),
     nb AS (
@@ -719,6 +818,10 @@ EXTENDED_TWIN_NAMES: frozenset[str] = frozenset(
         "q_llm_gopher_rules",
         "q_ml_kaplan_meier",
         "q_dedup_sorted_neighborhood",
+        "q_llm_text_stats",
+        "q_llm_dedup_minhash_banded",
+        "q_llm_decontaminate",
+        "q_llm_dedup_span_removal",
     }
 )
 
