@@ -351,12 +351,21 @@ def main() -> None:
     cal_before = calibrate()
     scal_before = calibrate_spark(spark)
     timings: dict[str, float] = {}
+    # Per-query spread (max−min of the median's runs, VERDICT r8 #4):
+    # makes a BENCH_r* headline shift attributable from the artifact
+    # alone — a +0.3 s query whose own spread is 0.5 s is ambient
+    # noise, not a plan regression. Raw samples go to the .bench
+    # payload; the stdout line carries the compact spread map.
+    spreads: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
         runs = [run_once(spark, spec.builder, sf_dir) for _ in range(n_runs)]
         timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 2)
+        samples[name] = [round(r, 3) for r in runs]
         runs_str = "/".join(f"{r:.3f}" for r in runs)
         print(f"# {name}: median {timings[name]:.3f}s of [{runs_str}]", file=sys.stderr)
 
@@ -391,8 +400,10 @@ def main() -> None:
         ),
     )
     os.makedirs(os.path.dirname(scaling_path) or ".", exist_ok=True)
+    payload = scaling or {"skipped": "no scaling points measured"}
+    payload["headline_samples"] = samples  # raw runs behind the medians
     with open(scaling_path, "w") as fh:
-        json.dump(scaling or {"skipped": "no scaling points measured"}, fh, indent=1)
+        json.dump(payload, fh, indent=1)
     print(f"# full scaling payload -> {scaling_path}", file=sys.stderr)
     print(
         json.dumps(
@@ -401,6 +412,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # max−min of each median's runs (2 dp): a per-query
+                # shift inside its own spread is ambient noise, not a
+                # regression. Raw samples: .bench payload
+                # headline_samples.
+                "query_spread": spreads,
                 "sf": sf,
                 # Scaling summary only — full per-query curves live in
                 # BENCH_SCALING.json (and the earlier stdout line).
