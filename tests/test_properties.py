@@ -714,3 +714,119 @@ def test_ohlc_open_close_match_python(spark, rows):
             max(c for _, c in items),
             min(c for _, c in items),
         ), (b, items, got[b])
+
+
+# ---------------------------------------------------------------------------
+# Cross-family blocking recall (VERDICT r8 #6): the ER surface now has
+# three blocking families — sorted-neighborhood rank adjacency, hash
+# blocking (first-word × length band), MinHash-LSH. A curation user
+# picking one needs the audit that PLANTED near-duplicates are
+# recovered by at least one family at its documented contract. Ground
+# truth is by construction: each planted duplicate substitutes ONE
+# word of its base with another of the SAME length, so jaccard =
+# (k-1)/(k+1) >= 0.8 (> the 0.5 verify gates), n_chars is unchanged
+# (SNM sort-key locality), the first word and the 40-char-prefix
+# length band are unchanged and the prefix edit distance is <= 6
+# (inside q_llm_dedup_fuzzy's block + <= 8 gate) — so the hash-block
+# family alone already owes us every planted pair, and the union
+# assertion cannot pass by luck.
+# ---------------------------------------------------------------------------
+
+ER_SETTINGS = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(8, 24),
+    n_planted=st.integers(1, 4),
+)
+@ER_SETTINGS
+def test_blocking_families_recover_planted_duplicates(
+    spark, tmp_path_factory, seed, n_docs, n_planted
+):
+    import random
+
+    import pandas as pd
+
+    from batchprocessor_spark.plans.registry import load_all
+
+    rng = random.Random(seed)
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnop") for _ in range(5))
+        for _ in range(60)
+    ]
+    docs = []
+    for i in range(n_docs):
+        words = rng.sample(vocab, rng.randint(9, 14))
+        docs.append(" ".join(words))
+    planted = []
+    for j in range(min(n_planted, n_docs)):
+        base_id = rng.randrange(len(docs))
+        words = docs[base_id].split(" ")
+        # substitute one non-first word with a SAME-LENGTH word not
+        # already present (keeps n_chars, first word, prefix band)
+        pos = rng.randrange(1, len(words))
+        repl = next(w for w in vocab if w not in words)
+        dup = words[:pos] + [repl] + words[pos + 1 :]
+        docs.append(" ".join(dup))
+        planted.append((base_id, len(docs) - 1))
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["s0"] * len(docs),
+            "n_chars": [len(t) for t in docs],
+        }
+    )
+    tmp = tmp_path_factory.mktemp("er")
+    pdf.to_parquet(str(tmp / "documents.parquet"))
+
+    reg = load_all()
+    outs = {}
+    for fam, q, cols in (
+        ("snm", "q_dedup_sorted_neighborhood", ("doc_a", "doc_b")),
+        ("fuzzy", "q_llm_dedup_fuzzy", ("d1", "d2")),
+        ("minhash", "q_llm_dedup_minhash", ("d1", "d2")),
+    ):
+        out = reg[q].builder(spark, str(tmp)).toPandas()
+        outs[fam] = {
+            (min(a, b), max(a, b)) for a, b in zip(out[cols[0]], out[cols[1]])
+        }
+
+    # Recall: every planted pair is recovered by at least one family
+    # (and by the hash-block family specifically — its contract is
+    # deterministic for the planted construction).
+    for a, b in planted:
+        pair = (min(a, b), max(a, b))
+        assert pair in outs["snm"] | outs["fuzzy"] | outs["minhash"], (
+            pair,
+            outs,
+        )
+        assert pair in outs["fuzzy"], (pair, sorted(outs["fuzzy"]))
+
+    # Precision side of each contract, vs python ground truth:
+    sets = {i: set(t.split(" ")) for i, t in enumerate(docs)}
+
+    def jac(p):
+        a, b = sets[p[0]], sets[p[1]]
+        return len(a & b) / len(a | b)
+
+    # minhash verifies exact jaccard > 0.5 on LSH candidates
+    assert all(jac(p) > 0.5 for p in outs["minhash"]), outs["minhash"]
+    # SNM verifies 3*|A∩B| >= |A|+|B| (jaccard >= 0.5 on distinct sets)
+    assert all(jac(p) >= 0.5 for p in outs["snm"]), outs["snm"]
+    # fuzzy pairs share the block key (first word + prefix length
+    # band) and pass the prefix edit-distance gate — check the block
+    # key invariant in python (no external editdistance lib needed:
+    # the <= 8 gate itself is Spark-side levenshtein, JVM-checked)
+    for a, b in outs["fuzzy"]:
+        wa, wb = docs[a].split(" ")[0].lower(), docs[b].split(" ")[0].lower()
+        assert wa == wb, (a, b, wa, wb)
+        la, lb = len(docs[a][:40]) // 8, len(docs[b][:40]) // 8
+        assert la == lb, (a, b, la, lb)
