@@ -113,3 +113,28 @@ def test_cli_list_filter_and_describe(capsys):
     out = capsys.readouterr().out
     assert "oracle SQL:" in out and "[dedup]" in out
     assert main(["describe", "q_nope"]) == 2
+
+
+def test_readme_quickstart_snippet(engine):
+    """Execute the README's quick-start block verbatim (VERDICT r8
+    #7): a relational query through BOTH front ends, an LLM dedup, and
+    a processor pipeline, all on ONE Engine instance — the first thing
+    a new user runs, guaranteed runnable by CI."""
+    import re
+    from pathlib import Path
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    m = re.search(
+        r"## Quick start: one Engine, three surfaces.*?```python\n(.*?)```",
+        readme,
+        re.S,
+    )
+    assert m, "README lost its quick-start snippet"
+    code = m.group(1).replace(
+        'Engine(spark, sf_dir="/root/testdata/sf0.001")',
+        "Engine(spark, sf_dir=SF_SMALL)",
+    )
+    exec(
+        compile(code, "README.md", "exec"),
+        {"spark": engine.spark, "SF_SMALL": SF_SMALL},
+    )
