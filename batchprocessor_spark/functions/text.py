@@ -2605,3 +2605,111 @@ def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(_n10k DIV _row_total AS BIGINT) AS recall_bp",
         "CAST(_n10k DIV _col_total AS BIGINT) AS precision_bp",
     )
+
+
+# ------------------------------------------------------- script mix audit
+
+# Unicode script classes as explicit codepoint ranges — the \x{hhhh}
+# spelling is the one syntax Java regex (Spark) and RE2 (DuckDB) parse
+# IDENTICALLY (probed; \p{Script=...} names differ between the two
+# engines). Single source of truth: the oracle interpolates these
+# verbatim and the builder passes the same strings to F.lit, so both
+# engines count with byte-identical patterns.
+_SCRIPT_CLASSES = {
+    "latin": r"[A-Za-z]",
+    "digit": r"[0-9]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}]",
+    "space": r"[\x{0009}-\x{000D}\x{0020}]",
+}
+_NONASCII_RE = r"[^\x{00}-\x{7F}]"
+
+
+@register(
+    "q_text_script_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang, length(text)::BIGINT AS n_chars_calc,
+             len(regexp_extract_all(text, '{_SCRIPT_CLASSES["latin"]}'))::BIGINT
+               AS n_latin,
+             len(regexp_extract_all(text, '{_SCRIPT_CLASSES["digit"]}'))::BIGINT
+               AS n_digit,
+             len(regexp_extract_all(text,
+                 '{_SCRIPT_CLASSES["cyrillic"]}'))::BIGINT AS n_cyrillic,
+             len(regexp_extract_all(text, '{_SCRIPT_CLASSES["cjk"]}'))::BIGINT
+               AS n_cjk,
+             len(regexp_extract_all(text, '{_SCRIPT_CLASSES["space"]}'))::BIGINT
+               AS n_space,
+             len(regexp_extract_all(text, '{_NONASCII_RE}'))::BIGINT
+               AS n_nonascii
+      FROM documents)
+    SELECT doc_id, lang, n_chars_calc, n_latin, n_digit, n_cyrillic, n_cjk,
+           n_space,
+           (n_chars_calc - n_latin - n_digit - n_cyrillic - n_cjk - n_space)
+             ::BIGINT AS n_other,
+           ((10000 * n_latin) // nullif(n_chars_calc, 0))::BIGINT AS latin_bp,
+           (n_nonascii = 0) AS is_ascii
+    FROM c
+    """,
+    category="text",
+)
+def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script composition — the mixed-script
+    audit every multilingual curation pipeline runs before trusting a
+    language label: counts per script class (Latin, digits, Cyrillic,
+    CJK, whitespace, other), the Latin share in basis points, and the
+    pure-ASCII flag. Mixed-script documents (Latin body + Cyrillic
+    look-alikes, CJK fragments inside an 'en' doc) are the classic
+    spam/homoglyph signal, and a lang='ru' doc with latin_bp > 9000
+    is a labeling bug upstream.
+
+    Cross-engine exactness: all counts are exact integers from
+    byte-identical regex character classes (the \\x{{hhhh}} range
+    spelling both Java regex and RE2 parse the same way — see
+    _SCRIPT_CLASSES); latin_bp is an integer DIV with a nullif guard
+    for the empty document.
+
+    Scale posture: a pure per-row projection off the scan — no
+    shuffle at all (plan-gated: no exchange, no window, no Python);
+    the regex work is JVM-side codegen.
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's text-analysis family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_of(cls: str):
+        return (
+            F.size(F.regexp_extract_all("text", F.lit(_SCRIPT_CLASSES[cls]), 0))
+            .cast("long")
+            .alias(f"n_{cls}")
+        )
+
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_of("latin"),
+        n_of("digit"),
+        n_of("cyrillic"),
+        n_of("cjk"),
+        n_of("space"),
+        F.size(F.regexp_extract_all("text", F.lit(_NONASCII_RE), 0))
+        .cast("long")
+        .alias("n_nonascii"),
+    )
+    return c.selectExpr(
+        "doc_id",
+        "lang",
+        "n_chars_calc",
+        "n_latin",
+        "n_digit",
+        "n_cyrillic",
+        "n_cjk",
+        "n_space",
+        "CAST(n_chars_calc - n_latin - n_digit - n_cyrillic - n_cjk - n_space"
+        " AS BIGINT) AS n_other",
+        "CAST((10000 * n_latin) DIV nullif(n_chars_calc, 0) AS BIGINT)"
+        " AS latin_bp",
+        "(n_nonascii = 0) AS is_ascii",
+    )

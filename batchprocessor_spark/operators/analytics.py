@@ -4918,3 +4918,119 @@ def q_ml_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0.0), 6)"
         " AS mcc",
     )
+
+
+# ------------------------------------------------- sequential testing (SPRT)
+
+# Wald SPRT for the purchase-share hypothesis test H0: p = 3/20 vs
+# H1: p = 1/4, alpha = beta = 0.05. The per-observation log-likelihood
+# increments and the decision boundary are DECLARED once as
+# micro-log-likelihood integers (round(1e6·ln(·)) — the Fellegi–Sunter
+# ppm-weight discipline), so the sequential fold is pure BIGINT
+# arithmetic on both engines:
+#   success:  round(1e6·ln(p1/p0))          = round(1e6·ln(5/3))
+#   failure:  round(1e6·ln((1-p1)/(1-p0)))  = round(1e6·ln(15/17))
+#   boundary: round(1e6·ln((1-b)/a))        = round(1e6·ln(19))
+_SPRT_W_SUCC = 510826
+_SPRT_W_FAIL = -125163
+_SPRT_BOUND = 2944439
+
+
+@register(
+    "q_ab_sprt",
+    oracle=f"""
+    WITH daily AS (
+      SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             count(*)::BIGINT AS n_trials,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_success
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT day, n_trials, n_success,
+             sum(n_success * {_SPRT_W_SUCC}
+                 + (n_trials - n_success) * {_SPRT_W_FAIL})
+               OVER (ORDER BY day)::BIGINT AS llr_micro
+      FROM daily),
+    cross_day AS (
+      SELECT min(day) AS cday
+      FROM cum WHERE abs(llr_micro) >= {_SPRT_BOUND}),
+    verdict AS (
+      SELECT c.cday,
+             (SELECT llr_micro FROM cum WHERE day = c.cday) AS cllr
+      FROM cross_day c)
+    SELECT cum.day, cum.n_trials, cum.n_success, cum.llr_micro,
+           CASE WHEN v.cday IS NULL OR cum.day < v.cday THEN 'continue'
+                WHEN v.cllr >= {_SPRT_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS status
+    FROM cum CROSS JOIN verdict v
+    """,
+    category="experimentation",
+)
+def q_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (1945) on the daily
+    purchase share — the sequential monitoring every experimentation
+    platform runs instead of a fixed-horizon test, because peeking at
+    a t-test inflates false positives while the SPRT's (alpha, beta)
+    guarantee HOLDS under continuous monitoring: the cumulative
+    log-likelihood ratio of H1: p = 1/4 vs H0: p = 3/20 walks up with
+    each purchase and down with each non-purchase, and the experiment
+    stops the first day |LLR| crosses ln(19). Rows report the full
+    day-grain trajectory with the sequential state — 'continue' before
+    any crossing, then the verdict from the crossing day's sign (rows
+    after the stop keep the verdict label: a stopped test stays
+    stopped).
+
+    Cross-engine exactness: the per-observation increments and the
+    boundary are the declared micro-log integers above, so the
+    trajectory is a pure BIGINT prefix sum (≈5e5-scale weights × 1e6
+    daily trials × 2500 days ≈ 1e15 — BIGINT-safe at sf1000); no float
+    exists anywhere in the operator.
+
+    Scale posture: one map-side-combined day aggregate off the fact
+    scan; the cumulative window runs on the bounded day-grain value
+    table (never fact rows); the crossing verdict is a 1-row relation
+    cross-joined back (unhinted — AQE broadcasts a 1-row side). No
+    Python, no fact-table windows.
+
+    Reference scope: the reference engine has no experimentation
+    surface; this extends SURVEY.md §2.4's analytics family.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.expr(
+            "CAST(unix_micros(cast(ts as timestamp)) DIV 86400000000"
+            " AS BIGINT)"
+        ).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_success"),
+    )
+    cum = daily.select(
+        "day",
+        "n_trials",
+        "n_success",
+        F.sum(
+            F.col("n_success") * F.lit(_SPRT_W_SUCC)
+            + (F.col("n_trials") - F.col("n_success")) * F.lit(_SPRT_W_FAIL)
+        )
+        .over(Window.orderBy("day"))
+        .cast("long")
+        .alias("llr_micro"),
+    )
+    crossed = cum.where(F.abs(F.col("llr_micro")) >= _SPRT_BOUND)
+    verdict = crossed.agg(F.min("day").alias("cday")).join(
+        crossed.select(F.col("day").alias("cday"), F.col("llr_micro").alias("cllr")),
+        "cday",
+        "left",
+    )
+    return cum.crossJoin(verdict).selectExpr(
+        "day",
+        "n_trials",
+        "n_success",
+        "llr_micro",
+        f"CASE WHEN cday IS NULL OR day < cday THEN 'continue'"
+        f" WHEN cllr >= {_SPRT_BOUND} THEN 'accept_h1'"
+        f" ELSE 'accept_h0' END AS status",
+    )

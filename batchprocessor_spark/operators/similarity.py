@@ -2245,3 +2245,95 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_proj",
         f"(10000 * d_proj) div nullif({_JL_TARGET} * d_orig, 0) AS ratio_bp",
     )
+
+
+# ------------------------------------------------------------- isotropy
+
+@register(
+    "q_emb_isotropy",
+    oracle="""
+    WITH x AS (
+      SELECT e.label, e.vec_id, u.i AS dim,
+             round(e.embedding[u.i]::DOUBLE * 1000000)::BIGINT AS q
+      FROM embeddings e, unnest(generate_series(1, 64)) AS u(i)),
+    pd AS (
+      SELECT label, dim, sum(q)::BIGINT AS s_d,
+             sum(q::HUGEINT * q)::HUGEINT AS qq_d
+      FROM x GROUP BY 1, 2),
+    n AS (
+      SELECT label, count(DISTINCT vec_id)::BIGINT AS n_vecs
+      FROM x GROUP BY 1),
+    a AS (
+      SELECT label, sum(s_d::HUGEINT * s_d)::HUGEINT AS s2,
+             sum(qq_d)::HUGEINT AS q2
+      FROM pd GROUP BY 1)
+    SELECT a.label, n.n_vecs,
+           ((1000000::HUGEINT * a.s2)
+            // nullif(n.n_vecs::HUGEINT * a.q2, 0))::BIGINT
+             AS mean_mass_ppm,
+           (1000000 // n.n_vecs)::BIGINT AS isotropic_baseline_ppm
+    FROM a JOIN n USING (label)
+    """,
+    category="embedding",
+)
+def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space ISOTROPY audit per label population — the
+    collapse detector every retrieval/dedup pipeline should run on a
+    new encoder: the share of the corpus's total second moment that
+    lives in the mean direction, mean_mass_ppm = 1e6·‖Σv‖² /
+    (n·Σ‖v‖²). For a perfectly isotropic cloud (zero-mean directions)
+    the expectation is the reported baseline 1e6/n; a collapsed space
+    (all vectors near one ray) reads → 1e6. Unlike the adjacent-pair
+    cosine histogram (q_emb_cosine_hist) this is a closed-form
+    whole-population statistic — no pair sampling, no sqrt, and by
+    Cauchy–Schwarz it is exact in [1e6/n·(…), 1e6] rather than an
+    estimate.
+
+    Cross-engine exactness: components quantize to 1e-6 integer units
+    (float→double widening is exact, identical BIGINTs on both
+    engines); per-dim sums, their squares, and the global ratio stay
+    in wide-integer lanes end to end (Σ s_d² reaches ~1e23 at sf1 —
+    HUGEINT / DECIMAL(38,0)); the output is an integer ppm DIV with a
+    nullif guard for the all-zero-vectors population.
+
+    Scale posture: one explode + two bounded aggregates (labels×dims
+    rows, then labels rows) with map-side combine, one labels-sized
+    join AQE plans — no window, no per-vector second pass, no Python.
+    At 100 TB with 4k dims the shuffle moves labels×4k skinny rows.
+
+    Reference scope: the reference engine has no embedding surface;
+    this extends SURVEY.md §2.4's similarity family.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding"
+    )
+    x = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "valf"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("valf").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pd_ = x.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s_d"),
+        F.sum(dec(F.col("q")) * F.col("q")).alias("qq_d"),
+    )
+    n = x.groupBy("label").agg(
+        F.count_distinct("vec_id").cast("long").alias("n_vecs")
+    )
+    a = pd_.groupBy("label").agg(
+        F.sum(dec(F.col("s_d")) * F.col("s_d")).alias("s2"),
+        F.sum("qq_d").alias("q2"),
+    )
+    return a.join(n, "label").selectExpr(
+        "label",
+        "n_vecs",
+        "CAST((CAST(1000000 AS DECIMAL(38, 0)) * s2)"
+        " DIV nullif(CAST(n_vecs AS DECIMAL(38, 0)) * q2, 0) AS BIGINT)"
+        " AS mean_mass_ppm",
+        "CAST(1000000 DIV n_vecs AS BIGINT) AS isotropic_baseline_ppm",
+    )

@@ -292,3 +292,109 @@ def test_layout_sorted_skipping_sparse_month_single_bucket(spark, tmp_path):
     assert by_layout["shuffled"][4] == 1  # single bucket, provably
     assert by_layout["shuffled"][3] is False  # reads_multiple_units
     assert by_layout["shuffled"][0] == 35000  # cents: (100+250)*100
+
+
+def test_sprt_immediate_and_no_crossing(spark, tmp_path):
+    """q_ab_sprt sequential-state edges: an all-purchase corpus must
+    cross the H1 boundary (status flips to accept_h1 at the crossing
+    day and STAYS there), and a tiny mixed corpus with |LLR| under the
+    boundary must read 'continue' everywhere — identical on both
+    engines, including the NULL-crossing-day branch."""
+    spec = REGISTRY["q_ab_sprt"]
+
+    # all purchases: +510826/day-event; boundary 2944439 -> crossing
+    # within the first day's 10 events
+    rows = [
+        (i, _us(i * 86_400_000_000 // 10), 1, "purchase", 1.0, "{}")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    p1 = str(tmp_path / "a" / "events.parquet")
+    df.coalesce(1).write.parquet(p1)
+    got = canonical_rows(spec.builder(spark, str(tmp_path / "a")).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{p1}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: day, llr_micro, n_success, n_trials, status
+    statuses = [r[4] for r in sorted(got)]
+    assert "accept_h1" in statuses and "accept_h0" not in statuses
+    # once stopped, stays stopped
+    first = statuses.index("accept_h1")
+    assert all(s == "accept_h1" for s in statuses[first:])
+
+    # 2 views, 1 purchase on one day: LLR = 510826 - 2*125163 well
+    # under the boundary -> continue, via the NULL crossing-day branch
+    rows2 = [
+        (1, _us(1000), 1, "view", 1.0, "{}"),
+        (2, _us(2000), 1, "view", 1.0, "{}"),
+        (3, _us(3000), 1, "purchase", 1.0, "{}"),
+    ]
+    df2 = spark.createDataFrame(
+        rows2,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    p2 = str(tmp_path / "b" / "events.parquet")
+    df2.coalesce(1).write.parquet(p2)
+    got2 = canonical_rows(spec.builder(spark, str(tmp_path / "b")).toPandas())
+    want2 = canonical_rows(_duck(spec.oracle, {"events": f"{p2}/*.parquet"}))
+    assert got2 == want2, (got2, want2)
+    assert [r[4] for r in got2] == ["continue"]
+
+
+def test_isotropy_rank1_and_zero_vectors(spark, tmp_path):
+    """q_emb_isotropy extremes: a label whose vectors all lie on one
+    ray reads mean_mass_ppm = 1e6 (total collapse); an all-zero-vector
+    label hits the nullif guard and reads NULL on BOTH engines."""
+    spec = REGISTRY["q_emb_isotropy"]
+    # identical vectors: (Σa)² = n·Σa² exactly (the Cauchy–Schwarz
+    # equality case) — magnitude dispersion along the ray would read
+    # < 1e6, which is the statistic working as defined
+    ray = [0.25] * 4 + [0.0] * 60
+    rows = [(i, ray, 0) for i in range(6)] + [
+        (10 + i, [0.0] * 64, 1) for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"embeddings": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: isotropic_baseline_ppm, label, mean_mass_ppm, n_vecs
+    by_label = {r[1]: r for r in got}
+    assert by_label[0][2] == 1_000_000  # rank-1 cloud: all mass on the ray
+    assert by_label[1][2] is None  # zero vectors: nullif, not a crash
+
+
+def test_script_mix_empty_and_multiscript(spark, tmp_path):
+    """q_text_script_mix edges: the empty document's latin_bp is NULL
+    (nullif, ANSI Spark would raise) and a genuinely multi-script
+    document counts each class exactly — both engines byte-identical
+    on the shared \\x{{hhhh}} character classes."""
+    spec = REGISTRY["q_text_script_mix"]
+    rows = [
+        (1, "", "en", "s0", 0),
+        (2, "Abc где 漢字 123 !", "mix", "s0", 15),
+        (3, "plain ascii text", "en", "s0", 16),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    by_id = {r[0]: r for r in got}
+    # columns sorted: doc_id, is_ascii, lang, latin_bp, n_chars_calc,
+    # n_cjk, n_cyrillic, n_digit, n_latin, n_other, n_space
+    assert by_id[1][3] is None and by_id[1][1] is True  # empty doc
+    assert by_id[2][5] == 2 and by_id[2][6] == 3 and by_id[2][7] == 3
+    assert by_id[2][1] is False  # non-ascii present
+    assert by_id[3][1] is True and by_id[3][3] > 0

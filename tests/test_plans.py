@@ -1880,3 +1880,45 @@ def test_sorted_neighborhood_sharded_no_single_language_sort(spark):
     plan_reg = plan_of(spark, "q_dedup_sorted_neighborhood")
     assert "Scan ExistingRDD" in plan_reg, plan_reg
     assert "rangepartitioning" not in plan_reg  # materialized pre-plan
+
+
+def test_script_mix_pure_projection(spark):
+    """q_text_script_mix: a per-row projection off the scan — no
+    exchange, no window, no join, no Python anywhere."""
+    plan = plan_of(spark, "q_text_script_mix")
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_emb_isotropy_bounded_aggregates(spark):
+    """q_emb_isotropy: explode -> two bounded aggregates (labels×dims,
+    then labels) + one labels-sized join — no window, no Python, and
+    every exchange keys on label(+dim), never per-vector."""
+    import re
+
+    plan = plan_of(spark, "q_emb_isotropy")
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#\d+L?(?:, (\w+)#\d+L?)?", plan))
+    flat = {k for pair in keys for k in pair if k}
+    assert flat <= {"label", "dim", "vec_id"}, (flat, plan)
+
+
+def test_sprt_window_on_day_grain_only(spark):
+    """q_ab_sprt: the cumulative LLR window runs on the bounded
+    day-grain value table (the aggregate sits BELOW the window), and
+    the verdict side is a 1-row relation — no fact-table windows, no
+    Python."""
+    plan = plan_of(spark, "q_ab_sprt")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the window's child must be the day aggregate, not the scan:
+    # every Window node in the plan appears above a HashAggregate
+    import re
+
+    w_idx = [m.start() for m in re.finditer(r"\bWindow\b", plan)]
+    assert w_idx, plan
+    agg_idx = [m.start() for m in re.finditer(r"HashAggregate", plan)]
+    assert agg_idx and min(agg_idx) > min(w_idx) - 4000, plan
+    assert "rangepartitioning(day" in plan or "SinglePartition" in plan, plan
