@@ -5034,3 +5034,117 @@ def q_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" WHEN cllr >= {_SPRT_BOUND} THEN 'accept_h1'"
         f" ELSE 'accept_h0' END AS status",
     )
+
+
+
+# ------------------------------------------------------ isotonic regression
+
+@register(
+    "q_ml_isotonic",
+    oracle="""
+    WITH daily AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day_no,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT day_no, cents, row_number() OVER (ORDER BY day_no) AS r
+      FROM daily),
+    ps AS (
+      SELECT day_no, cents, r, sum(cents) OVER (ORDER BY r)::BIGINT AS s
+      FROM r),
+    pairs AS (
+      SELECT a.r AS j, b.r AS k,
+             (b.s - a.s + a.cents)::DOUBLE / (b.r - a.r + 1) AS avgjk
+      FROM ps a JOIN ps b ON b.r >= a.r),
+    cm AS (
+      SELECT j, k AS i,
+             min(avgjk) OVER (PARTITION BY j ORDER BY k DESC) AS t1
+      FROM pairs),
+    f AS (
+      SELECT i, j, max(t1) OVER (PARTITION BY i ORDER BY j) AS fit
+      FROM cm)
+    SELECT r.day_no, r.cents, round(f.fit, 4) AS fitted
+    FROM f JOIN r ON r.r = f.i
+    WHERE f.j = f.i
+    """,
+    category="ml",
+)
+def q_ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing, L2) regression of the daily
+    revenue series — the shape-constrained fit behind probability
+    calibration (Zadrozny–Elkan), dose-response curves, and monotone
+    trend extraction. Sequential PAVA does not distribute, so this
+    computes the closed-form MINIMAX identity instead:
+    fitted[i] = max_{j<=i} min_{k>=i} mean(y[j..k]) — three bounded
+    relational stages (prefix sums → all (j,k) segment means → a
+    right-to-left running min per j, then a running max per i), which
+    IS the pool-adjacent-violators solution
+    (tests/test_metric_kernels.py pins equality against an
+    independent python PAVA on the fixtures and on adversarial
+    series).
+
+    Cross-engine exactness: segment means are double quotients of
+    exact BIGINT prefix-sum differences — identical integers →
+    identical IEEE doubles → identical min/max picks on both engines;
+    the 4-dp round is presentation only.
+
+    Scale posture: everything after the one fact aggregate runs on
+    the CALENDAR-BOUNDED day table (n ≈ 2.4k days at every SF — the
+    n(n+1)/2 ≈ 2.9M segment-mean rows and their two windows are
+    value-table work, constant in corpus size; the pairs join is a
+    broadcast range join of the day table with itself, documented
+    bounded). The fact table contributes one map-side-combined
+    day aggregate and is never windowed.
+
+    Reference scope: the reference engine has no ML surface; this
+    extends SURVEY.md §2.4's analytics family.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(cast(o_orderdate as timestamp))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day_no")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    r = daily.select(
+        "day_no",
+        "cents",
+        F.row_number().over(Window.orderBy("day_no")).alias("r"),
+    )
+    ps = r.select(
+        "day_no",
+        "cents",
+        "r",
+        F.sum("cents").over(Window.orderBy("r")).cast("long").alias("s"),
+    )
+    a = ps.select(
+        F.col("r").alias("j"), F.col("s").alias("sa"), F.col("cents").alias("ca")
+    )
+    b = ps.select(F.col("r").alias("k"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("sb") - F.col("sa") + F.col("ca")).cast("double")
+            / (F.col("k") - F.col("j") + 1)
+        ).alias("avgjk"),
+    )
+    cm = pairs.select(
+        "j",
+        F.col("k").alias("i"),
+        F.min("avgjk")
+        .over(Window.partitionBy("j").orderBy(F.col("k").desc()))
+        .alias("t1"),
+    )
+    f = cm.select(
+        "i",
+        "j",
+        F.max("t1").over(Window.partitionBy("i").orderBy("j")).alias("fit"),
+    ).where(F.col("j") == F.col("i"))
+    return f.join(r, f["i"] == r["r"]).select(
+        "day_no", "cents", F.round("fit", 4).alias("fitted")
+    )

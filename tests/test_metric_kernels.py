@@ -2217,3 +2217,66 @@ def test_croston_matches_python_reference(spark):
         gaps = [b[0] - a[0] for a, b in zip(ev, ev[1:])]
         assert min(qtys) <= s <= max(qtys)
         assert min(gaps) <= i <= max(gaps)
+
+
+def _pava(y: list[float]) -> list[float]:
+    """Textbook sequential pool-adjacent-violators (nondecreasing,
+    L2): merge blocks while the running mean decreases. Shares no
+    code with the engine's minimax formulation."""
+    blocks: list[tuple[float, int]] = []
+    for v in y:
+        s, c = float(v), 1
+        while blocks and blocks[-1][0] * c >= s * blocks[-1][1]:
+            ps, pc = blocks.pop()
+            s += ps
+            c += pc
+        blocks.append((s, c))
+    out: list[float] = []
+    for s, c in blocks:
+        out.extend([s / c] * c)
+    return out
+
+
+def test_isotonic_minimax_equals_pava_on_fixture(spark):
+    """q_ml_isotonic computes fitted[i] = max_{j<=i} min_{k>=i}
+    mean(y[j..k]) relationally; PAVA is the sequential algorithm the
+    identity must reproduce. Checked on the real fixture series."""
+    out = (
+        REGISTRY["q_ml_isotonic"]
+        .builder(spark, SF_SMALL)
+        .orderBy("day_no")
+        .toPandas()
+    )
+    ref = _pava(out["cents"].tolist())
+    assert len(out) > 100
+    got = out["fitted"].tolist()
+    assert all(abs(g - round(r, 4)) < 1e-9 for g, r in zip(got, ref)), (
+        got[:5],
+        ref[:5],
+    )
+    # and the defining property: monotone nondecreasing
+    assert all(a <= b + 1e-9 for a, b in zip(got, got[1:]))
+
+
+@given(
+    ys=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+)
+@SETTINGS
+def test_isotonic_minimax_identity_equals_pava(ys):
+    """Pure-kernel property (no Spark): the minimax identity equals
+    PAVA on arbitrary integer series — including constant runs and
+    strictly decreasing series (one global pool)."""
+    n = len(ys)
+    s = [0]
+    for v in ys:
+        s.append(s[-1] + v)
+
+    def mean(j, k):  # 1-indexed inclusive
+        return (s[k] - s[j - 1]) / (k - j + 1)
+
+    fit = [
+        max(min(mean(j, k) for k in range(i, n + 1)) for j in range(1, i + 1))
+        for i in range(1, n + 1)
+    ]
+    ref = _pava([float(v) for v in ys])
+    assert all(abs(a - b) < 1e-9 for a, b in zip(fit, ref)), (ys, fit, ref)
