@@ -2253,7 +2253,7 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_emb_isotropy",
     oracle="""
     WITH x AS (
-      SELECT e.label, e.vec_id, u.i AS dim,
+      SELECT e.label, u.i AS dim,
              round(e.embedding[u.i]::DOUBLE * 1000000)::BIGINT AS q
       FROM embeddings e, unnest(generate_series(1, 64)) AS u(i)),
     pd AS (
@@ -2261,8 +2261,8 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(q::HUGEINT * q)::HUGEINT AS qq_d
       FROM x GROUP BY 1, 2),
     n AS (
-      SELECT label, count(DISTINCT vec_id)::BIGINT AS n_vecs
-      FROM x GROUP BY 1),
+      SELECT label, count(*)::BIGINT AS n_vecs
+      FROM embeddings GROUP BY 1),
     a AS (
       SELECT label, sum(s_d::HUGEINT * s_d)::HUGEINT AS s2,
              sum(qq_d)::HUGEINT AS q2
@@ -2297,23 +2297,22 @@ def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nullif guard for the all-zero-vectors population.
 
     Scale posture: one explode + two bounded aggregates (labels×dims
-    rows, then labels rows) with map-side combine, one labels-sized
-    join AQE plans — no window, no per-vector second pass, no Python.
-    At 100 TB with 4k dims the shuffle moves labels×4k skinny rows.
+    rows, then labels rows) with map-side combine, plus a label-grain
+    row count off the PRE-explode frame (vec_id is the table key, so
+    count(*) per label = the vector count with no per-vector shuffle
+    and no second explode — code-review r9 finding #2), one
+    labels-sized join AQE plans — no window, no Python. At 100 TB
+    with 4k dims the shuffles move labels×4k skinny rows.
 
     Reference scope: the reference engine has no embedding surface;
     this extends SURVEY.md §2.4's similarity family.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "label", "vec_id", "embedding"
-    )
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
     x = e.select(
         "label",
-        "vec_id",
         F.posexplode("embedding").alias("dim0", "valf"),
     ).select(
         "label",
-        "vec_id",
         (F.col("dim0") + 1).alias("dim"),
         F.round(F.col("valf").cast("double") * 1000000).cast("long").alias("q"),
     )
@@ -2322,8 +2321,8 @@ def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("long").alias("s_d"),
         F.sum(dec(F.col("q")) * F.col("q")).alias("qq_d"),
     )
-    n = x.groupBy("label").agg(
-        F.count_distinct("vec_id").cast("long").alias("n_vecs")
+    n = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
     )
     a = pd_.groupBy("label").agg(
         F.sum(dec(F.col("s_d")) * F.col("s_d")).alias("s2"),

@@ -161,6 +161,23 @@ def _extended_twins() -> dict[str, str]:
     t_us = _FUNNEL_WINDOW_US
     _gopher_stop_list = ", ".join("'" + w + "'" for w in _GOPHER_STOPS)
     jl_sign = _JL_SIGN.format(h="i*64 + j + 1", div="div")
+    # Shared shingle CTE for the two contamination twins: Spark
+    # concat() is NULL on any NULL argument (concat_ws would SKIP the
+    # missing leads and fabricate short shingles), reproducing the
+    # oracle's || NULL-propagation + QUALIFY. ONE copy so a future
+    # fix cannot diverge the twins (code-review r9 finding #4).
+    shingle_cte = """    WITH docs AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+    words AS (
+      SELECT doc_id, i, w FROM docs LATERAL VIEW posexplode(ws) t AS i, w),
+    shw AS (
+      SELECT doc_id,
+             concat(w, ' ', lead(w, 1) OVER win, ' ',
+                    lead(w, 2) OVER win) AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shw
+           WHERE shingle IS NOT NULL)"""
+
     return {
         "q_text_lexical_richness": """
     WITH w AS (
@@ -642,22 +659,8 @@ def _extended_twins() -> dict[str, str]:
                 AS BIGINT) AS n_letter_e
     FROM documents
     """,
-        # Shingle CTE shared shape for the two contamination twins:
-        # Spark concat() is NULL on any NULL argument (concat_ws would
-        # SKIP the missing leads and fabricate short shingles), which
-        # reproduces the oracle's || NULL-propagation + QUALIFY.
-        "q_llm_dedup_minhash_banded": """
-    WITH docs AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-    words AS (
-      SELECT doc_id, i, w FROM docs LATERAL VIEW posexplode(ws) t AS i, w),
-    shw AS (
-      SELECT doc_id,
-             concat(w, ' ', lead(w, 1) OVER win, ' ',
-                    lead(w, 2) OVER win) AS shingle
-      FROM words
-      WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-    sh AS (SELECT DISTINCT doc_id, shingle FROM shw
-           WHERE shingle IS NOT NULL),
+        "q_llm_dedup_minhash_banded": f"""
+{shingle_cte},
     pairs AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -670,18 +673,8 @@ def _extended_twins() -> dict[str, str]:
     JOIN sizes s2 ON p.d2 = s2.doc_id
     WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.5
     """,
-        "q_llm_decontaminate": """
-    WITH docs AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
-    words AS (
-      SELECT doc_id, i, w FROM docs LATERAL VIEW posexplode(ws) t AS i, w),
-    shw AS (
-      SELECT doc_id,
-             concat(w, ' ', lead(w, 1) OVER win, ' ',
-                    lead(w, 2) OVER win) AS shingle
-      FROM words
-      WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-    sh AS (SELECT DISTINCT doc_id, shingle FROM shw
-           WHERE shingle IS NOT NULL),
+        "q_llm_decontaminate": f"""
+{shingle_cte},
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0)
     SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
     FROM sh JOIN bench USING (shingle)

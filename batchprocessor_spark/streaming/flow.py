@@ -37,6 +37,14 @@ class FlowControlConfig:
     ips: float = 0.0                # items/sec, 0 = unlimited
     max_retry_count: int = 3        # retries before DLQ
     retry_delay_s: float = 0.1      # base delay, doubles per attempt
+    # Token-bucket burst capacities. None = the driver-mode defaults
+    # (tps: one second's tokens; ips: max(ips, 2·batch_size)).
+    # Distributed mode pins these to the MINIMUM a controller needs to
+    # make progress (1 flush / batch_size items): each partition's
+    # controller is rebuilt per micro-batch, so any larger burst would
+    # be re-granted every epoch and break the global-rate story.
+    tps_burst: float | None = None
+    ips_burst: float | None = None
 
 
 class TokenBucket:
@@ -152,8 +160,15 @@ class FlowController:
         self.stats = FlowStats()
         self._sem = threading.Semaphore(config.concurrency)
         self._pool = ThreadPoolExecutor(max_workers=config.concurrency, thread_name_prefix="bp-flush")
-        self._tps = TokenBucket(config.tps)
-        self._ips = TokenBucket(config.ips, burst=max(config.ips, config.batch_size * 2.0))
+        self._tps = TokenBucket(config.tps, burst=config.tps_burst)
+        self._ips = TokenBucket(
+            config.ips,
+            burst=(
+                config.ips_burst
+                if config.ips_burst is not None
+                else max(config.ips, config.batch_size * 2.0)
+            ),
+        )
         self._dlq_lock = threading.Lock()
         self._dlq_seq = 0
 

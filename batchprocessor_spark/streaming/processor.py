@@ -417,8 +417,13 @@ def foreach_batch_sink(
     bound is nparts. The per-epoch division and its worst-case
     aggregate bounds are surfaced on the returned handle as
     ``handle.last_budget`` (the distributed analogue of the driver
-    controller's stat()); token-bucket bursts add at most
-    max(tps/nparts, 1) free flushes per partition at epoch start.
+    controller's stat()). Because each partition's controller is
+    rebuilt per micro-batch, distributed mode pins the bucket bursts
+    to the progress minimum (1 flush / batch_size items per
+    partition), so the cross-epoch statement is: sustained aggregate
+    rate ≤ the configured tps/ips + epochs-per-second × the reported
+    per_epoch_burst_* allowance — never the driver-mode default
+    burst re-granted every epoch.
     """
     cfg = config or FlowControlConfig()
 
@@ -440,11 +445,21 @@ def foreach_batch_sink(
         # budget so the aggregate across executors honors the
         # configured rate (see the distributed=True contract above).
         nparts = max(1, df.rdd.getNumPartitions())
+        # Each partition's controller (and so its token buckets) is
+        # rebuilt per micro-batch — burst capacity is therefore
+        # RE-GRANTED every epoch. Pin the burst to the minimum that
+        # lets a controller make progress (1 flush / one batch of
+        # items) so the per-epoch free allowance is bounded and
+        # reported, instead of the driver-mode default burst (a full
+        # second of tokens / 2·batch_size items) silently multiplying
+        # by epochs×partitions (code-review r9 finding #1).
         pp_cfg = dataclasses.replace(
             cfg,
             tps=cfg.tps / nparts if cfg.tps > 0 else 0.0,
             ips=cfg.ips / nparts if cfg.ips > 0 else 0.0,
             concurrency=max(1, cfg.concurrency // nparts),
+            tps_burst=1.0,
+            ips_burst=float(cfg.batch_size),
         )
         handle_distributed.last_budget = {
             "epoch_id": epoch_id,
@@ -452,11 +467,17 @@ def foreach_batch_sink(
             "tps_per_partition": pp_cfg.tps,
             "ips_per_partition": pp_cfg.ips,
             "concurrency_per_partition": pp_cfg.concurrency,
-            # Worst-case aggregates: rates are exact (buckets refill
-            # at rate/nparts); concurrency can exceed the global cap
-            # by the per-partition floor of 1 when nparts > cap.
+            # Aggregate SUSTAINED-rate bounds (bucket refill across
+            # partitions), plus the per-epoch free allowance from the
+            # minimum burst each rebuilt bucket starts with — the
+            # honest cross-epoch statement is
+            # rate ≤ bound + epochs_per_sec · burst_per_epoch.
             "aggregate_tps_bound": cfg.tps,
             "aggregate_ips_bound": cfg.ips,
+            "per_epoch_burst_flushes": nparts,
+            "per_epoch_burst_items": nparts * cfg.batch_size,
+            # Concurrency can exceed the global cap by the
+            # per-partition floor of 1 when nparts > cap.
             "aggregate_concurrency_bound": pp_cfg.concurrency * nparts,
         }
 

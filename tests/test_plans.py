@@ -1903,7 +1903,9 @@ def test_emb_isotropy_bounded_aggregates(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#\d+L?(?:, (\w+)#\d+L?)?", plan))
     flat = {k for pair in keys for k in pair if k}
-    assert flat <= {"label", "dim", "vec_id"}, (flat, plan)
+    # label(+dim) only: the vector count comes off the PRE-explode
+    # frame, so no per-vector key may appear in any exchange
+    assert flat <= {"label", "dim"}, (flat, plan)
 
 
 def test_sprt_window_on_day_grain_only(spark):
