@@ -181,6 +181,12 @@ SCALING_EXTRA = [
     "q_llm_gopher_rules",
     "q_llm_dedup_span_removal",
     "q_dq_cross_table_rules",
+    # Round-9 additions (calendar-bounded isotonic is the point: its
+    # n^2 stage is value-table work, slope ~0 by design):
+    "q_ml_isotonic",
+    "q_ab_sprt",
+    "q_emb_isotropy",
+    "q_text_script_mix",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

@@ -75,6 +75,10 @@ HEADLINE = [
     "q_text_lexical_richness",
     "q_llm_gopher_rules",
     "q_dedup_sorted_neighborhood",
+    "q_ml_isotonic",
+    "q_ab_sprt",
+    "q_emb_isotropy",
+    "q_text_script_mix",
     "q_graph_bipartite_projection",
     "q_ts_holt_winters",
     "q_ml_kaplan_meier",

@@ -1924,3 +1924,20 @@ def test_sprt_window_on_day_grain_only(spark):
     agg_idx = [m.start() for m in re.finditer(r"HashAggregate", plan)]
     assert agg_idx and min(agg_idx) > min(w_idx) - 4000, plan
     assert "rangepartitioning(day" in plan or "SinglePartition" in plan, plan
+
+
+def test_isotonic_pairs_join_on_day_table_only(spark):
+    """q_ml_isotonic: the n^2 segment-mean stage is a broadcast range
+    join of the CALENDAR-BOUNDED day aggregate with itself — the fact
+    table contributes exactly one aggregate (below the join) and is
+    never windowed or cartesian-joined."""
+    plan = plan_of(spark, "q_ml_isotonic")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the day-grain windows sit above the day aggregate, not the scan
+    import re
+
+    w = plan.index("Window")
+    agg = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in agg), plan
