@@ -180,3 +180,62 @@ def test_flow_controller_burst_pins_apply():
     ctrl.shutdown()
     assert sum(done) == 6
     assert dt >= 0.45, dt
+
+
+def test_distributed_budget_holds_across_epochs(spark, tmp_path):
+    """Cross-epoch budget (code-review r9 finding #1, the streaming
+    half): two micro-batches (maxFilesPerTrigger=1, two input files)
+    each rebuild the per-partition controllers, so with the old
+    driver-default burst the second epoch's flushes would again be
+    free; with the pinned 1-token burst the TOTAL span must cover
+    both epochs' refills minus the reported per-epoch allowance."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    marks = tmp_path / "marks"
+    marks.mkdir()
+    marks_path = str(marks)
+
+    pd.DataFrame({"id": range(60)}).to_parquet(src / "a.parquet", index=False)
+    pd.DataFrame({"id": range(60, 120)}).to_parquet(
+        src / "b.parquet", index=False
+    )
+
+    def sink(chunk: pd.DataFrame) -> None:
+        import time as _t
+        import uuid
+
+        with open(
+            os.path.join(marks_path, f"{_t.time():.6f}-{uuid.uuid4().hex}.mark"),
+            "w",
+        ) as fh:
+            fh.write(str(len(chunk)))
+
+    cfg = FlowControlConfig(batch_size=1, concurrency=8, tps=40.0)
+    handle = foreach_batch_sink(sink, cfg, distributed=True)
+    stream = (
+        spark.readStream.schema("id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .repartition(4)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    files = glob.glob(f"{marks_path}/*.mark")
+    assert len(files) == 120
+    stamps = sorted(float(os.path.basename(f).split("-")[0]) for f in files)
+    span = stamps[-1] - stamps[0]
+    # Per epoch: 15 flushes/partition at 10/s with 1 free token
+    # → ≥ 1.4 s each; two epochs ≥ ~2.8 s end to end. The pre-fix
+    # default burst (10 tokens/partition/epoch) would let each epoch
+    # finish in ~0.5 s.
+    assert span >= 2.4, span
+    assert handle.last_budget["epoch_id"] >= 1  # really saw 2 epochs
+    assert handle.last_budget["per_epoch_burst_flushes"] == 4
