@@ -572,3 +572,63 @@ def test_sorted_neighborhood_blocked_equals_window_form(spark):
             )
         )
         assert got == want, (nblocks, len(got), len(want))
+
+
+def test_sorted_neighborhood_blocked_equivalence_randomized(spark):
+    """Hypothesis-randomized twin of the fixed-seed equivalence test:
+    random corpora (random language skew, tie density, doc_id
+    permutation) and a random block count per example must produce
+    EXACTLY the global window form's pairs — the boundary-overlap
+    proof has no tunable left uncovered (seeded shrinking will
+    minimize any counterexample)."""
+    import random
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from batchprocessor_spark.operators.dedup import (
+        _snm_candidates_blocked,
+        _snm_candidates_window,
+    )
+
+    @given(
+        seed=st.integers(0, 10_000),
+        nblocks=st.integers(2, 64),
+        n=st.integers(20, 300),
+        n_langs=st.integers(1, 3),
+        n_char_values=st.integers(1, 8),
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(seed, nblocks, n, n_langs, n_char_values):
+        rng = random.Random(seed)
+        ids = list(range(n))
+        rng.shuffle(ids)
+        langs = ["en", "fr", "de"][:n_langs]
+        values = rng.sample(range(40, 200), n_char_values)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "lang": [rng.choice(langs) for _ in range(n)],
+                "n_chars": [rng.choice(values) for _ in range(n)],
+            }
+        )
+        k = spark.createDataFrame(pdf)
+        want = sorted(
+            map(tuple, _snm_candidates_window(k).toPandas().itertuples(index=False))
+        )
+        got = sorted(
+            map(
+                tuple,
+                _snm_candidates_blocked(k, nblocks)
+                .toPandas()
+                .itertuples(index=False),
+            )
+        )
+        assert got == want, (seed, nblocks, n, len(got), len(want))
+
+    prop()
