@@ -2713,3 +2713,153 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS latin_bp",
         "(n_nonascii = 0) AS is_ascii",
     )
+
+
+@register(
+    "q_text_source_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS token
+      FROM documents),
+    t AS (
+      SELECT source, token, count(*)::BIGINT AS c
+      FROM tok GROUP BY 1, 2),
+    n AS (
+      SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types
+      FROM t GROUP BY 1),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n_tokens AS n_tokens_a, b.n_tokens AS n_tokens_b,
+             a.n_types AS n_types_a, b.n_types AS n_types_b
+      FROM n a JOIN n b ON a.source < b.source),
+    mem AS (
+      SELECT source_a, source_b, source_a AS source FROM p
+      UNION ALL
+      SELECT source_a, source_b, source_b FROM p),
+    cell AS (
+      SELECT m.source_a, m.source_b, t.token,
+             sum(CASE WHEN t.source = m.source_a THEN t.c ELSE 0 END)::BIGINT
+               AS ca,
+             sum(CASE WHEN t.source = m.source_b THEN t.c ELSE 0 END)::BIGINT
+               AS cb
+      FROM t JOIN mem m ON m.source = t.source
+      GROUP BY 1, 2, 3),
+    agg AS (
+      SELECT source_a, source_b,
+             sum(abs(ca::HUGEINT * p.n_tokens_b
+                     - cb::HUGEINT * p.n_tokens_a))::HUGEINT AS tv_num,
+             sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS shared_types,
+             count(*)::BIGINT AS union_types
+      FROM cell JOIN p USING (source_a, source_b)
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, p.n_tokens_a, p.n_tokens_b,
+           shared_types, union_types,
+           ((1000000 * agg.tv_num)
+            // (2::HUGEINT * p.n_tokens_a * p.n_tokens_b))::BIGINT
+             AS tv_ppm,
+           ((1000000 * shared_types) // union_types)::BIGINT
+             AS vocab_jaccard_ppm
+    FROM agg JOIN p USING (source_a, source_b)
+    """,
+    category="text",
+)
+def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise unigram-DISTRIBUTION divergence between corpus
+    sources: total-variation distance in exact integer ppm plus
+    vocabulary Jaccard, for every source pair — the corpus-mix drift
+    audit run before re-weighting or swapping a crawl snapshot.
+    Complements q_llm_cross_source_contamination (SET overlap of
+    shingles — catches re-hosted content) and q_dq_drift_psi
+    (bucketed numeric drift): this one measures how differently two
+    sources USE the shared vocabulary. TV = ½ Σ_t |p_a(t) − p_b(t)|
+    carried as the exact integer Σ|c_a·N_b − c_b·N_a| over
+    2·N_a·N_b — no floats anywhere, so the ranking of pairs by
+    divergence is exact at any corpus size.
+
+    Shape: one (source, token) count aggregate (map-side combined),
+    a source-pair membership expansion whose fan-out is bounded by
+    the SOURCE count (an enum — never document count), one
+    (pair, token) aggregate over vocabulary-sized rows, and a
+    pair-count-sized report join. The non-equi source_a < source_b
+    join runs on the |sources|-row totals table — metadata scale.
+
+    Cross-engine exactness: every number is an exact integer
+    (wide-integer lanes for the c·N cross products, which reach
+    ~1e16 per cell and ~1e22 summed at petabyte vocabularies —
+    HUGEINT / DECIMAL(38) hold both); tv_ppm and jaccard_ppm are
+    integer DIV.
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's text-analysis family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    t = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = t.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    a = n.select(
+        F.col("source").alias("source_a"),
+        F.col("n_tokens").alias("n_tokens_a"),
+    )
+    b = n.select(
+        F.col("source").alias("source_b"),
+        F.col("n_tokens").alias("n_tokens_b"),
+    )
+    p = a.join(b, F.col("source_a") < F.col("source_b"))
+    mem = p.select(
+        "source_a",
+        "source_b",
+        F.explode(F.array("source_a", "source_b")).alias("source"),
+    )
+    cell = (
+        t.join(mem, "source")
+        .groupBy("source_a", "source_b", "token")
+        .agg(
+            F.sum(F.expr("CASE WHEN source = source_a THEN c ELSE 0 END"))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.expr("CASE WHEN source = source_b THEN c ELSE 0 END"))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    agg = (
+        cell.join(p, ["source_a", "source_b"])
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.expr(
+                    "abs(CAST(ca AS DECIMAL(38,0)) * n_tokens_b"
+                    " - CAST(cb AS DECIMAL(38,0)) * n_tokens_a)"
+                )
+            ).alias("tv_num"),
+            F.sum(F.expr("CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("shared_types"),
+            F.count(F.lit(1)).cast("long").alias("union_types"),
+        )
+    )
+    return agg.join(p, ["source_a", "source_b"]).selectExpr(
+        "source_a",
+        "source_b",
+        "n_tokens_a",
+        "n_tokens_b",
+        "shared_types",
+        "union_types",
+        "CAST((1000000 * tv_num) DIV (CAST(2 AS DECIMAL(38,0))"
+        " * n_tokens_a * n_tokens_b) AS BIGINT) AS tv_ppm",
+        "CAST((1000000 * shared_types) DIV union_types AS BIGINT)"
+        " AS vocab_jaccard_ppm",
+    )

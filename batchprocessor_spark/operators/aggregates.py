@@ -1965,3 +1965,115 @@ def q_agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q_agg_theil_between",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT
+               AS cents
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT c.c_nationkey AS nationkey,
+             count(*)::BIGINT AS n_customers,
+             coalesce(sum(rev.cents), 0)::BIGINT AS revenue_cents
+      FROM customer c LEFT JOIN rev ON rev.o_custkey = c.c_custkey
+      GROUP BY 1),
+    tot AS (
+      SELECT sum(n_customers)::BIGINT AS n, sum(revenue_cents)::BIGINT AS y,
+             list_reduce(
+               list(CASE WHEN revenue_cents = 0 THEN 0.0
+                         ELSE (revenue_cents::DOUBLE
+                               / (SELECT sum(revenue_cents) FROM g))
+                              * ln((revenue_cents::DOUBLE
+                                    * (SELECT sum(n_customers) FROM g))
+                                   / ((SELECT sum(revenue_cents) FROM g)
+                                      * n_customers::DOUBLE))
+                    END ORDER BY nationkey),
+               (a, x) -> a + x) AS theil
+      FROM g)
+    SELECT n.n_name, g.n_customers, g.revenue_cents,
+           ((10000 * g.revenue_cents) // t.y)::BIGINT AS revenue_share_bp,
+           round(t.theil, 6) AS theil_between
+    FROM g JOIN nation n ON n.n_nationkey = g.nationkey
+    CROSS JOIN tot t
+    """,
+    category="aggregate",
+)
+def q_agg_theil_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-nation Theil-T inequality of customer revenue — the
+    decomposable inequality index (unlike Gini, Theil splits exactly
+    into between-group + within-group terms), answering "how much of
+    revenue concentration is ACROSS markets rather than within
+    them": T_between = Σ_g s_g · ln(s_g / p_g) with s_g the group's
+    revenue share and p_g its customer-population share. Per nation:
+    customer count, exact revenue cents, share in basis points, and
+    the index repeated on each row. Zero-revenue nations contribute
+    exactly 0 (the lim x→0 x·ln x convention, spelled as a CASE in
+    both engines — a bare ln would raise/−inf).
+
+    Cross-engine exactness: population counts and revenue cents are
+    exact integers off one LEFT join (non-purchasing customers count
+    in p_g); the one float stage folds the ≤25 per-nation terms in
+    EXPLICIT nationkey order (array_sort left fold vs list_reduce
+    over an ORDER BY list — the q_ts_weekday_effect discipline), so
+    the doubles are bit-identical with the 6-dp round as a belt;
+    ln is correctly-rounded libm on both engines over identical
+    inputs. Shares are exact integer DIV basis points.
+
+    Scale posture: one map-side-combined per-customer aggregate, one
+    customer-keyed LEFT join, a nation-sized (enum-bounded) group
+    table, a 1-row total, and a 25-row dimension join. No windows
+    over facts, no Python, no hints (AQE broadcasts the dim).
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's aggregate family beside
+    q_agg_gini_concentration and q_agg_hhi.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = o.groupBy(F.col("o_custkey")).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    g = (
+        c.join(rev, c["c_custkey"] == rev["o_custkey"], "left")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_customers").cast("long").alias("n"),
+        F.sum("revenue_cents").cast("long").alias("y"),
+        F.array_sort(
+            F.collect_list(F.struct("nationkey", "n_customers", "revenue_cents"))
+        ).alias("gs"),
+    ).selectExpr(
+        "n",
+        "y",
+        # 0·ln(0) := 0 for zero-revenue nations, spelled identically
+        # in the oracle's CASE
+        "aggregate(gs, 0.0D, (a, x) -> a + CASE WHEN x.revenue_cents = 0"
+        " THEN 0.0D ELSE (CAST(x.revenue_cents AS DOUBLE) / y)"
+        " * ln((CAST(x.revenue_cents AS DOUBLE) * n)"
+        " / (CAST(y AS DOUBLE) * x.n_customers)) END) AS theil",
+    )
+    return (
+        g.crossJoin(tot)
+        .join(n, g["nationkey"] == n["n_nationkey"])
+        .selectExpr(
+            "n_name",
+            "n_customers",
+            "revenue_cents",
+            "CAST((10000 * revenue_cents) DIV y AS BIGINT)"
+            " AS revenue_share_bp",
+            "round(theil, 6) AS theil_between",
+        )
+    )

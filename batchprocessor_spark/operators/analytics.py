@@ -5148,3 +5148,270 @@ def q_ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.join(r, f["i"] == r["r"]).select(
         "day_no", "cents", F.round("fit", 4).alias("fitted")
     )
+
+
+@register(
+    "q_ml_kruskal_wallis",
+    oracle="""
+    WITH daily AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day_no,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1),
+    v AS (
+      SELECT cents, count(*)::BIGINT AS c FROM daily GROUP BY 1),
+    w AS (
+      SELECT cents,
+             (2 * (sum(c) OVER (ORDER BY cents) - c) + c + 1)::BIGINT
+               AS midrank2
+      FROM v),
+    r AS (
+      SELECT (d.day_no % 7)::BIGINT AS dow7, w.midrank2
+      FROM daily d JOIN w ON w.cents = d.cents),
+    g AS (
+      SELECT dow7, count(*)::BIGINT AS n_days,
+             sum(midrank2)::BIGINT AS sum_rank2
+      FROM r GROUP BY 1),
+    tot AS (
+      SELECT sum(n_days)::BIGINT AS n,
+             list_reduce(
+               list((sum_rank2::DOUBLE * sum_rank2::DOUBLE) / n_days
+                    ORDER BY dow7),
+               (a, x) -> a + x) AS sum_hterm,
+             (SELECT sum(c * c * c - c)::BIGINT FROM v) AS tie_cubes
+      FROM g)
+    SELECT g.dow7, g.n_days, g.sum_rank2,
+           ((1000 * g.sum_rank2) // (2 * g.n_days))::BIGINT
+             AS mean_rank_milli,
+           round((3.0 * t.sum_hterm / (t.n::DOUBLE * (t.n + 1))
+                  - 3.0 * (t.n + 1))
+                 / nullif(1.0 - t.tie_cubes::DOUBLE
+                          / (t.n::DOUBLE * t.n * t.n - t.n), 0.0), 6)
+             AS h_stat
+    FROM g CROSS JOIN tot t
+    """,
+    category="ml",
+)
+def q_ml_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test of weekday on daily revenue — the
+    nonparametric companion to q_ts_weekday_effect's ANOVA η²: when
+    daily totals are heavy-tailed (real revenue always is), the
+    rank-based H statistic answers "does weekday shift the revenue
+    DISTRIBUTION" without the normality assumption the parametric
+    test leans on. Per epoch-anchored weekday (day_no MOD 7): day
+    count, exact rank-sum, mean rank in milli-units, and the
+    tie-corrected H repeated on each of the 7 rows.
+
+    Cross-engine exactness: midranks are carried DOUBLED
+    (midrank2 = 2·rank_before + run + 1) so ties of even length stay
+    exact BIGINTs — Σ midrank2 over all days is N(N+1) by
+    construction (pinned in tests). Rank sums and the tie term
+    Σ(t³−t) are exact integers; the one float stage (Σ R²/n and the
+    H ratio) folds its 7 per-group terms in EXPLICIT dow7 order
+    (array_sort left fold vs list_reduce over an ORDER BY list — the
+    q_ts_weekday_effect discipline), so the doubles are bit-identical
+    with the 6-dp round as a belt. The rank window runs over the
+    DISTINCT-value histogram (bounded by the calendar day count),
+    never the fact table, so sum_rank2² < 4·N⁴ ≈ 1.3e14 stays
+    double-exact at ANY scale factor.
+
+    Scale posture: one map-side-combined day aggregate, a rank window
+    over the bounded value table, one value-table-sized join back, a
+    7-row aggregate and a 1-row total. No windows over facts, no
+    Python, no hints (AQE broadcasts the value table by itself).
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's evaluation/stats family.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(cast(o_orderdate as timestamp))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day_no")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    v = daily.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = v.select(
+        "cents",
+        (2 * (F.sum("c").over(cum) - F.col("c")) + F.col("c") + 1)
+        .cast("long")
+        .alias("midrank2"),
+    )
+    r = daily.join(w, "cents").select(
+        F.expr("day_no % 7").cast("long").alias("dow7"), "midrank2"
+    )
+    g = r.groupBy("dow7").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("midrank2").cast("long").alias("sum_rank2"),
+    )
+    tie = v.agg(
+        F.sum(F.expr("c * c * c - c")).cast("long").alias("tie_cubes")
+    )
+    tot = (
+        g.agg(
+            F.sum("n_days").cast("long").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("dow7", "n_days", "sum_rank2"))
+            ).alias("gs"),
+        )
+        .crossJoin(tie)
+        .selectExpr(
+            "n",
+            "tie_cubes",
+            "aggregate(gs, 0.0D, (a, x) -> a +"
+            " (CAST(x.sum_rank2 AS DOUBLE) * CAST(x.sum_rank2 AS DOUBLE))"
+            " / x.n_days) AS sum_hterm",
+        )
+    )
+    return g.crossJoin(tot).selectExpr(
+        "dow7",
+        "n_days",
+        "sum_rank2",
+        "CAST((1000 * sum_rank2) DIV (2 * n_days) AS BIGINT)"
+        " AS mean_rank_milli",
+        # nullif: an all-tied corpus (every daily total identical) must
+        # read NULL on BOTH engines, not raise under ANSI Spark
+        "round((3.0D * sum_hterm / (CAST(n AS DOUBLE) * (n + 1))"
+        " - 3.0D * (n + 1))"
+        " / nullif(1.0D - CAST(tie_cubes AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * n * n - n), 0.0D), 6) AS h_stat",
+    )
+
+
+@register(
+    "q_ml_tukey_hsd",
+    oracle="""
+    WITH daily AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day_no,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT (day_no % 7)::BIGINT AS dow7,
+             count(*)::BIGINT AS n_days,
+             sum(cents)::BIGINT AS sum_cents,
+             sum(cents::HUGEINT * cents)::HUGEINT AS ssq
+      FROM daily GROUP BY 1),
+    tot AS (
+      SELECT sum(n_days)::BIGINT AS n, count(*)::BIGINT AS k,
+             list_reduce(
+               list((n_days::HUGEINT * ssq
+                     - sum_cents::HUGEINT * sum_cents)::DOUBLE / n_days
+                    ORDER BY dow7),
+               (a, x) -> a + x) AS ssw
+      FROM g)
+    SELECT a.dow7 AS dow_a, b.dow7 AS dow_b, a.n_days AS n_a,
+           b.n_days AS n_b,
+           abs((1000 * a.sum_cents) // a.n_days
+               - (1000 * b.sum_cents) // b.n_days)::BIGINT
+             AS diff_millicents,
+           round(abs(a.sum_cents::DOUBLE / a.n_days
+                     - b.sum_cents::DOUBLE / b.n_days)
+                 / nullif(sqrt((t.ssw / nullif(t.n - t.k, 0)) / 2.0
+                               * (1.0 / a.n_days + 1.0 / b.n_days)),
+                          0.0), 4) AS q_ratio,
+           CASE WHEN abs(a.sum_cents::DOUBLE / a.n_days
+                         - b.sum_cents::DOUBLE / b.n_days)
+                     / nullif(sqrt((t.ssw / nullif(t.n - t.k, 0)) / 2.0
+                                   * (1.0 / a.n_days + 1.0 / b.n_days)),
+                              0.0) > 4.17
+                THEN 1 ELSE 0 END AS significant
+    FROM g a JOIN g b ON a.dow7 < b.dow7 CROSS JOIN tot t
+    """,
+    category="ml",
+)
+def q_ml_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons of weekday mean daily
+    revenue — the step AFTER q_ts_weekday_effect's omnibus ANOVA:
+    which weekday PAIRS actually differ, with the studentized-range
+    multiple-comparison control a per-pair t-test family would blow.
+    All 21 weekday pairs: exact mean difference in milli-cents, the
+    studentized q ratio |Δmean| / sqrt((MSW/2)(1/n_a + 1/n_b)), and a
+    significance flag against the declared critical value
+    q(0.05, k=7, df→∞) = 4.17 (literal in the shared formula text).
+
+    Cross-engine exactness: per-weekday n/Σx/Σx² are exact integers
+    (Σx² via a wide lane); the within-group sum of squares folds its
+    7 per-group exact-integer numerators (n_j·Q_j − S_j²) in EXPLICIT
+    dow7 order (the q_ts_weekday_effect fold discipline), and every
+    float op after that appears in identical operand order in both
+    engines' formula text — identical IEEE bits, so even the
+    threshold comparison cannot flip cross-engine. The 4-dp round on
+    q_ratio is the belt; diff_millicents is exact integer DIV.
+
+    Scale posture: one map-side-combined day aggregate, a 7-row group
+    table self-joined into 21 pair rows with a 1-row total — the
+    pair join runs on metadata-scale frames regardless of corpus
+    size. No windows over facts, no Python, no hints.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's evaluation/stats family.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(cast(o_orderdate as timestamp))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day_no")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    g = daily.groupBy(F.expr("day_no % 7").cast("long").alias("dow7")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38, 0)) * cents")).alias("ssq"),
+    )
+    # SSW = Σ_j (Q_j − S_j²/n_j): each numerator n_j·Q_j − S_j² is an
+    # exact wide integer; fold the 7 terms in explicit dow7 order so
+    # the double accumulation sequence matches the oracle's
+    # list_reduce bit-for-bit (a bare float SUM has no guaranteed
+    # partial-merge order across Spark partitions).
+    tot = g.agg(
+        F.sum("n_days").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.array_sort(
+            F.collect_list(F.struct("dow7", "n_days", "sum_cents", "ssq"))
+        ).alias("gs"),
+    ).selectExpr(
+        "n",
+        "k",
+        "aggregate(gs, 0.0D, (a, x) -> a +"
+        " CAST(x.n_days * x.ssq - CAST(x.sum_cents AS DECIMAL(38,0))"
+        " * x.sum_cents AS DOUBLE) / x.n_days) AS ssw",
+    )
+    a = g.select(
+        F.col("dow7").alias("dow_a"),
+        F.col("n_days").alias("n_a"),
+        F.col("sum_cents").alias("s_a"),
+    )
+    b = g.select(
+        F.col("dow7").alias("dow_b"),
+        F.col("n_days").alias("n_b"),
+        F.col("sum_cents").alias("s_b"),
+    )
+    pairs = a.join(b, F.col("dow_a") < F.col("dow_b")).crossJoin(tot)
+    # nullif: a zero-within-variance corpus (every day in a weekday
+    # identical) must read NULL on BOTH engines, not raise (ANSI)
+    q_expr = (
+        "abs(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+        " / nullif(sqrt((ssw / nullif(n - k, 0)) / 2.0D"
+        " * (1.0D / n_a + 1.0D / n_b)), 0.0D)"
+    )
+    return pairs.selectExpr(
+        "dow_a",
+        "dow_b",
+        "n_a",
+        "n_b",
+        "CAST(abs((1000 * s_a) DIV n_a - (1000 * s_b) DIV n_b) AS BIGINT)"
+        " AS diff_millicents",
+        f"round({q_expr}, 4) AS q_ratio",
+        f"CASE WHEN {q_expr} > 4.17D THEN 1 ELSE 0 END AS significant",
+    )

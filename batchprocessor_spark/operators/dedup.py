@@ -2498,3 +2498,118 @@ def q_llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _soundex_sql(word_expr: str) -> str:
+    """Simplified-Soundex SQL shared VERBATIM by the Spark builder and
+    the DuckDB oracle of q_dedup_phonetic_block (upper/translate/
+    replace/substr/concat behave identically on ASCII in both
+    engines; RE2 has no backreferences, so run-collapse is spelled as
+    3 nested pair-replaces per digit — exact for words up to 8 same
+    -class letters). Declared variant of Soundex(1918): letters map
+    to the classic digit classes (vowels + H/W/Y -> 0), ADJACENT
+    equal digits collapse on the full translated string (no H/W
+    pass-through exception), the first letter keeps its char and
+    drops its own digit run, zeros drop, pad/truncate to 4."""
+    up = f"upper({word_expr})"
+    d = (
+        f"translate({up}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" '01230120022455012623010202')"
+    )
+    for digit in "0123456":
+        for _ in range(3):
+            d = f"replace({d}, '{digit}{digit}', '{digit}')"
+    tail = f"replace(substr({d}, 2), '0', '')"
+    return f"substr(concat(substr({up}, 1, 1), {tail}, '000'), 1, 4)"
+
+
+_PHONETIC_ORACLE = f"""
+    WITH names AS (
+      SELECT p_name, count(*)::BIGINT AS n_parts,
+             coalesce(string_split(p_name, ' ')[2], '') AS w2
+      FROM part GROUP BY p_name),
+    coded AS (
+      SELECT p_name, n_parts, {_soundex_sql('w2')} AS block_code
+      FROM names)
+    SELECT a.block_code, a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b,
+           levenshtein(a.p_name, b.p_name)::BIGINT AS edit_dist,
+           CASE WHEN levenshtein(a.p_name, b.p_name) <= 3
+                THEN 1 ELSE 0 END AS is_near
+    FROM coded a JOIN coded b
+      ON a.block_code = b.block_code AND a.p_name < b.p_name
+"""
+
+
+@register("q_dedup_phonetic_block", oracle=_PHONETIC_ORACLE, category="dedup")
+def q_dedup_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking — the FOURTH candidate-generation family
+    beside hash blocks, sorted-neighborhood rank adjacency, and
+    MinHash LSH: entity-resolution candidates blocked on the
+    simplified Soundex code of the name's LAST word (the
+    surname-analog field — the classic ER recipe: block ONE field
+    phonetically, verify the full record; see _soundex_sql for the
+    declared code variant), which survives the spelling variation
+    the exact-hash family can't (typo'd vowels, doubled letters), at
+    the cost of same-sound false candidates the verify step prunes.
+    Per candidate pair: the block code, both names, their part
+    multiplicities, the exact edit distance, and the is_near verdict
+    (levenshtein <= 3 — both engines implement the identical
+    unit-cost Wagner-Fischer distance).
+
+    Cross-engine exactness: the code derivation is ONE shared SQL
+    text (upper -> classic digit translate -> 3x nested pair-replace
+    run-collapse per digit -> drop first-letter digit -> drop zeros
+    -> pad to 4) evaluated by both engines on ASCII names; counts and
+    distances are exact integers. A python reimplementation pins the
+    formulation itself (tests/test_metric_kernels.py).
+
+    Scale posture: blocking runs on the DISTINCT-name table (the
+    name domain, vocabulary-bounded — never part rows); the block
+    self-join is an equi-join on the code pair. On an UNBOUNDED name
+    domain (user tables) the pair expansion must route through
+    skew.capped_bucket_pairs like the other blocking families —
+    documented here because this fixture's name domain is enum-sized
+    and needs no governor.
+
+    Reference scope: the reference engine has no dedup surface; this
+    extends SURVEY.md §2.4's ER/blocking family
+    (cf. q_dedup_sorted_neighborhood, q_dedup_fellegi_sunter).
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    coded = names.selectExpr(
+        "p_name",
+        "n_parts",
+        "coalesce(try_element_at(split(p_name, ' '), 2), '') AS w2",
+    ).selectExpr(
+        "p_name",
+        "n_parts",
+        f"{_soundex_sql('w2')} AS block_code",
+    )
+    a = coded.select(
+        F.col("block_code"),
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = coded.select(
+        F.col("block_code"),
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    return (
+        a.join(b, ["block_code"])
+        .where(F.col("name_a") < F.col("name_b"))
+        .selectExpr(
+            "block_code",
+            "name_a",
+            "name_b",
+            "n_parts_a",
+            "n_parts_b",
+            "CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist",
+            "CASE WHEN levenshtein(name_a, name_b) <= 3 THEN 1 ELSE 0 END"
+            " AS is_near",
+        )
+    )

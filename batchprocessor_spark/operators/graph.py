@@ -1052,3 +1052,105 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return top_a.unionAll(top_h)
+
+
+@register(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    w AS (
+      SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+      FROM o o1 JOIN o o2 ON o1.dst = o2.src),
+    t AS (
+      SELECT w.a, w.b, w.c
+      FROM w JOIN o o3 ON o3.src = w.a AND o3.dst = w.c),
+    tri AS (
+      SELECT v, count(*)::BIGINT AS n_triangles FROM (
+        SELECT a AS v FROM t UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t)
+      GROUP BY v),
+    cc AS (
+      SELECT deg.v, deg.d, coalesce(tri.n_triangles, 0)::BIGINT AS n_tri
+      FROM deg LEFT JOIN tri ON tri.v = deg.v),
+    tot AS (
+      SELECT sum(n_tri)::BIGINT AS closed2,
+             sum(d * (d - 1))::BIGINT AS wedges2
+      FROM cc)
+    SELECT cc.v AS vec_id, cc.d AS degree, cc.n_tri AS n_triangles,
+           CASE WHEN cc.d >= 2
+                THEN ((2000000 * cc.n_tri) // (cc.d * (cc.d - 1)))::BIGINT
+                ELSE NULL END AS local_cc_ppm,
+           ((2000000 * tot.closed2) // tot.wedges2)::BIGINT
+             AS transitivity_ppm
+    FROM cc CROSS JOIN tot
+    """,
+    category="graph",
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex plus the graph's global
+    transitivity over the ε-neighbor graph — the cohesion profile
+    that separates tight near-duplicate communities (cc → 1) from
+    star-shaped hub artifacts (high degree, cc → 0), the diagnostic
+    read AFTER q_graph_triangle_count says triangles exist at all.
+    Per vertex: degree, triangle count, and cc = 2·T_v / (d_v(d_v−1))
+    in exact integer ppm (NULL for degree-1 vertices — undefined, not
+    zero); the global transitivity Σ2T_v / Σd(d−1) (= 3·triangles /
+    wedges) repeats on every row so the report reads standalone.
+
+    Cross-engine exactness: pure integer counting over the
+    deterministic ε-edge set (the IEEE distance predicate is
+    identical cross-engine); both ratios are exact integer DIV in
+    ppm — no floats anywhere.
+
+    Scale posture: reuses the degree-ordered orientation (module
+    docstring — wedge join bounded O(m^1.5), the hot vertex never
+    the last reducer); the degree and triangle tables are
+    vertex-sized, their join and the 1-row total are metadata-scale.
+    No windows over edges, no Python, no hints.
+
+    Reference scope: the reference engine has no graph surface; this
+    extends SURVEY.md §2.4's graph family
+    (cf. q_graph_triangle_count at operators/graph.py:96).
+    """
+    edges = _eps_edges(spark, sf_dir)
+    o = _oriented(edges)
+    w = o.alias("o1").join(
+        o.alias("o2"), F.col("o1.dst") == F.col("o2.src")
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    t = w.join(
+        o.alias("o3"),
+        (F.col("a") == F.col("o3.src")) & (F.col("c") == F.col("o3.dst")),
+    ).select("a", "b", "c")
+    tri = (
+        t.select(F.col("a").alias("v"))
+        .unionAll(t.select(F.col("b").alias("v")))
+        .unionAll(t.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("d1").alias("v"))
+        .unionAll(edges.select(F.col("d2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    cc = deg.join(tri, "v", "left").select(
+        "v", "d", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
+    )
+    tot = cc.agg(
+        F.sum("n_tri").cast("long").alias("closed2"),
+        F.sum(F.expr("d * (d - 1)")).cast("long").alias("wedges2"),
+    )
+    return cc.crossJoin(tot).selectExpr(
+        "v AS vec_id",
+        "d AS degree",
+        "n_tri AS n_triangles",
+        "CASE WHEN d >= 2 THEN CAST((2000000 * n_tri) DIV (d * (d - 1))"
+        " AS BIGINT) ELSE NULL END AS local_cc_ppm",
+        "CAST((2000000 * closed2) DIV wedges2 AS BIGINT)"
+        " AS transitivity_ppm",
+    )

@@ -2122,3 +2122,287 @@ def q_sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(_te10k DIV nullif(_te_tot, 0)"
         " - _tr10k DIV nullif(_tr_tot, 0) AS BIGINT) AS drift_bp",
     )
+
+
+@register(
+    "q_ts_theta_forecast",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    o AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    m AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(rn)::BIGINT AS st,
+             sum(cents)::BIGINT AS sy,
+             sum(rn::HUGEINT * rn)::HUGEINT AS stt,
+             sum(rn::HUGEINT * cents)::HUGEINT AS sty
+      FROM o GROUP BY 1),
+    f AS (
+      SELECT event_type, rn, n, cents::DOUBLE AS l
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.rn, o.n,
+             0.5 * o.cents::DOUBLE + 0.5 * f.l
+      FROM f JOIN o ON o.event_type = f.event_type AND o.rn = f.rn + 1),
+    last AS (SELECT event_type, n, l FROM f WHERE rn = n)
+    SELECT m.event_type, m.n AS n_days,
+           round((m.n::HUGEINT * m.sty - m.st::HUGEINT * m.sy)::DOUBLE
+                 / nullif((m.n::HUGEINT * m.stt
+                           - m.st::HUGEINT * m.st)::DOUBLE, 0.0), 6)
+             AS slope,
+           last.l AS ses_level,
+           round(last.l
+                 + round((m.n::HUGEINT * m.sty - m.st::HUGEINT * m.sy)::DOUBLE
+                         / nullif((m.n::HUGEINT * m.stt
+                                   - m.st::HUGEINT * m.st)::DOUBLE, 0.0), 6)
+                   / 2.0 * 1, 4) AS forecast_1,
+           round(last.l
+                 + round((m.n::HUGEINT * m.sty - m.st::HUGEINT * m.sy)::DOUBLE
+                         / nullif((m.n::HUGEINT * m.stt
+                                   - m.st::HUGEINT * m.st)::DOUBLE, 0.0), 6)
+                   / 2.0 * 7, 4) AS forecast_7
+    FROM m JOIN last ON last.event_type = m.event_type
+    """,
+    category="timeseries",
+)
+def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) per event-type daily series, in the
+    drift-adjusted-SES form Hyndman & Billah 2003 proved equivalent
+    for θ = 2: simple exponential smoothing of the series (α = 1/2)
+    plus half the OLS trend slope per step ahead,
+    f_h = ℓ_n + (b̂/2)·h. Emits the fitted slope, the final SES
+    level, and the 1-day and 7-day-ahead forecasts — the
+    short-horizon baseline that beat every exponential-family rival
+    in M3 while costing one fold and one moment aggregate.
+
+    Cross-engine exactness: the OLS slope comes from exact integer
+    moments (Σt, Σy, Σt², Σty through wide-integer lanes — n·Σty
+    passes BIGINT at sf1 daily magnitudes), divided ONCE in a shared
+    formula (6-dp round); the SES level folds exact integer cents
+    with α = 1/2 halvings in the same operand order as the oracle's
+    recursive CTE (the q_ts_holt discipline — bit-identical doubles);
+    forecasts combine the two deterministic stages with identical
+    expression text (4-dp round as a belt). nullif guards the
+    single-day series (slope denominator 0 must read NULL on both
+    engines, not raise under ANSI Spark).
+
+    Scale posture: one map-side-combined day aggregate, one
+    event_type exchange, per-series state O(days-per-series) bounded
+    by retention; the fold and the moment aggregate are JVM-side
+    catalyst expressions. A 100 TB metrics store runs this per
+    (metric, entity) series — embarrassingly parallel across keys.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's time-series family beside
+    q_ts_holt / q_ts_holt_winters / q_ts_croston.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"))
+    series = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    # OLS moments over (rn, cents) with rn the 1-based time index —
+    # computed from the SAME sorted array so the index assignment
+    # cannot disagree with the fold's visit order.
+    moments = series.selectExpr(
+        "event_type",
+        "xs",
+        "CAST(size(xs) AS BIGINT) AS n",
+        "aggregate(xs, struct(0L AS i, CAST(0 AS DECIMAL(38,0)) AS st,"
+        " CAST(0 AS DECIMAL(38,0)) AS sy, CAST(0 AS DECIMAL(38,0)) AS stt,"
+        " CAST(0 AS DECIMAL(38,0)) AS sty),"
+        " (a, x) -> struct(a.i + 1L AS i,"
+        " CAST(a.st + (a.i + 1) AS DECIMAL(38,0)) AS st,"
+        " CAST(a.sy + x.cents AS DECIMAL(38,0)) AS sy,"
+        " CAST(a.stt + (a.i + 1) * (a.i + 1) AS DECIMAL(38,0)) AS stt,"
+        " CAST(a.sty + (a.i + 1) * CAST(x.cents AS DECIMAL(38,0))"
+        " AS DECIMAL(38,0)) AS sty)) AS m",
+    )
+    ses = (
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),"
+        " CAST(element_at(xs, 1).cents AS DOUBLE),"
+        " (l, x) -> 0.5D * CAST(x.cents AS DOUBLE) + 0.5D * l)"
+    )
+    slope = (
+        "round(CAST(n * m.sty - m.st * m.sy AS DOUBLE)"
+        " / nullif(CAST(n * m.stt - m.st * m.st AS DOUBLE), 0.0D), 6)"
+    )
+    return moments.selectExpr(
+        "event_type",
+        "n AS n_days",
+        f"{slope} AS slope",
+        f"{ses} AS ses_level",
+        f"round({ses} + {slope} / 2.0D * 1, 4) AS forecast_1",
+        f"round({ses} + {slope} / 2.0D * 7, 4) AS forecast_7",
+    )
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+    grid AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY)) AS d),
+    rev AS (SELECT d, sum(cents)::BIGINT AS c FROM b GROUP BY d),
+    s AS (SELECT g.d, coalesce(r.c, 0)::BIGINT AS x
+          FROM grid g LEFT JOIN rev r ON r.d = g.d),
+    tot AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(x::HUGEINT * x::HUGEINT)::HUGEINT AS sxx
+      FROM s),
+    lags AS (
+      SELECT * FROM (VALUES (1::BIGINT, 3.841), (2, 5.991), (3, 7.815),
+                            (4, 9.488), (5, 11.070), (6, 12.592),
+                            (7, 14.067)) AS t(lag_d, chi2_crit)),
+    joined AS (
+      SELECT l.lag_d, a.x AS x, b2.x AS y
+      FROM lags l
+      JOIN s a ON TRUE
+      JOIN s b2 ON b2.d = a.d + to_days(l.lag_d::INT)),
+    m AS (
+      SELECT lag_d,
+             sum(x::HUGEINT * y::HUGEINT)::HUGEINT AS sxy,
+             sum(x)::BIGINT AS shead, sum(y)::BIGINT AS stail
+      FROM joined GROUP BY lag_d),
+    r AS (
+      SELECT m.lag_d,
+             (t.n::HUGEINT * t.n * m.sxy
+              - t.n::HUGEINT * t.sx * (m.shead + m.stail)
+              + (t.n - m.lag_d)::HUGEINT * t.sx * t.sx)::DOUBLE
+             / nullif((t.n::HUGEINT * t.n * t.sxx
+                       - t.n::HUGEINT * t.sx * t.sx)::DOUBLE, 0.0) AS acf,
+             t.n AS n
+      FROM m CROSS JOIN tot t),
+    q AS (
+      SELECT lag_d, n, acf,
+             n * (n + 2.0)
+               * sum(acf * acf / (n - lag_d))
+                 OVER (ORDER BY lag_d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lb_q
+      FROM r)
+    SELECT q.lag_d, q.n AS n_days, round(q.acf, 6) AS acf,
+           round(q.lb_q, 4) AS lb_q,
+           CASE WHEN q.lb_q > l.chi2_crit THEN 1 ELSE 0 END AS reject_h0
+    FROM q JOIN lags l ON l.lag_d = q.lag_d
+    """,
+    category="timeseries",
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test on the daily revenue
+    series — the formal "is there ANY autocorrelation up to lag h"
+    test run before trusting an i.i.d. assumption and after fitting
+    a forecaster (on residuals): standard autocorrelations
+    r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² at lags 1..7,
+    the cumulative Q_h = n(n+2)·Σ_{k≤h} r_k²/(n−k), and the χ²(h)
+    0.95-quantile verdict per row (critical values as declared
+    literals in the shared lag table). Complements q_ts_acf (which
+    reports Pearson-on-aligned-pairs at sparse lags): Ljung–Box uses
+    the SERIES mean and variance, the estimator the test's null
+    distribution assumes.
+
+    Cross-engine exactness: the series is densified onto the full
+    daily grid (missing days are genuine zeros); each r_k is one
+    division of two exact wide integers (×n² clears the mean:
+    n²Σxy − nS(Σhead+Σtail) + (n−k)S² over n²Σx² − nS², every
+    intermediate < 1e26 at sf1 — DECIMAL(38)/HUGEINT hold it) cast
+    once to double, with nullif on the variance so a CONSTANT series
+    reads NULL acf / NULL Q on both engines (never NaN vs NULL); Q_h accumulates the 7 per-lag terms in lag order
+    on a 7-row frame in BOTH engines (ordered cumulative window —
+    deterministic float sequence), rounded at 4; the verdict
+    compares identical doubles to a shared literal.
+
+    Scale posture: one aggregate to the |days|-row series (bounded
+    by retention), a 7-row lag table joined on the shifted day, a
+    7-group aggregate, windows only over the 7-row report. The fact
+    table is scanned once.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's time-series diagnostics beside
+    q_ts_acf and q_ts_control_chart.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        to_units(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    bounds = o.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    rev = o.groupBy("d").agg(F.sum("cents").cast("long").alias("c"))
+    s = grid.join(rev, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    tot = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    lags = spark.createDataFrame(
+        [(1, 3.841), (2, 5.991), (3, 7.815), (4, 9.488), (5, 11.070),
+         (6, 12.592), (7, 14.067)],
+        "lag_d BIGINT, chi2_crit DOUBLE",
+    )
+    shifted = s.select(
+        F.col("d").alias("d2"), F.col("x").alias("y")
+    )
+    joined = (
+        lags.crossJoin(s)
+        .join(
+            shifted,
+            F.col("d2") == F.expr("d + make_interval(0, 0, 0, CAST(lag_d AS INT))"),
+        )
+    )
+    m = joined.groupBy("lag_d").agg(
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum("x").cast("long").alias("shead"),
+        F.sum("y").cast("long").alias("stail"),
+    )
+    r = m.crossJoin(tot).selectExpr(
+        "lag_d",
+        "n",
+        "CAST(CAST(n AS DECIMAL(38,0)) * n * sxy"
+        " - CAST(n AS DECIMAL(38,0)) * sx * (shead + stail)"
+        " + CAST(n - lag_d AS DECIMAL(38,0)) * sx * sx AS DOUBLE)"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * n * sxx"
+        " - CAST(n AS DECIMAL(38,0)) * sx * sx AS DOUBLE), 0.0D) AS acf",
+    )
+    cum = (
+        Window.orderBy("lag_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    q = r.select(
+        "lag_d",
+        "n",
+        "acf",
+        (
+            F.col("n")
+            * (F.col("n") + F.lit(2.0))
+            * F.sum(
+                F.col("acf") * F.col("acf") / (F.col("n") - F.col("lag_d"))
+            ).over(cum)
+        ).alias("lb_q"),
+    )
+    return q.join(lags, "lag_d").selectExpr(
+        "lag_d",
+        "n AS n_days",
+        "round(acf, 6) AS acf",
+        "round(lb_q, 4) AS lb_q",
+        "CASE WHEN lb_q > chi2_crit THEN 1 ELSE 0 END AS reject_h0",
+    )

@@ -2280,3 +2280,358 @@ def test_isotonic_minimax_identity_equals_pava(ys):
     ]
     ref = _pava([float(v) for v in ys])
     assert all(abs(a - b) < 1e-9 for a, b in zip(fit, ref)), (ys, fit, ref)
+
+
+# ------------------------------------------- Kruskal-Wallis / Tukey HSD
+
+def _daily_cents_by_dow(sf_dir):
+    """Exact (dow7 -> [daily cents]) from orders, the shared input of
+    the weekday family, rebuilt with pure pandas/python ints."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderdate", "o_totalprice"]]
+    us = pd.to_datetime(o["o_orderdate"]).astype("datetime64[us]").astype("int64")
+    day_no = us // 86_400_000_000
+    cents = np.copysign(
+        np.floor(np.abs(o["o_totalprice"].to_numpy() * 100) + 0.5),
+        o["o_totalprice"].to_numpy(),
+    ).astype("int64")
+    daily = {}
+    for d, c in zip(day_no, cents):
+        daily[int(d)] = daily.get(int(d), 0) + int(c)
+    by_dow = {}
+    for d, c in daily.items():
+        by_dow.setdefault(d % 7, []).append(c)
+    return by_dow
+
+
+def test_kruskal_wallis_matches_python_reference(spark):
+    from collections import Counter
+
+    rows = REGISTRY["q_ml_kruskal_wallis"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 7
+    by_dow = _daily_cents_by_dow(SF_SMALL)
+    cnt = Counter(c for vs in by_dow.values() for c in vs)
+    n = sum(cnt.values())
+    mr2, cum = {}, 0
+    for val in sorted(cnt):
+        mr2[val] = 2 * cum + cnt[val] + 1
+        cum += cnt[val]
+    # engine rank sums are exact integers -> exact equality
+    got = {r.dow7: (r.n_days, r.sum_rank2) for r in rows}
+    want = {
+        g: (len(vs), sum(mr2[v] for v in vs)) for g, vs in by_dow.items()
+    }
+    assert got == want
+    # doubled midranks sum to N(N+1) by construction
+    assert sum(r.sum_rank2 for r in rows) == n * (n + 1)
+    # H with tie correction, folding groups in dow order like both engines
+    sum_hterm = 0.0
+    for g in sorted(by_dow):
+        r2 = sum(mr2[v] for v in by_dow[g])
+        sum_hterm += (float(r2) * float(r2)) / len(by_dow[g])
+    h = 3.0 * sum_hterm / (n * (n + 1.0)) - 3.0 * (n + 1)
+    ties = sum(c**3 - c for c in cnt.values())
+    h /= 1.0 - ties / (n**3 - n)
+    assert all(abs(r.h_stat - h) < 1e-6 + 1e-9 * abs(h) for r in rows)
+
+
+def test_tukey_hsd_matches_python_reference(spark):
+    rows = REGISTRY["q_ml_tukey_hsd"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 21
+    by_dow = _daily_cents_by_dow(SF_SMALL)
+    stats = {
+        g: (len(vs), sum(vs), sum(v * v for v in vs))
+        for g, vs in by_dow.items()
+    }
+    n = sum(s[0] for s in stats.values())
+    k = len(stats)
+    ssw = 0.0
+    for g in sorted(stats):
+        ng, sg, qg = stats[g]
+        ssw += float(ng * qg - sg * sg) / ng
+    msw = ssw / (n - k)
+    for r in rows:
+        na, sa, _ = stats[r.dow_a]
+        nb, sb, _ = stats[r.dow_b]
+        assert r.n_a == na and r.n_b == nb
+        assert r.diff_millicents == abs(1000 * sa // na - 1000 * sb // nb)
+        q = abs(sa / na - sb / nb) / math.sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb))
+        assert abs(r.q_ratio - q) < 1e-4 + 1e-9 * q
+        assert r.significant == int(q > 4.17)
+
+
+# ------------------------------------------------------ theta forecast
+
+def test_theta_forecast_matches_python_reference(spark):
+    rows = REGISTRY["q_ts_theta_forecast"].builder(spark, SF_SMALL).collect()
+    assert rows
+    events = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ]
+    events["day"] = pd.to_datetime(events["ts"]).dt.floor("D")
+    cents = np.copysign(
+        np.floor(np.abs(events["value"].to_numpy() * 100) + 0.5),
+        events["value"].to_numpy(),
+    ).astype("int64")
+    events["cents"] = cents
+    for r in rows:
+        g = (
+            events[events["event_type"] == r.event_type]
+            .groupby("day")["cents"]
+            .sum()
+            .sort_index()
+        )
+        ys = [int(v) for v in g.to_numpy()]
+        assert r.n_days == len(ys)
+        # SES fold, alpha = 1/2, identical operand order -> bit-identical
+        level = float(ys[0])
+        for y in ys[1:]:
+            level = 0.5 * float(y) + 0.5 * level
+        assert r.ses_level == level
+        # OLS slope from exact integer moments
+        nn = len(ys)
+        st_ = sum(range(1, nn + 1))
+        sy = sum(ys)
+        stt = sum(t * t for t in range(1, nn + 1))
+        sty = sum(t * y for t, y in zip(range(1, nn + 1), ys))
+        den = nn * stt - st_ * st_
+        if den == 0:
+            assert r.slope is None
+            continue
+        slope = (nn * sty - st_ * sy) / den
+        assert abs(r.slope - slope) < 1e-6 + 1e-9 * abs(slope)
+        assert abs(r.forecast_1 - (level + slope / 2.0)) < 2e-4
+        assert abs(r.forecast_7 - (level + 7.0 * slope / 2.0)) < 2e-3
+
+
+# -------------------------------------------------- source divergence
+
+def test_source_divergence_matches_python_reference(spark):
+    import re as _re
+    from collections import Counter
+
+    rows = REGISTRY["q_text_source_divergence"].builder(spark, SF_SMALL).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[["source", "text"]]
+    prof = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        c = prof.setdefault(src, Counter())
+        c.update(t for t in _re.split(r"[^a-z]+", text.lower()) if t)
+    # every unordered pair appears exactly once, a < b
+    assert len(rows) == len(prof) * (len(prof) - 1) // 2
+    for r in rows:
+        ca, cb = prof[r.source_a], prof[r.source_b]
+        na, nb = sum(ca.values()), sum(cb.values())
+        assert (r.n_tokens_a, r.n_tokens_b) == (na, nb)
+        union = set(ca) | set(cb)
+        shared = set(ca) & set(cb)
+        assert (r.shared_types, r.union_types) == (len(shared), len(union))
+        tv_num = sum(abs(ca[t] * nb - cb[t] * na) for t in union)
+        assert r.tv_ppm == (1_000_000 * tv_num) // (2 * na * nb)
+        assert r.vocab_jaccard_ppm == (1_000_000 * len(shared)) // len(union)
+        # TV is a metric on distributions: 0 <= tv_ppm <= 1e6
+        assert 0 <= r.tv_ppm <= 1_000_000
+
+
+# ----------------------------------------------- phonetic blocking
+
+def _soundex_simplified(word: str) -> str:
+    """Python reimplementation of dedup._soundex_sql's DECLARED
+    variant (collapse adjacent equal digit classes on the full
+    translated string, no H/W pass-through, drop zeros, pad to 4)."""
+    digits = "01230120022455012623010202"
+    up = word.upper()
+    d = "".join(
+        digits[ord(ch) - 65] if "A" <= ch <= "Z" else ch for ch in up
+    )
+    collapsed = []
+    for ch in d:
+        if not collapsed or collapsed[-1] != ch:
+            collapsed.append(ch)
+    tail = "".join(c for c in collapsed[1:] if c != "0")
+    return ((up[:1]) + tail + "000")[:4]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_phonetic_block_matches_python_reference(spark):
+    rows = REGISTRY["q_dedup_phonetic_block"].builder(spark, SF_SMALL).collect()
+    assert rows, "no phonetic candidates on the fixture"
+    parts = pd.read_parquet(f"{SF_SMALL}/part.parquet")["p_name"]
+    counts = parts.value_counts().to_dict()
+    coded = {
+        name: _soundex_simplified((name.split(" ") + [""])[1])
+        for name in counts
+    }
+    want = set()
+    for na in counts:
+        for nb in counts:
+            if na < nb and coded[na] == coded[nb]:
+                want.add((coded[na], na, nb))
+    got = {(r.block_code, r.name_a, r.name_b) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.n_parts_a == counts[r.name_a]
+        assert r.n_parts_b == counts[r.name_b]
+        lev = _levenshtein(r.name_a, r.name_b)
+        assert r.edit_dist == lev
+        assert r.is_near == int(lev <= 3)
+    # the phonetic family's reason to exist: same-sound blocks group
+    # different adjectives over a shared noun — candidates survive
+    # that hash blocking on the full name would never pair
+    assert any(r.is_near for r in rows)
+    assert any(not r.is_near for r in rows)
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", max_size=12))
+@SETTINGS
+def test_soundex_reference_properties(word):
+    code = _soundex_simplified(word)
+    assert len(code) == 4 or (word == "" and code == "000"[:4] + "")
+    if word:
+        assert code[0] == word[0].upper()
+        assert all(c in "0123456" for c in code[1:])
+        # doubling any letter never changes the code (run collapse)
+        doubled = "".join(ch * 2 for ch in word)
+        assert _soundex_simplified(doubled) == code
+
+
+# ------------------------------------------ clustering coefficient
+
+def test_clustering_coeff_matches_python_reference(spark):
+    rows = REGISTRY["q_graph_clustering_coeff"].builder(spark, SF_SMALL).collect()
+    assert rows
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    pts = {
+        int(v): (float(e[0]), float(e[1]))
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    eps2 = 0.05 * 0.05
+    ids = sorted(pts)
+    adj = {v: set() for v in ids}
+    for i, a in enumerate(ids):
+        xa, ya = pts[a]
+        for b in ids[i + 1:]:
+            xb, yb = pts[b]
+            if (xa - xb) ** 2 + (ya - yb) ** 2 < eps2:
+                adj[a].add(b)
+                adj[b].add(a)
+    tri = {}
+    for v in ids:
+        nbrs = sorted(adj[v])
+        t = sum(
+            1
+            for i, a in enumerate(nbrs)
+            for b in nbrs[i + 1:]
+            if b in adj[a]
+        )
+        if adj[v]:
+            tri[v] = t
+    closed2 = sum(tri.values())
+    wedges2 = sum(len(adj[v]) * (len(adj[v]) - 1) for v in tri)
+    got = {r.vec_id: r for r in rows}
+    assert set(got) == set(tri)
+    for v, t in tri.items():
+        r = got[v]
+        d = len(adj[v])
+        assert r.degree == d and r.n_triangles == t
+        if d >= 2:
+            assert r.local_cc_ppm == (2_000_000 * t) // (d * (d - 1))
+        else:
+            assert r.local_cc_ppm is None
+        assert r.transitivity_ppm == (2_000_000 * closed2) // wedges2
+
+
+# -------------------------------------------------- Theil between
+
+def test_theil_between_matches_python_reference(spark):
+    rows = REGISTRY["q_agg_theil_between"].builder(spark, SF_SMALL).collect()
+    assert rows
+    cust = pd.read_parquet(f"{SF_SMALL}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+        ["o_custkey", "o_totalprice"]
+    ]
+    cents = np.copysign(
+        np.floor(np.abs(orders["o_totalprice"].to_numpy() * 100) + 0.5),
+        orders["o_totalprice"].to_numpy(),
+    ).astype("int64")
+    rev_by_cust = {}
+    for ck, c in zip(orders["o_custkey"], cents):
+        rev_by_cust[int(ck)] = rev_by_cust.get(int(ck), 0) + int(c)
+    stats = {}
+    for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"]):
+        n_c, y_c = stats.get(int(nk), (0, 0))
+        stats[int(nk)] = (n_c + 1, y_c + rev_by_cust.get(int(ck), 0))
+    n_tot = sum(s[0] for s in stats.values())
+    y_tot = sum(s[1] for s in stats.values())
+    theil = 0.0
+    for nk in sorted(stats):
+        n_g, y_g = stats[nk]
+        if y_g:
+            theil += (y_g / y_tot) * math.log((y_g * n_tot) / (y_tot * n_g))
+    nation = pd.read_parquet(f"{SF_SMALL}/nation.parquet")
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    got = {r.n_name: r for r in rows}
+    assert set(got) == {names[nk] for nk in stats}
+    for nk, (n_g, y_g) in stats.items():
+        r = got[names[nk]]
+        assert (r.n_customers, r.revenue_cents) == (n_g, y_g)
+        assert r.revenue_share_bp == (10_000 * y_g) // y_tot
+        assert abs(r.theil_between - theil) < 1e-6 + 1e-9 * abs(theil)
+    # Theil-T between is non-negative (Jensen) on any corpus
+    assert all(r.theil_between >= -1e-12 for r in rows)
+
+
+# ----------------------------------------------------- Ljung-Box
+
+def test_ljung_box_matches_python_reference(spark):
+    rows = sorted(
+        REGISTRY["q_ts_ljung_box"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: r.lag_d,
+    )
+    assert len(rows) == 7
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    day = pd.to_datetime(orders["o_orderdate"]).dt.floor("D")
+    cents = np.copysign(
+        np.floor(np.abs(orders["o_totalprice"].to_numpy() * 100) + 0.5),
+        orders["o_totalprice"].to_numpy(),
+    ).astype("int64")
+    daily = {}
+    for d, c in zip(day, cents):
+        daily[d] = daily.get(d, 0) + int(c)
+    d0, d1 = min(daily), max(daily)
+    grid = pd.date_range(d0, d1, freq="D")
+    xs = [daily.get(d, 0) for d in grid]
+    n = len(xs)
+    sx = sum(xs)
+    sxx = sum(x * x for x in xs)
+    den = n * n * sxx - n * sx * sx
+    crit = {1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+            6: 12.592, 7: 14.067}
+    q = 0.0
+    for k in range(1, 8):
+        sxy = sum(a * b for a, b in zip(xs, xs[k:]))
+        shead = sum(xs[: n - k])
+        stail = sum(xs[k:])
+        num = n * n * sxy - n * sx * (shead + stail) + (n - k) * sx * sx
+        acf = float(num) / float(den)
+        q = q + acf * acf / (n - k)
+        lb = n * (n + 2.0) * q
+        r = rows[k - 1]
+        assert r.n_days == n
+        assert abs(r.acf - acf) < 1e-6
+        assert abs(r.lb_q - lb) < 1e-3 + 1e-9 * abs(lb)
+        assert r.reject_h0 == int(lb > crit[k])

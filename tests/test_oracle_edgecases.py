@@ -398,3 +398,211 @@ def test_script_mix_empty_and_multiscript(spark, tmp_path):
     assert by_id[2][5] == 2 and by_id[2][6] == 3 and by_id[2][7] == 3
     assert by_id[2][1] is False  # non-ascii present
     assert by_id[3][1] is True and by_id[3][3] > 0
+
+
+def test_kruskal_wallis_all_tied_null_h(spark, tmp_path):
+    """Every daily total identical -> the tie-correction denominator
+    1 - Σ(t³-t)/(N³-N) is exactly 0, so H must read NULL on BOTH
+    engines (nullif), never raise (ANSI Spark) or emit ±inf (DuckDB).
+    Rank sums stay exact: all N days share midrank2 = N + 1."""
+    spec = REGISTRY["q_ml_kruskal_wallis"]
+    rows = [
+        (_us(day * 86_400_000_000), 10.0) for day in range(14)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+    path = str(tmp_path / "orders.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"orders": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: dow7, h_stat, mean_rank_milli, n_days, sum_rank2
+    assert len(got) == 7
+    for dow7, h_stat, mean_rank_milli, n_days, sum_rank2 in got:
+        assert h_stat is None or (isinstance(h_stat, float) and h_stat != h_stat)
+        assert n_days == 2
+        assert sum_rank2 == 2 * 15  # all 14 days share midrank2 = N + 1
+
+
+def test_tukey_hsd_degenerate_within_variance(spark, tmp_path):
+    """Two corpora the fixtures never produce: (a) one day per weekday
+    (n == k, the MSW denominator is 0) and (b) identical days within
+    each weekday (SSW exactly 0). Both must read q_ratio NULL and
+    significant 0 on BOTH engines; the mean differences stay exact."""
+    spec = REGISTRY["q_ml_tukey_hsd"]
+    # (a) 7 days, one per weekday
+    df = spark.createDataFrame(
+        [(_us(day * 86_400_000_000), float(10 + day)) for day in range(7)],
+        "o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    )
+    p1 = str(tmp_path / "a" / "orders.parquet")
+    df.coalesce(1).write.parquet(p1)
+    got = canonical_rows(spec.builder(spark, str(tmp_path / "a")).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"orders": f"{p1}/*.parquet"}))
+    assert got == want, (got, want)
+    assert len(got) == 21
+    # columns sorted: diff_millicents, dow_a, dow_b, n_a, n_b, q_ratio, significant
+    assert all(r[5] is None and r[6] == 0 for r in got)
+
+    # (b) two identical days per weekday -> SSW == 0, n > k
+    df = spark.createDataFrame(
+        [
+            (_us(day * 86_400_000_000), float(10 + day % 7))
+            for day in range(14)
+        ],
+        "o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    )
+    p2 = str(tmp_path / "b" / "orders.parquet")
+    df.coalesce(1).write.parquet(p2)
+    got = canonical_rows(spec.builder(spark, str(tmp_path / "b")).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"orders": f"{p2}/*.parquet"}))
+    assert got == want, (got, want)
+    assert all(r[5] is None and r[6] == 0 for r in got)
+
+
+def test_theta_forecast_single_day_series(spark, tmp_path):
+    """A series with ONE observation: the OLS slope denominator
+    n·Σt² − (Σt)² is exactly 0 -> slope and both forecasts NULL on
+    BOTH engines; the SES level degenerates to that day's cents."""
+    spec = REGISTRY["q_ts_theta_forecast"]
+    df = spark.createDataFrame(
+        [(_us(0), "solo", 12.34), (_us(1000), "solo", 0.66)],
+        "ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: event_type, forecast_1, forecast_7, n_days, ses_level, slope
+    assert got == [("solo", None, None, 1, 1300.0, None)]
+
+
+def test_source_divergence_identical_and_disjoint_sources(spark, tmp_path):
+    """The two distribution extremes: sources with IDENTICAL token
+    multisets must read tv_ppm = 0 / jaccard = 1e6, and sources with
+    DISJOINT vocabularies must read tv_ppm = 1e6 / jaccard = 0 — the
+    exact-integer lane hits both bounds exactly, on both engines."""
+    spec = REGISTRY["q_text_source_divergence"]
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma", "sa"),
+            (2, "beta gamma alpha beta", "sb"),   # same multiset as sa
+            (3, "delta epsilon delta", "sc"),     # disjoint vocabulary
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: n_tokens_a, n_tokens_b, shared_types, source_a,
+    #                 source_b, tv_ppm, union_types, vocab_jaccard_ppm
+    by_pair = {(r[3], r[4]): r for r in got}
+    ident = by_pair[("sa", "sb")]
+    assert ident[5] == 0 and ident[7] == 1_000_000
+    for pair in [("sa", "sc"), ("sb", "sc")]:
+        dis = by_pair[pair]
+        assert dis[5] == 1_000_000 and dis[7] == 0
+
+
+def test_ljung_box_constant_series_null_acf(spark, tmp_path):
+    """A CONSTANT daily series has zero variance: every acf and lb_q
+    must read NULL on BOTH engines (nullif on the n²Σx² − nS²
+    denominator), and the verdict must be 0, never NaN-poisoned."""
+    spec = REGISTRY["q_ts_ljung_box"]
+    df = spark.createDataFrame(
+        [(_us(day * 86_400_000_000), 25.0) for day in range(20)],
+        "o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+    )
+    path = str(tmp_path / "orders.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"orders": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    assert len(got) == 7
+    # columns sorted: acf, lag_d, lb_q, n_days, reject_h0
+    for acf, lag_d, lb_q, n_days, reject in got:
+        assert acf is None and lb_q is None
+        assert n_days == 20 and reject == 0
+
+
+def test_theil_between_zero_revenue_nation(spark, tmp_path):
+    """A nation whose customers never purchased: its Theil term is
+    exactly 0 (the x·ln x → 0 convention, spelled as CASE on both
+    engines — a bare ln(0) would raise/−inf), its share_bp is 0, and
+    it still appears in the report (LEFT join semantics)."""
+    spec = REGISTRY["q_agg_theil_between"]
+    nation = spark.createDataFrame(
+        [(0, "ALPHA"), (1, "BETA"), (2, "GAMMA")],
+        "n_nationkey INT, n_name STRING",
+    )
+    customer = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 2)],
+        "c_custkey BIGINT, c_nationkey INT",
+    )
+    orders = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (3, 85.0)],
+        "o_custkey BIGINT, o_totalprice DOUBLE",
+    )
+    views = {}
+    for name, df in [("nation", nation), ("customer", customer),
+                     ("orders", orders)]:
+        p = str(tmp_path / f"{name}.parquet")
+        df.coalesce(1).write.parquet(p)
+        views[name] = f"{p}/*.parquet"
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, views))
+    assert got == want, (got, want)
+    # columns sorted: n_customers, n_name, revenue_cents,
+    #                 revenue_share_bp, theil_between
+    by_name = {r[1]: r for r in got}
+    assert set(by_name) == {"ALPHA", "BETA", "GAMMA"}
+    assert by_name["GAMMA"][2] == 0 and by_name["GAMMA"][3] == 0
+    assert by_name["ALPHA"][2] == 1500 and by_name["BETA"][2] == 8500
+    # python cross-check of the two non-zero terms (N=4, Y=10000)
+    import math as _m
+
+    want_theil = (1500 / 10000) * _m.log((1500 * 4) / (10000 * 2)) + (
+        8500 / 10000
+    ) * _m.log((8500 * 4) / (10000 * 1))
+    assert abs(by_name["ALPHA"][4] - want_theil) < 1e-6
+
+
+def test_phonetic_block_single_word_and_typo_names(spark, tmp_path):
+    """Names the part fixture never produces: single-word names (the
+    missing second word codes as '000' — itself a block) and a typo'd
+    noun ('smal ringg' vs 'small ring' — R52 run-collapse makes the
+    codes collide, the family's reason to exist). Candidates and edit
+    distances must agree exactly on BOTH engines."""
+    spec = REGISTRY["q_dedup_phonetic_block"]
+    df = spark.createDataFrame(
+        [("small ring",), ("smal ringg",), ("red rng",), ("anvil",),
+         ("plate",), ("large bolt",)],
+        "p_name STRING",
+    )
+    path = str(tmp_path / "part.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"part": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: block_code, edit_dist, is_near, n_parts_a,
+    #                 n_parts_b, name_a, name_b
+    pairs = {(r[5], r[6]): r for r in got}
+    # ring / ringg / rng all code to R520; the two one-word names
+    # share the '000' block; 'large bolt' pairs with nothing
+    assert set(pairs) == {
+        ("red rng", "smal ringg"),
+        ("red rng", "small ring"),
+        ("smal ringg", "small ring"),
+        ("anvil", "plate"),
+    }
+    r = pairs[("smal ringg", "small ring")]
+    assert r[1] == 2 and r[2] == 1  # two edits, near
+    assert pairs[("anvil", "plate")][2] == 0  # same block, not near
