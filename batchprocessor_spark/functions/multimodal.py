@@ -879,3 +879,97 @@ def q_llm_multimodal_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bucket_size"),
     )
+
+
+_AHASH_ORACLE = """
+    WITH dims AS (
+      SELECT doc_id, (doc_id % 16 + 4)::BIGINT AS w, (doc_id % 8 + 4)::BIGINT AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM dims),
+    g AS (
+      SELECT doc_id,
+             ((p % w) * 4) // w AS gx,
+             ((p // w) * 4) // h AS gy,
+             (  (doc_id * 31 + p * 3) % 256
+              + (doc_id * 31 + p * 3 + 1) % 256
+              + (doc_id * 31 + p * 3 + 2) % 256) AS gray
+      FROM px),
+    cells AS (
+      SELECT doc_id, gy, gx, (sum(gray) // count(*))::BIGINT AS m
+      FROM g GROUP BY doc_id, gy, gx),
+    tot AS (
+      SELECT doc_id, sum(m)::BIGINT AS s FROM cells GROUP BY doc_id),
+    ah AS (
+      SELECT c.doc_id,
+             sum(CASE WHEN 16 * c.m > t.s
+                 THEN (1 << (c.gy * 4 + c.gx))::BIGINT ELSE 0 END)::BIGINT
+               AS ahash
+      FROM cells c JOIN tot t ON t.doc_id = c.doc_id
+      GROUP BY c.doc_id)
+    SELECT doc_id, ahash,
+           (count(*) OVER (PARTITION BY ahash))::BIGINT AS bucket_size
+    FROM ah
+"""
+
+
+@register("q_llm_multimodal_ahash", oracle=_AHASH_ORACLE, category="multimodal")
+def q_llm_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) image near-dup keys over REAL
+    decoded rasters — the LEVEL-threshold sibling of
+    q_llm_multimodal_dhash's gradient hash (the two catch different
+    edits: aHash survives local rearrangement that flips gradient
+    bits, dHash survives global brightness shifts that move the
+    mean): every BMP payload decodes, collapses to integer grayscale,
+    block-averages onto a 4x4 grid with exact truncated-integer cell
+    means, and sets bit gy*4+gx iff the cell is STRICTLY brighter
+    than the grid average (16·m > Σm — the exact-integer
+    cross-multiplication, no float mean anywhere). Emits the 16-bit
+    fingerprint and its corpus-wide bucket size.
+
+    The oracle re-derives the hash from the generator's pixel law
+    (the q_llm_multimodal_dhash discipline), so the driver
+    value-checks spatial decode correctness through a second,
+    level-sensitive lens.
+
+    Scale posture: decode + hash is an Arrow-batched mapInPandas (one
+    pass, narrow schema, no shuffle); the only exchange is the
+    bucket-size window on the hash key. At 100 TB bucket pairing
+    routes through capped_bucket_pairs like every dedup family; the
+    fingerprint is this operator's contract."""
+    from pyspark.sql import Window
+
+    media = image_media_table(spark, sf_dir, "bmp")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "ahash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, img = decode_image(payload)
+                gray = img.sum(axis=2, dtype=np.int64)
+                xs = (np.arange(w) * 4) // w
+                ys = (np.arange(h) * 4) // h
+                m = np.zeros((4, 4), dtype=np.int64)
+                for gy in range(4):
+                    for gx in range(4):
+                        cell = gray[np.ix_(ys == gy, xs == gx)]
+                        m[gy, gx] = int(cell.sum()) // cell.size
+                total = int(m.sum())
+                bits = 0
+                for gy in range(4):
+                    for gx in range(4):
+                        if 16 * int(m[gy, gx]) > total:
+                            bits |= 1 << (gy * 4 + gx)
+                out["doc_id"].append(int(doc_id))
+                out["ahash"].append(bits)
+            yield pd.DataFrame(out)
+
+    hashed = media.mapInPandas(batches, schema="doc_id BIGINT, ahash BIGINT")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("ahash"))
+        .cast("long")
+        .alias("bucket_size"),
+    )

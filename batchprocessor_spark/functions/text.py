@@ -2863,3 +2863,339 @@ def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((1000000 * shared_types) DIV union_types AS BIGINT)"
         " AS vocab_jaccard_ppm",
     )
+
+
+# Declared RAKE stopword inventory (the corpus's function-word analogs;
+# shared literally by builder and oracle — extending it is a semantic
+# version change, like the quality-filter thresholds).
+_RAKE_STOPWORDS = ("a", "the", "of", "and", "to", "is", "in", "on", "for", "with")
+
+
+@register(
+    "q_llm_keyword_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.token, t.pos
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(
+                             string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> '')) AS token,
+                           generate_subscripts(list_filter(
+                             string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> ''), 1) AS pos) t),
+    marked AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN token IN {_RAKE_STOPWORDS} THEN 1 ELSE 0 END AS stop
+      FROM tok),
+    numbered AS (
+      SELECT doc_id, pos, token, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS phrase_id
+      FROM marked),
+    pw AS (
+      SELECT doc_id, phrase_id, pos, token
+      FROM numbered WHERE stop = 0),
+    plen AS (
+      SELECT doc_id, phrase_id,
+             count(*)::BIGINT AS n_words,
+             string_agg(token, ' ' ORDER BY pos) AS phrase
+      FROM pw GROUP BY 1, 2),
+    wstat AS (
+      SELECT pw.token,
+             count(*)::BIGINT AS freq,
+             sum(plen.n_words)::BIGINT AS degree
+      FROM pw JOIN plen ON plen.doc_id = pw.doc_id
+                       AND plen.phrase_id = pw.phrase_id
+      GROUP BY 1),
+    wscore AS (
+      SELECT token, ((1000000 * degree) // freq)::BIGINT AS score_ppm
+      FROM wstat),
+    phrases AS (
+      SELECT phrase, max(n_words)::BIGINT AS n_words,
+             count(*)::BIGINT AS n_occurrences
+      FROM plen GROUP BY 1),
+    scored AS (
+      SELECT p.phrase, p.n_words, p.n_occurrences,
+             sum(w.score_ppm)::BIGINT AS phrase_score_ppm
+      FROM phrases p,
+           LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS token) t
+      JOIN wscore w ON w.token = t.token
+      GROUP BY 1, 2, 3),
+    top AS (
+      SELECT * FROM scored
+      ORDER BY phrase_score_ppm DESC, phrase LIMIT 15)
+    SELECT phrase, n_words, n_occurrences, phrase_score_ppm,
+           row_number() OVER (ORDER BY phrase_score_ppm DESC, phrase)
+             ::BIGINT AS rank
+    FROM top
+    """,
+    category="text",
+)
+def q_llm_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    the classic unsupervised key-phrase miner a curation pipeline
+    runs to label what a source is ABOUT: candidate phrases are the
+    maximal stopword-free token runs (the declared _RAKE_STOPWORDS
+    inventory splits them), each word scores degree/frequency over
+    the whole corpus (degree = Σ length of phrases containing the
+    word — co-occurrence raises a word's score, the property that
+    makes RAKE prefer multi-word terms), and a phrase scores the sum
+    of its word scores. Emits the top-15 phrases with word counts,
+    occurrence counts, score, and rank.
+
+    Cross-engine exactness: phrase segmentation is a stopword-prefix
+    -sum (exact integers on both engines); word scores are quantized
+    ONCE to integer ppm ((1e6·degree) DIV freq — a DECLARED part of
+    the scoring contract, like the quality-filter thresholds), so
+    phrase scores and the (score DESC, phrase) ranking are exact
+    integer comparisons — no float anywhere, no tie ambiguity.
+
+    Scale posture: one posexplode pass, a per-document prefix-sum
+    window (state bounded by document length), two vocabulary-sized
+    aggregates (word stats, distinct phrases), a vocabulary-sized
+    equi-join of phrase words onto word scores, and a global top-15
+    via orderBy().limit() (TakeOrderedAndProject — the rank window
+    runs AFTER the 15-row cut). No Python, no hints.
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's text-analysis family beside
+    q_llm_tfidf_topterms and q_llm_distinctive_terms.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("pos", "token"),
+    )
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    marked = tok.selectExpr(
+        "doc_id",
+        "pos",
+        "token",
+        f"CASE WHEN token IN ({stops}) THEN 1 ELSE 0 END AS stop",
+    )
+    numbered = marked.select(
+        "doc_id",
+        "pos",
+        "token",
+        "stop",
+        F.sum("stop")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("phrase_id"),
+    )
+    pw = numbered.where(F.col("stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "token"
+    )
+    plen = pw.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, token))),"
+            " x -> x.token), ' ')"
+        ).alias("phrase"),
+    )
+    wstat = (
+        pw.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("degree"),
+        )
+    )
+    wscore = wstat.selectExpr(
+        "token", "CAST((1000000 * degree) DIV freq AS BIGINT) AS score_ppm"
+    )
+    phrases = plen.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    scored = (
+        phrases.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("token"),
+        )
+        .join(wscore, "token")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum("score_ppm").cast("long").alias("phrase_score_ppm"))
+    )
+    top = scored.orderBy(
+        F.col("phrase_score_ppm").desc(), F.col("phrase")
+    ).limit(15)
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        "phrase_score_ppm",
+        F.row_number()
+        .over(Window.orderBy(F.col("phrase_score_ppm").desc(), F.col("phrase")))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+@register(
+    "q_text_burrows_delta",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS token
+      FROM documents),
+    t AS (
+      SELECT source, token, count(*)::BIGINT AS c
+      FROM tok GROUP BY 1, 2),
+    n AS (
+      SELECT source, sum(c)::BIGINT AS n_tokens FROM t GROUP BY 1),
+    s AS (SELECT count(*)::BIGINT AS n_sources FROM n),
+    mfw AS (
+      SELECT token FROM (
+        SELECT token, sum(c)::BIGINT AS tot FROM t GROUP BY 1
+        ORDER BY tot DESC, token LIMIT 20)),
+    grid AS (
+      SELECT n.source, mfw.token,
+             ((1000000000 * coalesce(t.c, 0)) // n.n_tokens)::BIGINT AS r
+      FROM n CROSS JOIN mfw
+      LEFT JOIN t ON t.source = n.source AND t.token = mfw.token),
+    w AS (
+      SELECT token,
+             (  (SELECT n_sources FROM s)::HUGEINT * sum(r::HUGEINT * r)
+              - sum(r)::HUGEINT * sum(r))::HUGEINT AS d
+      FROM grid GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.token,
+             abs(a.r - b.r)::BIGINT AS adiff
+      FROM grid a JOIN grid b
+        ON a.token = b.token AND a.source < b.source),
+    agg AS (
+      SELECT p.source_a, p.source_b,
+             sum(CASE WHEN w.d > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS n_words_used,
+             list_reduce(
+               list(CASE WHEN w.d = 0 THEN 0.0
+                         ELSE p.adiff::DOUBLE / sqrt(w.d::DOUBLE) END
+                    ORDER BY p.token),
+               (x, y) -> x + y) AS acc
+      FROM pairs p JOIN w ON w.token = p.token
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_words_used,
+           round((SELECT n_sources FROM s) * acc / 20.0, 6) AS delta
+    FROM agg
+    """,
+    category="text",
+)
+def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) stylometric distance between corpus
+    sources — the authorship-attribution classic: over the 20 most
+    frequent words (function words — style, not topic), each
+    source's usage rate is z-scored against the cross-source
+    distribution and Delta(a,b) is the mean |z_a − z_b|. Low Delta =
+    same "authorial fingerprint": the signal that two crawls share a
+    template/generator even when their VOCABULARIES differ (the
+    complement of q_text_source_divergence, which reads content).
+
+    Cross-engine exactness: rates are quantized ONCE to integer ppb
+    ((1e9·c) DIV N_s, a declared part of the metric), so the
+    per-word cross-source moments and the z numerators stay exact
+    integers (D_w = S·Σr² − (Σr)² through wide lanes — ~4e20 at 20
+    sources); |z_a − z_b| = S·|r_a − r_b|/sqrt(D_w) folds its 20
+    per-word terms in EXPLICIT token order (array_sort left fold vs
+    list_reduce over an ORDER BY list), zero-variance words
+    contribute exactly 0 on both engines (CASE, not a NaN), 6-dp
+    round as the belt.
+
+    Scale posture: one (source, token) count aggregate, a top-20
+    vocabulary cut via orderBy().limit(), a sources×20 grid (enum ×
+    constant — metadata scale), and a pair fold over ≤ S²·20 rows.
+    The corpus is scanned once. No Python, no hints.
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's text-analysis family.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    t = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = t.groupBy("source").agg(F.sum("c").cast("long").alias("n_tokens"))
+    s = n.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    mfw = (
+        t.groupBy("token")
+        .agg(F.sum("c").cast("long").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("token"))
+        .limit(20)
+        .select("token")
+    )
+    grid = (
+        n.crossJoin(mfw)
+        .join(t, ["source", "token"], "left")
+        .selectExpr(
+            "source",
+            "token",
+            "CAST((1000000000 * coalesce(c, 0)) DIV n_tokens AS BIGINT) AS r",
+        )
+    )
+    w = (
+        grid.crossJoin(s)
+        .groupBy("token")
+        .agg(
+            F.expr(
+                "CAST(first(n_sources) AS DECIMAL(38,0))"
+                " * sum(CAST(r AS DECIMAL(38,0)) * r)"
+                " - CAST(sum(r) AS DECIMAL(38,0)) * sum(r)"
+            ).alias("d")
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"), "token", F.col("r").alias("ra")
+    )
+    b = grid.select(
+        F.col("source").alias("source_b"), "token", F.col("r").alias("rb")
+    )
+    pairs = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "token",
+            "CAST(abs(ra - rb) AS BIGINT) AS adiff",
+        )
+    )
+    agg = (
+        pairs.join(w, "token")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.expr("CASE WHEN d > 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_words_used"),
+            F.array_sort(
+                F.collect_list(F.struct("token", "adiff", "d"))
+            ).alias("gs"),
+        )
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "n_words_used",
+            "aggregate(gs, 0.0D, (x, y) -> x + CASE WHEN y.d = 0 THEN 0.0D"
+            " ELSE CAST(y.adiff AS DOUBLE) / sqrt(CAST(y.d AS DOUBLE)) END)"
+            " AS acc",
+        )
+    )
+    return agg.crossJoin(s).selectExpr(
+        "source_a",
+        "source_b",
+        "n_words_used",
+        "round(n_sources * acc / 20.0D, 6) AS delta",
+    )

@@ -1154,3 +1154,143 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((2000000 * closed2) DIV wedges2 AS BIGINT)"
         " AS transitivity_ppm",
     )
+
+
+_CLOSENESS_SRC_SQL = "vec_id % 200 = 0"
+
+
+def _closeness_oracle() -> str:
+    """Unrolled per-source frontier BFS: the q_graph_bfs_layers CTE
+    discipline with (src, v) PAIR states, so each seed's reached set
+    stays independent — every CTE is bounded by |sources|·|V|."""
+    parts = [
+        f"r0 AS (SELECT vec_id AS src, vec_id AS v FROM pts"
+        f" WHERE {_CLOSENESS_SRC_SQL})",
+        "s0 AS (SELECT src, v FROM r0)",
+    ]
+    for h in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f"r{h} AS (SELECT DISTINCT r.src, ed.w AS v"
+            f" FROM r{h-1} r JOIN ed ON ed.v = r.v"
+            f" WHERE NOT EXISTS (SELECT 1 FROM s{h-1} s"
+            f" WHERE s.src = r.src AND s.v = ed.w))"
+        )
+        parts.append(
+            f"s{h} AS (SELECT src, v FROM s{h-1}"
+            f" UNION SELECT src, v FROM r{h})"
+        )
+    hops = " UNION ALL ".join(
+        f"SELECT src, {h}::BIGINT AS hop FROM r{h}"
+        for h in range(1, _BFS_HOPS + 1)
+    )
+    return (
+        f"WITH {_EDGE_SQL},\n"
+        "    ed AS (SELECT d1 AS v, d2 AS w FROM e"
+        " UNION ALL SELECT d2, d1 FROM e),\n"
+        + ",\n    ".join(parts)
+        + f""",
+    reach AS ({hops}),
+    agg AS (
+      SELECT src,
+             sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END)::BIGINT AS n_h1,
+             sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END)::BIGINT AS n_h2,
+             sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END)::BIGINT AS n_h3,
+             sum(CASE WHEN hop = 4 THEN 1 ELSE 0 END)::BIGINT AS n_h4
+      FROM reach GROUP BY src)
+    SELECT r0.src AS vec_id,
+           coalesce(a.n_h1, 0)::BIGINT AS n_h1,
+           coalesce(a.n_h2, 0)::BIGINT AS n_h2,
+           coalesce(a.n_h3, 0)::BIGINT AS n_h3,
+           coalesce(a.n_h4, 0)::BIGINT AS n_h4,
+           (coalesce(a.n_h1, 0) + coalesce(a.n_h2, 0) + coalesce(a.n_h3, 0)
+            + coalesce(a.n_h4, 0))::BIGINT AS n_reached,
+           (12 * coalesce(a.n_h1, 0) + 6 * coalesce(a.n_h2, 0)
+            + 4 * coalesce(a.n_h3, 0) + 3 * coalesce(a.n_h4, 0))::BIGINT
+             AS harmonic_x12
+    FROM (SELECT DISTINCT src FROM s0) r0 LEFT JOIN agg a ON a.src = r0.src
+"""
+    )
+
+
+@register("q_graph_closeness_bfs", oracle=_closeness_oracle(), category="graph")
+def q_graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded HARMONIC closeness centrality for a seed set
+    (every 200th vec_id) over the ε-neighbor graph: per seed, the
+    number of vertices first reached at hops 1–4 and the harmonic
+    centrality Σ_reached 1/d — the centrality that stays
+    well-defined on DISCONNECTED graphs (unreached vertices
+    contribute 0, no infinite-distance convention needed), which is
+    why it replaced classic closeness in large-graph practice
+    (Boldi & Vigna 2014). Carried as the exact integer ×12 lattice:
+    12·n₁ + 6·n₂ + 4·n₃ + 3·n₄ (LCM(1..4) = 12 clears every
+    denominator — no floats anywhere).
+
+    Shape: q_graph_bfs_layers' Pregel frontier loop lifted to
+    (src, v) PAIR states — per round one equi-join of the frontier
+    against the symmetric adjacency list, a distinct, and an
+    anti-join against the per-source reached set; every intermediate
+    is ≤ |seeds|·|V| rows. localCheckpoint truncates lineage per
+    round. The oracle unrolls identical rounds with NOT EXISTS
+    subtraction; exactness is pure integer set algebra on the
+    deterministic edge set.
+
+    Scale posture: at 100 TB the seed set is the work-list knob
+    (|seeds|·|V| state, embarrassingly parallel across seeds); the
+    per-round shuffle is the frontier⋈adjacency equi-join, AQE free
+    to broadcast the frontier side.
+
+    Reference scope: the reference engine has no graph surface; this
+    extends SURVEY.md §2.4's graph family beside q_graph_bfs_layers.
+    """
+    edges = _eps_edges(spark, sf_dir)
+    ed = (
+        edges.select(F.col("d1").alias("v"), F.col("d2").alias("w"))
+        .unionAll(edges.select(F.col("d2").alias("v"), F.col("d1").alias("w")))
+        .localCheckpoint(eager=True)
+    )
+    pts = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    seeds = pts.filter(F.expr(_CLOSENESS_SRC_SQL)).select(
+        F.col("vec_id").alias("src")
+    )
+    frontier = seeds.select("src", F.col("src").alias("v"))
+    reached = frontier.select("src", "v", F.lit(0).cast("long").alias("hop"))
+    for h in range(1, _BFS_HOPS + 1):
+        nxt = (
+            ed.join(frontier, "v")
+            .select("src", F.col("w").alias("v"))
+            .distinct()
+            .join(reached.select("src", "v"), ["src", "v"], "left_anti")
+            .select("src", "v", F.lit(h).cast("long").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionAll(nxt)
+        frontier = nxt.select("src", "v")
+    agg = (
+        reached.where(F.col("hop") > 0)
+        .groupBy("src")
+        .agg(
+            *[
+                F.sum(F.expr(f"CASE WHEN hop = {h} THEN 1 ELSE 0 END"))
+                .cast("long")
+                .alias(f"n_h{h}")
+                for h in range(1, _BFS_HOPS + 1)
+            ]
+        )
+    )
+    return (
+        seeds.join(agg, "src", "left")
+        .selectExpr(
+            "src AS vec_id",
+            *[f"coalesce(n_h{h}, 0) AS n_h{h}" for h in range(1, 5)],
+        )
+        .selectExpr(
+            "vec_id",
+            "n_h1",
+            "n_h2",
+            "n_h3",
+            "n_h4",
+            "CAST(n_h1 + n_h2 + n_h3 + n_h4 AS BIGINT) AS n_reached",
+            "CAST(12 * n_h1 + 6 * n_h2 + 4 * n_h3 + 3 * n_h4 AS BIGINT)"
+            " AS harmonic_x12",
+        )
+    )

@@ -2635,3 +2635,180 @@ def test_ljung_box_matches_python_reference(spark):
         assert abs(r.acf - acf) < 1e-6
         assert abs(r.lb_q - lb) < 1e-3 + 1e-9 * abs(lb)
         assert r.reject_h0 == int(lb > crit[k])
+
+
+# ------------------------------------------------------------ aHash
+
+def test_ahash_matches_pixel_law_reference(spark):
+    """Recompute the 16-bit average-hash from the GENERATOR's pixel
+    law (not the decoder), so decoder and oracle cannot share a
+    mistake; also pin the impossibility of an all-ones hash (a cell
+    cannot be strictly brighter than an average that includes it
+    unless another is dimmer — popcount 16 is unreachable)."""
+    rows = REGISTRY["q_llm_multimodal_ahash"].builder(spark, SF_SMALL).collect()
+    assert rows
+    buckets = {}
+    for r in rows:
+        d = r.doc_id
+        w, h = d % 16 + 4, d % 8 + 4
+        m = [[0, 0, 0, 0] for _ in range(4)]
+        cnt = [[0, 0, 0, 0] for _ in range(4)]
+        sums = [[0, 0, 0, 0] for _ in range(4)]
+        for p in range(w * h):
+            gx = ((p % w) * 4) // w
+            gy = ((p // w) * 4) // h
+            gray = (
+                (d * 31 + p * 3) % 256
+                + (d * 31 + p * 3 + 1) % 256
+                + (d * 31 + p * 3 + 2) % 256
+            )
+            sums[gy][gx] += gray
+            cnt[gy][gx] += 1
+        for gy in range(4):
+            for gx in range(4):
+                m[gy][gx] = sums[gy][gx] // cnt[gy][gx]
+        total = sum(m[gy][gx] for gy in range(4) for gx in range(4))
+        bits = 0
+        for gy in range(4):
+            for gx in range(4):
+                if 16 * m[gy][gx] > total:
+                    bits |= 1 << (gy * 4 + gx)
+        assert r.ahash == bits, (d, r.ahash, bits)
+        assert bin(r.ahash).count("1") < 16
+        buckets.setdefault(r.ahash, 0)
+        buckets[r.ahash] += 1
+    for r in rows:
+        assert r.bucket_size == buckets[r.ahash]
+
+
+# ------------------------------------------------------------- RAKE
+
+def test_rake_matches_python_reference(spark):
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from batchprocessor_spark.functions.text import _RAKE_STOPWORDS
+
+    rows = sorted(
+        REGISTRY["q_llm_keyword_rake"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(rows) == 15
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")["text"]
+    stop = set(_RAKE_STOPWORDS)
+    phrase_occ = Counter()
+    freq = Counter()
+    degree = Counter()
+    for text in docs:
+        toks = [t for t in _re.split(r"[^a-z]+", text.lower()) if t]
+        cur = []
+        for t in toks + ["the"]:  # sentinel flushes the last run
+            if t in stop:
+                if cur:
+                    phrase_occ[" ".join(cur)] += 1
+                    for w_ in cur:
+                        freq[w_] += 1
+                        degree[w_] += len(cur)
+                    cur = []
+            else:
+                cur.append(t)
+    wscore = {w_: (1_000_000 * degree[w_]) // freq[w_] for w_ in freq}
+    scored = {
+        ph: sum(wscore[w_] for w_ in ph.split(" ")) for ph in phrase_occ
+    }
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r.phrase, r.phrase_score_ppm) for r in rows]
+    assert got == want
+    for r in rows:
+        assert r.n_occurrences == phrase_occ[r.phrase]
+        assert r.n_words == len(r.phrase.split(" "))
+
+
+# --------------------------------------------------- Burrows' Delta
+
+def test_burrows_delta_matches_python_reference(spark):
+    import re as _re
+    from collections import Counter
+
+    rows = REGISTRY["q_text_burrows_delta"].builder(spark, SF_SMALL).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[["source", "text"]]
+    prof = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        c = prof.setdefault(src, Counter())
+        c.update(t for t in _re.split(r"[^a-z]+", text.lower()) if t)
+    S = len(prof)
+    totals = {s: sum(c.values()) for s, c in prof.items()}
+    corpus = Counter()
+    for c in prof.values():
+        corpus.update(c)
+    mfw = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    mfw = [w for w, _ in mfw]
+    r_ppb = {
+        (s, w_): (1_000_000_000 * prof[s][w_]) // totals[s]
+        for s in prof
+        for w_ in mfw
+    }
+    d_w = {}
+    for w_ in mfw:
+        sr = sum(r_ppb[(s, w_)] for s in prof)
+        sr2 = sum(r_ppb[(s, w_)] ** 2 for s in prof)
+        d_w[w_] = S * sr2 - sr * sr
+    for r in rows:
+        acc = 0.0
+        used = 0
+        for w_ in sorted(mfw):
+            dd = d_w[w_]
+            if dd > 0:
+                used += 1
+                acc += abs(
+                    r_ppb[(r.source_a, w_)] - r_ppb[(r.source_b, w_)]
+                ) / math.sqrt(dd)
+        assert r.n_words_used == used
+        want = S * acc / 20.0
+        assert abs(r.delta - want) < 1e-6 + 1e-9 * want
+    assert len(rows) == S * (S - 1) // 2
+
+
+# ------------------------------------------- harmonic closeness BFS
+
+def test_closeness_bfs_matches_python_reference(spark):
+    rows = REGISTRY["q_graph_closeness_bfs"].builder(spark, SF_SMALL).collect()
+    assert rows
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    pts = {
+        int(v): (float(e[0]), float(e[1]))
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    eps2 = 0.05 * 0.05
+    ids = sorted(pts)
+    adj = {v: set() for v in ids}
+    for i, a in enumerate(ids):
+        xa, ya = pts[a]
+        for b in ids[i + 1:]:
+            xb, yb = pts[b]
+            if (xa - xb) ** 2 + (ya - yb) ** 2 < eps2:
+                adj[a].add(b)
+                adj[b].add(a)
+    seeds = [v for v in ids if v % 200 == 0]
+    assert {r.vec_id for r in rows} == set(seeds)
+    for r in rows:
+        dist = {r.vec_id: 0}
+        frontier = {r.vec_id}
+        counts = {}
+        for h in range(1, 5):
+            nxt = set()
+            for v in frontier:
+                nxt |= adj[v]
+            nxt -= dist.keys()
+            for v in nxt:
+                dist[v] = h
+            counts[h] = len(nxt)
+            frontier = nxt
+        assert (r.n_h1, r.n_h2, r.n_h3, r.n_h4) == (
+            counts[1], counts[2], counts[3], counts[4]
+        )
+        assert r.n_reached == sum(counts.values())
+        assert r.harmonic_x12 == (
+            12 * counts[1] + 6 * counts[2] + 4 * counts[3] + 3 * counts[4]
+        )

@@ -606,3 +606,95 @@ def test_phonetic_block_single_word_and_typo_names(spark, tmp_path):
     r = pairs[("smal ringg", "small ring")]
     assert r[1] == 2 and r[2] == 1  # two edits, near
     assert pairs[("anvil", "plate")][2] == 0  # same block, not near
+
+
+def test_rake_all_stopword_and_single_phrase_docs(spark, tmp_path):
+    """Documents the fixture never produces: an all-stopword document
+    contributes NO phrases (the prefix-sum segmentation emits no
+    non-stop runs), and repeated multi-word phrases outscore a
+    high-frequency single word (the RAKE degree property). Exact on
+    both engines."""
+    spec = REGISTRY["q_llm_keyword_rake"]
+    df = spark.createDataFrame(
+        [
+            (1, "the of a and to"),                  # no phrases at all
+            (2, "deep learning the deep learning"),  # repeated bigram
+            (3, "deep learning of gradient descent"),
+            (4, "gradient the gradient a gradient"), # frequent unigram
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: n_occurrences, n_words, phrase, phrase_score_ppm, rank
+    by_phrase = {r[2]: r for r in got}
+    assert "the" not in by_phrase and "of" not in by_phrase
+    # deep appears 3x, always inside "deep learning" (degree 6,
+    # freq 3 -> 2e6); learning likewise; gradient 4x with degree
+    # 2+1+1+1 = 5 (one 2-word phrase, three singletons) -> 1.25e6
+    assert by_phrase["deep learning"][3] == 2 * 2_000_000
+    assert by_phrase["gradient"][3] == 1_250_000
+    # the bigram ranks strictly above the more frequent unigram
+    assert by_phrase["deep learning"][4] < by_phrase["gradient"][4]
+
+
+def test_burrows_delta_identical_sources_zero(spark, tmp_path):
+    """Two sources with IDENTICAL text have identical rates for every
+    function word: with only those two sources each D_w is (r_a−r_b)²
+    = 0, so n_words_used = 0 and delta = 0 exactly — the zero-variance
+    CASE lane, not a NaN. A third, different source makes the other
+    two pairs strictly positive on both engines."""
+    spec = REGISTRY["q_text_burrows_delta"]
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "sa"),
+            (2, "alpha beta gamma delta epsilon", "sb"),
+            (3, "alpha alpha alpha beta zeta", "sc"),
+        ],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: delta, n_words_used, source_a, source_b
+    by_pair = {(r[2], r[3]): r for r in got}
+    assert by_pair[("sa", "sb")][0] == 0.0
+    assert by_pair[("sa", "sc")][0] > 0.0
+    assert by_pair[("sb", "sc")][0] > 0.0
+    # identical sources still agree with sc on SOME words' variance
+    assert by_pair[("sa", "sb")][1] == by_pair[("sa", "sc")][1]
+
+
+def test_closeness_bfs_path_graph_and_isolated_seed(spark, tmp_path):
+    """A 3-vertex path seeded at one end (harmonic 12·1 + 6·1 = 18)
+    and an ISOLATED far-away seed (all zeros — the case classic
+    closeness cannot represent and harmonic defines as 0). Exact on
+    both engines."""
+    spec = REGISTRY["q_graph_closeness_bfs"]
+    rows = [
+        (0, [0.00, 0.0], 0),    # seed (0 % 200 == 0)
+        (1, [0.04, 0.0], 0),    # 1 hop from seed
+        (2, [0.08, 0.0], 0),    # 2 hops (0.08 > eps from seed)
+        (200, [5.0, 5.0], 0),   # isolated seed
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"embeddings": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: harmonic_x12, n_h1, n_h2, n_h3, n_h4, n_reached, vec_id
+    by_seed = {r[6]: r for r in got}
+    assert set(by_seed) == {0, 200}
+    assert by_seed[0] == (18, 1, 1, 0, 0, 2, 0)
+    assert by_seed[200] == (0, 0, 0, 0, 0, 0, 200)
