@@ -5415,3 +5415,329 @@ def q_ml_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round({q_expr}, 4) AS q_ratio",
         f"CASE WHEN {q_expr} > 4.17D THEN 1 ELSE 0 END AS significant",
     )
+
+
+@register(
+    "q_ab_effect_size",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) FILTER (event_type = 'click')::BIGINT AS n1,
+             sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'click') AS sx1,
+             sum((round(value * 100)::BIGINT)::HUGEINT
+                 * round(value * 100)::BIGINT)
+               FILTER (event_type = 'click') AS sxx1,
+             count(*) FILTER (event_type = 'purchase')::BIGINT AS n2,
+             sum(round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase') AS sx2,
+             sum((round(value * 100)::BIGINT)::HUGEINT
+                 * round(value * 100)::BIGINT)
+               FILTER (event_type = 'purchase') AS sxx2
+      FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    v AS (
+      SELECT round(value * 100)::BIGINT AS cents,
+             count(*) FILTER (event_type = 'click')::BIGINT AS c1,
+             count(*) FILTER (event_type = 'purchase')::BIGINT AS c2
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1),
+    w AS (
+      SELECT c1,
+             (2 * (sum(c2) OVER (ORDER BY cents) - c2) + c2)::HUGEINT
+               AS below2
+      FROM v),
+    u AS (SELECT sum(c1::HUGEINT * below2)::HUGEINT AS u2 FROM w),
+    d AS (
+      SELECT s.n1, s.n2,
+             (s.sx1::DOUBLE / s.n1 - s.sx2::DOUBLE / s.n2)
+             / nullif(sqrt(((s.sxx1::DOUBLE
+                             - (s.sx1::DOUBLE * s.sx1::DOUBLE) / s.n1)
+                            + (s.sxx2::DOUBLE
+                               - (s.sx2::DOUBLE * s.sx2::DOUBLE) / s.n2))
+                           / (s.n1 + s.n2 - 2)), 0.0) AS cohens_d,
+             u.u2
+      FROM s CROSS JOIN u)
+    SELECT n1 AS n_click, n2 AS n_purchase,
+           round(cohens_d, 6) AS cohens_d,
+           round(cohens_d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6)
+             AS hedges_g,
+           ((1000000 * u2) // (2::HUGEINT * n1 * n2))::BIGINT AS cles_ppm
+    FROM d
+    """,
+    category="experimentation",
+)
+def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect SIZES for the click-vs-purchase value comparison — the
+    numbers a significance test (q_ab_welch_ttest, same arms) does
+    not give: Cohen's d on the pooled standard deviation, the
+    small-sample Hedges' g correction d·(1 − 3/(4N−9)), and the
+    common-language effect size P(click > purchase) + ½P(=) — the
+    probability a random click value beats a random purchase value,
+    computed EXACTLY from the Mann–Whitney doubled-U over the
+    distinct-value histogram (the q_ml_auc rank identity), so the
+    most interpretable of the three is also integer-exact in ppm.
+
+    Cross-engine exactness: counts/sums/squares are exact integers
+    (squares through wide lanes); d and g are one shared float
+    formula over them, rounded at 6 (nullif: zero pooled variance
+    reads NULL on both engines); cles_ppm is exact integer DIV —
+    the cumulative window runs over the bounded value histogram,
+    never event rows.
+
+    Scale posture: one conditional aggregate over the filtered scan,
+    one value-histogram aggregate + window (bounded by distinct
+    cents), two 1-row frames joined. No fact-table windows, no
+    Python, no hints.
+
+    Reference scope: the reference engine has no analytics surface;
+    this completes SURVEY.md §2.4's experimentation family beside
+    welch / CUPED / delta-method / power-MDE.
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    s = e.agg(
+        F.expr("count(CASE WHEN event_type = 'click' THEN 1 END)")
+        .cast("long")
+        .alias("n1"),
+        F.expr(f"sum(CASE WHEN event_type = 'click' THEN {cents} END)")
+        .cast("long")
+        .alias("sx1"),
+        F.expr(
+            f"sum(CASE WHEN event_type = 'click' THEN"
+            f" CAST({cents} AS DECIMAL(38,0)) * {cents} END)"
+        ).alias("sxx1"),
+        F.expr("count(CASE WHEN event_type = 'purchase' THEN 1 END)")
+        .cast("long")
+        .alias("n2"),
+        F.expr(f"sum(CASE WHEN event_type = 'purchase' THEN {cents} END)")
+        .cast("long")
+        .alias("sx2"),
+        F.expr(
+            f"sum(CASE WHEN event_type = 'purchase' THEN"
+            f" CAST({cents} AS DECIMAL(38,0)) * {cents} END)"
+        ).alias("sxx2"),
+    )
+    v = e.groupBy(F.expr(cents).alias("cents")).agg(
+        F.expr("count(CASE WHEN event_type = 'click' THEN 1 END)")
+        .cast("long")
+        .alias("c1"),
+        F.expr("count(CASE WHEN event_type = 'purchase' THEN 1 END)")
+        .cast("long")
+        .alias("c2"),
+    )
+    cum = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = v.select(
+        (
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * (F.sum("c2").over(cum) - F.col("c2")) + F.col("c2"))
+        ).alias("term")
+    ).agg(F.sum("term").alias("u2"))
+    d_expr = (
+        "(CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)"
+        " / nullif(sqrt(((CAST(sxx1 AS DOUBLE)"
+        " - (CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) / n1)"
+        " + (CAST(sxx2 AS DOUBLE)"
+        " - (CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) / n2))"
+        " / (n1 + n2 - 2)), 0.0D)"
+    )
+    return s.crossJoin(u).selectExpr(
+        "n1 AS n_click",
+        "n2 AS n_purchase",
+        f"round({d_expr}, 6) AS cohens_d",
+        f"round({d_expr} * (1.0D - 3.0D / (4.0D * (n1 + n2) - 9.0D)), 6)"
+        " AS hedges_g",
+        "CAST((1000000 * u2) DIV (CAST(2 AS DECIMAL(38,0)) * n1 * n2)"
+        " AS BIGINT) AS cles_ppm",
+    )
+
+
+@register(
+    "q_ml_f1_threshold",
+    oracle=f"""
+    WITH {{clf}},
+    test AS (
+      SELECT coalesce(t.pred_bp, p.prior_bp) AS score_bp,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d
+      LEFT JOIN train t ON t.bucket = d.n_chars // 100
+      CROSS JOIN prior p
+      WHERE d.doc_id % 2 = 1),
+    hist AS (
+      SELECT score_bp, sum(y)::BIGINT AS pos,
+             (count(*) - sum(y))::BIGINT AS neg
+      FROM test GROUP BY 1),
+    tot AS (SELECT sum(pos)::BIGINT AS p FROM hist),
+    sweep AS (
+      SELECT score_bp AS threshold_bp,
+             sum(pos) OVER (ORDER BY score_bp DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS tp,
+             sum(neg) OVER (ORDER BY score_bp DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS fp
+      FROM hist),
+    scored AS (
+      SELECT s.threshold_bp, s.tp, s.fp, (t.p - s.tp)::BIGINT AS fn,
+             ((1000000 * 2 * s.tp) // nullif(2 * s.tp + s.fp + t.p - s.tp,
+                                             0))::BIGINT AS f1_ppm
+      FROM sweep s CROSS JOIN tot t),
+    mx AS (SELECT max(f1_ppm) AS m FROM scored),
+    best AS (
+      SELECT min(threshold_bp)::BIGINT AS best_threshold_bp
+      FROM scored, mx WHERE f1_ppm = m)
+    SELECT sc.threshold_bp, sc.tp, sc.fp, sc.fn, sc.f1_ppm,
+           b.best_threshold_bp,
+           CASE WHEN sc.threshold_bp = b.best_threshold_bp
+                THEN 1 ELSE 0 END AS is_best
+    FROM scored sc CROSS JOIN best b
+    """.replace("{clf}", _CLF_ORACLE_CTES.strip()),
+    category="ml",
+)
+def q_ml_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep for the shared histogram classifier
+    (q_ml_brier_score's even/odd split — the no-drift rule: every
+    evaluator of a model shares its construction): for each distinct
+    score, the confusion counts of "predict positive iff
+    score ≥ threshold" and the F1 in integer ppm, plus the best
+    threshold (max F1, ties to the LOWEST threshold — higher recall
+    at equal F1, declared). The step q_ml_pr_auc summarizes away:
+    pr-auc ranks models, this picks the OPERATING POINT a production
+    filter actually deploys.
+
+    Cross-engine exactness: the sweep runs on the bounded
+    distinct-score histogram (cumulative window over score values,
+    never documents); TP/FP/FN are exact integers and F1 is ONE
+    integer DIV to ppm (nullif for the no-predictions row), so the
+    argmax and tie-break are exact integer comparisons.
+
+    Scale posture: one classifier aggregate (bucket-sized), one test
+    scan, one score-histogram aggregate, windows over the ≤|distinct
+    scores| rows, 1-row best broadcast back. No Python, no hints.
+
+    Reference scope: the reference engine has no ML surface; this
+    extends SURVEY.md §2.4's evaluation family beside q_ml_pr_auc,
+    q_ml_brier_score and q_ml_mcc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    train, prior = _histogram_classifier(d)
+    test = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .withColumn("bucket", F.expr("n_chars DIV 100"))
+        .join(train, "bucket", "left")
+        .crossJoin(prior)
+        .selectExpr(
+            "coalesce(pred_bp, prior_bp) AS score_bp",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        )
+    )
+    hist = test.groupBy("score_bp").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    tot = hist.agg(F.sum("pos").cast("long").alias("p"))
+    cum = (
+        Window.orderBy(F.col("score_bp").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = hist.select(
+        F.col("score_bp").alias("threshold_bp"),
+        F.sum("pos").over(cum).cast("long").alias("tp"),
+        F.sum("neg").over(cum).cast("long").alias("fp"),
+    )
+    scored = sweep.crossJoin(tot).selectExpr(
+        "threshold_bp",
+        "tp",
+        "fp",
+        "CAST(p - tp AS BIGINT) AS fn",
+        "CAST((1000000 * 2 * tp) DIV nullif(2 * tp + fp + p - tp, 0)"
+        " AS BIGINT) AS f1_ppm",
+    )
+    mx = scored.agg(F.max("f1_ppm").alias("max_f1"))
+    best = (
+        scored.crossJoin(mx)
+        .where(F.col("f1_ppm") == F.col("max_f1"))
+        .agg(F.min("threshold_bp").cast("long").alias("best_threshold_bp"))
+    )
+    return scored.crossJoin(best).selectExpr(
+        "threshold_bp",
+        "tp",
+        "fp",
+        "fn",
+        "f1_ppm",
+        "best_threshold_bp",
+        "CASE WHEN threshold_bp = best_threshold_bp THEN 1 ELSE 0 END"
+        " AS is_best",
+    )
+
+
+@register(
+    "q_events_decay_score",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000)::BIGINT AS day,
+             round(value * 100)::BIGINT AS cents
+      FROM events),
+    anchor AS (SELECT max(day)::BIGINT AS d1 FROM e),
+    w AS (
+      SELECT user_id, cents,
+             least((a.d1 - day) // 7, 40)::BIGINT AS k
+      FROM e CROSS JOIN anchor a)
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           sum(cents)::BIGINT AS raw_cents,
+           sum(cents // (1::BIGINT << k))::BIGINT AS decay_cents
+    FROM w GROUP BY user_id
+    """,
+    category="events",
+)
+def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score per user — the ranking signal
+    behind "active customer" lists and churn-risk sorts: every
+    event's value counts at full weight in its most recent week and
+    HALVES per week of age (half-life = 7 days, anchored at the
+    corpus's last day), so one purchase last week outranks four from
+    last quarter. The decay is the exact integer lane
+    cents DIV 2^weeks_ago (a DECLARED floor per event — no float
+    pow, no libm), with the horizon capped at 40 weeks (2⁻⁴⁰ of a
+    cent is zero in any currency; the cap also keeps the shift
+    BIGINT-safe for arbitrarily old corpora).
+
+    Cross-engine exactness: ages are exact integer day arithmetic
+    off a 1-row anchor; the per-event decayed value is integer
+    shift-divide on both engines; totals are plain integer sums.
+    Nothing to round anywhere.
+
+    Scale posture: one scan, a 1-row max-day broadcast back onto it,
+    one map-side-combined user aggregate. At 100 TB this is the
+    cheapest shape a per-user score can take: no windows, no joins
+    beyond the scalar anchor, no Python.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's events family beside RFM
+    segmentation and lifecycle accounting.
+    """
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "CAST(unix_micros(cast(ts AS TIMESTAMP)) DIV 86400000000 AS BIGINT) AS day",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    anchor = e.agg(F.max("day").cast("long").alias("d1"))
+    w = e.crossJoin(anchor).selectExpr(
+        "user_id",
+        "cents",
+        "CAST(least((d1 - day) DIV 7, 40) AS BIGINT) AS k",
+    )
+    return w.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.sum(F.expr("cents DIV (CAST(1 AS BIGINT) << k)"))
+        .cast("long")
+        .alias("decay_cents"),
+    )

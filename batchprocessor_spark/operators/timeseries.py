@@ -2406,3 +2406,123 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(lb_q, 4) AS lb_q",
         "CASE WHEN lb_q > chi2_crit THEN 1 ELSE 0 END AS reject_h0",
     )
+
+
+@register(
+    "q_ts_permutation_entropy",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+    grid AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY)) AS d),
+    rev AS (SELECT d, sum(cents)::BIGINT AS c FROM b GROUP BY d),
+    s AS (SELECT g.d, coalesce(r.c, 0)::BIGINT AS x
+          FROM grid g LEFT JOIN rev r ON r.d = g.d),
+    tri AS (
+      SELECT x AS a,
+             lead(x, 1) OVER (ORDER BY d) AS bb,
+             lead(x, 2) OVER (ORDER BY d) AS cc
+      FROM s),
+    pat AS (
+      SELECT (4 * (CASE WHEN a > bb THEN 1 ELSE 0 END)
+              + 2 * (CASE WHEN bb > cc THEN 1 ELSE 0 END)
+              + (CASE WHEN a > cc THEN 1 ELSE 0 END))::BIGINT AS code
+      FROM tri WHERE cc IS NOT NULL),
+    cnt AS (
+      SELECT code, count(*)::BIGINT AS n_windows FROM pat GROUP BY 1),
+    tot AS (
+      SELECT sum(n_windows)::BIGINT AS n,
+             list_reduce(
+               list(n_windows::DOUBLE * log2(n_windows::DOUBLE)
+                    ORDER BY code),
+               (a, x) -> a + x) AS sum_clogc
+      FROM cnt)
+    SELECT c.code, c.n_windows,
+           ((1000000 * c.n_windows) // t.n)::BIGINT AS share_ppm,
+           round(log2(t.n::DOUBLE) - t.sum_clogc / t.n, 6) AS entropy_bits,
+           round((log2(t.n::DOUBLE) - t.sum_clogc / t.n)
+                 / log2(6.0::DOUBLE), 6) AS entropy_norm
+    FROM cnt c CROSS JOIN tot t
+    """,
+    category="timeseries",
+)
+def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002) of the daily revenue
+    series at embedding dimension 3 — the model-free complexity
+    gauge that separates trending/periodic series (few ordinal
+    patterns dominate, low entropy) from noise (all six patterns
+    equally likely, entropy → log₂6): each consecutive day triple
+    maps to its ordinal pattern — encoded as the 3 pairwise
+    strictly-greater bits 4·(a>b) + 2·(b>c) + (a>c), which ties
+    resolve deterministically (≤ as "not greater", the
+    earlier-position-first convention) — and the pattern
+    distribution's Shannon entropy is reported raw and normalized
+    by log₂6. Per pattern: count, corpus share in exact ppm, and
+    the two entropy figures repeated.
+
+    Cross-engine exactness: the series is densified onto the daily
+    grid (missing days are genuine zeros); pattern codes and counts
+    are exact integers; entropy uses the one-pass algebraic form
+    log₂N − Σc·log₂c / N folding the ≤8 per-code terms in EXPLICIT
+    code order (the q_ts_weekday_effect fold discipline), rounded
+    at 6.
+
+    Scale posture: one map-side-combined day aggregate; the two
+    lead() windows run over the bounded day table (retention-sized,
+    never fact rows); an ≤8-row pattern aggregate and a 1-row total.
+    No Python, no hints.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's time-series diagnostics beside
+    q_ts_sax and q_ts_burstiness.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        to_units(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    bounds = o.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    rev = o.groupBy("d").agg(F.sum("cents").cast("long").alias("c"))
+    s = grid.join(rev, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    lead_w = Window.orderBy("d")
+    tri = s.select(
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(lead_w).alias("bb"),
+        F.lead("x", 2).over(lead_w).alias("cc"),
+    )
+    pat = tri.where(F.col("cc").isNotNull()).selectExpr(
+        "CAST(4 * (CASE WHEN a > bb THEN 1 ELSE 0 END)"
+        " + 2 * (CASE WHEN bb > cc THEN 1 ELSE 0 END)"
+        " + (CASE WHEN a > cc THEN 1 ELSE 0 END) AS BIGINT) AS code"
+    )
+    cnt = pat.groupBy("code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    tot = cnt.agg(
+        F.sum("n_windows").cast("long").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("code", "n_windows"))
+        ).alias("gs"),
+    ).selectExpr(
+        "n",
+        "aggregate(gs, 0.0D, (a, x) -> a"
+        " + CAST(x.n_windows AS DOUBLE) * log2(CAST(x.n_windows AS DOUBLE)))"
+        " AS sum_clogc",
+    )
+    return cnt.crossJoin(tot).selectExpr(
+        "code",
+        "n_windows",
+        "CAST((1000000 * n_windows) DIV n AS BIGINT) AS share_ppm",
+        "round(log2(CAST(n AS DOUBLE)) - sum_clogc / n, 6) AS entropy_bits",
+        "round((log2(CAST(n AS DOUBLE)) - sum_clogc / n)"
+        " / log2(6.0D), 6) AS entropy_norm",
+    )

@@ -187,6 +187,14 @@ SCALING_EXTRA = [
     "q_ab_sprt",
     "q_emb_isotropy",
     "q_text_script_mix",
+    # Round-9 second-session heavy additions (corpus-scaling text /
+    # graph work; the bounded-report stat tests stay out):
+    "q_llm_keyword_rake",
+    "q_text_source_divergence",
+    "q_text_burrows_delta",
+    "q_graph_clustering_coeff",
+    "q_llm_multimodal_ahash",
+    "q_graph_closeness_bfs",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

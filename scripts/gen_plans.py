@@ -93,6 +93,23 @@ HEADLINE = [
     "q_llm_dedup_span_removal",
     "q_dq_cross_table_rules",
     "q_ts_croston",
+    # Round-9 second-session operators with distinctive plan shapes:
+    "q_ml_kruskal_wallis",
+    "q_ml_tukey_hsd",
+    "q_ts_theta_forecast",
+    "q_text_source_divergence",
+    "q_dedup_phonetic_block",
+    "q_graph_clustering_coeff",
+    "q_agg_theil_between",
+    "q_ts_ljung_box",
+    "q_llm_multimodal_ahash",
+    "q_llm_keyword_rake",
+    "q_text_burrows_delta",
+    "q_graph_closeness_bfs",
+    "q_ab_effect_size",
+    "q_ml_f1_threshold",
+    "q_events_decay_score",
+    "q_ts_permutation_entropy",
 ]
 
 

@@ -2812,3 +2812,139 @@ def test_closeness_bfs_matches_python_reference(spark):
         assert r.harmonic_x12 == (
             12 * counts[1] + 6 * counts[2] + 4 * counts[3] + 3 * counts[4]
         )
+
+
+# -------------------------------------------------- A/B effect sizes
+
+def test_effect_size_matches_python_reference(spark):
+    rows = REGISTRY["q_ab_effect_size"].builder(spark, SF_SMALL).collect()
+    (r,) = rows
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[["event_type", "value"]]
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+    cents = np.copysign(
+        np.floor(np.abs(ev["value"].to_numpy() * 100) + 0.5),
+        ev["value"].to_numpy(),
+    ).astype("int64")
+    x1 = [int(c) for c, t in zip(cents, ev["event_type"]) if t == "click"]
+    x2 = [int(c) for c, t in zip(cents, ev["event_type"]) if t == "purchase"]
+    n1, n2 = len(x1), len(x2)
+    assert (r.n_click, r.n_purchase) == (n1, n2)
+    ssd1 = sum(v * v for v in x1) - sum(x1) ** 2 / n1
+    ssd2 = sum(v * v for v in x2) - sum(x2) ** 2 / n2
+    sp_ = math.sqrt((ssd1 + ssd2) / (n1 + n2 - 2))
+    d = (sum(x1) / n1 - sum(x2) / n2) / sp_
+    assert abs(r.cohens_d - d) < 1e-5
+    assert abs(r.hedges_g - d * (1 - 3 / (4 * (n1 + n2) - 9))) < 1e-5
+    # doubled Mann-Whitney U, exact integers
+    u2 = 0
+    for v in x1:
+        u2 += 2 * sum(1 for w_ in x2 if w_ < v) + sum(1 for w_ in x2 if w_ == v)
+    assert r.cles_ppm == (1_000_000 * u2) // (2 * n1 * n2)
+
+
+# ------------------------------------------------ F1 threshold sweep
+
+def test_f1_threshold_matches_python_reference(spark):
+    rows = sorted(
+        REGISTRY["q_ml_f1_threshold"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: -r.threshold_bp,
+    )
+    assert rows
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[
+        ["doc_id", "lang", "n_chars"]
+    ]
+    train = docs[docs["doc_id"] % 2 == 0]
+    pred = {
+        int(b): (10_000 * int((g["lang"] == "en").sum())) // len(g)
+        for b, g in train.groupby(train["n_chars"] // 100)
+    }
+    prior = (10_000 * int((train["lang"] == "en").sum())) // len(train)
+    test = docs[docs["doc_id"] % 2 == 1]
+    scored = [
+        (pred.get(int(nc) // 100, prior), int(lg == "en"))
+        for nc, lg in zip(test["n_chars"], test["lang"])
+    ]
+    p_tot = sum(y for _, y in scored)
+    want = []
+    for t in sorted({s for s, _ in scored}, reverse=True):
+        tp = sum(y for s, y in scored if s >= t)
+        fp = sum(1 - y for s, y in scored if s >= t)
+        fn = p_tot - tp
+        f1 = (1_000_000 * 2 * tp) // (2 * tp + fp + fn) if 2 * tp + fp + fn else None
+        want.append((t, tp, fp, fn, f1))
+    got = [(r.threshold_bp, r.tp, r.fp, r.fn, r.f1_ppm) for r in rows]
+    assert got == want
+    best_f1 = max(f for *_, f in want if f is not None)
+    best_t = min(t for t, *_, f in want if f == best_f1)
+    for r in rows:
+        assert r.best_threshold_bp == best_t
+        assert r.is_best == int(r.threshold_bp == best_t)
+
+
+# ------------------------------------------------------- decay score
+
+def test_decay_score_matches_python_reference(spark):
+    rows = REGISTRY["q_events_decay_score"].builder(spark, SF_SMALL).collect()
+    assert rows
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "ts", "value"]
+    ]
+    us = pd.to_datetime(ev["ts"]).astype("datetime64[us]").astype("int64")
+    day = us // 86_400_000_000
+    cents = np.copysign(
+        np.floor(np.abs(ev["value"].to_numpy() * 100) + 0.5),
+        ev["value"].to_numpy(),
+    ).astype("int64")
+    d1 = int(day.max())
+    want = {}
+    for u, d, c in zip(ev["user_id"], day, cents):
+        k = min((d1 - int(d)) // 7, 40)
+        n, raw, dec = want.get(int(u), (0, 0, 0))
+        want[int(u)] = (n + 1, raw + int(c), dec + (int(c) >> k))
+    got = {r.user_id: (r.n_events, r.raw_cents, r.decay_cents) for r in rows}
+    assert got == want
+    # decay never exceeds raw and is positive whenever raw is
+    for n, raw, dec in want.values():
+        assert 0 <= dec <= raw
+
+
+# ----------------------------------------- permutation entropy (m=3)
+
+def test_permutation_entropy_matches_python_reference(spark):
+    rows = REGISTRY["q_ts_permutation_entropy"].builder(spark, SF_SMALL).collect()
+    assert rows
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    day = pd.to_datetime(orders["o_orderdate"]).dt.floor("D")
+    cents = np.copysign(
+        np.floor(np.abs(orders["o_totalprice"].to_numpy() * 100) + 0.5),
+        orders["o_totalprice"].to_numpy(),
+    ).astype("int64")
+    daily = {}
+    for d, c in zip(day, cents):
+        daily[d] = daily.get(d, 0) + int(c)
+    grid = pd.date_range(min(daily), max(daily), freq="D")
+    xs = [daily.get(d, 0) for d in grid]
+    from collections import Counter
+
+    pats = Counter(
+        4 * (a > b) + 2 * (b > c) + (a > c)
+        for a, b, c in zip(xs, xs[1:], xs[2:])
+    )
+    n = sum(pats.values())
+    ent = math.log2(n) - sum(
+        c * math.log2(c) for _, c in sorted(pats.items())
+    ) / n
+    got = {r.code: r for r in rows}
+    assert set(got) == set(pats)
+    for code, c in pats.items():
+        r = got[code]
+        assert r.n_windows == c
+        assert r.share_ppm == (1_000_000 * c) // n
+        assert abs(r.entropy_bits - ent) < 1e-6
+        assert abs(r.entropy_norm - ent / math.log2(6)) < 1e-6
+    # codes live in the 3-bit lattice; shares sum to 1e6 up to the
+    # per-code DIV truncation (< 1 ppm each)
+    assert all(0 <= code <= 7 for code in got)
+    assert 1_000_000 - len(got) < sum(r.share_ppm for r in rows) <= 1_000_000

@@ -698,3 +698,95 @@ def test_closeness_bfs_path_graph_and_isolated_seed(spark, tmp_path):
     assert set(by_seed) == {0, 200}
     assert by_seed[0] == (18, 1, 1, 0, 0, 2, 0)
     assert by_seed[200] == (0, 0, 0, 0, 0, 0, 200)
+
+
+def test_effect_size_zero_variance_arms(spark, tmp_path):
+    """Both arms constant at the same value: the pooled SD is exactly
+    0, so d and g must read NULL on BOTH engines (nullif, not an ANSI
+    raise or ±inf), while the rank-based CLES reads exactly 500000
+    ppm — all ties split evenly."""
+    spec = REGISTRY["q_ab_effect_size"]
+    rows = [("click", 5.0)] * 4 + [("purchase", 5.0)] * 3
+    df = spark.createDataFrame(rows, "event_type STRING, value DOUBLE")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: cles_ppm, cohens_d, hedges_g, n_click, n_purchase
+    (cles, d, g, n1, n2) = got[0]
+    assert (n1, n2) == (4, 3)
+    assert d is None and g is None
+    assert cles == 500_000
+
+
+def test_f1_threshold_all_positive_test_set(spark, tmp_path):
+    """Every test document is the positive class: FP is 0 at every
+    threshold, the lowest threshold reaches recall 1 and is the best
+    operating point with F1 exactly 1e6 ppm on both engines."""
+    spec = REGISTRY["q_ml_f1_threshold"]
+    rows = [
+        # even doc_ids train: two buckets with different P(en)
+        (0, "en", 50), (2, "en", 50), (4, "de", 150), (6, "en", 150),
+        # odd doc_ids test: all en
+        (1, "en", 50), (3, "en", 150), (5, "en", 150),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: best_threshold_bp, f1_ppm, fn, fp, is_best,
+    #                 threshold_bp, tp
+    assert all(r[3] == 0 for r in got)  # fp always 0
+    best_rows = [r for r in got if r[4] == 1]
+    assert len(best_rows) == 1
+    assert best_rows[0][1] == 1_000_000  # perfect F1 at full recall
+    assert best_rows[0][5] == min(r[5] for r in got)
+
+
+def test_decay_score_horizon_cap(spark, tmp_path):
+    """An event 80 weeks older than the anchor hits the declared
+    40-week cap: its contribution is cents DIV 2^40 (0 for any
+    realistic cents), while a same-week event counts at full weight —
+    exactly equal on both engines."""
+    spec = REGISTRY["q_events_decay_score"]
+    wk = 7 * 86_400_000_000
+    rows = [
+        (1, _us(80 * wk), 10.0),   # anchor-week event, full weight
+        (1, _us(0), 10.0),         # 80 weeks old -> capped k = 40
+        (2, _us(79 * wk), 20.0),   # 1 week old -> halved
+    ]
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: decay_cents, n_events, raw_cents, user_id
+    by_user = {r[3]: r for r in got}
+    assert by_user[1] == (1000 + 0, 2, 2000, 1)   # 1000 DIV 2^40 == 0
+    assert by_user[2] == (1000, 1, 2000, 2)       # halved once
+
+
+def test_permutation_entropy_monotone_series(spark, tmp_path):
+    """A strictly increasing daily series produces ONE ordinal
+    pattern (code 0: a<b<c), so the entropy is exactly 0 on both
+    engines — the log2(N) − Σc·log2(c)/N form hits its floor."""
+    spec = REGISTRY["q_ts_permutation_entropy"]
+    rows = [
+        (_us(day * 86_400_000_000), float(10 + day)) for day in range(9)
+    ]
+    df = spark.createDataFrame(rows, "o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+    path = str(tmp_path / "orders.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"orders": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: code, entropy_bits, entropy_norm, n_windows, share_ppm
+    assert got == [(0, 0.0, 0.0, 7, 1_000_000)]
