@@ -5741,3 +5741,205 @@ def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decay_cents"),
     )
+
+
+@register(
+    "q_ml_learning_curve",
+    oracle="""
+    WITH m AS (SELECT unnest([1, 2, 4, 8])::BIGINT AS m8),
+    train AS (
+      SELECT m.m8, d.n_chars // 100 AS bucket,
+             count(*)::BIGINT AS n,
+             count(*) FILTER (d.lang = 'en')::BIGINT AS n_en
+      FROM documents d JOIN m ON (d.doc_id // 2) % 8 < m.m8
+      WHERE d.doc_id % 2 = 0
+      GROUP BY 1, 2),
+    model AS (
+      SELECT m8, bucket, ((10000 * n_en) // n)::BIGINT AS pred_bp
+      FROM train),
+    prior AS (
+      SELECT m8, ((10000 * sum(n_en)) // sum(n))::BIGINT AS prior_bp,
+             sum(n)::BIGINT AS n_train
+      FROM train GROUP BY 1),
+    test AS (
+      SELECT p.m8, p.n_train,
+             coalesce(mo.pred_bp, p.prior_bp) AS score_bp,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents d
+      CROSS JOIN prior p
+      LEFT JOIN model mo ON mo.m8 = p.m8
+                        AND mo.bucket = d.n_chars // 100
+      WHERE d.doc_id % 2 = 1)
+    SELECT m8 AS train_frac_8th, n_train,
+           count(*)::BIGINT AS n_test,
+           ((10000 * sum(CASE WHEN (score_bp >= 5000) = (y = 1)
+                              THEN 1 ELSE 0 END)) // count(*))::BIGINT
+             AS accuracy_bp
+    FROM test GROUP BY 1, 2
+    """,
+    category="ml",
+)
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the shared histogram classifier — accuracy
+    on the FIXED odd-doc_id test set as the training set grows
+    through nested eighths of the even docs (1/8, 2/8, 4/8, all):
+    the data-scaling audit that answers "would more labeled data
+    still help" before anyone spends on labeling, and the sanity
+    check that the full-data model (m8 = 8) reproduces
+    q_ml_brier_score's classifier exactly (same construction, same
+    split — the no-drift rule). Subsets nest by (doc_id DIV 2) MOD 8
+    < m, so each point trains on a superset of the previous.
+
+    Cross-engine exactness: per-(subset, bucket) counts are exact
+    integers; predictions and the prior are integer-bp DIV; the
+    decision rule (score ≥ 5000 vs label) and accuracy-bp are exact
+    integer comparisons — nothing floats.
+
+    Scale posture: ONE training scan fanned to the 4 subset sizes
+    (bounded multiplier, map-side combined into bucket-sized
+    models), one test scan fanned 4×, a bucket-sized model join
+    (AQE broadcasts), a 4-row report. No windows over facts, no
+    Python, no hints.
+
+    Reference scope: the reference engine has no ML surface; this
+    extends SURVEY.md §2.4's evaluation family beside q_ml_kfold_cv
+    (which resamples FOLDS at fixed size; this scales SIZE at fixed
+    split).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = spark.range(4).selectExpr(
+        "CAST(CASE id WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4"
+        " ELSE 8 END AS BIGINT) AS m8"
+    )
+    train = (
+        d.where(F.col("doc_id") % 2 == 0)
+        .crossJoin(m)
+        .where(F.expr("(doc_id DIV 2) % 8 < m8"))
+        .groupBy("m8", F.expr("n_chars DIV 100").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr("count(CASE WHEN lang = 'en' THEN 1 END)")
+            .cast("long")
+            .alias("n_en"),
+        )
+    )
+    model = train.selectExpr(
+        "m8", "bucket", "CAST((10000 * n_en) DIV n AS BIGINT) AS pred_bp"
+    )
+    prior = train.groupBy("m8").agg(
+        F.expr("CAST((10000 * sum(n_en)) DIV sum(n) AS BIGINT)").alias(
+            "prior_bp"
+        ),
+        F.sum("n").cast("long").alias("n_train"),
+    )
+    test = (
+        d.where(F.col("doc_id") % 2 == 1)
+        .withColumn("bucket", F.expr("n_chars DIV 100"))
+        .crossJoin(prior)
+        .join(model, ["m8", "bucket"], "left")
+        .selectExpr(
+            "m8",
+            "n_train",
+            "coalesce(pred_bp, prior_bp) AS score_bp",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y",
+        )
+    )
+    return test.groupBy(
+        F.col("m8").alias("train_frac_8th"), "n_train"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.expr(
+            "CAST((10000 * sum(CASE WHEN (score_bp >= 5000) = (y = 1)"
+            " THEN 1 ELSE 0 END)) DIV count(1) AS BIGINT)"
+        ).alias("accuracy_bp"),
+    )
+
+
+@register(
+    "q_sample_group_holdout",
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, count(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2),
+    src AS (
+      SELECT source, sum(n)::BIGINT AS n_src FROM cell GROUP BY 1),
+    lg AS (
+      SELECT lang, sum(n)::BIGINT AS n_lang FROM cell GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS n FROM cell),
+    shift AS (
+      SELECT s.source,
+             max(abs((10000 * (lg.n_lang - coalesce(c.n, 0)))
+                     // nullif(t.n - s.n_src, 0)
+                     - (10000 * coalesce(c.n, 0)) // s.n_src))::BIGINT
+               AS lang_shift_bp
+      FROM src s
+      CROSS JOIN tot t
+      JOIN lg ON TRUE
+      LEFT JOIN cell c ON c.source = s.source AND c.lang = lg.lang
+      GROUP BY 1)
+    SELECT s.source, (t.n - s.n_src)::BIGINT AS n_train,
+           s.n_src AS n_test, sh.lang_shift_bp
+    FROM src s CROSS JOIN tot t JOIN shift sh ON sh.source = s.source
+    """,
+    category="sampling",
+)
+def q_sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-SOURCE-out holdout audit — the split a contamination
+    -aware evaluation must use when documents within a source share
+    style/boilerplate (random splits leak the source's fingerprint
+    into training; q_llm_split_leakage measures the leak, this
+    builds the split that avoids it): for every source, the
+    train/test sizes when that source is held out, plus the
+    LABEL-SHIFT audit — the worst per-language composition gap
+    between train and test in basis points (the q_sample_time_split
+    drift discipline applied group-wise). A large shift warns that
+    the heldout source is distributionally unlike its training set,
+    so its score reads as domain transfer, not i.i.d. accuracy.
+
+    Cross-engine exactness: everything derives from the
+    (source, lang) contingency cells — exact integer counts, shares
+    as integer-bp DIV (train share = (N_lang − n_cell)/(N − N_src),
+    both exact), max over the bounded lang enum.
+
+    Scale posture: one map-side-combined cell aggregate; every
+    later frame is enum-sized (sources × languages). The corpus is
+    scanned once. No Python, no hints.
+
+    Reference scope: the reference engine has no sampling surface;
+    this extends SURVEY.md §2.4's sampling family beside
+    q_sample_time_split and q_sample_hash_split.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    src = cell.groupBy("source").agg(F.sum("n").cast("long").alias("n_src"))
+    lg = cell.groupBy("lang").agg(F.sum("n").cast("long").alias("n_lang"))
+    tot = cell.agg(F.sum("n").cast("long").alias("n_total"))
+    shift = (
+        src.crossJoin(tot)
+        .crossJoin(lg)
+        .join(
+            cell.withColumnRenamed("n", "n_cell"), ["source", "lang"], "left"
+        )
+        .selectExpr(
+            "source",
+            # nullif: a SINGLE-source corpus has an empty train side;
+            # the shift is undefined (NULL), not an ANSI divide error
+            "abs((10000 * (n_lang - coalesce(n_cell, 0)))"
+            " DIV nullif(n_total - n_src, 0)"
+            " - (10000 * coalesce(n_cell, 0)) DIV n_src) AS gap_bp",
+        )
+        .groupBy("source")
+        .agg(F.max("gap_bp").cast("long").alias("lang_shift_bp"))
+    )
+    return (
+        src.crossJoin(tot)
+        .join(shift, "source")
+        .selectExpr(
+            "source",
+            "CAST(n_total - n_src AS BIGINT) AS n_train",
+            "n_src AS n_test",
+            "lang_shift_bp",
+        )
+    )

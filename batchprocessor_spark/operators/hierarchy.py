@@ -668,3 +668,156 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hop_cols.append(f"hop{s}")
     return cur.select("walk_id", *hop_cols)
+
+
+# Personalized-PageRank seed predicate over the namespaced node ids
+# (node = 2*custkey for customers): every 10th customer seeds.
+_PPR_SEED_SQL = "node % 20 = 0"
+
+
+def _ppr_oracle() -> str:
+    prev = "r0"
+    iters = []
+    seed_n = _PPR_SEED_SQL.replace("node", "n.node")
+    for k in range(1, _PR_ROUNDS + 1):
+        iters.append(f"""
+    dang{k} AS (
+      SELECT coalesce(sum(pr), 0)::BIGINT AS m FROM {prev}
+      WHERE node NOT IN (SELECT node FROM deg)),
+    infl{k} AS (
+      SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS s
+      FROM edges e JOIN {prev} p ON e.src = p.node
+      JOIN deg d ON e.src = d.node
+      GROUP BY 1),
+    r{k} AS (
+      SELECT n.node,
+             ((15 * (CASE WHEN {seed_n}
+                          THEN (SELECT b FROM base) ELSE 0 END)
+               + 85 * coalesce(i.s, 0)
+               + (CASE WHEN {seed_n}
+                       THEN (85 * (SELECT m FROM dang{k}))
+                            // (SELECT ns FROM base) ELSE 0 END))
+              // 100)::BIGINT AS pr
+      FROM nodes n LEFT JOIN infl{k} i ON n.node = i.node)""")
+        prev = f"r{k}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+            FROM edges GROUP BY 1),
+    base AS (
+      SELECT ({_PR_SCALE} // count(*) FILTER ({_PPR_SEED_SQL}))::BIGINT AS b,
+             count(*) FILTER ({_PPR_SEED_SQL})::BIGINT AS ns
+      FROM nodes),
+    r0 AS (
+      SELECT node, (CASE WHEN {_PPR_SEED_SQL}
+                         THEN (SELECT b FROM base) ELSE 0 END)::BIGINT AS pr
+      FROM nodes),
+    {",".join(iters)}
+    SELECT node, pr FROM {prev} WHERE pr > 0
+    """
+
+
+@register("q_graph_ppr", oracle=_ppr_oracle(), category="graph")
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-set personalized PageRank over the UNDIRECTED trade graph
+    (both edge directions of the supplier↔customer relation) — the
+    "related entities" primitive behind recommendation expansion and
+    label propagation from a trusted whitelist: teleport mass returns
+    ONLY to the seed set (every 10th customer), so rank concentrates
+    in the seeds' graph neighborhood instead of spreading globally
+    like q_graph_pagerank. 5 fixed iterations, damping 0.85, dangling
+    mass redistributed to the seeds (the standard PPR convention —
+    mass never leaks to non-seed teleports).
+
+    Cross-engine exactness: the q_graph_pagerank fixed-point
+    discipline — integer mass units of 1e-12 with seed base
+    SCALE DIV |S|, per-edge contribution pr DIV outdeg, update
+    (15·seed_base·[v∈S] + 85·inflow + [v∈S]·(85·dangling) DIV |S|)
+    DIV 100 — identical integer sequences on both engines, no float
+    rounding anywhere. Zero-mass rows are dropped on both sides (the
+    interesting output is the reached neighborhood).
+
+    Scale posture: O(|E|) per round — one shuffle join of ranks onto
+    edges, one aggregate onto dst, a 1-row dangling aggregate
+    crossJoined back (broadcast, whitelisted 1-row bound);
+    localCheckpoint every second round bounds lineage; driver holds
+    only loop control and the node/seed counts (model-sized scalars,
+    the k-means allowance).
+
+    Reference scope: the reference engine has no graph surface; this
+    extends SURVEY.md §2.4's graph family beside q_graph_pagerank
+    and q_graph_hits.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    directed = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    edges = (
+        directed.union(directed.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    nodes_deg = nodes.join(deg, "node", "left").localCheckpoint()
+    n_seeds = nodes_deg.where(F.expr(_PPR_SEED_SQL)).count()
+    base = _PR_SCALE // n_seeds
+    seed_case = f"CASE WHEN {_PPR_SEED_SQL} THEN 1 ELSE 0 END"
+    ranks = nodes_deg.selectExpr(
+        "node",
+        "outdeg",
+        f"CAST(({seed_case}) * CAST({base} AS BIGINT) AS BIGINT) AS pr",
+    ).localCheckpoint()
+    last_ckpt = ranks
+    for i in range(_PR_ROUNDS):
+        dang = ranks.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("m")
+        )
+        contrib = (
+            edges.join(
+                ranks.where(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    F.expr("pr DIV outdeg").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        # dang is a 1-row aggregate — the same whitelisted bound as
+        # q_graph_pagerank's dangling-mass broadcast
+        nxt = (
+            nodes_deg.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .selectExpr(
+                "node",
+                "outdeg",
+                f"CAST((15 * ({seed_case}) * CAST({base} AS BIGINT)"
+                f" + 85 * coalesce(s, CAST(0 AS BIGINT))"
+                f" + ({seed_case}) * ((85 * m) DIV {n_seeds}))"
+                " DIV 100 AS BIGINT) AS pr",
+            )
+        )
+        if i % 2 == 1 or i == _PR_ROUNDS - 1:
+            nxt = nxt.localCheckpoint()
+            last_ckpt.unpersist()
+            last_ckpt = nxt
+        ranks = nxt
+    return ranks.where(F.col("pr") > 0).select("node", "pr")

@@ -157,9 +157,11 @@ def _extended_twins() -> dict[str, str]:
     )
 
     from batchprocessor_spark.functions.text import _GOPHER_STOPS
+    from batchprocessor_spark.functions.text import _RAKE_STOPWORDS
 
     t_us = _FUNNEL_WINDOW_US
     _gopher_stop_list = ", ".join("'" + w + "'" for w in _GOPHER_STOPS)
+    _rake_stop_list = ", ".join("'" + w + "'" for w in _RAKE_STOPWORDS)
     jl_sign = _JL_SIGN.format(h="i*64 + j + 1", div="div")
     # Shared shingle CTE for the two contamination twins: Spark
     # concat() is NULL on any NULL argument (concat_ws would SKIP the
@@ -755,6 +757,104 @@ def _extended_twins() -> dict[str, str]:
     FROM scored
     WHERE 3 * n_common >= words_a + words_b
     """,
+        "q_llm_keyword_rake": f"""
+    WITH tok AS (
+      SELECT doc_id, pos, token
+      FROM documents
+      LATERAL VIEW posexplode(filter(split(lower(text), '[^a-z]+'),
+                                     x -> x <> '')) t AS pos, token),
+    marked AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN token IN ({_rake_stop_list}) THEN 1 ELSE 0 END AS stop
+      FROM tok),
+    numbered AS (
+      SELECT doc_id, pos, token, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS phrase_id
+      FROM marked),
+    pw AS (SELECT doc_id, phrase_id, pos, token
+           FROM numbered WHERE stop = 0),
+    plen AS (
+      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS n_words,
+             array_join(transform(array_sort(collect_list(
+               struct(pos, token))), x -> x.token), ' ') AS phrase
+      FROM pw GROUP BY doc_id, phrase_id),
+    wstat AS (
+      SELECT pw.token, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen.n_words) AS BIGINT) AS degree
+      FROM pw JOIN plen ON plen.doc_id = pw.doc_id
+                       AND plen.phrase_id = pw.phrase_id
+      GROUP BY pw.token),
+    wscore AS (
+      SELECT token, CAST((1000000 * degree) DIV freq AS BIGINT)
+               AS score_ppm
+      FROM wstat),
+    phrases AS (
+      SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM plen GROUP BY phrase),
+    pw2 AS (
+      SELECT p.phrase, p.n_words, p.n_occurrences, t.token
+      FROM phrases p
+      LATERAL VIEW explode(split(p.phrase, ' ')) t AS token),
+    scored AS (
+      SELECT pw2.phrase, pw2.n_words, pw2.n_occurrences,
+             CAST(sum(w.score_ppm) AS BIGINT) AS phrase_score_ppm
+      FROM pw2 JOIN wscore w ON w.token = pw2.token
+      GROUP BY pw2.phrase, pw2.n_words, pw2.n_occurrences),
+    top AS (SELECT * FROM scored
+            ORDER BY phrase_score_ppm DESC, phrase LIMIT 15)
+    SELECT phrase, n_words, n_occurrences, phrase_score_ppm,
+           CAST(row_number() OVER (ORDER BY phrase_score_ppm DESC, phrase)
+                AS BIGINT) AS rank
+    FROM top
+    """,
+        "q_events_decay_score": """
+    WITH e AS (
+      SELECT user_id,
+             CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000
+                  AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    anchor AS (SELECT max(day) AS d1 FROM e),
+    w AS (
+      SELECT user_id, cents,
+             CAST(least((d1 - day) DIV 7, 40) AS BIGINT) AS k
+      FROM e CROSS JOIN anchor)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS raw_cents,
+           CAST(sum(cents DIV (CAST(1 AS BIGINT) << k)) AS BIGINT)
+             AS decay_cents
+    FROM w GROUP BY user_id
+    """,
+        "q_sample_group_holdout": """
+    WITH cell AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    src AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_src
+      FROM cell GROUP BY source),
+    lg AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+      FROM cell GROUP BY lang),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cell),
+    shift AS (
+      SELECT s.source,
+             CAST(max(abs((10000 * (lg.n_lang - coalesce(c.n, 0)))
+                          DIV nullif(t.n - s.n_src, 0)
+                          - (10000 * coalesce(c.n, 0)) DIV s.n_src))
+                  AS BIGINT) AS lang_shift_bp
+      FROM src s
+      CROSS JOIN tot t
+      CROSS JOIN lg
+      LEFT JOIN cell c ON c.source = s.source AND c.lang = lg.lang
+      GROUP BY s.source)
+    SELECT s.source, CAST(t.n - s.n_src AS BIGINT) AS n_train,
+           s.n_src AS n_test, sh.lang_shift_bp
+    FROM src s CROSS JOIN tot t JOIN shift sh ON sh.source = s.source
+    """,
     }
 
 # The queries whose Spark-SQL lane is VERIFIED value-identical to the
@@ -815,6 +915,9 @@ EXTENDED_TWIN_NAMES: frozenset[str] = frozenset(
         "q_llm_dedup_minhash_banded",
         "q_llm_decontaminate",
         "q_llm_dedup_span_removal",
+        "q_llm_keyword_rake",
+        "q_events_decay_score",
+        "q_sample_group_holdout",
     }
 )
 

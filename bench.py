@@ -195,6 +195,7 @@ SCALING_EXTRA = [
     "q_graph_clustering_coeff",
     "q_llm_multimodal_ahash",
     "q_graph_closeness_bfs",
+    "q_graph_ppr",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

@@ -110,6 +110,9 @@ HEADLINE = [
     "q_ml_f1_threshold",
     "q_events_decay_score",
     "q_ts_permutation_entropy",
+    "q_graph_ppr",
+    "q_ml_learning_curve",
+    "q_sample_group_holdout",
 ]
 
 

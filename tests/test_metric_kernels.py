@@ -2948,3 +2948,107 @@ def test_permutation_entropy_matches_python_reference(spark):
     # per-code DIV truncation (< 1 ppm each)
     assert all(0 <= code <= 7 for code in got)
     assert 1_000_000 - len(got) < sum(r.share_ppm for r in rows) <= 1_000_000
+
+
+# ----------------------------------------- personalized PageRank
+
+def test_ppr_matches_python_reference(spark):
+    rows = REGISTRY["q_graph_ppr"].builder(spark, SF_SMALL).collect()
+    assert rows
+    li = pd.read_parquet(f"{SF_SMALL}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    od = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    directed = {
+        (int(s) * 2 + 1, int(c) * 2)
+        for s, c in zip(j["l_suppkey"], j["o_custkey"])
+    }
+    edges = directed | {(d, s) for s, d in directed}
+    nodes = sorted({v for e in edges for v in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    seeds = [v for v in nodes if v % 20 == 0]
+    base = 10**12 // len(seeds)
+    pr = {v: (base if v % 20 == 0 else 0) for v in nodes}
+    for _ in range(5):
+        dang = sum(pr[v] for v in nodes if v not in out)
+        inflow = {v: 0 for v in nodes}
+        for s, ds in out.items():
+            c = pr[s] // len(ds)
+            for d in ds:
+                inflow[d] += c
+        pr = {
+            v: (
+                15 * (base if v % 20 == 0 else 0)
+                + 85 * inflow[v]
+                + ((85 * dang) // len(seeds) if v % 20 == 0 else 0)
+            )
+            // 100
+            for v in nodes
+        }
+    want = {v: p for v, p in pr.items() if p > 0}
+    got = {r.node: r.pr for r in rows}
+    assert got == want
+    # personalization: every positive-rank node is a seed or within
+    # 5 hops of one, and the total mass is bounded by the teleport
+    assert sum(got.values()) <= 10**12
+
+
+# --------------------------------------------------- learning curve
+
+def test_learning_curve_matches_python_reference(spark):
+    rows = sorted(
+        REGISTRY["q_ml_learning_curve"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: r.train_frac_8th,
+    )
+    assert [r.train_frac_8th for r in rows] == [1, 2, 4, 8]
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[
+        ["doc_id", "lang", "n_chars"]
+    ]
+    test = docs[docs["doc_id"] % 2 == 1]
+    for r in rows:
+        tr = docs[
+            (docs["doc_id"] % 2 == 0)
+            & ((docs["doc_id"] // 2) % 8 < r.train_frac_8th)
+        ]
+        assert r.n_train == len(tr)
+        pred = {
+            int(b): (10_000 * int((g["lang"] == "en").sum())) // len(g)
+            for b, g in tr.groupby(tr["n_chars"] // 100)
+        }
+        prior = (10_000 * int((tr["lang"] == "en").sum())) // len(tr)
+        correct = sum(
+            int((pred.get(int(nc) // 100, prior) >= 5000) == (lg == "en"))
+            for nc, lg in zip(test["n_chars"], test["lang"])
+        )
+        assert r.n_test == len(test)
+        assert r.accuracy_bp == (10_000 * correct) // len(test)
+    # nesting invariant: training sets grow monotonically
+    assert all(a.n_train < b.n_train for a, b in zip(rows, rows[1:]))
+
+
+# ---------------------------------------------- group holdout audit
+
+def test_group_holdout_matches_python_reference(spark):
+    rows = REGISTRY["q_sample_group_holdout"].builder(spark, SF_SMALL).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[["source", "lang"]]
+    n_total = len(docs)
+    langs = sorted(docs["lang"].unique())
+    for r in rows:
+        te = docs[docs["source"] == r.source]
+        tr = docs[docs["source"] != r.source]
+        assert (r.n_train, r.n_test) == (len(tr), len(te))
+        gap = max(
+            abs(
+                (10_000 * int((tr["lang"] == lg).sum())) // len(tr)
+                - (10_000 * int((te["lang"] == lg).sum())) // len(te)
+            )
+            for lg in langs
+        )
+        assert r.lang_shift_bp == gap
+    assert {r.source for r in rows} == set(docs["source"].unique())

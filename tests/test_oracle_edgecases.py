@@ -790,3 +790,73 @@ def test_permutation_entropy_monotone_series(spark, tmp_path):
     assert got == want, (got, want)
     # columns sorted: code, entropy_bits, entropy_norm, n_windows, share_ppm
     assert got == [(0, 0.0, 0.0, 7, 1_000_000)]
+
+
+def test_ppr_two_node_graph_exact_recurrence(spark, tmp_path):
+    """A single customer↔supplier pair with the customer as the only
+    seed: both engines must walk the identical 5-round integer
+    recurrence — pinned against a python loop, no tolerance."""
+    spec = REGISTRY["q_graph_ppr"]
+    li = spark.createDataFrame(
+        [(1, 1)], "l_orderkey BIGINT, l_suppkey BIGINT"
+    )
+    od = spark.createDataFrame(
+        [(1, 0)], "o_orderkey BIGINT, o_custkey BIGINT"
+    )
+    views = {}
+    for name, df in [("lineitem", li), ("orders", od)]:
+        p = str(tmp_path / f"{name}.parquet")
+        df.coalesce(1).write.parquet(p)
+        views[name] = f"{p}/*.parquet"
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, views))
+    assert got == want, (got, want)
+    # python recurrence: nodes {0 (seed), 3}, both outdeg 1, no dangling
+    base = 10**12
+    pr = {0: base, 3: 0}
+    for _ in range(5):
+        inflow = {0: pr[3], 3: pr[0]}
+        pr = {
+            0: (15 * base + 85 * inflow[0]) // 100,
+            3: (85 * inflow[3]) // 100,
+        }
+    want_py = sorted((v, p) for v, p in pr.items() if p > 0)
+    assert got == want_py
+
+
+def test_learning_curve_all_positive_corpus(spark, tmp_path):
+    """Every document is the positive class: each training subset
+    predicts P(en) = 10000 everywhere, so accuracy is exactly 10000 bp
+    at EVERY training size on both engines."""
+    spec = REGISTRY["q_ml_learning_curve"]
+    rows = [(i, "en", 50 + (i % 3) * 100) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: accuracy_bp, n_test, n_train, train_frac_8th
+    assert len(got) == 4
+    assert all(r[0] == 10_000 for r in got)
+
+
+def test_group_holdout_single_source_null_shift(spark, tmp_path):
+    """One source: holding it out leaves an EMPTY training side, so
+    the composition-shift is undefined — NULL on BOTH engines (nullif
+    on n_total − n_src), never an ANSI divide error."""
+    spec = REGISTRY["q_sample_group_holdout"]
+    df = spark.createDataFrame(
+        [(1, "en", "only"), (2, "de", "only"), (3, "en", "only")],
+        "doc_id BIGINT, lang STRING, source STRING",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: lang_shift_bp, n_test, n_train, source
+    assert got == [(None, 3, 0, "only")]

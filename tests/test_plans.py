@@ -1941,3 +1941,162 @@ def test_isotonic_pairs_join_on_day_table_only(spark):
     w = plan.index("Window")
     agg = [m.start() for m in re.finditer("HashAggregate", plan)]
     assert any(a > w for a in agg), plan
+
+
+# ---------------- round-9 second-session operators (waves 1-5) ----------------
+
+_NO_PY = ("BatchEvalPython", "ArrowEvalPython")
+
+
+def _assert_no_python(plan: str) -> None:
+    for node in _NO_PY:
+        assert node not in plan, plan
+
+
+def test_kruskal_wallis_window_on_value_histogram_only(spark):
+    """q_ml_kruskal_wallis: the midrank window runs on the bounded
+    distinct-cents histogram (an aggregate sits below it), never the
+    fact table; no Python, no cartesian beyond the 1-row totals."""
+    import re
+
+    plan = plan_of(spark, "q_ml_kruskal_wallis")
+    _assert_no_python(plan)
+    assert "CartesianProduct" not in plan, plan
+    w = plan.index("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in aggs), plan
+
+
+def test_tukey_hsd_pairs_on_seven_row_frames(spark):
+    """q_ml_tukey_hsd: no windows at all — the pair expansion is a
+    nested-loop join of the 7-row weekday aggregate with itself plus
+    a 1-row total; the fact table contributes exactly one aggregate
+    lineage. No Python."""
+    plan = plan_of(spark, "q_ml_tukey_hsd")
+    _assert_no_python(plan)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_theta_forecast_single_exchange_jvm_fold(spark):
+    """q_ts_theta_forecast: day aggregate -> one event_type exchange
+    -> catalyst folds. No join, no window, no Python."""
+    plan = plan_of(spark, "q_ts_theta_forecast")
+    _assert_no_python(plan)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_source_divergence_enum_pair_expansion(spark):
+    """q_text_source_divergence: the source-pair expansion joins the
+    |sources|-row totals frame (never documents), and the per-pair
+    cell aggregate runs on equi-joined token rows — no cartesian, no
+    Python."""
+    plan = plan_of(spark, "q_text_source_divergence")
+    _assert_no_python(plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_phonetic_block_equijoin_on_block_code(spark):
+    """q_dedup_phonetic_block: candidates come from an EQUI-join on
+    the phonetic block code over the distinct-name aggregate — no
+    cartesian/NL join anywhere, no Python (the code derivation is
+    pure catalyst string ops)."""
+    plan = plan_of(spark, "q_dedup_phonetic_block")
+    _assert_no_python(plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "block_code" in plan, plan
+
+
+def test_clustering_coeff_no_cartesian_no_python(spark):
+    """q_graph_clustering_coeff: wedge/close equi-joins + vertex-sized
+    degree/triangle joins + a 1-row total broadcast — no cartesian,
+    no Python."""
+    plan = plan_of(spark, "q_graph_clustering_coeff")
+    _assert_no_python(plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ljung_box_windows_above_aggregates(spark):
+    """q_ts_ljung_box: both float windows (the lag alignment runs as
+    an equi-join; the cumulative Q runs on the 7-row report) sit
+    above aggregates, never on the orders scan; no Python."""
+    import re
+
+    plan = plan_of(spark, "q_ts_ljung_box")
+    _assert_no_python(plan)
+    w = plan.index("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in aggs), plan
+
+
+def test_rake_top15_is_take_ordered(spark):
+    """q_llm_keyword_rake: the top-15 cut is TakeOrderedAndProject
+    (never a global sort of all phrases); the phrase-segmentation
+    window partitions by doc_id (bounded per-document state); no
+    Python."""
+    plan = plan_of(spark, "q_llm_keyword_rake")
+    _assert_no_python(plan)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_burrows_delta_top20_cut_and_enum_grid(spark):
+    """q_text_burrows_delta: the function-word vocabulary is a
+    TakeOrderedAndProject top-20 cut; everything after runs on
+    sources×20 frames. No cartesian, no Python."""
+    plan = plan_of(spark, "q_text_burrows_delta")
+    _assert_no_python(plan)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ahash_single_arrow_pass_window_on_hash(spark):
+    """q_llm_multimodal_ahash: ONE Arrow-batched python stage (the
+    decode+hash mapInPandas) and the only exchange after it keys the
+    bucket window on the hash value."""
+    plan = plan_of(spark, "q_llm_multimodal_ahash")
+    assert plan.count("MapInPandas") == 2, plan  # media gen + decode/hash
+    assert "hashpartitioning(ahash" in plan, plan
+
+
+def test_effect_size_and_f1_windows_on_histograms(spark):
+    """q_ab_effect_size / q_ml_f1_threshold: cumulative windows run
+    on bounded value/score histograms (aggregate below window), 1-row
+    scalars join back; no Python."""
+    import re
+
+    for name in ("q_ab_effect_size", "q_ml_f1_threshold"):
+        plan = plan_of(spark, name)
+        _assert_no_python(plan)
+        w = plan.index("Window")
+        aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+        assert any(a > w for a in aggs), (name, plan)
+
+
+def test_decay_score_single_aggregate_no_window(spark):
+    """q_events_decay_score: one scan + a 1-row anchor joined back +
+    one user aggregate — no windows, no Python."""
+    plan = plan_of(spark, "q_events_decay_score")
+    _assert_no_python(plan)
+    assert "Window" not in plan, plan
+
+
+def test_ppr_no_cartesian_no_python(spark):
+    """q_graph_ppr: per-round equi-joins over the checkpointed edge
+    list with 1-row dangling broadcasts — no cartesian, no Python in
+    the final-round plan."""
+    plan = plan_of(spark, "q_graph_ppr")
+    _assert_no_python(plan)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_learning_curve_and_holdout_no_fact_windows(spark):
+    """q_ml_learning_curve / q_sample_group_holdout: pure aggregate
+    pipelines over enum/bucket-sized frames — no windows at all, no
+    Python."""
+    for name in ("q_ml_learning_curve", "q_sample_group_holdout"):
+        plan = plan_of(spark, name)
+        _assert_no_python(plan)
+        assert "Window" not in plan, (name, plan)
