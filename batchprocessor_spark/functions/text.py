@@ -3199,3 +3199,114 @@ def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words_used",
         "round(n_sources * acc / 20.0D, 6) AS delta",
     )
+
+
+@register(
+    "q_text_coverage_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'),
+               x -> x <> '')) AS token
+      FROM documents),
+    v AS (
+      SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+    r AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, token) AS rnk,
+             sum(c) OVER (ORDER BY c DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)::BIGINT AS cum
+      FROM v),
+    tot AS (
+      SELECT max(cum)::BIGINT AS n, count(*)::BIGINT AS vocab FROM r)
+    SELECT t.n AS n_tokens, t.vocab AS vocab_size,
+           min(CASE WHEN 100 * r.cum >= 50 * t.n THEN r.rnk END)::BIGINT
+             AS k50,
+           min(CASE WHEN 100 * r.cum >= 90 * t.n THEN r.rnk END)::BIGINT
+             AS k90,
+           min(CASE WHEN 100 * r.cum >= 99 * t.n THEN r.rnk END)::BIGINT
+             AS k99,
+           ((1000000 * max(CASE WHEN r.rnk = 1 THEN r.c ELSE 0 END))
+            // t.n)::BIGINT AS top1_share_ppm
+    FROM r CROSS JOIN tot t
+    GROUP BY t.n, t.vocab
+    """,
+    category="text",
+)
+def q_text_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — how much of the corpus's token
+    MASS the top-k word types cover: the vocabulary-budget planner's
+    number (a BPE/embedding table sized to k99 types covers 99% of
+    running text; the rest hits UNK/byte fallback), and the
+    concentration profile q_text_zipf_slope fits a line to, read
+    directly. One row: total tokens, vocabulary size, the minimum
+    type counts covering 50/90/99% of token mass (nearest-rank on
+    the frequency-sorted cumulative), and the head word's share in
+    exact ppm.
+
+    Cross-engine exactness: everything is exact integer counting —
+    the rank/cumulative window runs over the frequency-sorted
+    VOCABULARY (deterministic (c DESC, token) order), coverage
+    thresholds are integer cross-multiplications (100·cum ≥ p·N),
+    and the head share is integer DIV. No floats anywhere.
+
+    Scale posture: one (token) count aggregate with map-side
+    combine; the rank window runs over the vocabulary table
+    (documented single-partition-over-bounded-values, the q_ml_auc
+    histogram discipline), then one 1-row aggregate. The corpus is
+    scanned once. No Python, no hints.
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's text-analysis family beside
+    q_llm_vocab_coverage (which scores a FIXED vocabulary; this
+    derives the budget) and q_text_zipf_slope.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+        ).alias("token")
+    )
+    v = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ordered = Window.orderBy(F.col("c").desc(), F.col("token"))
+    cum_w = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = v.select(
+        "c",
+        F.row_number().over(ordered).alias("rnk"),
+        F.sum("c").over(cum_w).cast("long").alias("cum"),
+    )
+    tot = r.agg(
+        F.max("cum").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    return (
+        r.crossJoin(tot)
+        .groupBy("n", "vocab")
+        .agg(
+            F.expr(
+                "CAST(min(CASE WHEN 100 * cum >= 50 * n THEN rnk END)"
+                " AS BIGINT)"
+            ).alias("k50"),
+            F.expr(
+                "CAST(min(CASE WHEN 100 * cum >= 90 * n THEN rnk END)"
+                " AS BIGINT)"
+            ).alias("k90"),
+            F.expr(
+                "CAST(min(CASE WHEN 100 * cum >= 99 * n THEN rnk END)"
+                " AS BIGINT)"
+            ).alias("k99"),
+            F.expr(
+                "CAST((1000000 * max(CASE WHEN rnk = 1 THEN c ELSE 0 END))"
+                " DIV n AS BIGINT)"
+            ).alias("top1_share_ppm"),
+        )
+        .selectExpr(
+            "n AS n_tokens",
+            "vocab AS vocab_size",
+            "k50",
+            "k90",
+            "k99",
+            "top1_share_ppm",
+        )
+    )

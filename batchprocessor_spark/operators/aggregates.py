@@ -2077,3 +2077,128 @@ def q_agg_theil_between(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(theil, 6) AS theil_between",
         )
     )
+
+
+@register(
+    "q_agg_cramers_v",
+    oracle="""
+    WITH clean AS (
+      SELECT lang, source FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL),
+    obs AS (
+      SELECT lang, source, count(*)::BIGINT AS o
+      FROM clean GROUP BY 1, 2),
+    grid AS (
+      SELECT l.lang, s.source, coalesce(obs.o, 0)::BIGINT AS o
+      FROM (SELECT DISTINCT lang FROM clean) l
+      CROSS JOIN (SELECT DISTINCT source FROM clean) s
+      LEFT JOIN obs ON obs.lang = l.lang AND obs.source = s.source),
+    m AS (
+      SELECT g.lang, g.source, g.o,
+             sum(g.o) OVER (PARTITION BY g.lang)::BIGINT AS row_n,
+             sum(g.o) OVER (PARTITION BY g.source)::BIGINT AS col_n,
+             sum(g.o) OVER ()::BIGINT AS total
+      FROM grid g),
+    dims AS (
+      SELECT count(DISTINCT lang)::BIGINT AS r,
+             count(DISTINCT source)::BIGINT AS c,
+             max(total)::BIGINT AS n
+      FROM m),
+    tot AS (
+      SELECT list_reduce(
+               list((o::DOUBLE - row_n::DOUBLE * col_n / total)
+                    * (o::DOUBLE - row_n::DOUBLE * col_n / total)
+                    / (row_n::DOUBLE * col_n / total)
+                    ORDER BY lang, source),
+               (a, x) -> a + x) AS chi2
+      FROM m)
+    SELECT m.lang, m.source, m.o,
+           ((1000 * m.row_n * m.col_n) // m.total)::BIGINT AS e_milli,
+           round((m.o::DOUBLE - m.row_n::DOUBLE * m.col_n / m.total)
+                 / sqrt(m.row_n::DOUBLE * m.col_n / m.total), 4)
+             AS pearson_resid,
+           round(sqrt(t.chi2 / (d.n
+                 * (CASE WHEN d.r < d.c THEN d.r ELSE d.c END - 1))), 6)
+             AS cramers_v
+    FROM m CROSS JOIN tot t CROSS JOIN dims d
+    """,
+    category="aggregate",
+)
+def q_agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for the lang×source
+    contingency table, with per-cell Pearson residuals — the two
+    numbers q_agg_chi_square's omnibus statistic doesn't give: HOW
+    STRONG the association is on the comparable 0–1 scale
+    (V = sqrt(χ²/(N·(min(r,c)−1)))), and WHICH cells drive it
+    ((O−E)/sqrt(E) — |resid| > 2 flags the anomalous combinations a
+    corpus-balance audit acts on). Expected counts ride as exact
+    integer milli-units beside the rounded residuals.
+
+    Cross-engine exactness: observed counts and margins are exact
+    integers off the zero-filled enum grid; χ² folds its cell terms
+    in EXPLICIT (lang, source) order (array_sort left fold vs
+    list_reduce over an ORDER BY list — q_agg_chi_square's plain
+    float SUM is safe only because the grid is enum-small; this op
+    removes even that residual ordering risk); residuals and V are
+    shared float formulas over identical inputs, rounded 4/6.
+
+    Scale posture: one map-side-combined cell aggregate; every later
+    frame is the langs×sources enum grid. The corpus is scanned
+    once. No Python, no hints.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's aggregate family beside
+    q_agg_chi_square (whose docstring points the effect-size reader
+    here).
+    """
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    langs = obs.select("lang").distinct()
+    srcs = obs.select("source").distinct()
+    grid = (
+        langs.crossJoin(srcs)
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang", "source", F.coalesce("o", F.lit(0)).cast("long").alias("o")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    m = grid.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(W.partitionBy("lang")).cast("long").alias("row_n"),
+        F.sum("o").over(W.partitionBy("source")).cast("long").alias("col_n"),
+        F.sum("o").over(W.partitionBy()).cast("long").alias("total"),
+    )
+    dims = m.agg(
+        F.countDistinct("lang").cast("long").alias("r"),
+        F.countDistinct("source").cast("long").alias("c"),
+        F.max("total").cast("long").alias("n"),
+    )
+    term = (
+        "(CAST(x.o AS DOUBLE) - CAST(x.row_n AS DOUBLE) * x.col_n / x.total)"
+        " * (CAST(x.o AS DOUBLE) - CAST(x.row_n AS DOUBLE) * x.col_n / x.total)"
+        " / (CAST(x.row_n AS DOUBLE) * x.col_n / x.total)"
+    )
+    tot = m.agg(
+        F.array_sort(
+            F.collect_list(F.struct("lang", "source", "o", "row_n", "col_n", "total"))
+        ).alias("gs")
+    ).selectExpr(f"aggregate(gs, 0.0D, (a, x) -> a + {term}) AS chi2")
+    return m.crossJoin(tot).crossJoin(dims).selectExpr(
+        "lang",
+        "source",
+        "o",
+        "CAST((1000 * row_n * col_n) DIV total AS BIGINT) AS e_milli",
+        "round((CAST(o AS DOUBLE) - CAST(row_n AS DOUBLE) * col_n / total)"
+        " / sqrt(CAST(row_n AS DOUBLE) * col_n / total), 4)"
+        " AS pearson_resid",
+        "round(sqrt(chi2 / (n * (CASE WHEN r < c THEN r ELSE c END - 1))), 6)"
+        " AS cramers_v",
+    )

@@ -2336,3 +2336,83 @@ def q_emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS mean_mass_ppm",
         "CAST(1000000 DIV n_vecs AS BIGINT) AS isotropic_baseline_ppm",
     )
+
+
+_ANN_RECALL_ORACLE = f"""
+    WITH exact AS ({_TOPK_ORACLE}),
+    approx AS ({_SQ_ORACLE}),
+    hits AS (
+      SELECT e.qid, count(a.vec_id)::BIGINT AS n_hits
+      FROM exact e LEFT JOIN approx a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid),
+    tot AS (
+      SELECT sum(n_hits)::BIGINT AS h, count(*)::BIGINT AS nq FROM hits)
+    SELECT hits.qid, hits.n_hits,
+           ((10000 * hits.n_hits) // {_TOP_K})::BIGINT AS recall_bp,
+           ((10000 * tot.h) // ({_TOP_K} * tot.nq))::BIGINT
+             AS mean_recall_bp
+    FROM hits CROSS JOIN tot
+"""
+
+
+@register(
+    "q_llm_ann_recall_audit", oracle=_ANN_RECALL_ORACLE, category="similarity"
+)
+def q_llm_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the SQ4 quantized index against exact cosine —
+    the ANN QUALITY GATE as a first-class query: per query vector,
+    how many of the true top-10 neighbors the 4-bit index returns
+    (recall in exact basis points), plus the mean across queries —
+    the number that decides whether a quantized index is allowed to
+    replace the exact scan for a given workload. Pytest pins a
+    recall floor (tests/test_similarity_sq.py); this op makes the
+    measurement itself reproducible, SQL-oracled, and runnable on
+    any corpus snapshot.
+
+    No-drift rule: the builder CALLS the two REGISTERED search paths
+    (q_llm_simsearch_topk for ground truth, q_llm_simsearch_sq for
+    the candidate list) and the oracle nests their oracle SQL
+    verbatim — an audit of the things users actually run, not a
+    private reimplementation (the q_llm_lang_confusion discipline).
+
+    Cross-engine exactness: both top-10 lists are deterministic
+    (tie-broken on vec_id); hits and recalls are exact integer
+    counting and DIV.
+
+    Scale posture: both component paths are query-broadcast corpus
+    scans (the corpus never shuffles); the audit itself joins two
+    |queries|×10 frames — metadata scale. The declared audit cost is
+    the exact path's O(|sample|·N) scan, which is why the sample is
+    the knob (at 100 TB: run on a sampled day, not the corpus).
+
+    Reference scope: the reference engine has no similarity surface;
+    this extends SURVEY.md §2.4's ANN family with its evaluation
+    head (cf. q_ml_pr_auc for classifiers).
+    """
+    exact = q_llm_simsearch_topk(spark, sf_dir).select("qid", "vec_id")
+    approx = q_llm_simsearch_sq(spark, sf_dir).select(
+        "qid", F.col("vec_id").alias("a_vec")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact["qid"] == approx["qid"])
+            & (exact["vec_id"] == approx["a_vec"]),
+            "left",
+        )
+        .drop(approx["qid"])
+        .groupBy("qid")
+        .agg(F.count("a_vec").cast("long").alias("n_hits"))
+    )
+    tot = hits.agg(
+        F.sum("n_hits").cast("long").alias("h"),
+        F.count(F.lit(1)).cast("long").alias("nq"),
+    )
+    return hits.crossJoin(tot).selectExpr(
+        "qid",
+        "n_hits",
+        f"CAST((10000 * n_hits) DIV {_TOP_K} AS BIGINT) AS recall_bp",
+        f"CAST((10000 * h) DIV ({_TOP_K} * nq) AS BIGINT)"
+        " AS mean_recall_bp",
+    )

@@ -2526,3 +2526,155 @@ def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round((log2(CAST(n AS DOUBLE)) - sum_clogc / n)"
         " / log2(6.0D), 6) AS entropy_norm",
     )
+
+
+@register(
+    "q_ts_stl_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(round(value * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2),
+    trended AS (
+      SELECT event_type, h, cents,
+             sum(cents) OVER win AS wsum,
+             count(*) OVER win AS wn
+      FROM hourly
+      WINDOW win AS (PARTITION BY event_type ORDER BY h
+                     RANGE BETWEEN INTERVAL 12 HOUR PRECEDING
+                           AND INTERVAL 11 HOUR FOLLOWING)),
+    detrended AS (
+      SELECT event_type, h, cents,
+             cents - wsum::DOUBLE / wn AS dev
+      FROM trended WHERE wn >= 18),
+    seasonal AS (
+      SELECT event_type, extract(hour FROM h) AS hod,
+             round(avg(dev), 6) AS s
+      FROM detrended GROUP BY 1, 2),
+    q AS (
+      SELECT d.event_type,
+             round((d.dev - s.s) * 1000000)::BIGINT AS r_u,
+             round(d.dev * 1000000)::BIGINT AS sr_u,
+             round((d.cents - s.s) * 1000000)::BIGINT AS tr_u
+      FROM detrended d
+      JOIN seasonal s ON s.event_type = d.event_type
+                     AND s.hod = extract(hour FROM d.h)),
+    mo AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(r_u)::BIGINT AS s_r, sum(r_u::HUGEINT * r_u) AS q_r,
+             sum(sr_u)::BIGINT AS s_sr, sum(sr_u::HUGEINT * sr_u) AS q_sr,
+             sum(tr_u)::BIGINT AS s_tr, sum(tr_u::HUGEINT * tr_u) AS q_tr
+      FROM q GROUP BY 1)
+    SELECT event_type, n AS n_hours,
+           CASE WHEN n * q_sr - s_sr::HUGEINT * s_sr = 0 THEN NULL
+                ELSE round(greatest(0.0, 1.0
+                     - (n::HUGEINT * q_r - s_r::HUGEINT * s_r)::DOUBLE
+                     / (n::HUGEINT * q_sr
+                        - s_sr::HUGEINT * s_sr)::DOUBLE), 6) END
+             AS seasonal_strength,
+           CASE WHEN n * q_tr - s_tr::HUGEINT * s_tr = 0 THEN NULL
+                ELSE round(greatest(0.0, 1.0
+                     - (n::HUGEINT * q_r - s_r::HUGEINT * s_r)::DOUBLE
+                     / (n::HUGEINT * q_tr
+                        - s_tr::HUGEINT * s_tr)::DOUBLE), 6) END
+             AS trend_strength
+    FROM mo
+    """,
+    category="timeseries",
+)
+def q_ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH (Wang, Smith & Hyndman 2006) of
+    each event type's hourly series — the two 0–1 scores that turn
+    q_ts_seasonal_decompose's component table into a decision: model
+    the seasonality (F_s = max(0, 1 − Var(R)/Var(S+R)) near 1) or
+    drop it, detrend (F_t over Var(T+R)) or not. Built on the SAME
+    decomposition construction as q_ts_seasonal_decompose (24 h
+    centered moving-average trend, hour-of-day mean seasonal — one
+    source of truth for what 'the components' mean).
+
+    Cross-engine exactness: the decompose stages are the proven
+    parity-green construction (exact integer trend rationals, the
+    6-dp-rounded seasonal cell means); the NEW variance stage
+    quantizes each residual to exact integer micro-units FIRST
+    (round(x·1e6) of bit-identical doubles) so the variances come
+    from exact integer moments through wide lanes, combined in one
+    shared float formula — no unordered float summation anywhere in
+    this operator's own math. nullif: a zero-variance series reads
+    NULL strength on both engines.
+
+    Scale posture: one hour aggregate (retention-bounded), the
+    trend window per event_type over the bounded hour table, an
+    hod-cell seasonal aggregate, one moment aggregate, a 5-row
+    report. No Python, no hints.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's time-series family beside
+    q_ts_seasonal_decompose.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dec_sum(to_units(F.col("value"), 100)).cast("long").alias("cents"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("h").cast("timestamp").cast("long"))
+        .rangeBetween(-12 * 3600, 11 * 3600)
+    )
+    trended = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.sum("cents").over(win).alias("wsum"),
+        F.count(F.lit(1)).over(win).alias("wn"),
+    )
+    detrended = trended.where(F.col("wn") >= 18).selectExpr(
+        "event_type",
+        "h",
+        "cents",
+        "cents - CAST(wsum AS DOUBLE) / wn AS dev",
+    )
+    seasonal = detrended.groupBy(
+        "event_type", F.expr("extract(hour FROM h)").alias("hod")
+    ).agg(F.round(F.avg("dev"), 6).alias("s"))
+    q = (
+        detrended.withColumn("hod", F.expr("extract(hour FROM h)"))
+        .join(seasonal, ["event_type", "hod"])
+        .selectExpr(
+            "event_type",
+            "CAST(round((dev - s) * 1000000) AS BIGINT) AS r_u",
+            "CAST(round(dev * 1000000) AS BIGINT) AS sr_u",
+            "CAST(round((cents - s) * 1000000) AS BIGINT) AS tr_u",
+        )
+    )
+    mo = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r_u").cast("long").alias("s_r"),
+        F.sum(F.expr("CAST(r_u AS DECIMAL(38,0)) * r_u")).alias("q_r"),
+        F.sum("sr_u").cast("long").alias("s_sr"),
+        F.sum(F.expr("CAST(sr_u AS DECIMAL(38,0)) * sr_u")).alias("q_sr"),
+        F.sum("tr_u").cast("long").alias("s_tr"),
+        F.sum(F.expr("CAST(tr_u AS DECIMAL(38,0)) * tr_u")).alias("q_tr"),
+    )
+    var = (
+        "(CAST(n AS DECIMAL(38,0)) * {q} - CAST({s} AS DECIMAL(38,0)) * {s})"
+    )
+    # the zero-variance NULL is decided OUTSIDE greatest(): both
+    # engines' greatest() SKIPS NULL arguments, so greatest(0, NULL)
+    # would silently read 0.0 (the q_dedup_fellegi_sunter least()
+    # class, caught by the constant-series edge test in dev)
+    return mo.selectExpr(
+        "event_type",
+        "n AS n_hours",
+        "CASE WHEN " + var.format(q="q_sr", s="s_sr")
+        + " = 0 THEN NULL ELSE round(greatest(0.0D, 1.0D - CAST("
+        + var.format(q="q_r", s="s_r")
+        + " AS DOUBLE) / CAST("
+        + var.format(q="q_sr", s="s_sr")
+        + " AS DOUBLE)), 6) END AS seasonal_strength",
+        "CASE WHEN " + var.format(q="q_tr", s="s_tr")
+        + " = 0 THEN NULL ELSE round(greatest(0.0D, 1.0D - CAST("
+        + var.format(q="q_r", s="s_r")
+        + " AS DOUBLE) / CAST("
+        + var.format(q="q_tr", s="s_tr")
+        + " AS DOUBLE)), 6) END AS trend_strength",
+    )

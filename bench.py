@@ -196,6 +196,7 @@ SCALING_EXTRA = [
     "q_llm_multimodal_ahash",
     "q_graph_closeness_bfs",
     "q_graph_ppr",
+    "q_text_coverage_curve",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

@@ -113,6 +113,10 @@ HEADLINE = [
     "q_graph_ppr",
     "q_ml_learning_curve",
     "q_sample_group_holdout",
+    "q_agg_cramers_v",
+    "q_text_coverage_curve",
+    "q_ts_stl_strength",
+    "q_llm_ann_recall_audit",
 ]
 
 

@@ -3052,3 +3052,187 @@ def test_group_holdout_matches_python_reference(spark):
         )
         assert r.lang_shift_bp == gap
     assert {r.source for r in rows} == set(docs["source"].unique())
+
+
+# -------------------------------------------------------- Cramér's V
+
+def test_cramers_v_matches_python_reference(spark):
+    rows = REGISTRY["q_agg_cramers_v"].builder(spark, SF_SMALL).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[["lang", "source"]]
+    docs = docs.dropna()
+    langs = sorted(docs["lang"].unique())
+    srcs = sorted(docs["source"].unique())
+    obs = {
+        (lg, sc): int(((docs["lang"] == lg) & (docs["source"] == sc)).sum())
+        for lg in langs
+        for sc in srcs
+    }
+    n = len(docs)
+    row_n = {lg: sum(obs[(lg, sc)] for sc in srcs) for lg in langs}
+    col_n = {sc: sum(obs[(lg, sc)] for lg in langs) for sc in srcs}
+    chi2 = 0.0
+    for lg in langs:          # explicit (lang, source) fold order
+        for sc in srcs:
+            e = row_n[lg] * col_n[sc] / n
+            chi2 += (obs[(lg, sc)] - e) ** 2 / e
+    v = math.sqrt(chi2 / (n * (min(len(langs), len(srcs)) - 1)))
+    assert len(rows) == len(langs) * len(srcs)
+    for r in rows:
+        o = obs[(r.lang, r.source)]
+        assert r.o == o
+        assert r.e_milli == (1000 * row_n[r.lang] * col_n[r.source]) // n
+        e = row_n[r.lang] * col_n[r.source] / n
+        assert abs(r.pearson_resid - (o - e) / math.sqrt(e)) < 1e-4
+        assert abs(r.cramers_v - v) < 1e-6
+    assert 0.0 <= rows[0].cramers_v <= 1.0
+
+
+# --------------------------------------------------- coverage curve
+
+def test_coverage_curve_matches_python_reference(spark):
+    import re as _re
+    from collections import Counter
+
+    (r,) = REGISTRY["q_text_coverage_curve"].builder(spark, SF_SMALL).collect()
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")["text"]
+    cnt = Counter()
+    for text in docs:
+        cnt.update(t for t in _re.split(r"[^a-z]+", text.lower()) if t)
+    n = sum(cnt.values())
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (r.n_tokens, r.vocab_size) == (n, len(cnt))
+    cum = 0
+    ks = {}
+    for rnk, (_, c) in enumerate(ordered, 1):
+        cum += c
+        for p in (50, 90, 99):
+            if p not in ks and 100 * cum >= p * n:
+                ks[p] = rnk
+    assert (r.k50, r.k90, r.k99) == (ks[50], ks[90], ks[99])
+    assert r.top1_share_ppm == (1_000_000 * ordered[0][1]) // n
+    assert r.k50 <= r.k90 <= r.k99 <= r.vocab_size
+
+
+# ----------------------------------------------------- STL strength
+
+def test_stl_strength_matches_python_reference(spark):
+    # sf0.001's hourly series is too sparse for the >=18-row trend
+    # window (empty result by design); the kernel check runs at sf0.01
+    from tests.conftest import SF_ORACLE
+
+    rows = REGISTRY["q_ts_stl_strength"].builder(spark, SF_ORACLE).collect()
+    assert rows
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet")[
+        ["event_type", "ts", "value"]
+    ]
+    ev["h"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    cents = np.copysign(
+        np.floor(np.abs(ev["value"].to_numpy() * 100) + 0.5),
+        ev["value"].to_numpy(),
+    ).astype("int64")
+    ev["cents"] = cents
+    for r in rows:
+        g = (
+            ev[ev["event_type"] == r.event_type]
+            .groupby("h")["cents"]
+            .sum()
+            .sort_index()
+        )
+        hours = list(g.index)
+        vals = [int(v) for v in g.to_numpy()]
+        devs, hods = [], []
+        for i, h in enumerate(hours):
+            lo, hi = h - pd.Timedelta(hours=12), h + pd.Timedelta(hours=11)
+            idx = [j for j, hh in enumerate(hours) if lo <= hh <= hi]
+            if len(idx) < 18:
+                continue
+            trend = sum(vals[j] for j in idx) / len(idx)
+            devs.append(vals[i] - trend)
+            hods.append((h.hour, vals[i]))
+        assert r.n_hours == len(devs)
+        s_by_hod = {}
+        for hod in {h for h, _ in hods}:
+            cell = [d for d, (hh, _) in zip(devs, hods) if hh == hod]
+            s_by_hod[hod] = round(sum(cell) / len(cell), 6)
+        r_u, sr_u, tr_u = [], [], []
+        for d, (hod, cval) in zip(devs, hods):
+            s = s_by_hod[hod]
+            r_u.append(round((d - s) * 1e6))
+            sr_u.append(round(d * 1e6))
+            tr_u.append(round((cval - s) * 1e6))
+
+        def _var(xs):
+            nn = len(xs)
+            return nn * sum(x * x for x in xs) - sum(xs) ** 2
+
+        fs = max(0.0, 1.0 - _var(r_u) / _var(sr_u)) if _var(sr_u) else None
+        ft = max(0.0, 1.0 - _var(r_u) / _var(tr_u)) if _var(tr_u) else None
+        if fs is None:
+            assert r.seasonal_strength is None
+        else:
+            assert abs(r.seasonal_strength - fs) < 1e-5
+        if ft is None:
+            assert r.trend_strength is None
+        else:
+            assert abs(r.trend_strength - ft) < 1e-5
+        assert r.seasonal_strength is None or 0 <= r.seasonal_strength <= 1
+
+
+# ------------------------------------------------- ANN recall audit
+
+def test_ann_recall_audit_matches_python_reference(spark):
+    rows = REGISTRY["q_llm_ann_recall_audit"].builder(spark, SF_SMALL).collect()
+    assert rows
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    vecs = {
+        int(v): np.asarray(e, dtype="float64")
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    ids = sorted(vecs)
+    qids = [v for v in ids if v < 5]
+    # exact cosine top-10 (rounded at 6, ties to lower vec_id)
+    def top10_exact(q):
+        qv = vecs[q]
+        qn = math.sqrt(float(qv @ qv))
+        scored = sorted(
+            (
+                (-round(float(qv @ vecs[v]) / (qn * math.sqrt(float(vecs[v] @ vecs[v]))), 6), v)
+                for v in ids
+                if v != q
+            )
+        )
+        return [v for _, v in scored[:10]]
+
+    # SQ4 integer top-10
+    gmin = min(float(x) for v in vecs.values() for x in v)
+    gmax = max(float(x) for v in vecs.values() for x in v)
+    codes = {
+        v: np.clip(
+            np.floor((vecs[v] - gmin) * 16.0 / (gmax - gmin)), 0, 15
+        ).astype("int64")
+        for v in ids
+    }
+    def top10_sq(q):
+        qc = codes[q]
+        qcc = int(round(float(qc @ qc)))
+        scored = sorted(
+            (
+                (qcc + int(round(float(codes[v] @ codes[v])))
+                 - 2 * int(round(float(qc @ codes[v]))), v)
+                for v in ids
+                if v != q
+            )
+        )
+        return [v for _, v in scored[:10]]
+
+    want_hits = {
+        q: len(set(top10_exact(q)) & set(top10_sq(q))) for q in qids
+    }
+    got = {r.qid: r for r in rows}
+    assert set(got) == set(qids)
+    h_tot = sum(want_hits.values())
+    for q in qids:
+        assert got[q].n_hits == want_hits[q]
+        assert got[q].recall_bp == (10_000 * want_hits[q]) // 10
+        assert got[q].mean_recall_bp == (10_000 * h_tot) // (10 * len(qids))

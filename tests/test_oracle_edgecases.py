@@ -860,3 +860,69 @@ def test_group_holdout_single_source_null_shift(spark, tmp_path):
     assert got == want, (got, want)
     # columns sorted: lang_shift_bp, n_test, n_train, source
     assert got == [(None, 3, 0, "only")]
+
+
+def test_cramers_v_perfect_and_independent_tables(spark, tmp_path):
+    """The V bounds, exactly: a diagonal 2×2 table (perfect
+    association) reads V = 1.0 and an exactly-proportional table
+    reads V = 0.0, with every expected count exact, on both
+    engines."""
+    spec = REGISTRY["q_agg_cramers_v"]
+    perfect = [("en", "a")] * 5 + [("de", "b")] * 5
+    indep = [("en", "a")] * 4 + [("en", "b")] * 4 + [("de", "a")] * 2 + [
+        ("de", "b")
+    ] * 2
+    for rows, want_v in [(perfect, 1.0), (indep, 0.0)]:
+        sub = tmp_path / ("p" if want_v else "i")
+        df = spark.createDataFrame(rows, "lang STRING, source STRING")
+        path = str(sub / "documents.parquet")
+        df.coalesce(1).write.parquet(path)
+        got = canonical_rows(spec.builder(spark, str(sub)).toPandas())
+        want = canonical_rows(
+            _duck(spec.oracle, {"documents": f"{path}/*.parquet"})
+        )
+        assert got == want, (got, want)
+        # columns sorted: cramers_v, e_milli, lang, o, pearson_resid, source
+        assert all(r[0] == want_v for r in got), got
+
+
+def test_coverage_curve_single_token_corpus(spark, tmp_path):
+    """One distinct token: the whole curve collapses to rank 1 and
+    the head share is exactly 1e6 ppm on both engines."""
+    spec = REGISTRY["q_text_coverage_curve"]
+    df = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark")],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: k50, k90, k99, n_tokens, top1_share_ppm, vocab_size
+    assert got == [(1, 1, 1, 4, 1_000_000, 1)]
+
+
+def test_stl_strength_constant_series_null(spark, tmp_path):
+    """A constant dense hourly series: every deviation is exactly 0,
+    both variance denominators are 0, and both strengths read NULL on
+    BOTH engines (nullif), never NaN or a raise."""
+    spec = REGISTRY["q_ts_stl_strength"]
+    rows = [
+        (_us(h * 3_600_000_000), "flat", 10.0) for h in range(48)
+    ]
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING, value DOUBLE")
+    path = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: event_type, n_hours, seasonal_strength, trend_strength
+    assert len(got) == 1
+    et, n_hours, fs, ft = got[0]
+    assert fs is None
+    # trend variance is also 0 here (constant cents, seasonal 0)
+    assert ft is None
+    assert n_hours > 0

@@ -2100,3 +2100,56 @@ def test_learning_curve_and_holdout_no_fact_windows(spark):
         plan = plan_of(spark, name)
         _assert_no_python(plan)
         assert "Window" not in plan, (name, plan)
+
+
+def test_cramers_v_enum_grid_only(spark):
+    """q_agg_cramers_v: one corpus aggregate, then the langs×sources
+    enum grid — margin windows run over the grid (aggregate below
+    every window), no Python."""
+    import re
+
+    plan = plan_of(spark, "q_agg_cramers_v")
+    _assert_no_python(plan)
+    w = plan.index("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in aggs), plan
+
+
+def test_coverage_curve_window_on_vocab(spark):
+    """q_text_coverage_curve: the rank/cumulative window runs over
+    the vocabulary aggregate (never raw tokens) — aggregate below the
+    window; no joins beyond the 1-row total; no Python."""
+    import re
+
+    plan = plan_of(spark, "q_text_coverage_curve")
+    _assert_no_python(plan)
+    w = plan.index("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in aggs), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stl_strength_windows_on_hour_table(spark):
+    """q_ts_stl_strength: the trend window runs per event_type over
+    the bounded hourly aggregate; the variance stage is one moment
+    aggregate — no fact-table windows, no Python."""
+    import re
+
+    plan = plan_of(spark, "q_ts_stl_strength")
+    _assert_no_python(plan)
+    w = plan.index("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in aggs), plan
+    assert "hashpartitioning(event_type" in plan, plan
+
+
+def test_ann_recall_audit_composes_registered_paths(spark):
+    """q_llm_ann_recall_audit: both component searches keep their
+    registered shapes inside the audit plan (query broadcasts, the
+    corpus never shuffles before scoring) — WindowGroupLimit top-k on
+    both branches, no cartesian beyond the tiny broadcast NL joins,
+    no Python."""
+    plan = plan_of(spark, "q_llm_ann_recall_audit")
+    _assert_no_python(plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
