@@ -2526,7 +2526,7 @@ def _soundex_sql(word_expr: str) -> str:
 _PHONETIC_ORACLE = f"""
     WITH names AS (
       SELECT p_name, count(*)::BIGINT AS n_parts,
-             coalesce(string_split(p_name, ' ')[2], '') AS w2
+             string_split(p_name, ' ')[-1] AS w2
       FROM part GROUP BY p_name),
     coded AS (
       SELECT p_name, n_parts, {_soundex_sql('w2')} AS block_code
@@ -2557,6 +2557,8 @@ def q_dedup_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     (levenshtein <= 3 — both engines implement the identical
     unit-cost Wagner-Fischer distance).
 
+    The block field is the LAST name word (element_at(.., -1) /
+    [-1] — a one-word name blocks on its own sound).
     Cross-engine exactness: the code derivation is ONE shared SQL
     text (upper -> classic digit translate -> 3x nested pair-replace
     run-collapse per digit -> drop first-letter digit -> drop zeros
@@ -2583,7 +2585,7 @@ def q_dedup_phonetic_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = names.selectExpr(
         "p_name",
         "n_parts",
-        "coalesce(try_element_at(split(p_name, ' '), 2), '') AS w2",
+        "element_at(split(p_name, ' '), -1) AS w2",
     ).selectExpr(
         "p_name",
         "n_parts",

@@ -59,7 +59,20 @@ def _eps_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_eps_pairs(spark, sf_dir, _GRAPH_EPS).select("d1", "d2")
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
+def _degrees(edges: DataFrame) -> DataFrame:
+    """|V|-row (v, d) degree table of the undirected edge list — ONE
+    aggregate, shared by the orientation and any consumer that also
+    reports degrees (q_graph_clustering_coeff), so the edge list is
+    never degree-aggregated twice in one plan."""
+    return (
+        edges.select(F.col("d1").alias("v"))
+        .unionAll(edges.select(F.col("d2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _oriented(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Degree-ordered orientation: src is the lower-(degree, id)
     endpoint, so out-degree is O(sqrt(m)) — the wedge join's skew
     bound. One degree aggregate + two joins against the |V|-row
@@ -67,12 +80,8 @@ def _oriented(edges: DataFrame) -> DataFrame:
     VERTEX-sized, so the planner must stay free to pick SMJ when |V|
     outgrows executor memory at scale (AQE demotes to broadcast on
     small fixtures by itself)."""
-    deg = (
-        edges.select(F.col("d1").alias("v"))
-        .unionAll(edges.select(F.col("d2").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    if deg is None:
+        deg = _degrees(edges)
     e = (
         edges.join(
             deg.select(F.col("v").alias("d1"), F.col("d").alias("da")),
@@ -1080,7 +1089,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN cc.d >= 2
                 THEN ((2000000 * cc.n_tri) // (cc.d * (cc.d - 1)))::BIGINT
                 ELSE NULL END AS local_cc_ppm,
-           ((2000000 * tot.closed2) // tot.wedges2)::BIGINT
+           ((2000000 * tot.closed2) // nullif(tot.wedges2, 0))::BIGINT
              AS transitivity_ppm
     FROM cc CROSS JOIN tot
     """,
@@ -1113,7 +1122,8 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cf. q_graph_triangle_count at operators/graph.py:96).
     """
     edges = _eps_edges(spark, sf_dir)
-    o = _oriented(edges)
+    deg = _degrees(edges).select("v", F.col("d").cast("long").alias("d"))
+    o = _oriented(edges, deg.select("v", F.col("d")))
     w = o.alias("o1").join(
         o.alias("o2"), F.col("o1.dst") == F.col("o2.src")
     ).select(
@@ -1132,12 +1142,6 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
     )
-    deg = (
-        edges.select(F.col("d1").alias("v"))
-        .unionAll(edges.select(F.col("d2").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
     cc = deg.join(tri, "v", "left").select(
         "v", "d", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")
     )
@@ -1151,7 +1155,9 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tri AS n_triangles",
         "CASE WHEN d >= 2 THEN CAST((2000000 * n_tri) DIV (d * (d - 1))"
         " AS BIGINT) ELSE NULL END AS local_cc_ppm",
-        "CAST((2000000 * closed2) DIV wedges2 AS BIGINT)"
+        # nullif: a wedge-free graph (all isolated edges) must read
+        # NULL on BOTH engines, not raise under ANSI Spark
+        "CAST((2000000 * closed2) DIV nullif(wedges2, 0) AS BIGINT)"
         " AS transitivity_ppm",
     )
 

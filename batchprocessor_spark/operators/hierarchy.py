@@ -681,9 +681,6 @@ def _ppr_oracle() -> str:
     seed_n = _PPR_SEED_SQL.replace("node", "n.node")
     for k in range(1, _PR_ROUNDS + 1):
         iters.append(f"""
-    dang{k} AS (
-      SELECT coalesce(sum(pr), 0)::BIGINT AS m FROM {prev}
-      WHERE node NOT IN (SELECT node FROM deg)),
     infl{k} AS (
       SELECT e.dst AS node, sum(p.pr // d.outdeg)::BIGINT AS s
       FROM edges e JOIN {prev} p ON e.src = p.node
@@ -693,13 +690,13 @@ def _ppr_oracle() -> str:
       SELECT n.node,
              ((15 * (CASE WHEN {seed_n}
                           THEN (SELECT b FROM base) ELSE 0 END)
-               + 85 * coalesce(i.s, 0)
-               + (CASE WHEN {seed_n}
-                       THEN (85 * (SELECT m FROM dang{k}))
-                            // (SELECT ns FROM base) ELSE 0 END))
+               + 85 * coalesce(i.s, 0))
               // 100)::BIGINT AS pr
       FROM nodes n LEFT JOIN infl{k} i ON n.node = i.node)""")
         prev = f"r{k}"
+    # nullif: an empty seed set (no node matches the predicate) must
+    # yield NULL base -> NULL ranks -> EMPTY result on both engines,
+    # never a division error (code-review r9s2 finding #2)
     return f"""
     WITH edges AS (
       SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
@@ -713,8 +710,8 @@ def _ppr_oracle() -> str:
     deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
             FROM edges GROUP BY 1),
     base AS (
-      SELECT ({_PR_SCALE} // count(*) FILTER ({_PPR_SEED_SQL}))::BIGINT AS b,
-             count(*) FILTER ({_PPR_SEED_SQL})::BIGINT AS ns
+      SELECT ({_PR_SCALE}
+              // nullif(count(*) FILTER ({_PPR_SEED_SQL}), 0))::BIGINT AS b
       FROM nodes),
     r0 AS (
       SELECT node, (CASE WHEN {_PPR_SEED_SQL}
@@ -733,24 +730,26 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     label propagation from a trusted whitelist: teleport mass returns
     ONLY to the seed set (every 10th customer), so rank concentrates
     in the seeds' graph neighborhood instead of spreading globally
-    like q_graph_pagerank. 5 fixed iterations, damping 0.85, dangling
-    mass redistributed to the seeds (the standard PPR convention —
-    mass never leaks to non-seed teleports).
+    like q_graph_pagerank. 5 fixed iterations, damping 0.85. The
+    symmetrized edge set has NO dangling nodes by construction
+    (every node appears as a src), so unlike q_graph_pagerank there
+    is no dangling-mass term — mass leaves only through the (1−d)
+    non-teleport decay at non-seeds, which is what concentrates rank
+    near the seeds.
 
     Cross-engine exactness: the q_graph_pagerank fixed-point
     discipline — integer mass units of 1e-12 with seed base
     SCALE DIV |S|, per-edge contribution pr DIV outdeg, update
-    (15·seed_base·[v∈S] + 85·inflow + [v∈S]·(85·dangling) DIV |S|)
-    DIV 100 — identical integer sequences on both engines, no float
-    rounding anywhere. Zero-mass rows are dropped on both sides (the
-    interesting output is the reached neighborhood).
+    (15·seed_base·[v∈S] + 85·inflow) DIV 100 — identical integer
+    sequences on both engines, no float rounding anywhere.
+    Zero-mass rows are dropped on both sides (the interesting output
+    is the reached neighborhood); an EMPTY seed set yields an empty
+    result on both engines (guarded, never a division error).
 
     Scale posture: O(|E|) per round — one shuffle join of ranks onto
-    edges, one aggregate onto dst, a 1-row dangling aggregate
-    crossJoined back (broadcast, whitelisted 1-row bound);
-    localCheckpoint every second round bounds lineage; driver holds
-    only loop control and the node/seed counts (model-sized scalars,
-    the k-means allowance).
+    edges, one aggregate onto dst; localCheckpoint every second
+    round bounds lineage; driver holds only loop control and the
+    node/seed counts (model-sized scalars, the k-means allowance).
 
     Reference scope: the reference engine has no graph surface; this
     extends SURVEY.md §2.4's graph family beside q_graph_pagerank
@@ -778,8 +777,16 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes_deg = nodes.join(deg, "node", "left").localCheckpoint()
     n_seeds = nodes_deg.where(F.expr(_PPR_SEED_SQL)).count()
+    if n_seeds == 0:
+        # no node matches the seed predicate (small/filtered corpora):
+        # empty result, matching the oracle's nullif-NULL base lane
+        # (code-review r9s2 finding #2 — the bare DIV raised here)
+        return spark.createDataFrame([], "node BIGINT, pr BIGINT")
     base = _PR_SCALE // n_seeds
     seed_case = f"CASE WHEN {_PPR_SEED_SQL} THEN 1 ELSE 0 END"
+    # NOTE: the symmetrized edge list has no dangling nodes (every
+    # node is a src), so there is no dangling-mass aggregate here —
+    # q_graph_pagerank needs one because its directed graph has sinks
     ranks = nodes_deg.selectExpr(
         "node",
         "outdeg",
@@ -787,9 +794,6 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     last_ckpt = ranks
     for i in range(_PR_ROUNDS):
-        dang = ranks.where(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("m")
-        )
         contrib = (
             edges.join(
                 ranks.where(F.col("outdeg").isNotNull()).select(
@@ -801,19 +805,12 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").cast("long").alias("s"))
         )
-        # dang is a 1-row aggregate — the same whitelisted bound as
-        # q_graph_pagerank's dangling-mass broadcast
-        nxt = (
-            nodes_deg.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .selectExpr(
-                "node",
-                "outdeg",
-                f"CAST((15 * ({seed_case}) * CAST({base} AS BIGINT)"
-                f" + 85 * coalesce(s, CAST(0 AS BIGINT))"
-                f" + ({seed_case}) * ((85 * m) DIV {n_seeds}))"
-                " DIV 100 AS BIGINT) AS pr",
-            )
+        nxt = nodes_deg.join(contrib, "node", "left").selectExpr(
+            "node",
+            "outdeg",
+            f"CAST((15 * ({seed_case}) * CAST({base} AS BIGINT)"
+            f" + 85 * coalesce(s, CAST(0 AS BIGINT)))"
+            " DIV 100 AS BIGINT) AS pr",
         )
         if i % 2 == 1 or i == _PR_ROUNDS - 1:
             nxt = nxt.localCheckpoint()

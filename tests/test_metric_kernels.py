@@ -2469,8 +2469,7 @@ def test_phonetic_block_matches_python_reference(spark):
     parts = pd.read_parquet(f"{SF_SMALL}/part.parquet")["p_name"]
     counts = parts.value_counts().to_dict()
     coded = {
-        name: _soundex_simplified((name.split(" ") + [""])[1])
-        for name in counts
+        name: _soundex_simplified(name.split(" ")[-1]) for name in counts
     }
     want = set()
     for na in counts:
@@ -2900,7 +2899,10 @@ def test_decay_score_matches_python_reference(spark):
     for u, d, c in zip(ev["user_id"], day, cents):
         k = min((d1 - int(d)) // 7, 40)
         n, raw, dec = want.get(int(u), (0, 0, 0))
-        want[int(u)] = (n + 1, raw + int(c), dec + (int(c) >> k))
+        # both engines' DIV truncates toward zero; python's >> and //
+        # floor — sign-aware reference (code-review r9s2 finding #5)
+        step = abs(int(c)) // (1 << k)
+        want[int(u)] = (n + 1, raw + int(c), dec + (step if c >= 0 else -step))
     got = {r.user_id: (r.n_events, r.raw_cents, r.decay_cents) for r in rows}
     assert got == want
     # decay never exceeds raw and is positive whenever raw is

@@ -575,15 +575,16 @@ def test_theil_between_zero_revenue_nation(spark, tmp_path):
 
 
 def test_phonetic_block_single_word_and_typo_names(spark, tmp_path):
-    """Names the part fixture never produces: single-word names (the
-    missing second word codes as '000' — itself a block) and a typo'd
-    noun ('smal ringg' vs 'small ring' — R52 run-collapse makes the
-    codes collide, the family's reason to exist). Candidates and edit
-    distances must agree exactly on BOTH engines."""
+    """Names the part fixture never produces: single-word names
+    (which block on their OWN sound — last-word semantics) and a
+    typo'd noun ('smal ringg' vs 'small ring' — R52 run-collapse
+    makes the codes collide, the family's reason to exist).
+    Candidates and edit distances must agree exactly on BOTH
+    engines."""
     spec = REGISTRY["q_dedup_phonetic_block"]
     df = spark.createDataFrame(
         [("small ring",), ("smal ringg",), ("red rng",), ("anvil",),
-         ("plate",), ("large bolt",)],
+         ("anfil",), ("large bolt",)],
         "p_name STRING",
     )
     path = str(tmp_path / "part.parquet")
@@ -595,17 +596,18 @@ def test_phonetic_block_single_word_and_typo_names(spark, tmp_path):
     # columns sorted: block_code, edit_dist, is_near, n_parts_a,
     #                 n_parts_b, name_a, name_b
     pairs = {(r[5], r[6]): r for r in got}
-    # ring / ringg / rng all code to R520; the two one-word names
-    # share the '000' block; 'large bolt' pairs with nothing
+    # ring / ringg / rng all code to R520; anvil/anfil are the
+    # classic sound-alike pair (V and F share digit class 1);
+    # 'large bolt' pairs with nothing
     assert set(pairs) == {
         ("red rng", "smal ringg"),
         ("red rng", "small ring"),
         ("smal ringg", "small ring"),
-        ("anvil", "plate"),
+        ("anfil", "anvil"),
     }
     r = pairs[("smal ringg", "small ring")]
     assert r[1] == 2 and r[2] == 1  # two edits, near
-    assert pairs[("anvil", "plate")][2] == 0  # same block, not near
+    assert pairs[("anfil", "anvil")][2] == 1  # one edit, near
 
 
 def test_rake_all_stopword_and_single_phrase_docs(spark, tmp_path):
@@ -926,3 +928,50 @@ def test_stl_strength_constant_series_null(spark, tmp_path):
     # trend variance is also 0 here (constant cents, seasonal 0)
     assert ft is None
     assert n_hours > 0
+
+
+def test_clustering_coeff_wedge_free_graph_null_transitivity(spark, tmp_path):
+    """A graph of ISOLATED ε-pairs (every vertex degree 1): there are
+    no wedges, so the global transitivity is undefined — NULL on BOTH
+    engines (nullif), never an ANSI divide error; every local cc is
+    NULL too (degree < 2). Code-review r9s2 finding #1."""
+    spec = REGISTRY["q_graph_clustering_coeff"]
+    rows = [
+        (0, [0.00, 0.00], 0), (1, [0.04, 0.00], 0),   # pair A
+        (10, [5.00, 5.00], 0), (11, [5.04, 5.00], 0), # pair B, far away
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"embeddings": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: degree, local_cc_ppm, n_triangles, transitivity_ppm, vec_id
+    assert len(got) == 4
+    for degree, local_cc, n_tri, trans, vec_id in got:
+        assert degree == 1 and n_tri == 0
+        assert local_cc is None and trans is None
+
+
+def test_ppr_empty_seed_set_empty_result(spark, tmp_path):
+    """No node matches the seed predicate (a filtered corpus slice
+    whose custkeys are all non-multiples of 10): the result is EMPTY
+    on BOTH engines — the builder guards the SCALE DIV |S| division
+    and the oracle's nullif turns the base NULL. Code-review r9s2
+    finding #2 (the unguarded form raised ZeroDivisionError)."""
+    spec = REGISTRY["q_graph_ppr"]
+    li = spark.createDataFrame([(1, 1)], "l_orderkey BIGINT, l_suppkey BIGINT")
+    od = spark.createDataFrame([(1, 1)], "o_orderkey BIGINT, o_custkey BIGINT")
+    views = {}
+    for name, df in [("lineitem", li), ("orders", od)]:
+        p = str(tmp_path / f"{name}.parquet")
+        df.coalesce(1).write.parquet(p)
+        views[name] = f"{p}/*.parquet"
+
+    got = spec.builder(spark, str(tmp_path)).toPandas()
+    want = _duck(spec.oracle, views)
+    assert len(got) == 0 and len(want) == 0
+    assert sorted(got.columns) == sorted(want.columns) == ["node", "pr"]
