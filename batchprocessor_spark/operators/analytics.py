@@ -5943,3 +5943,130 @@ def q_sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_shift_bp",
         )
     )
+
+
+@register(
+    "q_ml_nelson_aalen",
+    oracle="""
+    WITH v AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS v_ts,
+             max(ts) AS t_max
+      FROM events GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND v.v_ts IS NOT NULL
+        AND e.ts >= v.v_ts
+      GROUP BY e.user_id),
+    subj AS (
+      SELECT v.user_id,
+             ((epoch_us(coalesce(p.p_ts, v.t_max)) - epoch_us(v.v_ts))
+              // 86400000000)::BIGINT AS dur,
+             CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS evt
+      FROM v LEFT JOIN p ON p.user_id = v.user_id
+      WHERE v.v_ts IS NOT NULL),
+    km AS (
+      SELECT dur, sum(evt)::BIGINT AS e, count(*)::BIGINT AS leave
+      FROM subj GROUP BY dur),
+    risk AS (
+      SELECT dur, e,
+             sum(leave) OVER (ORDER BY dur
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT
+               AS n_risk
+      FROM km),
+    ev AS (SELECT dur, e, n_risk FROM risk WHERE e > 0)
+    SELECT dur AS duration_days, n_risk, e AS n_events,
+           ((1000000000000::HUGEINT * e) // n_risk)::BIGINT AS hazard_e12,
+           sum(((1000000000000::HUGEINT * e) // n_risk)::BIGINT)
+             OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ::BIGINT AS cum_hazard_e12
+    FROM ev
+    """,
+    category="ml",
+)
+def q_ml_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator of view→purchase
+    conversion — the ADDITIVE companion to q_ml_kaplan_meier's
+    product-limit curve (same subjects, same censoring rule — the
+    shared-construction no-drift discipline): H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ.
+    Epidemiology and reliability read the hazard directly (its local
+    slope IS the conversion intensity, flat stretches are dormancy),
+    and at small risk sets it is numerically steadier than
+    exp-transforming the KM curve. Per event time: risk-set size,
+    events, the per-time hazard increment and the running total —
+    both in exact integer 1e-12 units.
+
+    Cross-engine exactness: pure integer counting plus ONE declared
+    floor per event time ((1e12·d) DIV n — the q_ml_pinball_loss
+    per-term DIV convention); the cumulative sum is an exact integer
+    window over the bounded event-time table. Unlike the KM product
+    there is no sequential fold at all — the additive estimator is a
+    prefix sum, embarrassingly window-shaped.
+
+    Scale posture: one user-keyed aggregate pair (map-side combined),
+    a duration-grain aggregate bounded by the observation window,
+    and windows only over that value table. No Python, no hints.
+
+    Reference scope: the reference engine has no analytics surface;
+    this completes SURVEY.md §2.4's survival family beside
+    q_ml_kaplan_meier and q_events_lifecycle.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts"),
+        F.max("ts").alias("t_max"),
+    )
+    p = (
+        e.join(v.select("user_id", "v_ts"), "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("v_ts").isNotNull()
+            & (F.col("ts") >= F.col("v_ts"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    subj = (
+        v.where(F.col("v_ts").isNotNull())
+        .join(p, "user_id", "left")
+        .selectExpr(
+            "CAST((unix_micros(CAST(coalesce(p_ts, t_max) AS TIMESTAMP))"
+            " - unix_micros(CAST(v_ts AS TIMESTAMP))) DIV 86400000000"
+            " AS BIGINT) AS dur",
+            "CASE WHEN p_ts IS NULL THEN 0 ELSE 1 END AS evt",
+        )
+    )
+    km = subj.groupBy("dur").agg(
+        F.sum("evt").cast("long").alias("e"),
+        F.count(F.lit(1)).cast("long").alias("leave"),
+    )
+    tail = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = km.select(
+        "dur", "e", F.sum("leave").over(tail).cast("long").alias("n_risk")
+    )
+    ev = risk.where(F.col("e") > 0)
+    cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("e").alias("n_events"),
+        F.expr("CAST((1000000000000 * CAST(e AS DECIMAL(38,0))) DIV n_risk"
+               " AS BIGINT)").alias("hazard_e12"),
+        F.sum(
+            F.expr(
+                "CAST((1000000000000 * CAST(e AS DECIMAL(38,0))) DIV n_risk"
+                " AS BIGINT)"
+            )
+        )
+        .over(cum)
+        .cast("long")
+        .alias("cum_hazard_e12"),
+    )

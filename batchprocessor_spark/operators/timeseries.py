@@ -2678,3 +2678,115 @@ def q_ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         + var.format(q="q_tr", s="s_tr")
         + " AS DOUBLE)), 6) END AS trend_strength",
     )
+
+
+@register(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000)::BIGINT AS day_no,
+             sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT b.day_no - a.day_no AS dx, b.cents - a.cents AS dy
+      FROM daily a JOIN daily b ON a.day_no < b.day_no),
+    slopes AS (
+      SELECT (CASE WHEN dy >= 0
+                   THEN (1000000 * dy) // dx
+                   ELSE -((1000000 * (-dy)) // dx) END)::BIGINT AS smicro
+      FROM pairs),
+    hist AS (
+      SELECT smicro, count(*)::BIGINT AS c FROM slopes GROUP BY 1),
+    w AS (
+      SELECT smicro,
+             sum(c) OVER (ORDER BY smicro
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)::BIGINT AS cum
+      FROM hist),
+    tot AS (
+      SELECT sum(c)::BIGINT AS n_pairs,
+             (SELECT count(*)::BIGINT FROM daily) AS n_days
+      FROM hist)
+    SELECT t.n_days, t.n_pairs,
+           min(w.smicro) FILTER (2 * w.cum >= t.n_pairs + 1)::BIGINT
+             AS ts_slope_micro
+    FROM w CROSS JOIN tot t
+    GROUP BY t.n_days, t.n_pairs
+    """,
+    category="timeseries",
+)
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue — the median of all
+    pairwise slopes: up to ~29% of days can be corrupted (outages,
+    backfills, flash sales) before the estimate moves, where the OLS
+    slope (q_ts_theta_forecast's b̂) chases every outlier. The
+    estimator behind robust KPI trend lines.
+
+    Cross-engine exactness: each pairwise slope is quantized ONCE to
+    integer micro-units with the sign-aware floor
+    sign(Δy)·((1e6·|Δy|) DIV Δx) (DuckDB // floors while Spark DIV
+    truncates — they agree only on non-negative operands, so the
+    sign is factored out explicitly; the declared quantization is
+    part of the metric, the q_llm_keyword_rake convention); the
+    median is the exact nearest-rank lower median over the slope
+    histogram (2·cum ≥ n+1), all integer comparisons.
+
+    Scale posture: the pair expansion is over the CALENDAR-BOUNDED
+    day table (retention-sized — ~2400 days = ~2.9M pairs regardless
+    of corpus SF, the q_ml_isotonic declared value-table n² class;
+    slope_last ~0 by design), never fact rows; the median window
+    runs over the distinct-slope histogram. No Python, no hints
+    (the non-equi day join is a nested-loop over the bounded day
+    frames — AQE broadcasts).
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's time-series family beside
+    q_ts_theta_forecast (OLS) and q_ml_isotonic (monotone fit).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(cast(o_orderdate as timestamp))"
+            " DIV 86400000000 AS BIGINT)"
+        ).alias("day_no")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(
+        F.col("day_no").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("day_no").alias("db"), F.col("cents").alias("cb")
+    )
+    slopes = (
+        a.join(b, F.col("da") < F.col("db"))
+        .selectExpr(
+            "CAST(CASE WHEN cb - ca >= 0"
+            " THEN (1000000 * (cb - ca)) DIV (db - da)"
+            " ELSE -((1000000 * (ca - cb)) DIV (db - da)) END AS BIGINT)"
+            " AS smicro"
+        )
+    )
+    hist = slopes.groupBy("smicro").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = Window.orderBy("smicro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = hist.select(
+        "smicro", F.sum("c").over(cum).cast("long").alias("cum")
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n_pairs")).crossJoin(n_days)
+    return (
+        w.crossJoin(tot)
+        .groupBy("n_days", "n_pairs")
+        .agg(
+            F.expr(
+                "CAST(min(CASE WHEN 2 * cum >= n_pairs + 1 THEN smicro END)"
+                " AS BIGINT)"
+            ).alias("ts_slope_micro")
+        )
+    )

@@ -197,6 +197,8 @@ SCALING_EXTRA = [
     "q_graph_closeness_bfs",
     "q_graph_ppr",
     "q_text_coverage_curve",
+    # calendar-bounded n^2 value-table work, the isotonic class
+    "q_ts_theil_sen",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

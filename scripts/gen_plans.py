@@ -117,6 +117,8 @@ HEADLINE = [
     "q_text_coverage_curve",
     "q_ts_stl_strength",
     "q_llm_ann_recall_audit",
+    "q_ml_nelson_aalen",
+    "q_ts_theil_sen",
 ]
 
 

@@ -3238,3 +3238,90 @@ def test_ann_recall_audit_matches_python_reference(spark):
         assert got[q].n_hits == want_hits[q]
         assert got[q].recall_bp == (10_000 * want_hits[q]) // 10
         assert got[q].mean_recall_bp == (10_000 * h_tot) // (10 * len(qids))
+
+
+# ------------------------------------------------- Nelson-Aalen
+
+def test_nelson_aalen_matches_python_reference(spark):
+    rows = sorted(
+        REGISTRY["q_ml_nelson_aalen"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: r.duration_days,
+    )
+    assert rows
+    events = pd.read_parquet(f"{SF_SMALL}/events.parquet")[
+        ["user_id", "ts", "event_type"]
+    ]
+    events["us"] = (
+        pd.to_datetime(events["ts"]).astype("datetime64[us]").astype("int64")
+    )
+    durs, evts = [], []
+    for _, g in events.groupby("user_id"):
+        views = g[g["event_type"] == "view"]["us"]
+        if views.empty:
+            continue
+        v0 = views.min()
+        purch = g[(g["event_type"] == "purchase") & (g["us"] >= v0)]["us"]
+        if purch.empty:
+            durs.append((g["us"].max() - v0) // 86_400_000_000)
+            evts.append(0)
+        else:
+            durs.append((purch.min() - v0) // 86_400_000_000)
+            evts.append(1)
+    from collections import Counter
+
+    d_at = Counter(d for d, e in zip(durs, evts) if e)
+    leave_at = Counter(durs)
+    cum = 0
+    want = []
+    for t in sorted(set(durs)):
+        n_risk = sum(c for d, c in leave_at.items() if d >= t)
+        if d_at[t]:
+            h = (10**12 * d_at[t]) // n_risk
+            cum += h
+            want.append((t, n_risk, d_at[t], h, cum))
+    got = [
+        (r.duration_days, r.n_risk, r.n_events, r.hazard_e12,
+         r.cum_hazard_e12)
+        for r in rows
+    ]
+    assert got == want
+    # additive estimator: the running hazard never decreases
+    cums = [r.cum_hazard_e12 for r in rows]
+    assert all(a < b for a, b in zip(cums, cums[1:]))
+    # same subjects as KM: risk sets match the KM rows at event times
+    km = {
+        r.duration_days: r.n_risk
+        for r in REGISTRY["q_ml_kaplan_meier"].builder(spark, SF_SMALL).collect()
+    }
+    assert {r.duration_days: r.n_risk for r in rows} == km
+
+
+# ----------------------------------------------------- Theil-Sen
+
+def test_theil_sen_matches_python_reference(spark):
+    (r,) = REGISTRY["q_ts_theil_sen"].builder(spark, SF_SMALL).collect()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    us = pd.to_datetime(orders["o_orderdate"]).astype("datetime64[us]").astype("int64")
+    day_no = us // 86_400_000_000
+    cents = np.copysign(
+        np.floor(np.abs(orders["o_totalprice"].to_numpy() * 100) + 0.5),
+        orders["o_totalprice"].to_numpy(),
+    ).astype("int64")
+    table = {}
+    for d, c in zip(day_no, cents):
+        table[int(d)] = table.get(int(d), 0) + int(c)
+    days = sorted(table)
+    slopes = []
+    for i, da in enumerate(days):
+        for db in days[i + 1:]:
+            dy = table[db] - table[da]
+            dx = db - da
+            s = (1_000_000 * dy) // dx if dy >= 0 else -((1_000_000 * -dy) // dx)
+            slopes.append(s)
+    slopes.sort()
+    n = len(slopes)
+    assert (r.n_days, r.n_pairs) == (len(days), n)
+    # nearest-rank lower median: smallest s with 2*rank >= n+1
+    assert r.ts_slope_micro == slopes[(n + 1) // 2 - 1]

@@ -975,3 +975,72 @@ def test_ppr_empty_seed_set_empty_result(spark, tmp_path):
     want = _duck(spec.oracle, views)
     assert len(got) == 0 and len(want) == 0
     assert sorted(got.columns) == sorted(want.columns) == ["node", "pr"]
+
+
+def test_nelson_aalen_all_censored_and_single_event(spark, tmp_path):
+    """All-censored corpus: no event times, EMPTY hazard table on
+    both engines (the q_ml_kaplan_meier convention). One subject who
+    converts same-day: a single row with hazard exactly 1e12."""
+    spec = REGISTRY["q_ml_nelson_aalen"]
+    rows = [
+        (i, _us(i * 1_000_000), i % 3, "view", 1.0, "{}") for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    p1 = str(tmp_path / "a" / "events.parquet")
+    df.coalesce(1).write.parquet(p1)
+    got = spec.builder(spark, str(tmp_path / "a")).toPandas()
+    want = _duck(spec.oracle, {"events": f"{p1}/*.parquet"})
+    assert len(got) == 0 and len(want) == 0
+
+    df = spark.createDataFrame(
+        [(1, _us(0), 7, "view", 1.0, "{}"),
+         (2, _us(5_000_000), 7, "purchase", 1.0, "{}")],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    )
+    p2 = str(tmp_path / "b" / "events.parquet")
+    df.coalesce(1).write.parquet(p2)
+    got = canonical_rows(spec.builder(spark, str(tmp_path / "b")).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"events": f"{p2}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: cum_hazard_e12, duration_days, hazard_e12,
+    #                 n_events, n_risk
+    assert got == [(10**12, 0, 10**12, 1, 1)]
+
+
+def test_theil_sen_linear_constant_and_single_day(spark, tmp_path):
+    """A perfectly linear daily series reads slope exactly 1e6·k, a
+    constant one exactly 0, and a single-day corpus has no pairs —
+    EMPTY on both engines (no NULL-division row leaks out)."""
+    spec = REGISTRY["q_ts_theil_sen"]
+    cases = [
+        ("lin", [(d, 10.0 + 3.0 * d) for d in range(10)], 3_00 * 1_000_000),
+        ("flat", [(d, 42.0) for d in range(10)], 0),
+    ]
+    for name, series, want_micro in cases:
+        df = spark.createDataFrame(
+            [(_us(d * 86_400_000_000), v) for d, v in series],
+            "o_orderdate TIMESTAMP, o_totalprice DOUBLE",
+        )
+        path = str(tmp_path / name / "orders.parquet")
+        df.coalesce(1).write.parquet(path)
+        got = canonical_rows(
+            spec.builder(spark, str(tmp_path / name)).toPandas()
+        )
+        want = canonical_rows(_duck(spec.oracle, {"orders": f"{path}/*.parquet"}))
+        assert got == want, (name, got, want)
+        # columns sorted: n_days, n_pairs, ts_slope_micro
+        assert got == [(10, 45, want_micro)], (name, got)
+
+    df = spark.createDataFrame(
+        [(_us(0), 5.0)], "o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+    )
+    path = str(tmp_path / "one" / "orders.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = spec.builder(spark, str(tmp_path / "one")).toPandas()
+    want = _duck(spec.oracle, {"orders": f"{path}/*.parquet"})
+    assert len(got) == 0 and len(want) == 0

@@ -2153,3 +2153,33 @@ def test_ann_recall_audit_composes_registered_paths(spark):
     _assert_no_python(plan)
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_nelson_aalen_windows_on_duration_table(spark):
+    """q_ml_nelson_aalen: both windows (reverse risk-set sum, running
+    hazard) run over the bounded duration-grain value table —
+    aggregates sit below every window; no Python."""
+    import re
+
+    plan = plan_of(spark, "q_ml_nelson_aalen")
+    _assert_no_python(plan)
+    w = plan.index("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in aggs), plan
+
+
+def test_theil_sen_pairs_on_day_table_only(spark):
+    """q_ts_theil_sen: the n² pair stage is a nested-loop join of the
+    CALENDAR-BOUNDED day aggregate with itself (the q_ml_isotonic
+    class) — the fact table contributes exactly one aggregate below
+    it, the median window runs over the slope histogram, no
+    Python."""
+    import re
+
+    plan = plan_of(spark, "q_ts_theil_sen")
+    _assert_no_python(plan)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    w = plan.index("Window")
+    aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
+    assert any(a > w for a in aggs), plan
