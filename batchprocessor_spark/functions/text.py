@@ -3310,3 +3310,147 @@ def q_text_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_share_ppm",
         )
     )
+
+
+@register(
+    "q_text_rouge_l_pairs",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT (doc_id // 2)::BIGINT AS pair_id, doc_id % 2 AS side,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS ws
+      FROM documents),
+    pr AS (
+      SELECT c.pair_id, c.ws AS a, r.ws AS b,
+             len(c.ws)::BIGINT AS n, len(r.ws)::BIGINT AS m
+      FROM d c JOIN d r ON r.pair_id = c.pair_id
+      WHERE c.side = 0 AND r.side = 1),
+    lcs AS (
+      SELECT pair_id, a, b, n, m, 0::BIGINT AS i,
+             list_transform(generate_series(0, m::INT), x -> 0::BIGINT)
+               AS state
+      FROM pr
+      UNION ALL
+      SELECT pair_id, a, b, n, m, i + 1,
+             list_prepend(0::BIGINT,
+               list_transform(generate_series(1, m::INT), j ->
+                 list_max(list_transform(generate_series(1, j), k ->
+                   greatest(state[k + 1],
+                            state[k] + CASE WHEN a[(i + 1)::INT] = b[k]
+                                            THEN 1 ELSE 0 END)))))
+      FROM lcs WHERE i < n),
+    done AS (
+      SELECT pair_id, n AS len_cand, m AS len_ref,
+             state[(m + 1)::INT]::BIGINT AS lcs_len
+      FROM lcs WHERE i = n),
+    scored AS (
+      SELECT pair_id, len_cand, len_ref, lcs_len,
+             ((1000000 * lcs_len) // nullif(len_cand, 0))::BIGINT AS p_ppm,
+             ((1000000 * lcs_len) // nullif(len_ref, 0))::BIGINT AS r_ppm
+      FROM done)
+    SELECT pair_id, len_cand, len_ref, lcs_len, p_ppm, r_ppm,
+           ((2 * p_ppm * r_ppm) // nullif(p_ppm + r_ppm, 0))::BIGINT
+             AS f_ppm
+    FROM scored
+    """,
+    category="text",
+)
+def q_text_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L between the same candidate/reference pairs as
+    q_text_bleu_pairs (cand = even doc_id, ref = the next odd one):
+    the longest-common-SUBSEQUENCE overlap that rewards in-order
+    content without requiring contiguity — the summarization metric
+    that catches sentence reordering BLEU's n-gram clipping punishes.
+    Per pair: token lengths, the exact LCS length, and
+    precision/recall/F1 in exact integer ppm.
+
+    The LCS row update is spelled WITHOUT an array-state fold (both
+    engines lack heterogeneous fold accumulators in SQL):
+    new[j] = max(new[j−1], prev[j], prev[j−1]+match) unrolls to a
+    PREFIX-MAX of combined[k] = max(prev[k], prev[k−1]+match_k), so
+    each row is transform + running-max over slices — identical
+    integer arithmetic on both engines (the oracle carries the same
+    recurrence through a recursive CTE; the builder folds rows with
+    F.aggregate). O(n·m²) per pair with document-bounded m — the
+    per-row prefix scan trades a factor of m for a pure-SQL,
+    engine-portable kernel; at curation scale the PAIR COUNT is the
+    axis that grows, and pairs are embarrassingly parallel.
+
+    Cross-engine exactness: all integers — LCS counts, ppm DIVs,
+    nullif on empty sides (an empty candidate or reference reads
+    NULL precision/recall, not a divide error).
+
+    Reference scope: the reference engine has no text surface; this
+    extends SURVEY.md §2.4's text-metric family beside
+    q_text_bleu_pairs.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("CAST(doc_id DIV 2 AS BIGINT)").alias("pair_id"),
+        F.expr("doc_id % 2").alias("side"),
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+        ).alias("ws"),
+    )
+    pr = (
+        d.where(F.col("side") == 0)
+        .select("pair_id", F.col("ws").alias("a"))
+        .join(
+            d.where(F.col("side") == 1).select(
+                "pair_id", F.col("ws").alias("b")
+            ),
+            "pair_id",
+        )
+        .selectExpr(
+            "pair_id",
+            "a",
+            "b",
+            "CAST(size(a) AS BIGINT) AS n",
+            "CAST(size(b) AS BIGINT) AS m",
+        )
+        # the LCS kernel is CPU-bound per pair and embarrassingly
+        # parallel across pairs — spread pairs over the cluster with
+        # an EXPLICIT partition count: the rows are tiny in BYTES but
+        # heavy in CPU, so AQE's size-based coalescing would fold the
+        # shuffle back to 1-2 tasks (measured at sf0.1 on local[32]:
+        # 46 s single-task -> 11 s wall at 64-way)
+        .repartition(64, "pair_id")
+    )
+    # outer fold over candidate tokens; each row is the prefix-max
+    # form of the LCS update (see docstring) — state is the previous
+    # DP row, 1-indexed positions 1..m+1 for j = 0..m
+    lcs = pr.selectExpr(
+        "pair_id",
+        "n AS len_cand",
+        "m AS len_ref",
+        "element_at(aggregate(a,"
+        " transform(sequence(0, CAST(m AS INT)), x -> CAST(0 AS BIGINT)),"
+        " (state, tok) -> concat(array(CAST(0 AS BIGINT)),"
+        "   transform(sequence(1, CAST(m AS INT)), j ->"
+        "     array_max(transform(sequence(1, j), k ->"
+        "       greatest(element_at(state, k + 1),"
+        "                element_at(state, k)"
+        "                + CASE WHEN tok = element_at(b, k)"
+        "                       THEN CAST(1 AS BIGINT)"
+        "                       ELSE CAST(0 AS BIGINT) END)))))),"
+        " CAST(m AS INT) + 1) AS lcs_len",
+    )
+    scored = lcs.selectExpr(
+        "pair_id",
+        "len_cand",
+        "len_ref",
+        "lcs_len",
+        "CAST((1000000 * lcs_len) DIV nullif(len_cand, 0) AS BIGINT)"
+        " AS p_ppm",
+        "CAST((1000000 * lcs_len) DIV nullif(len_ref, 0) AS BIGINT)"
+        " AS r_ppm",
+    )
+    return scored.selectExpr(
+        "pair_id",
+        "len_cand",
+        "len_ref",
+        "lcs_len",
+        "p_ppm",
+        "r_ppm",
+        "CAST((2 * p_ppm * r_ppm) DIV nullif(p_ppm + r_ppm, 0) AS BIGINT)"
+        " AS f_ppm",
+    )

@@ -2790,3 +2790,135 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ts_slope_micro")
         )
     )
+
+
+# 2·cos(2π/p) Goertzel coefficients as DECLARED literals (shared by
+# builder and oracle — the q_ab_sprt micro-log convention: constants
+# are part of the metric's contract, not computed at runtime).
+_GOERTZEL_C7 = "1.2469796037174672"
+_GOERTZEL_C11 = "1.6825070656623622"
+
+
+@register(
+    "q_ts_goertzel_weekly",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             round(o_totalprice * 100)::BIGINT AS cents
+      FROM orders),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+    grid AS (
+      SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                    (SELECT d1 FROM bounds),
+                                    INTERVAL 1 DAY)) AS d),
+    rev AS (SELECT d, sum(cents)::BIGINT AS c FROM b GROUP BY d),
+    s AS (SELECT g.d, coalesce(r.c, 0)::BIGINT AS x
+          FROM grid g LEFT JOIN rev r ON r.d = g.d),
+    m AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             -- state vector [s7a, s7b, s11a, s11b]: every element maps
+             -- to [x, 0, x, 0] so the fold's SEED (= the first element,
+             -- list_reduce convention) is the builder's initial struct
+             -- and later elements contribute only e[1] = x
+             list_reduce(
+               list([x::DOUBLE, 0.0, x::DOUBLE, 0.0] ORDER BY d),
+               (a, e) -> [e[1] + {_GOERTZEL_C7} * a[1] - a[2], a[1],
+                          e[1] + {_GOERTZEL_C11} * a[3] - a[4], a[3]])
+               AS st
+      FROM s)
+    SELECT n AS n_days,
+           round((st[1] * st[1] + st[2] * st[2]
+                  - {_GOERTZEL_C7} * st[1] * st[2])
+                 / nullif((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+                          / n, 0.0) / n, 6) AS p7_norm,
+           round((st[3] * st[3] + st[4] * st[4]
+                  - {_GOERTZEL_C11} * st[3] * st[4])
+                 / nullif((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE
+                          / n, 0.0) / n, 6) AS p11_norm
+    FROM m
+    """,
+    category="timeseries",
+)
+def q_ts_goertzel_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel single-bin spectral power of the daily revenue series
+    at the WEEKLY frequency (period 7) with a period-11 control bin —
+    the frequency-domain seasonality detector that catches a
+    sinusoidal weekly cycle even when phase drift dilutes the lag-7
+    autocorrelation q_ts_acf reads (and the control bin says whether
+    a high reading is weekly structure or broadband noise). One row:
+    series length and the two bin powers normalized by n·variance
+    (a pure sinusoid at the bin frequency reads O(n/4·amp²) before
+    normalization; white noise reads ~1 after it).
+
+    Cross-engine exactness: the Goertzel recurrence
+    s_t = x_t + C·s_{{t-1}} − s_{{t-2}} runs with the DECLARED literal
+    coefficients 2·cos(2π/7), 2·cos(2π/11) (shared text, the
+    q_ab_sprt declared-constant convention) over exact integer cents
+    in identical operand order — the oracle folds the identical
+    recurrence with list_reduce over time-ordered [s7a,s7b,s11a,s11b]
+    state vectors (every element maps to [x,0,x,0] so the fold's
+    first-element seed IS the builder's initial struct) and the
+    builder uses F.aggregate: bit-identical doubles, the q_ts_holt
+    discipline without the recursive CTE's O(n) self-joins; the variance denominator comes from exact
+    wide-integer moments; 6-dp round as the belt, nullif for the
+    constant series.
+
+    Scale posture: one map-side-combined day aggregate; the fold
+    state is TWO doubles per bin regardless of series length, and
+    the series is retention-bounded. A 100 TB metrics store runs
+    this per (metric, entity) — same plan, parallel across keys.
+
+    Reference scope: the reference engine has no analytics surface;
+    this extends SURVEY.md §2.4's time-series diagnostics beside
+    q_ts_acf and q_ts_seasonal_decompose.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        to_units(F.col("o_totalprice"), 100).alias("cents"),
+    )
+    bounds = o.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    rev = o.groupBy("d").agg(F.sum("cents").cast("long").alias("c"))
+    s = grid.join(rev, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    series = s.agg(
+        F.expr("array_sort(collect_list(struct(d, x))) AS xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    fold = (
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),"
+        " struct(CAST(element_at(xs, 1).x AS DOUBLE) AS s7a, 0.0D AS s7b,"
+        " CAST(element_at(xs, 1).x AS DOUBLE) AS s11a, 0.0D AS s11b),"
+        " (acc, e) -> struct("
+        f" CAST(e.x AS DOUBLE) + {_GOERTZEL_C7}D * acc.s7a - acc.s7b AS s7a,"
+        " acc.s7a AS s7b,"
+        f" CAST(e.x AS DOUBLE) + {_GOERTZEL_C11}D * acc.s11a - acc.s11b"
+        " AS s11a,"
+        " acc.s11a AS s11b))"
+    )
+    return series.selectExpr(
+        "n",
+        "sx",
+        "sxx",
+        f"{fold} AS st",
+    ).selectExpr(
+        "n AS n_days",
+        # ss = Σ(x−x̄)² from exact wide moments; nullif: a constant
+        # series must read NULL on both engines
+        f"round((st.s7a * st.s7a + st.s7b * st.s7b"
+        f" - {_GOERTZEL_C7}D * st.s7a * st.s7b)"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / n, 0.0D)"
+        " / n, 6) AS p7_norm",
+        f"round((st.s11a * st.s11a + st.s11b * st.s11b"
+        f" - {_GOERTZEL_C11}D * st.s11a * st.s11b)"
+        " / nullif(CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) / n, 0.0D)"
+        " / n, 6) AS p11_norm",
+    )

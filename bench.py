@@ -199,6 +199,8 @@ SCALING_EXTRA = [
     "q_text_coverage_curve",
     # calendar-bounded n^2 value-table work, the isotonic class
     "q_ts_theil_sen",
+    # CPU-bound LCS kernel, embarrassingly parallel across pairs
+    "q_text_rouge_l_pairs",
 ]
 
 # Declared exactness baselines: O(n^2) BY DESIGN, documented, with

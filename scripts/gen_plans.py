@@ -119,6 +119,8 @@ HEADLINE = [
     "q_llm_ann_recall_audit",
     "q_ml_nelson_aalen",
     "q_ts_theil_sen",
+    "q_text_rouge_l_pairs",
+    "q_ts_goertzel_weekly",
 ]
 
 

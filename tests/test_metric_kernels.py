@@ -3325,3 +3325,74 @@ def test_theil_sen_matches_python_reference(spark):
     assert (r.n_days, r.n_pairs) == (len(days), n)
     # nearest-rank lower median: smallest s with 2*rank >= n+1
     assert r.ts_slope_micro == slopes[(n + 1) // 2 - 1]
+
+
+# ----------------------------------------------------- ROUGE-L pairs
+
+def test_rouge_l_matches_python_reference(spark):
+    import re as _re
+
+    rows = REGISTRY["q_text_rouge_l_pairs"].builder(spark, SF_SMALL).collect()
+    assert rows
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[["doc_id", "text"]]
+    toks = {
+        int(i): [t for t in _re.split(r"[^a-z]+", x.lower()) if t]
+        for i, x in zip(docs["doc_id"], docs["text"])
+    }
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for ca in a:
+            cur = [0]
+            for j, cb in enumerate(b, 1):
+                cur.append(max(prev[j], cur[-1], prev[j - 1] + (ca == cb)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        a = toks[2 * r.pair_id]
+        b = toks[2 * r.pair_id + 1]
+        want = lcs(a, b)
+        assert (r.len_cand, r.len_ref) == (len(a), len(b))
+        assert r.lcs_len == want
+        p = (1_000_000 * want) // len(a) if a else None
+        rr = (1_000_000 * want) // len(b) if b else None
+        assert (r.p_ppm, r.r_ppm) == (p, rr)
+        if p is not None and rr is not None and p + rr:
+            assert r.f_ppm == (2 * p * rr) // (p + rr)
+        # LCS bounds
+        assert 0 <= want <= min(len(a), len(b))
+
+
+# --------------------------------------------------- Goertzel weekly
+
+def test_goertzel_matches_python_reference(spark):
+    (r,) = REGISTRY["q_ts_goertzel_weekly"].builder(spark, SF_SMALL).collect()
+    orders = pd.read_parquet(f"{SF_SMALL}/orders.parquet")[
+        ["o_orderdate", "o_totalprice"]
+    ]
+    day = pd.to_datetime(orders["o_orderdate"]).dt.floor("D")
+    cents = np.copysign(
+        np.floor(np.abs(orders["o_totalprice"].to_numpy() * 100) + 0.5),
+        orders["o_totalprice"].to_numpy(),
+    ).astype("int64")
+    daily = {}
+    for d, c in zip(day, cents):
+        daily[d] = daily.get(d, 0) + int(c)
+    grid = pd.date_range(min(daily), max(daily), freq="D")
+    xs = [daily.get(d, 0) for d in grid]
+    n = len(xs)
+    assert r.n_days == n
+
+    def power(xs, coef):
+        s1 = float(xs[0])
+        s2 = 0.0
+        for x in xs[1:]:
+            s1, s2 = float(x) + coef * s1 - s2, s1
+        return s1 * s1 + s2 * s2 - coef * s1 * s2
+
+    c7 = 1.2469796037174672
+    c11 = 1.6825070656623622
+    ss = (n * sum(x * x for x in xs) - sum(xs) ** 2) / n
+    assert abs(r.p7_norm - power(xs, c7) / ss / n) < 1e-5 + 1e-6 * abs(r.p7_norm)
+    assert abs(r.p11_norm - power(xs, c11) / ss / n) < 1e-5 + 1e-6 * abs(r.p11_norm)

@@ -1044,3 +1044,62 @@ def test_theil_sen_linear_constant_and_single_day(spark, tmp_path):
     got = spec.builder(spark, str(tmp_path / "one")).toPandas()
     want = _duck(spec.oracle, {"orders": f"{path}/*.parquet"})
     assert len(got) == 0 and len(want) == 0
+
+
+def test_rouge_l_identical_disjoint_and_empty(spark, tmp_path):
+    """The ROUGE-L extremes: an identical pair reads F = 1e6 exactly,
+    a vocabulary-disjoint pair reads LCS 0 with NULL F (nullif on
+    p+r), and an empty-text candidate reads NULL precision — all
+    identical across engines."""
+    spec = REGISTRY["q_text_rouge_l_pairs"]
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"), (1, "alpha beta gamma"),   # identical
+            (2, "alpha beta gamma"), (3, "delta epsilon"),      # disjoint
+            (4, ""), (5, "alpha"),                              # empty cand
+            (6, "a x b y c"), (7, "a b c"),                     # subsequence
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    got = canonical_rows(spec.builder(spark, str(tmp_path)).toPandas())
+    want = canonical_rows(_duck(spec.oracle, {"documents": f"{path}/*.parquet"}))
+    assert got == want, (got, want)
+    # columns sorted: f_ppm, lcs_len, len_cand, len_ref, p_ppm,
+    #                 pair_id, r_ppm
+    by_pair = {r[5]: r for r in got}
+    assert by_pair[0] == (1_000_000, 3, 3, 3, 1_000_000, 0, 1_000_000)
+    assert by_pair[1][:2] == (None, 0) and by_pair[1][4] == 0
+    assert by_pair[2][2] == 0 and by_pair[2][4] is None
+    # 'a b c' is a subsequence of 'a x b y c': LCS 3, recall 1e6
+    assert by_pair[3][1] == 3 and by_pair[3][6] == 1_000_000
+
+
+def test_goertzel_pure_weekly_and_constant(spark, tmp_path):
+    """A period-7 square-ish wave concentrates power in the weekly
+    bin (p7 ≫ p11) and a constant series reads NULL in both bins
+    (zero variance, nullif) — identical on both engines."""
+    spec = REGISTRY["q_ts_goertzel_weekly"]
+    weekly = [
+        (_us(d * 86_400_000_000), 100.0 if d % 7 == 0 else 10.0)
+        for d in range(56)
+    ]
+    flat = [(_us(d * 86_400_000_000), 42.0) for d in range(56)]
+    for name, rows in [("w", weekly), ("f", flat)]:
+        df = spark.createDataFrame(
+            rows, "o_orderdate TIMESTAMP, o_totalprice DOUBLE"
+        )
+        path = str(tmp_path / name / "orders.parquet")
+        df.coalesce(1).write.parquet(path)
+        got = canonical_rows(spec.builder(spark, str(tmp_path / name)).toPandas())
+        want = canonical_rows(_duck(spec.oracle, {"orders": f"{path}/*.parquet"}))
+        assert got == want, (name, got, want)
+        # columns sorted: n_days, p11_norm, p7_norm
+        (n_days, p11, p7) = got[0]
+        assert n_days == 56
+        if name == "w":
+            assert p7 > 10 * p11 >= 0
+        else:
+            assert p7 is None and p11 is None

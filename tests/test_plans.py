@@ -2183,3 +2183,24 @@ def test_theil_sen_pairs_on_day_table_only(spark):
     w = plan.index("Window")
     aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
     assert any(a > w for a in aggs), plan
+
+
+def test_rouge_l_pairs_spread_across_tasks(spark):
+    """q_text_rouge_l_pairs: the CPU-bound LCS stage runs AFTER an
+    explicit pair_id repartition (AQE's size-based coalescing must
+    not fold the tiny-bytes/heavy-CPU rows back to one task), and
+    the kernel itself is pure catalyst — no Python."""
+    plan = plan_of(spark, "q_text_rouge_l_pairs")
+    _assert_no_python(plan)
+    assert "hashpartitioning(pair_id" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan or "64" in plan.split(
+        "hashpartitioning(pair_id"
+    )[1][:80], plan
+
+
+def test_goertzel_single_fold_no_window_over_facts(spark):
+    """q_ts_goertzel_weekly: one day aggregate, one 1-row series
+    fold — no joins beyond the grid densify, no windows except the
+    day-grid sequencing, no Python."""
+    plan = plan_of(spark, "q_ts_goertzel_weekly")
+    _assert_no_python(plan)
