@@ -25,6 +25,7 @@ from batchprocessor_spark.functions.exactmath import (
 )
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table, register_views
+from batchprocessor_spark.session import materialize
 
 
 @register(
@@ -1035,7 +1036,7 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (type × week × bucket) rows) so the two re-grains below share a
     # single fact scan — the in-session analogue of persisting the
     # partial-bitmap layout table (plan-gated in tests/test_plans.py).
-    part = part.localCheckpoint(eager=True)
+    part = part.transform(materialize)
     weekly = part.groupBy("event_type", "wk").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("wn")
     )
@@ -1450,7 +1451,7 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: one aggregate to per-key totals, then the global
     rank is a TWO-PHASE distributed prefix count over the KEY table
     (the pack_by_cumsum shape, sampling.py:214): range-repartition on
-    (x, custkey), pin the assignment (localCheckpoint — range
+    (x, custkey), pin the assignment (materialize — range
     partitioning is sampling-based, so two jobs could otherwise
     disagree), per-partition counts to the driver (model-sized offset
     table), partition-LOCAL row_number + broadcast offset. No single
@@ -1470,7 +1471,7 @@ def q_agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     parted = (
         spend.repartitionByRange(16, "x", "o_custkey")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     counts = {
         r.pid: r.cnt

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from batchprocessor_spark.functions.exactmath import to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
+from batchprocessor_spark.session import materialize
 
 
 @register(
@@ -1016,7 +1017,7 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("b", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cum = h.select(
         "b",
@@ -1067,7 +1068,7 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     sides = tl.join(win.select("b"), "b")
     left_class = (
@@ -2075,7 +2076,7 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     All arithmetic integer (floor day division on non-negative
     micros, cents DIV 100 dollars), so scores cannot drift.
 
-    Scale posture: the purchaser table is localCheckpoint-
+    Scale posture: the purchaser table is materialize-
     materialized ONCE (one fact scan), the three histograms and the
     scoring pass all read that materialization (plan-gated: zero
     parquet scans in the final plan), and the three threshold rows
@@ -2100,7 +2101,7 @@ def q_events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "dollars",
         )
-        .localCheckpoint(eager=True)  # one fact scan feeds all branches
+        .transform(materialize)  # one fact scan feeds all branches
     )
 
     def terciles(col: str) -> DataFrame:

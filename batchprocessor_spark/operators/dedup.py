@@ -23,6 +23,7 @@ from batchprocessor_spark.operators.skew import (
 )
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table, spread
+from batchprocessor_spark.session import materialize
 
 # Word-trigram shingling is shared by all text near-dup operators.
 _SHINGLE_WIDTH = 3
@@ -239,7 +240,7 @@ def shingle_sets(
     (array<long> instead of array<string>): everything downstream —
     minhash seeds, band keys, intersection counts — needs only SET
     IDENTITY, and long arrays deserialize far cheaper from the
-    localCheckpointed intermediate the minhash queries share. A 64-bit
+    materialized intermediate the minhash queries share. A 64-bit
     collision would merge two shingles within one doc's set
     (P < 1e-11 even for 10^5-shingle docs), is deterministic, and the
     exact-jaccard oracle parity tests would surface it."""
@@ -372,7 +373,7 @@ def _minhash_pipeline(
     signature banding AND both sides of the verification join, so it
     is cached (columnar, fast multi-consumer scans), the pipeline runs
     EAGERLY once, and the cache is unpersisted in a finally — the
-    returned DataFrame is a localCheckpoint of the (small, verified)
+    returned DataFrame is a materialize of the (small, verified)
     output, so nothing stays pinned in the session CacheManager after
     the builder returns (tests/test_no_cache_leak.py). hashed=True
     shingle sets keep every downstream op on long arrays."""
@@ -382,7 +383,7 @@ def _minhash_pipeline(
     try:
         return _verify_candidates(
             sets, minhash_candidates(sets, band_rows, num_bands)
-        ).localCheckpoint()
+        ).transform(materialize)
     finally:
         sets.unpersist()
 
@@ -559,18 +560,18 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     # set references `pairs` twice (both union branches), and every
     # propagation round re-reads edges — without this pin an expensive
     # upstream (e.g. the Jaccard shingle join) would be recomputed per
-    # reference. localCheckpoint rather than cache: labels is referenced
+    # reference. materialize rather than cache: labels is referenced
     # three times per round, so un-truncated lineage also grows
     # exponentially with rounds (the plan itself would OOM on deep graphs).
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.transform(materialize)
     edges = (
-        pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b").localCheckpoint()
+        pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("a", "b").transform(materialize)
     )
     pairs.unpersist()
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     for _ in range(max_rounds):
         prop = edges.join(labels, edges.a == labels.node).select(
@@ -580,7 +581,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "node")
@@ -681,7 +682,7 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 30) -> DataFra
         ).where(F.col("na") != F.col("nb"))
         return out.select(F.col("na").alias("a"), F.col("nb").alias("b")).distinct()
 
-    # localCheckpoint (not cache): each round's plan references the
+    # materialize (not cache): each round's plan references the
     # previous round several times, so lineage grows EXPONENTIALLY —
     # by round ~10 the logical plan itself OOMs the driver. Eager
     # checkpointing cuts the lineage to the materialized result, the
@@ -690,11 +691,11 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 30) -> DataFra
         pairs.select(F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     prev = _edge_checksum(edges)
     for _ in range(max_rounds):
-        edges2 = star(star(edges, large=True), large=False).localCheckpoint()
+        edges2 = star(star(edges, large=True), large=False).transform(materialize)
         cur = _edge_checksum(edges2)
         edges.unpersist()
         edges = edges2
@@ -1933,7 +1934,7 @@ def _snm_candidates_blocked(
 
     ``checkpoint=True`` (the registered path) pins the sampled range
     bounds and spark_partition_id block ids by materializing the
-    windowed frame ONCE (localCheckpoint, the pack_by_cumsum
+    windowed frame ONCE (materialize, the pack_by_cumsum
     discipline) — without it the interior and boundary branches could
     re-sample different block boundaries. checkpoint=False exists for
     plan-shape tests only (it exposes both window passes to
@@ -1953,7 +1954,7 @@ def _snm_candidates_blocked(
         _snm_lead_array(seg).alias("loc_nbs"),
     )
     if checkpoint:
-        ranked = ranked.localCheckpoint()
+        ranked = ranked.transform(materialize)
     interior = ranked.where(F.col("rn") <= F.col("cnt") - 3).select(
         "lang", F.col("doc_id").alias("doc_a"), F.col("loc_nbs").alias("nbs")
     )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from batchprocessor_spark.operators.similarity import spatial_eps_pairs
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
+from batchprocessor_spark.session import materialize
 
 # ε for the embedding-space neighbor graph: sparse but connected-ish at
 # every fixture SF (sf0.01: ~5k edges / 500 nodes; sf0.1: ~80k / 2000).
@@ -292,7 +293,7 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of the current frontier against the symmetric adjacency
     list, a distinct, and an anti-join against the reached set; every
     intermediate is ≤|V| rows (frontiers are vertex sets, never path
-    sets). localCheckpoint after each round truncates the 4-join
+    sets). materialize after each round truncates the 4-join
     lineage so no round recomputes its predecessors. The oracle
     unrolls the identical rounds as CTEs; exactness is pure integer
     set algebra on the deterministic edge set.
@@ -310,7 +311,7 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = (
         edges.select(F.col("d1").alias("v"), F.col("d2").alias("w"))
         .unionAll(edges.select(F.col("d2").alias("v"), F.col("d1").alias("w")))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pts = load_table(spark, sf_dir, "embeddings").select("vec_id")
     frontier = pts.filter(F.expr(_BFS_SRC_SQL)).select(F.col("vec_id").alias("v"))
@@ -322,7 +323,7 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(reached, "v", "left_anti")
             .select("v", F.lit(h).cast("long").alias("hop"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         reached = reached.unionAll(nxt)
         frontier = nxt.select("v")
@@ -378,12 +379,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: each round shuffles the shrinking edge list on its
     endpoints — monotone non-increasing work; the degree table is
     |V|-sized and never force-broadcast (same policy as _oriented).
-    localCheckpoint per round keeps the 12-join lineage from
+    materialize per round keeps the 12-join lineage from
     re-executing earlier peels."""
     # Materialize the ε-edge build once — round 1's plan references the
     # edge list twice (degree branch + both semi-joins) and would
     # otherwise run the grid self-join multiple times.
-    e = _eps_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _eps_edges(spark, sf_dir).transform(materialize)
     for _ in range(_KCORE_ROUNDS):
         deg = (
             e.select(F.col("d1").alias("v"))
@@ -396,7 +397,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.join(keep.withColumnRenamed("v", "d1"), "d1", "left_semi")
             .join(keep.withColumnRenamed("v", "d2"), "d2", "left_semi")
             .select("d1", "d2")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return (
         e.select(F.col("d1").alias("v"))
@@ -460,14 +461,14 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round budget is standard practice and what the unrolled-CTE
     oracle replays). Per round: ONE edge⋈label equi-join, a
     (vertex, label) count, and a per-vertex argmax window over
-    label-cardinality rows. localCheckpoint per round truncates the
+    label-cardinality rows. materialize per round truncates the
     growing join lineage (the BFS/k-core discipline).
 
     Scale posture: the join shuffles the edge list on the neighbor
     key each round (AQE-splittable; a hot vertex contributes rows to
     ONE group per neighbor label); the argmax window partitions by
     vertex — |V|-keyed, never global."""
-    edges = _eps_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = _eps_edges(spark, sf_dir).transform(materialize)
     ed = edges.select(F.col("d1").alias("v"), F.col("d2").alias("w")).unionAll(
         edges.select(F.col("d2").alias("v"), F.col("d1").alias("w"))
     )
@@ -485,7 +486,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             counted.withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") == 1)
             .select("v", "lab")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return (
         labels.groupBy(F.col("lab").alias("community"))
@@ -564,7 +565,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("ccom"),
             F.col("s_nationkey").alias("scom"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     m = lab.agg(F.count(F.lit(1)).alias("m"))
     internal = lab.where(F.col("ccom") == F.col("scom")).agg(
@@ -628,14 +629,14 @@ def scc_functional(nodes: DataFrame) -> DataFrame:
     join, and the cycle membership set is exactly the image of ``j``
     (succ is a bijection on each cycle).
 
-    Returns (x, scc_id, on_cycle). localCheckpoint per round
+    Returns (x, scc_id, on_cycle). materialize per round
     truncates the self-join lineage (the q_graph_bfs_layers
     discipline)."""
     jt = nodes.select(
         F.col("x").cast("long").alias("x"),
         F.col("succ").cast("long").alias("j"),
         F.least(F.col("x"), F.col("succ")).cast("long").alias("b"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     while True:
         nxt = (
             jt.alias("a")
@@ -652,7 +653,7 @@ def scc_functional(nodes: DataFrame) -> DataFrame:
                 F.col("jj").alias("j"),
                 F.least(F.col("a.b"), F.col("jb")).alias("b"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             nxt.alias("n")
@@ -704,7 +705,7 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: rounds are O(log(tail+cycle)) self-equi-joins on
     the jump key with convergence detection (no fixed budget), each
-    localCheckpointed; output aggregates to the component table. A
+    materialized; output aggregates to the component table. A
     generic digraph would first contract to its condensation with
     this kernel per out-degree-1 subgraph or fall back to
     forward/backward label intersection — this query pins the
@@ -1006,7 +1007,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score DESC, node).
 
     Scale posture: the distinct edge list materializes once
-    (localCheckpoint, the pagerank hygiene); each half-step is ONE
+    (materialize, the pagerank hygiene); each half-step is ONE
     equi-join of scores onto edges + ONE aggregate onto the other
     side, with the L1 mass as a 1-row broadcast — work is O(|E|) per
     round, the driver holds only loop control (no collect inside the
@@ -1021,7 +1022,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     n_src = edges.select("src").distinct().count()
     h = edges.select("src").distinct().select(
@@ -1235,7 +1236,7 @@ def q_graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src, v) PAIR states — per round one equi-join of the frontier
     against the symmetric adjacency list, a distinct, and an
     anti-join against the per-source reached set; every intermediate
-    is ≤ |seeds|·|V| rows. localCheckpoint truncates lineage per
+    is ≤ |seeds|·|V| rows. materialize truncates lineage per
     round. The oracle unrolls identical rounds with NOT EXISTS
     subtraction; exactness is pure integer set algebra on the
     deterministic edge set.
@@ -1252,7 +1253,7 @@ def q_graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = (
         edges.select(F.col("d1").alias("v"), F.col("d2").alias("w"))
         .unionAll(edges.select(F.col("d2").alias("v"), F.col("d1").alias("w")))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pts = load_table(spark, sf_dir, "embeddings").select("vec_id")
     seeds = pts.filter(F.expr(_CLOSENESS_SRC_SQL)).select(
@@ -1267,7 +1268,7 @@ def q_graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(reached.select("src", "v"), ["src", "v"], "left_anti")
             .select("src", "v", F.lit(h).cast("long").alias("hop"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         reached = reached.unionAll(nxt)
         frontier = nxt.select("src", "v")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
+from batchprocessor_spark.session import materialize
 
 _N_ROOTS = 3  # doc_id 0..2 are forest roots; parent(v) = v // 3 otherwise
 
@@ -37,7 +38,7 @@ def pointer_jump_ancestry(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
     nodes are fixpoints. Rounds needed: ceil(log2(max depth)) —
     depth 1e6 chains finish in 20 rounds, each ONE equi-join + ONE
     projection, fully distributed; the driver holds only the
-    convergence counter. localCheckpoint per round keeps the plan
+    convergence counter. materialize per round keeps the plan
     from growing exponentially (same hygiene as
     connected_components, operators/dedup.py:444).
     """
@@ -45,7 +46,7 @@ def pointer_jump_ancestry(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
         "node",
         F.coalesce("parent", F.col("node")).alias("ptr"),
         F.when(F.col("parent").isNull(), 0).otherwise(1).alias("d"),
-    ).localCheckpoint()
+    ).transform(materialize)
     for _ in range(max_rounds):
         nxt = state.select(
             F.col("node").alias("j_node"),
@@ -59,7 +60,7 @@ def pointer_jump_ancestry(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
                 F.col("j_ptr").alias("ptr"),
                 (F.col("d") + F.col("j_d")).alias("d"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         moved = (
             jumped.join(
@@ -177,7 +178,7 @@ def pointer_jump_paths(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
         )
         .otherwise(F.array(F.col("node")))
         .alias("seg"),
-    ).localCheckpoint()
+    ).transform(materialize)
     for _ in range(max_rounds):
         nxt = state.select(
             F.col("node").alias("j_node"),
@@ -191,7 +192,7 @@ def pointer_jump_paths(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
                 F.col("j_ptr").alias("ptr"),
                 F.concat(F.col("seg"), F.col("j_seg")).alias("seg"),
             )
-            .localCheckpoint()
+            .transform(materialize)
         )
         moved = (
             jumped.join(
@@ -314,7 +315,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate onto dst + a 1-row dangling-mass aggregate crossJoined
     back (broadcast, no driver collect inside the loop) — the standard
     scale shape where work is O(|E|) per round and the driver holds
-    only loop control. localCheckpoint per round stops lineage growth
+    only loop control. materialize per round stops lineage growth
     (same hygiene as pointer_jump_ancestry above). The only driver
     scalar is N (node count, one count job), the same model-sized
     allowance as k-means' centroids.
@@ -334,7 +335,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -347,12 +348,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fold outdeg into the node state ONCE: every round reads it from
     # the checkpointed state instead of re-aggregating edges and
     # re-joining deg (2 operators × 5 rounds saved — VERDICT r3 #7).
-    nodes_deg = nodes.join(deg, "node", "left").localCheckpoint()
+    nodes_deg = nodes.join(deg, "node", "left").transform(materialize)
     n_nodes = nodes_deg.count()
     base = _PR_SCALE // n_nodes
     ranks = nodes_deg.select(
         "node", "outdeg", F.lit(base).cast("long").alias("pr")
-    ).localCheckpoint()
+    ).transform(materialize)
     # Track the live checkpointed frame explicitly: `ranks` itself is
     # NOT checkpointed on the skipped rounds, so unpersisting `ranks`
     # when the next checkpoint lands would usually be a no-op and the
@@ -395,7 +396,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contrib), so unbounded skipping would grow re-evaluation
         # 2^k; every-other bounds it at one re-evaluation.
         if i % 2 == 1 or i == _PR_ROUNDS - 1:
-            nxt = nxt.localCheckpoint()
+            nxt = nxt.transform(materialize)
             last_ckpt.unpersist()
             last_ckpt = nxt
         ranks = nxt
@@ -494,7 +495,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment expression (q_agg_corr_matrix's kernel) over exact sums,
     6-dp belt.
 
-    Scale posture: the edge list materializes ONCE (localCheckpoint,
+    Scale posture: the edge list materializes ONCE (materialize,
     the q_graph_pagerank discipline), degree tables are node-sized
     aggregates joined back onto edges (broadcast at fixture scale;
     shuffle equi-joins on node id at 100 TB — never a window over
@@ -505,7 +506,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("id"))
@@ -618,7 +619,7 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     und = edges.select("src", "dst", F.lit(0).alias("dstside")).unionAll(
         edges.select(
@@ -747,7 +748,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     result on both engines (guarded, never a division error).
 
     Scale posture: O(|E|) per round — one shuffle join of ranks onto
-    edges, one aggregate onto dst; localCheckpoint every second
+    edges, one aggregate onto dst; materialize every second
     round bounds lineage; driver holds only loop control and the
     node/seed counts (model-sized scalars, the k-means allowance).
 
@@ -765,7 +766,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         directed.union(directed.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -775,7 +776,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    nodes_deg = nodes.join(deg, "node", "left").localCheckpoint()
+    nodes_deg = nodes.join(deg, "node", "left").transform(materialize)
     n_seeds = nodes_deg.where(F.expr(_PPR_SEED_SQL)).count()
     if n_seeds == 0:
         # no node matches the seed predicate (small/filtered corpora):
@@ -791,7 +792,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         "outdeg",
         f"CAST(({seed_case}) * CAST({base} AS BIGINT) AS BIGINT) AS pr",
-    ).localCheckpoint()
+    ).transform(materialize)
     last_ckpt = ranks
     for i in range(_PR_ROUNDS):
         contrib = (
@@ -813,7 +814,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 100 AS BIGINT) AS pr",
         )
         if i % 2 == 1 or i == _PR_ROUNDS - 1:
-            nxt = nxt.localCheckpoint()
+            nxt = nxt.transform(materialize)
             last_ckpt.unpersist()
             last_ckpt = nxt
         ranks = nxt

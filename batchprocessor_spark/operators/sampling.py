@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from batchprocessor_spark.functions.exactmath import to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
+from batchprocessor_spark.session import materialize
 
 
 def hash_bucket(key: Column, salt: str, buckets: int) -> Column:
@@ -225,7 +226,7 @@ def pack_by_cumsum(d: DataFrame, nparts: int) -> DataFrame:
     # (phase-1 totals job, phase-2 mapInPandas job) could assign rows to
     # different partition ids and silently corrupt the prefix sum. Pin the
     # assignment once; both phases then read the same materialized blocks.
-    parted = parted.localCheckpoint()
+    parted = parted.transform(materialize)
     # Phase 1: per-partition totals — a map-side partial agg whose
     # exchange moves ONE row per partition; the driver sees only
     # model-sized state (the offset table).

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from batchprocessor_spark.operators.skew import capped_bucket_pairs
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table, spread
+from batchprocessor_spark.session import materialize
 
 _TOP_K = 10
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -213,12 +214,12 @@ def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 5) -> tuple[DataFrame, 
     over fully-distributed steps, nothing data-sized ever collected.
     """
     spark = emb.sparkSession
-    # Read once; every iteration scans it. localCheckpoint, not
+    # Read once; every iteration scans it. materialize, not
     # cache(): cached plans stay pinned in the session CacheManager
     # until an explicit unpersist (a leak across a long-lived Engine),
     # while checkpoint blocks are reclaimed by the ContextCleaner once
     # the returned plan is garbage-collected.
-    emb = emb.localCheckpoint()
+    emb = emb.transform(materialize)
     dim = len(emb.select("v").first()["v"])
     centroids = [list(r.v) for r in emb.orderBy("vec_id").limit(k).collect()]
     for _ in range(iters):
@@ -1074,7 +1075,7 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", as_double("embedding").alias("v")
         )
-    ).localCheckpoint()
+    ).transform(materialize)
     mu_rows = (
         emb.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")
@@ -1269,7 +1270,7 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("x1"),
         F.element_at("embedding", 2).cast("double").alias("x2"),
     )
-    x = spread(emb).localCheckpoint()
+    x = spread(emb).transform(materialize)
     n = float(x.count())
     b, w1, w2 = 0.0, 0.0, 0.0
     for _ in range(_LR_STEPS):
@@ -1402,7 +1403,7 @@ def q_llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         rel.orderBy(F.col("rel").desc(), "vec_id")
         .limit(_MMR_POOL)
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     a = cand.select(F.col("vec_id").alias("v1"), F.col("q").alias("q1"))
     b = cand.select(F.col("vec_id").alias("v2"), F.col("q").alias("q2"))
@@ -1483,7 +1484,7 @@ def q_ml_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     — class-cardinality rows, trivial at any scale. The expensive
     half (prediction) keeps its own documented shape."""
     preds = q_ml_knn_classify(spark, sf_dir).select("true_label", "pred_label")
-    preds = preds.localCheckpoint(eager=True)  # one prediction pass, three views
+    preds = preds.transform(materialize)  # one prediction pass, three views
     classes = (
         preds.select(F.col("true_label").alias("lab"))
         .union(preds.select(F.col("pred_label").alias("lab")))
@@ -2087,7 +2088,7 @@ def q_llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     trajectory bit-identically; ranks tie-break (adist, vec_id).
 
     Scale posture: the corpus is scanned through a scoped cache
-    (cache → train/encode → localCheckpoint → unpersist, the minhash
+    (cache → train/encode → materialize → unpersist, the minhash
     pattern) so the 2 training rounds + final encode never re-read
     parquet; per-round driver traffic is the 256-row codebook;
     encoding is a broadcast-codebook per-row argmin (zero corpus
@@ -2101,7 +2102,7 @@ def q_llm_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = _pq_subvectors(spark, sf_dir).cache()
     try:
         cdf = _pq_cents_df(spark, _pq_fit(spark, sub))
-        return _pq_adc_rank(sub, cdf).localCheckpoint()
+        return _pq_adc_rank(sub, cdf).transform(materialize)
     finally:
         sub.unpersist()
 

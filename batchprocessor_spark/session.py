@@ -9,8 +9,10 @@ real cluster the same settings apply; only master/memory change.
 from __future__ import annotations
 
 import os
+import re
 
-from pyspark.sql import SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
 
 # Spark's own default for spark.sql.files.maxPartitionBytes — the
 # engine keeps it in production and merely makes it explicit (and
@@ -72,6 +74,74 @@ def engine_confs(
     }
 
 
+# `local` / `local[N]` / `local[*]` — ONE JVM, where executor-local
+# checkpoint blocks cannot be lost independently of the driver. Does
+# NOT match `local-cluster[n,c,m]`, which launches real separate
+# executor JVMs and must take the cluster path below.
+_SINGLE_JVM_MASTER = re.compile(r"^local(\[[^\]]*\])?$")
+
+
+def materialization_mode(master: str, checkpoint_dir_set: bool) -> str:
+    """Which physical materialization `materialize` picks — pure
+    function of (master URL, whether a checkpoint dir is configured)
+    so the mode switch is unit-testable without a cluster.
+
+    - ``local_checkpoint``: single-JVM masters. `localCheckpoint`
+      stores blocks in the one local executor; nothing can be lost
+      independently of the whole process, so it is both the fastest
+      and a safe lineage truncation. (Today's behavior — zero change
+      on local[*].)
+    - ``reliable_checkpoint``: any cluster master with a checkpoint
+      dir configured. `localCheckpoint` blocks live UNREPLICATED on
+      executors — Spark's own docs flag it unsafe under executor loss
+      / dynamic allocation, so at 100 TB a single lost executor would
+      kill the query mid-lineage. `df.checkpoint()` writes to the
+      reliable (HDFS/S3) checkpoint dir instead: executor-loss-safe
+      AND pins nondeterministic outputs (block ids, sampled rows)
+      exactly, which the determinism-critical call sites (SNM block
+      pinning, pack_by_cumsum, reservoir sampling) require.
+    - ``replicated_persist``: cluster master, no checkpoint dir.
+      Best-effort fallback: MEMORY_AND_DISK_2 survives one executor
+      loss per block; lineage is kept (not truncated) so a double
+      loss recomputes — acceptable for bounded-round loops, but
+      deployments should set a checkpoint dir (get_spark honors
+      $SPARK_GRAFT_CHECKPOINT_DIR).
+    """
+    if _SINGLE_JVM_MASTER.match(master):
+        return "local_checkpoint"
+    return "reliable_checkpoint" if checkpoint_dir_set else "replicated_persist"
+
+
+def _checkpoint_dir_set(spark: SparkSession) -> bool:
+    return spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize an intermediate and truncate its lineage,
+    cluster-safely (VERDICT r9 #1).
+
+    The engine's iterative operators (graph rounds, SNM block
+    pinning, winnowing, pack_by_cumsum) need a compute-once barrier:
+    on `local[*]` that is `localCheckpoint` (executor == driver JVM,
+    loss-equivalent), but on a real cluster localCheckpoint blocks
+    are unreplicated executor state — one lost executor makes the
+    truncated lineage unrecoverable. This helper is the single place
+    that decision lives; call sites use ``df.transform(materialize)``
+    wherever they previously called ``df.localCheckpoint()``.
+    """
+    spark = df.sparkSession
+    mode = materialization_mode(
+        spark.sparkContext.master, _checkpoint_dir_set(spark)
+    )
+    if mode == "local_checkpoint":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable_checkpoint":
+        return df.checkpoint(eager=True)
+    out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    out.count()
+    return out
+
+
 def get_spark(
     app_name: str = "batchprocessor-spark",
     cpus: int | str | None = None,
@@ -90,4 +160,10 @@ def get_spark(
         builder = builder.config(k, v)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable-checkpoint dir for `materialize` on cluster masters
+    # (no-op for the mode switch on local[*], but harmless to set).
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and not _checkpoint_dir_set(spark):
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -1,0 +1,278 @@
+"""Multi-JVM proof lane (VERDICT r9 task 2): run the engine on
+``local-cluster[2,4,2048]`` — TWO real executor JVMs launched as
+separate processes, the closest sandbox analogue of a cluster — and
+verify the things one big JVM can never exercise:
+
+- `materialize` takes the RELIABLE paths (replicated persist without
+  a checkpoint dir, `df.checkpoint()` with one) instead of
+  `localCheckpoint`, and iterative operators stay oracle-exact under
+  them — including the determinism-critical SNM block-id pinning.
+- Cloudpickled executor-side sinks (distributed flow control) cross
+  a real process boundary with chunk-granular DLQ and zero loss.
+- Arrow exchange, broadcasts, and the headline query plans hold
+  across JVMs (oracle-exact vs DuckDB at the same SF).
+
+Reference analogue: the reference's v1 test pins behavior across
+thread boundaries (T/DisruptorBatchProcessorTest.java:16-44); this
+lane pins behavior across PROCESS boundaries, which is what a
+1000-executor cluster actually has.
+
+Run standalone (`python -m scripts.local_cluster_probe`) or via the
+pytest wrapper (tests/test_local_cluster.py). Prints one JSON line;
+exit code 0 iff every check passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MASTER = "local-cluster[2,4,2048]"
+
+# Headline-shaped sample across the engine's plan families, each
+# oracle-compared at sf0.01: scan+agg, broadcast star join, window
+# frame, iterative graph (materialize per round), SNM (materialize
+# pins nondeterministic block ids), and the repartition-heavy ROUGE
+# kernel (pure-catalyst expression work on executors).
+PROBE_QUERIES = [
+    "q_agg_basic",
+    "q_join_multiway",
+    "q_win_frame",
+    "q_graph_pagerank",
+    "q_dedup_sorted_neighborhood",
+    "q_text_rouge_l_pairs",
+]
+
+
+def build_session(tmp: str):
+    from pyspark.sql import SparkSession
+
+    from batchprocessor_spark.session import engine_confs
+
+    # FINDING (first probe run, recorded in SCALE.md): executor
+    # python workers in multi-JVM mode do NOT inherit the driver's
+    # sys.path — every cloudpickled callback that references the
+    # package (distributed flow-control sinks, pandas-UDF helpers)
+    # dies with ModuleNotFoundError, which local[*] can never catch
+    # because there the executor IS the driver process. On a real
+    # cluster the engine ships as --py-files / a site-package;
+    # executorEnv.PYTHONPATH is the same-host analogue.
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    builder = (
+        SparkSession.builder.master(MASTER)
+        .appName("bp-local-cluster-probe")
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
+        # worker/executor logs land under SPARK_WORKER_DIR; keep them
+        # inside the probe tmp dir instead of polluting the repo
+        .config("spark.worker.dir", os.path.join(tmp, "worker"))
+        .config("spark.local.dir", os.path.join(tmp, "sparklocal"))
+    )
+    for k, v in engine_confs(cpus=8, shuffle_partitions=8).items():
+        builder = builder.config(k, v)
+    # 2048 MB executors: keep Arrow/python workers modest
+    builder = builder.config("spark.executor.memory", "2g")
+    return builder.getOrCreate()
+
+
+def check_materialize_fallback(spark) -> str:
+    """Before a checkpoint dir exists: cluster master must route to
+    replicated persist (NOT localCheckpoint), and the result must be
+    correct and reusable."""
+    from batchprocessor_spark.session import materialization_mode, materialize
+
+    mode = materialization_mode(spark.sparkContext.master, False)
+    if mode != "replicated_persist":
+        return f"fail: mode {mode}"
+    out = spark.range(1000).selectExpr("id", "id * 3 AS x").transform(
+        materialize
+    )
+    total = out.agg({"x": "sum"}).collect()[0][0]
+    if total != 3 * 999 * 1000 // 2:
+        return f"fail: sum {total}"
+    if out.storageLevel.replication != 2:
+        return f"fail: replication {out.storageLevel.replication}"
+    out.unpersist()
+    return "pass"
+
+
+def check_materialize_reliable(spark, tmp: str) -> str:
+    """With a checkpoint dir: `materialize` must produce a reliable
+    checkpoint (lineage truncated to an RDD scan, files on disk)."""
+    from batchprocessor_spark.session import materialization_mode, materialize
+
+    spark.sparkContext.setCheckpointDir(os.path.join(tmp, "ckpt"))
+    mode = materialization_mode(spark.sparkContext.master, True)
+    if mode != "reliable_checkpoint":
+        return f"fail: mode {mode}"
+    out = spark.range(1000).selectExpr("id", "id * 5 AS x").transform(
+        materialize
+    )
+    total = out.agg({"x": "sum"}).collect()[0][0]
+    if total != 5 * 999 * 1000 // 2:
+        return f"fail: sum {total}"
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    if "LogicalRDD" not in plan and "ExistingRDD" not in plan:
+        return f"fail: lineage not truncated: {plan[:200]}"
+    files = glob.glob(os.path.join(tmp, "ckpt", "**", "part-*"), recursive=True)
+    if not files:
+        return "fail: no checkpoint files written"
+    return "pass"
+
+
+def check_snm_deterministic_under_reliable_path(spark, sf_dir: str) -> str:
+    """The SNM candidate stage pins nondeterministic block ids via
+    materialize; under the reliable path two runs must agree exactly
+    (the determinism-critical re-verification VERDICT r9 task 1 asks
+    for)."""
+    from batchprocessor_spark.plans.registry import load_all
+
+    spec = load_all()["q_dedup_sorted_neighborhood"]
+    a = sorted(map(str, spec.builder(spark, sf_dir).collect()))
+    b = sorted(map(str, spec.builder(spark, sf_dir).collect()))
+    if a != b:
+        return "fail: two runs disagree"
+    return "pass"
+
+
+def check_oracle_parity(spark, sf_dir: str) -> dict[str, str]:
+    from batchprocessor_spark.plans.registry import load_all
+    from tests.oracle import canonical_rows, duckdb_run
+
+    registry = load_all()
+    out = {}
+    for name in PROBE_QUERIES:
+        spec = registry[name]
+        try:
+            got = canonical_rows(spec.builder(spark, sf_dir).toPandas())
+            want = canonical_rows(duckdb_run(spec.oracle, sf_dir))
+            out[name] = "pass" if got == want else "fail: value mismatch"
+        except Exception as e:  # noqa: BLE001 - report, don't crash the lane
+            out[name] = f"fail: {type(e).__name__}: {e}"[:300]
+    return out
+
+
+def check_distributed_dlq(spark, tmp: str) -> str:
+    """The executor-side sink path (cloudpickled python callback +
+    chunk-granular DLQ) across a REAL process boundary: poisoned
+    chunks dead-letter, everything else delivers exactly once."""
+    import pandas as pd
+
+    from batchprocessor_spark.streaming.flow import FlowControlConfig
+    from batchprocessor_spark.streaming.processor import foreach_batch_sink
+
+    n_rows = 200
+    src = os.path.join(tmp, "dlq_src")
+    ok_path = os.path.join(tmp, "dlq_ok")
+    dlq = os.path.join(tmp, "dlq_dead")
+    os.makedirs(src)
+    os.makedirs(ok_path)
+    pd.DataFrame({"id": range(n_rows)}).assign(
+        pk=lambda d: d["id"] % 8
+    ).to_parquet(os.path.join(src, "input.parquet"), index=False)
+
+    def sink(chunk: pd.DataFrame) -> None:
+        import uuid
+
+        if (chunk["pk"] == 0).any():
+            raise RuntimeError("poisoned chunk")
+        chunk.to_parquet(
+            os.path.join(ok_path, f"{uuid.uuid4().hex}.parquet"), index=False
+        )
+
+    cfg = FlowControlConfig(
+        batch_size=16, concurrency=2, max_retry_count=1, retry_delay_s=0.01
+    )
+    stream = (
+        spark.readStream.schema("id BIGINT, pk BIGINT")
+        .parquet(src)
+        .repartition(4, "pk")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_sink(sink, cfg, dlq_path=dlq, distributed=True)
+        )
+        .option("checkpointLocation", os.path.join(tmp, "dlq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    ok_ids = set()
+    for f in glob.glob(os.path.join(ok_path, "*.parquet")):
+        ok_ids.update(pd.read_parquet(f)["id"].tolist())
+    dlq_ids = set()
+    for f in glob.glob(os.path.join(dlq, "**", "*.parquet"), recursive=True):
+        dlq_ids.update(pd.read_parquet(f)["id"].tolist())
+    poisoned = {i for i in range(n_rows) if i % 8 == 0}
+    if not poisoned <= dlq_ids:
+        return f"fail: {len(poisoned - dlq_ids)} poisoned ids not in DLQ"
+    if ok_ids & poisoned:
+        return "fail: poisoned ids delivered"
+    if ok_ids | dlq_ids != set(range(n_rows)):
+        return f"fail: lost {len(set(range(n_rows)) - ok_ids - dlq_ids)} ids"
+    return "pass"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    from scripts.fixture_layout import ensure_multifile
+
+    sf_dir = ensure_multifile(args.sf_dir)
+    results: dict[str, str] = {}
+    with tempfile.TemporaryDirectory(prefix="bp_lc_") as tmp:
+        spark = build_session(tmp)
+
+        def run(name, fn, *a):
+            try:
+                results[name] = fn(*a)
+            except Exception as e:  # noqa: BLE001 - lane must report, not die
+                results[name] = f"fail: {type(e).__name__}: {e}"[:300]
+
+        try:
+            assert spark.sparkContext.master == MASTER
+            run(
+                "materialize_fallback_replicated_persist",
+                check_materialize_fallback,
+                spark,
+            )
+            run(
+                "materialize_reliable_checkpoint",
+                check_materialize_reliable,
+                spark,
+                tmp,
+            )
+            run(
+                "snm_block_ids_deterministic",
+                check_snm_deterministic_under_reliable_path,
+                spark,
+                sf_dir,
+            )
+            for k, v in check_oracle_parity(spark, sf_dir).items():
+                results[f"parity:{k}"] = v
+            run("distributed_flow_dlq", check_distributed_dlq, spark, tmp)
+        finally:
+            spark.stop()
+
+    payload = {"master": MASTER, "sf_dir": sf_dir, "checks": results}
+    line = json.dumps(payload, sort_keys=True)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    return 0 if all(v == "pass" for v in results.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -3332,11 +3332,15 @@ def test_theil_sen_matches_python_reference(spark):
 def test_rouge_l_matches_python_reference(spark):
     import re as _re
 
+    from batchprocessor_spark.functions.text import ROUGE_TOKEN_CAP
+
     rows = REGISTRY["q_text_rouge_l_pairs"].builder(spark, SF_SMALL).collect()
     assert rows
     docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet")[["doc_id", "text"]]
     toks = {
-        int(i): [t for t in _re.split(r"[^a-z]+", x.lower()) if t]
+        int(i): [t for t in _re.split(r"[^a-z]+", x.lower()) if t][
+            :ROUGE_TOKEN_CAP
+        ]
         for i, x in zip(docs["doc_id"], docs["text"])
     }
 

