@@ -188,11 +188,17 @@ def q_llm_simsearch_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    # Filter on the RAW cosine, round only for output — the oracle
+    # filters raw too, and the raw double is bitwise-identical across
+    # engines (both fold the dot product left-to-right), while a
+    # rounded-then-compared filter disagrees with it on any pair
+    # whose sim lands within 5e-7 above the threshold (9 such pairs
+    # first appeared at sf1's 10.5M-pair scale — r10 parity find).
     return (
         a.join(b, ["label"])
         .where(F.col("v1") < F.col("v2"))
+        .where(sim > _BUCKET_THRESHOLD)
         .select("v1", "v2", "label", F.round(sim, 6).alias("sim"))
-        .where(F.col("sim") > _BUCKET_THRESHOLD)
     )
 
 

@@ -887,6 +887,115 @@ VERIFIED_TWINS: frozenset[str] = frozenset(
 # inside string literals, so the token replace is exact FOR THIS SET.
 _DIV_RE = re.compile(r"\s*//\s*")
 
+# ---------------------------------------------------------------------------
+# Mechanical DuckDB → Spark dialect map (round 10, VERDICT r9 task 6).
+#
+# Each rule below is justified by an exact cross-engine semantic, and
+# every rewrite is MEASURED, never trusted: scripts/gen_twins.py runs
+# the mapped text through a real spark.sql() and value-compares against
+# the DataFrame builder at sf0.01 into TWINS.json; spark_sql_for serves
+# a mapped oracle only when its measured status is "pass". A rule that
+# mis-fires therefore shows up as a recorded dialect_fail/value_mismatch,
+# never as wrong answers handed to a user.
+
+# Bare decimal literals: Spark parses `100.0` as DECIMAL(4,1) (so
+# bigint/100.0 becomes DECIMAL division → Decimal-typed results), while
+# DuckDB's `/` always returns DOUBLE. Suffixing `D` reproduces DuckDB's
+# semantics exactly (this was the root cause of the measured
+# q_stream_custom_state / q_join_range_bands mismatches).
+_FLOAT_LIT_RE = re.compile(r"(?<![\w.'])(\d+\.\d+(?:[eE][+-]?\d+)?)(?![\w.'])")
+
+# DuckDB list indexing is 1-BASED (`embedding[1]` is the first
+# element); Spark's `[ ]` is 0-based but `element_at` is 1-based, so
+# `x[k]` → `element_at(x, k)` preserves meaning exactly (including
+# negative = from-the-end on both). Literal indices only — computed
+# indices appear solely in recursive-CTE oracles Spark can't run
+# anyway. (Root cause of the 8 measured graph/spatial mismatches.)
+_INDEX_RE = re.compile(r"\b([a-zA-Z_]\w*)\[(-?\d+)\]")
+
+# Function/type spellings with identical semantics on both engines.
+# string_split_regex MUST map before string_split (prefix collision);
+# plain string_split is only safe for regex-neutral delimiters — a
+# metachar delimiter surfaces as a measured mismatch, not a silent
+# serve. epoch_us needs the session to read naive timestamps as UTC
+# (the engine session default), matching DuckDB's TZ-less reading.
+_TOKEN_MAPS: list[tuple[re.Pattern[str], str]] = [
+    (re.compile(r"\bVARCHAR\b"), "STRING"),
+    (re.compile(r"\bquantile_cont\("), "percentile("),
+    (re.compile(r"\bstring_split_regex\("), "split("),
+    (re.compile(r"\bstring_split\("), "split("),
+    (re.compile(r"\blist_filter\("), "filter("),
+    (re.compile(r"\blist_transform\("), "transform("),
+    (re.compile(r"\blist_distinct\("), "array_distinct("),
+    (re.compile(r"\blist_sort\("), "array_sort("),
+    (re.compile(r"\blist_max\("), "array_max("),
+    (re.compile(r"\blist_min\("), "array_min("),
+    (re.compile(r"\blist_contains\("), "array_contains("),
+    (re.compile(r"\barray_to_string\("), "array_join("),
+    (re.compile(r"\bregexp_matches\("), "regexp_like("),
+    # DuckDB len() is list length (size on Spark); a len(string) use
+    # keeps failing on Spark exactly as the unresolved len() did.
+    (re.compile(r"\blen\("), "size("),
+    # scalar/list generators: same closed-interval semantics.
+    (re.compile(r"\bgenerate_series\("), "sequence("),
+    # single-generator unnest in SELECT/FROM == explode; multi-column
+    # unnest-with-alias forms fail parse and stay measured-unserved.
+    (re.compile(r"\bunnest\("), "explode("),
+]
+
+# DuckDB's epoch-extraction functions take ONE argument and accept
+# naive timestamps; the Spark twins need the NTZ→TIMESTAMP cast closed
+# after that argument (identity under the engine's UTC session, which
+# matches DuckDB's TZ-less reading). A paren-matching rewrite handles
+# nesting (epoch_us(CAST(ts AS TIMESTAMP)) etc.).
+_EPOCH_FNS = [
+    (re.compile(r"\bepoch_us\("), "unix_micros"),
+    (re.compile(r"\bepoch_ms\("), "unix_millis"),
+    (re.compile(r"\bepoch\("), "unix_seconds"),
+]
+
+
+def _map_epoch_fns(sql: str) -> str:
+    for fn_re, target in _EPOCH_FNS:
+        out: list[str] = []
+        pos = 0
+        for m in fn_re.finditer(sql):
+            start, open_paren = m.start(), m.end() - 1
+            if start < pos:
+                continue  # inside an already-rewritten span
+            depth, i = 0, open_paren
+            while i < len(sql):
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i += 1
+            if depth != 0:
+                continue  # unbalanced — leave untouched, measurement flags it
+            inner = _map_epoch_fns(sql[open_paren + 1 : i])
+            out.append(sql[pos:start])
+            out.append(f"{target}(CAST({inner} AS TIMESTAMP))")
+            pos = i + 1
+        out.append(sql[pos:])
+        sql = "".join(out)
+    return sql
+
+
+def mechanical_spark_sql(sql: str) -> str:
+    """The mechanical DuckDB→Spark dialect map: ``//``→``DIV`` plus the
+    measured-class rewrites above. Pure text transform — correctness is
+    established per query by the TWINS.json value measurement, never
+    assumed from the mapping."""
+    sql = _DIV_RE.sub(" DIV ", sql)
+    sql = _map_epoch_fns(sql)
+    for pat, rep in _TOKEN_MAPS:
+        sql = pat.sub(rep, sql)
+    sql = _INDEX_RE.sub(r"element_at(\1, \2)", sql)
+    sql = _FLOAT_LIT_RE.sub(r"\1D", sql)
+    return sql
+
 
 # The extended-operator twin set (names only; texts built lazily by
 # _extended_twins so importing this module stays cheap).
@@ -922,23 +1031,59 @@ EXTENDED_TWIN_NAMES: frozenset[str] = frozenset(
 )
 
 
+_MEASURED_PASS: frozenset[str] | None = None
+
+
+def _measured_pass_names() -> frozenset[str]:
+    """Query names whose mechanically-mapped oracle text MEASURED as
+    value-identical to the builder through a real spark.sql()
+    (TWINS.json, regenerated by ``python -m scripts.gen_twins`` and
+    registry-gated in tests/test_artifact_freshness.py). Empty set
+    when the artifact isn't present (installed library without the
+    repo evidence files) — the curated sets still serve."""
+    global _MEASURED_PASS
+    if _MEASURED_PASS is None:
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            "TWINS.json",
+        )
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            _MEASURED_PASS = frozenset(
+                n
+                for n, rec in data.get("queries", {}).items()
+                if rec.get("status") == "pass"
+                and rec.get("source") == "oracle_div_mapped"
+            )
+        except (OSError, ValueError):
+            _MEASURED_PASS = frozenset()
+    return _MEASURED_PASS
+
+
 def spark_sql_for(name: str) -> str:
     """The Spark-SQL text for a VERIFIED query: the hand-written twin
     when one exists (contract set or the extended analytics set), else
-    the oracle text with DuckDB's ``//`` mapped to Spark's ``DIV``.
-    Raises KeyError for queries outside the verified sets — returning
-    unvalidated dialect text would be a runtime trap (review r5)."""
+    the mechanically-mapped oracle text when that mapping MEASURED as
+    value-identical (TWINS.json) or belongs to the r4-era verified
+    set. Raises KeyError for queries outside the verified+measured
+    sets — returning unvalidated dialect text would be a runtime trap
+    (review r5)."""
     if name in SPARK_SQL_TWINS:
         return SPARK_SQL_TWINS[name]
     if name in EXTENDED_TWIN_NAMES:
         return _extended_twins()[name]
-    if name not in VERIFIED_TWINS:
+    if name not in VERIFIED_TWINS and name not in _measured_pass_names():
         raise KeyError(
             f"{name} has no verified Spark-SQL twin; use Engine.query() "
-            "(the DataFrame builder) — twins exist for the SURVEY §2.2 "
-            "contract set and the extended analytics set only"
+            "(the DataFrame builder) — twins are served only where the "
+            "SQL text is hand-verified or measured value-identical "
+            "(TWINS.json)"
         )
     oracle = load_all()[name].oracle
     if oracle is None:
         raise KeyError(f"{name} has no oracle and no hand-written twin")
-    return _DIV_RE.sub(" DIV ", oracle)
+    return mechanical_spark_sql(oracle)

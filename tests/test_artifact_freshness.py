@@ -161,3 +161,47 @@ def test_queries_md_tracks_registry(registry_names):
         f"QUERIES.md inventory drifted: missing={sorted(registry_names - listed)[:5]} "
         f"stale={sorted(listed - registry_names)[:5]} — regenerate it"
     )
+
+
+def test_twins_artifact_tracks_registry(registry_names):
+    """TWINS.json (VERDICT r9 task 6) measures — instead of curating —
+    which registered queries' SQL runs through a real ``spark.sql()``
+    value-identically to the DataFrame builder. The artifact must
+    cover exactly the registry (adding a query without re-running
+    ``python -m scripts.gen_twins`` fails here), every curated twin
+    must still measure as pass, and the summary counts must match the
+    per-query records (no hand-edited totals)."""
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    data = json.loads((REPO / "TWINS.json").read_text())
+    keys = set(data["queries"])
+    assert keys == registry_names, (
+        f"TWINS.json drifted from the registry: "
+        f"missing={sorted(registry_names - keys)[:5]} "
+        f"stale={sorted(keys - registry_names)[:5]} — rerun "
+        "`python -m scripts.gen_twins --resume`"
+    )
+    statuses = [q["status"] for q in data["queries"].values()]
+    assert data["n"] == len(statuses)
+    assert data["n_pass"] == statuses.count("pass")
+    assert data["n_dialect_fail"] == statuses.count("dialect_fail")
+    assert data["n_value_mismatch"] == statuses.count("value_mismatch")
+    # Every query the SQL front end actually serves (the curated twin
+    # sets behind spark_sql_for) must measure green.
+    curated = (
+        set(tw.SPARK_SQL_TWINS)
+        | set(tw.EXTENDED_TWIN_NAMES)
+        | set(tw.VERIFIED_TWINS)
+    )
+    red_curated = {
+        n
+        for n in curated
+        if data["queries"].get(n, {}).get("status") != "pass"
+    }
+    assert not red_curated, (
+        f"curated twins no longer pass through spark.sql: "
+        f"{sorted(red_curated)}"
+    )
+    # builder_error means the measurement harness itself broke — never
+    # acceptable in a committed artifact.
+    assert statuses.count("builder_error") == 0

@@ -63,7 +63,27 @@ def test_verified_set_matches_contract():
 
 
 def test_unverified_name_raises():
-    """Names outside the verified contract set must raise, not return
-    unvalidated DuckDB-dialect text (runtime trap)."""
+    """Names whose SQL is neither hand-verified nor measured
+    value-identical (TWINS.json) must raise, not return unvalidated
+    DuckDB-dialect text (runtime trap). Pick the probe name from the
+    artifact so the pin tracks the measurement instead of hardcoding
+    a query the dialect map may later learn to serve."""
+    import json
+    from pathlib import Path
+
+    twins = json.loads(
+        (Path(__file__).resolve().parent.parent / "TWINS.json").read_text()
+    )
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    curated = (
+        set(tw.SPARK_SQL_TWINS) | set(tw.EXTENDED_TWIN_NAMES) | tw.VERIFIED_TWINS
+    )
+    unserved = sorted(
+        n
+        for n, rec in twins["queries"].items()
+        if rec["status"] != "pass" and n not in curated
+    )
+    assert unserved, "every query measured pass — retire this pin"
     with pytest.raises(KeyError, match="no verified Spark-SQL twin"):
-        spark_sql_for("q_ts_resample_ohlc")
+        spark_sql_for(unserved[0])
