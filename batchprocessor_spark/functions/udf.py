@@ -191,8 +191,9 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding)::INT AS dim,
-           round(list_aggregate(list_transform(embedding, x -> x * x),
-                                'sum')::DOUBLE, 6) AS sq_norm
+           round(list_aggregate(list_transform(embedding::DOUBLE[],
+                                               x -> x * x),
+                                'sum'), 6) AS sq_norm
     FROM embeddings
     """,
     category="udf",

@@ -244,8 +244,8 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
              AS segments,
-           arg_max(c_custkey, c_acctbal) AS richest_cust,
-           arg_min(c_custkey, c_acctbal) AS poorest_cust,
+           max({'a': c_acctbal, 'k': c_custkey}).k AS richest_cust,
+           min({'a': c_acctbal, 'k': c_custkey}).k AS poorest_cust,
            count(*)::BIGINT AS cnt
     FROM customer
     GROUP BY c_nationkey
@@ -254,14 +254,19 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection + argmax aggregates: distinct-set-to-string (sorted
-    for determinism), max_by/min_by. NB arg_max ties: c_acctbal values
-    are distinct per nation in the fixture; a production query adds a
-    tie-break."""
+    for determinism), and argmax/argmin spelled as max/min over an
+    (acctbal, custkey) STRUCT so acctbal ties break deterministically
+    on custkey — both engines compare structs lexicographically.
+    (Round 10: the sf1 fixture's key-shifted copies repeat every
+    acctbal 10× per nation, which made the bare arg_max
+    tie-dependent — exactly the production hazard the old docstring
+    deferred.)"""
     c = load_table(spark, sf_dir, "customer")
+    by = F.struct(F.col("c_acctbal").alias("a"), F.col("c_custkey").alias("k"))
     return c.groupBy("c_nationkey").agg(
         F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
-        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
-        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.max(by)["k"].alias("richest_cust"),
+        F.min(by)["k"].alias("poorest_cust"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

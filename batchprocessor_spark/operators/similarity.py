@@ -926,11 +926,15 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    # Filter on the RAW cosine like the oracle (round only for output)
+    # — same r10 parity find as q_llm_simsearch_neardup_bucketed: a
+    # rounded-then-compared filter flips pairs within 5e-7 of the
+    # threshold, first visible at sf1 pair counts.
     return (
         a.join(b, "cid")
         .where(F.col("v1") < F.col("v2"))
+        .where(sim > _SEMDEDUP_THRESHOLD)
         .select("cid", "v1", "v2", F.round(sim, 6).alias("sim"))
-        .where(F.col("sim") > _SEMDEDUP_THRESHOLD)
     )
 
 

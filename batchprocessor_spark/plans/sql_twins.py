@@ -941,7 +941,33 @@ _TOKEN_MAPS: list[tuple[re.Pattern[str], str]] = [
     # single-generator unnest in SELECT/FROM == explode; multi-column
     # unnest-with-alias forms fail parse and stay measured-unserved.
     (re.compile(r"\bunnest\("), "explode("),
+    # DuckDB permits the shorthand aggregate FILTER (cond); Spark's
+    # grammar requires FILTER (WHERE cond). Uppercase-only so the
+    # lowercase lambda filter( (mapped from list_filter) is untouched.
+    (re.compile(r"\bFILTER\s*\(\s*(?!WHERE\b)"), "FILTER (WHERE "),
+    # DuckDB HUGEINT is a 128-bit integer; DECIMAL(38,0) is Spark's
+    # widest exact integer lane (the engine's own exact-cents
+    # discipline) — products that genuinely need >38 digits overflow
+    # loudly and stay measured-unserved.
+    (re.compile(r"\bHUGEINT\b"), "DECIMAL(38,0)"),
+    # DuckDB's CTE materialization hint has no Spark spelling; drop it
+    # (Spark decides reuse itself).
+    (re.compile(r"\bAS\s+MATERIALIZED\s*\("), "AS ("),
+    # DuckDB puts IGNORE NULLS inside the window-function call;
+    # Spark's grammar wants it after the closing paren.
+    (re.compile(r"\s+IGNORE\s+NULLS\s*\)"), ") IGNORE NULLS"),
+    # Same aggregate, different name (value-at-extremum-of-key).
+    (re.compile(r"\barg_min\("), "min_by("),
+    (re.compile(r"\barg_max\("), "max_by("),
 ]
+
+# DuckDB parses hex-prefixed strings in integer casts — the oracles'
+# deterministic-arm idiom is ('0x' || <hex-expr>)::BIGINT. Spark's
+# equivalent is conv(<hex-expr>, 16, 10) cast to BIGINT (both read the
+# hex as unsigned; the idiom only ever uses 8 hex chars = 32 bits, so
+# sign never diverges). Non-greedy: stops at the FIRST )::BIGINT, which
+# is the idiom's own closing paren in every oracle that uses it.
+_HEX_CAST_RE = re.compile(r"\(\s*'0x'\s*\|\|\s*(.+?)\)\s*::\s*BIGINT", re.S)
 
 # DuckDB's epoch-extraction functions take ONE argument and accept
 # naive timestamps; the Spark twins need the NTZ→TIMESTAMP cast closed
@@ -990,6 +1016,7 @@ def mechanical_spark_sql(sql: str) -> str:
     assumed from the mapping."""
     sql = _DIV_RE.sub(" DIV ", sql)
     sql = _map_epoch_fns(sql)
+    sql = _HEX_CAST_RE.sub(r"CAST(conv(\1, 16, 10) AS BIGINT)", sql)
     for pat, rep in _TOKEN_MAPS:
         sql = pat.sub(rep, sql)
     sql = _INDEX_RE.sub(r"element_at(\1, \2)", sql)

@@ -31,6 +31,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Mapped oracles that wedge Spark's ANALYZER driver-side (where the
+# job-group watchdog cannot reach — no job exists yet). Recorded as
+# unserved with the reason; the DataFrame builder remains the way to
+# run these.
+ANALYZER_PATHOLOGICAL = {
+    "q_ts_dtw": (
+        "mapped oracle's DTW fold expands to a multi-megabyte nested "
+        "expression tree that wedges Spark's analyzer for >10 min "
+        "(DuckDB evaluates it through a materialized CTE); "
+        "driver-side, uncancellable"
+    ),
+}
+
+
 def classify_source(name: str) -> str:
     from batchprocessor_spark.plans import sql_twins as tw
 
@@ -54,21 +68,43 @@ def candidate_sql(name: str, oracle: str) -> str:
     return tw.mechanical_spark_sql(oracle)
 
 
-def run_one(spark, name: str, spec, sf_dir: str) -> dict:
+def run_one(spark, name: str, spec, sf_dir: str, timeout_s: int = 180) -> dict:
     from tests.oracle import canonical_rows
 
     rec: dict = {"source": classify_source(name)}
     if spec.oracle is None:
         rec["status"] = "no_oracle"
         return rec
+    if name in ANALYZER_PATHOLOGICAL:
+        rec["status"] = "timeout"
+        rec["error"] = ANALYZER_PATHOLOGICAL[name]
+        return rec
     sql = candidate_sql(name, spec.oracle)
     t0 = time.perf_counter()
+    # Watchdog: a mapped oracle can be VALID Spark SQL yet plan
+    # pathologically (e.g. a DTW fold that DuckDB evaluates through a
+    # materialized CTE in seconds but Spark expands per-row). Such a
+    # query must be recorded as unserved ("timeout"), not wedge the
+    # sweep — cancel its job group after timeout_s.
+    import threading
+
+    sc = spark.sparkContext
+    sc.setJobGroup(f"twins:{name}", name, interruptOnCancel=True)
+    timer = threading.Timer(
+        timeout_s, lambda: sc.cancelJobGroup(f"twins:{name}")
+    )
+    timer.daemon = True
+    timer.start()
     try:
         twin_pdf = spark.sql(sql).toPandas()
     except Exception as e:  # noqa: BLE001 - the failure class IS the datum
-        rec["status"] = "dialect_fail"
+        timed_out = time.perf_counter() - t0 >= timeout_s - 1
+        rec["status"] = "timeout" if timed_out else "dialect_fail"
         rec["error"] = f"{type(e).__name__}: {e}"[:400]
         return rec
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
     try:
         builder_pdf = spec.builder(spark, sf_dir).toPandas()
     except Exception as e:  # noqa: BLE001

@@ -87,3 +87,84 @@ def test_unverified_name_raises():
     assert unserved, "every query measured pass — retire this pin"
     with pytest.raises(KeyError, match="no verified Spark-SQL twin"):
         spark_sql_for(unserved[0])
+
+
+def test_mechanical_dialect_map_rules():
+    """Pin every rewrite class of the mechanical DuckDB→Spark map
+    (round 10). Each rule is justified by an exact cross-engine
+    semantic; the live value proof is TWINS.json (281+ measured-pass
+    queries), this pin keeps the TEXT transforms from regressing."""
+    from batchprocessor_spark.plans.sql_twins import mechanical_spark_sql as m
+
+    # integer division + double literals: Spark parses bare 100.0 as
+    # DECIMAL(4,1) (decimal division) where DuckDB / returns DOUBLE
+    assert m("SELECT a // b, s / 100.0 FROM t") == (
+        "SELECT a DIV b, s / 100.0D FROM t"
+    )
+    # DuckDB 1-based list index -> element_at (also 1-based; -1 = last
+    # on both)
+    assert m("SELECT e[1], e[-1] FROM t") == (
+        "SELECT element_at(e, 1), element_at(e, -1) FROM t"
+    )
+    # epoch extraction with the NTZ cast closed around the argument
+    assert m("SELECT epoch_us(ts) FROM e") == (
+        "SELECT unix_micros(CAST(ts AS TIMESTAMP)) FROM e"
+    )
+    # hex-arm idiom -> conv (8 hex chars = 32 bits, sign-safe)
+    assert m("SELECT ('0x' || substr(h, 1, 8))::BIGINT % 2 FROM t") == (
+        "SELECT CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) % 2 FROM t"
+    )
+    # shorthand aggregate FILTER gains WHERE; the spelled form and the
+    # lowercase lambda filter( are untouched
+    assert m("SELECT count(*) FILTER (x = 1) FROM t") == (
+        "SELECT count(*) FILTER (WHERE x = 1) FROM t"
+    )
+    assert m("SELECT count(*) FILTER (WHERE x = 1) FROM t") == (
+        "SELECT count(*) FILTER (WHERE x = 1) FROM t"
+    )
+    assert m("SELECT filter(l, x -> x > 0) FROM t") == (
+        "SELECT filter(l, x -> x > 0) FROM t"
+    )
+    # type + function spellings
+    assert m("SELECT CAST(x AS VARCHAR), i::HUGEINT FROM t") == (
+        "SELECT CAST(x AS STRING), i::DECIMAL(38,0) FROM t"
+    )
+    assert m("SELECT quantile_cont(v, 0.5) FROM t") == (
+        "SELECT percentile(v, 0.5D) FROM t"
+    )
+    assert m("SELECT arg_min(a, b), arg_max(a, b) FROM t") == (
+        "SELECT min_by(a, b), max_by(a, b) FROM t"
+    )
+    assert m("SELECT len(ws), list_max(l), unnest(ws) FROM d") == (
+        "SELECT size(ws), array_max(l), explode(ws) FROM d"
+    )
+    # CTE materialization hint dropped; in-call IGNORE NULLS moved out
+    assert m("WITH x AS MATERIALIZED (SELECT 1) SELECT 1") == (
+        "WITH x AS (SELECT 1) SELECT 1"
+    )
+    assert m("SELECT lag(v IGNORE NULLS) OVER w FROM t") == (
+        "SELECT lag(v) IGNORE NULLS OVER w FROM t"
+    )
+
+
+def test_measured_pass_serving_is_artifact_driven(tmp_path, monkeypatch):
+    """spark_sql_for serves a mechanically-mapped oracle ONLY when
+    TWINS.json measured it value-identical — the artifact is the
+    authority, not the mapping."""
+    import json
+
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    twins = json.loads(
+        (__import__("pathlib").Path(__file__).resolve().parent.parent
+         / "TWINS.json").read_text()
+    )
+    served = [
+        n
+        for n, r in twins["queries"].items()
+        if r["status"] == "pass" and r["source"] == "oracle_div_mapped"
+    ]
+    assert served, "TWINS.json lost all measured passes"
+    # a served name returns mapped text without raising
+    text = spark_sql_for(sorted(served)[0])
+    assert "SELECT" in text.upper()
