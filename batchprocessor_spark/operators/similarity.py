@@ -156,10 +156,10 @@ _BUCKET_THRESHOLD = 0.35
                  6) AS sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-          > {_BUCKET_THRESHOLD}
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) > {_BUCKET_THRESHOLD}
     """,
     category="similarity",
 )
@@ -188,17 +188,21 @@ def q_llm_simsearch_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-    # Filter on the RAW cosine, round only for output — the oracle
-    # filters raw too, and the raw double is bitwise-identical across
-    # engines (both fold the dot product left-to-right), while a
-    # rounded-then-compared filter disagrees with it on any pair
-    # whose sim lands within 5e-7 above the threshold (9 such pairs
-    # first appeared at sf1's 10.5M-pair scale — r10 parity find).
+    # The pair CONTRACT is "rounded cosine > threshold", and BOTH
+    # engines filter on the same rounded value (r10 parity find: the
+    # r9 form rounded here but filtered RAW in the oracle, so pairs
+    # within 5e-7 above the threshold disagreed by construction — 9
+    # of them first appeared at sf1's 10.5M pairs). Rounding before
+    # the filter also keeps the O(dim) cosine fold evaluated ONCE per
+    # pair: a raw-sim filter + rounded projection makes Catalyst
+    # duplicate the fold into both operators (measured 71 s → 579 s
+    # at sf1). Cross-engine agreement of round(double, 6) itself is
+    # pinned by nine rounds of hash-matched sim columns.
     return (
         a.join(b, ["label"])
         .where(F.col("v1") < F.col("v2"))
-        .where(sim > _BUCKET_THRESHOLD)
         .select("v1", "v2", "label", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") > _BUCKET_THRESHOLD)
     )
 
 
@@ -874,9 +878,9 @@ _SEMDEDUP_THRESHOLD = 0.45
                  / (sqrt(list_dot_product(x.v, x.v))
                     * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
     FROM p JOIN v x ON p.v1 = x.vec_id JOIN v y ON p.v2 = y.vec_id
-    WHERE list_dot_product(x.v, y.v)
+    WHERE round(list_dot_product(x.v, y.v)
           / (sqrt(list_dot_product(x.v, x.v))
-             * sqrt(list_dot_product(y.v, y.v))) > {_SEMDEDUP_THRESHOLD}
+             * sqrt(list_dot_product(y.v, y.v))), 6) > {_SEMDEDUP_THRESHOLD}
     """,
     category="similarity",
 )
@@ -926,15 +930,17 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", F.col("vec_id").alias("v2"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     sim = cosine_prenorm(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-    # Filter on the RAW cosine like the oracle (round only for output)
-    # — same r10 parity find as q_llm_simsearch_neardup_bucketed: a
-    # rounded-then-compared filter flips pairs within 5e-7 of the
-    # threshold, first visible at sf1 pair counts.
+    # Filter on the SAME rounded value the oracle filters on (r10
+    # parity find, same as q_llm_simsearch_neardup_bucketed: rounding
+    # here while the oracle filtered raw flipped 29 boundary pairs at
+    # sf1's 21.3M pair count). Round-then-filter keeps the cosine
+    # fold evaluated once per pair — a raw-sim filter makes Catalyst
+    # duplicate the O(dim) fold into filter AND projection.
     return (
         a.join(b, "cid")
         .where(F.col("v1") < F.col("v2"))
-        .where(sim > _SEMDEDUP_THRESHOLD)
         .select("cid", "v1", "v2", F.round(sim, 6).alias("sim"))
+        .where(F.col("sim") > _SEMDEDUP_THRESHOLD)
     )
 
 
