@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from batchprocessor_spark.operators.skew import capped_bucket_pairs
+from batchprocessor_spark.operators.skew import (
+    capped_bucket_pairs,
+    hot_key_salted_equi_join,
+)
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table, spread
 from batchprocessor_spark.session import materialize
@@ -198,8 +201,18 @@ def q_llm_simsearch_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     # duplicate the fold into both operators (measured 71 s → 579 s
     # at sf1). Cross-engine agreement of round(double, 6) itself is
     # pinned by nine rounds of hash-matched sim columns.
+    #
+    # Join parallelism (r10, the CPU-vs-bytes class the ROUGE fix
+    # covers for repartitions): a plain label equi-join caps at the
+    # BUCKET CARDINALITY (10 here) and one big bucket owns the wall
+    # clock — measured at sf1, the pair fold ran as 4 AQE-coalesced
+    # tasks with one multi-minute straggler. hot_key_salted_equi_join
+    # is row-identical to the plain join (tests/test_skew.py) and
+    # spreads every bucket whose size exceeds the threshold over
+    # salt_n reducers, so per-bucket pair CPU parallelizes while cold
+    # buckets pay nothing.
     return (
-        a.join(b, ["label"])
+        hot_key_salted_equi_join(a, b, "label")
         .where(F.col("v1") < F.col("v2"))
         .select("v1", "v2", "label", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") > _BUCKET_THRESHOLD)
@@ -935,9 +948,13 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # here while the oracle filtered raw flipped 29 boundary pairs at
     # sf1's 21.3M pair count). Round-then-filter keeps the cosine
     # fold evaluated once per pair — a raw-sim filter makes Catalyst
-    # duplicate the O(dim) fold into filter AND projection.
+    # duplicate the O(dim) fold into filter AND projection. The pair
+    # join is salted (row-identical, tests/test_skew.py) because a
+    # plain cid equi-join caps at the CLUSTER COUNT (k=8) and the
+    # biggest cluster's per-pair fold CPU becomes one straggler task
+    # — the same bytes-vs-CPU trap the ROUGE repartition fixes.
     return (
-        a.join(b, "cid")
+        hot_key_salted_equi_join(a, b, "cid")
         .where(F.col("v1") < F.col("v2"))
         .select("cid", "v1", "v2", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") > _SEMDEDUP_THRESHOLD)
