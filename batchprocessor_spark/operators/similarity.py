@@ -212,7 +212,10 @@ def q_llm_simsearch_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     # salt_n reducers, so per-bucket pair CPU parallelizes while cold
     # buckets pay nothing.
     return (
-        hot_key_salted_equi_join(a, b, "label")
+        hot_key_salted_equi_join(
+            a, b, "label",
+            num_partitions=max(16, 2 * spark.sparkContext.defaultParallelism),
+        )
         .where(F.col("v1") < F.col("v2"))
         .select("v1", "v2", "label", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") > _BUCKET_THRESHOLD)
@@ -954,7 +957,10 @@ def q_llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # biggest cluster's per-pair fold CPU becomes one straggler task
     # — the same bytes-vs-CPU trap the ROUGE repartition fixes.
     return (
-        hot_key_salted_equi_join(a, b, "cid")
+        hot_key_salted_equi_join(
+            a, b, "cid",
+            num_partitions=max(16, 2 * spark.sparkContext.defaultParallelism),
+        )
         .where(F.col("v1") < F.col("v2"))
         .select("cid", "v1", "v2", F.round(sim, 6).alias("sim"))
         .where(F.col("sim") > _SEMDEDUP_THRESHOLD)

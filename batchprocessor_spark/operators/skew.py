@@ -176,6 +176,7 @@ def hot_key_salted_equi_join(
     key: str,
     hot_threshold: int = 256,
     salt_n: int = 16,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Inner equi-join with PER-KEY salting of hot keys only — the
     result is row-for-row identical to ``left.join(right, key)``
@@ -190,11 +191,24 @@ def hot_key_salted_equi_join(
     of the left side. Cold keys never pay replication. This is the
     exact-semantics skew shape for inverted-index self-joins (shingle
     → doc-pair expansion), where the quadratic per-key output is
-    REQUIRED by the query and the only freedom is spreading it."""
+    REQUIRED by the query and the only freedom is spreading it.
+
+    ``num_partitions`` (r10): when the join's OUTPUT work is CPU-bound
+    per pair but its input bytes are small (cosine folds over a
+    cluster key), AQE's byte-based coalescing folds the join back to
+    a handful of tasks and the salting buys nothing. An explicit
+    count repartitions the join inputs ON THE JOIN KEYS —
+    EnsureRequirements reuses the user exchange (REPARTITION_BY_NUM,
+    exempt from AQE coalescing) so the join itself runs that wide,
+    and the pair rows are never shuffled a second time."""
     counts = right.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
     hot = F.broadcast(counts.where(F.col("__n") > hot_threshold).select(key))
-    cold = left.join(hot, key, "left_anti").join(
-        right.join(hot, key, "left_anti"), key
+
+    def _part(df: DataFrame, *cols: str) -> DataFrame:
+        return df.repartition(num_partitions, *cols) if num_partitions else df
+
+    cold = _part(left.join(hot, key, "left_anti"), key).join(
+        _part(right.join(hot, key, "left_anti"), key), key
     )
     salt = (F.abs(F.xxhash64(*left.columns)) % salt_n).cast("int")
     left_hot = left.join(hot, key, "left_semi").withColumn("__salt", salt)
@@ -205,7 +219,9 @@ def hot_key_salted_equi_join(
             )
         )
     )
-    hot_joined = left_hot.join(right_hot, [key, "__salt"]).drop("__salt")
+    hot_joined = _part(left_hot, key, "__salt").join(
+        _part(right_hot, key, "__salt"), [key, "__salt"]
+    ).drop("__salt")
     return cold.unionByName(hot_joined)
 
 
