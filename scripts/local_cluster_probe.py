@@ -221,6 +221,89 @@ def check_distributed_dlq(spark, tmp: str) -> str:
     return "pass"
 
 
+def check_work_conserving_budget(spark, tmp: str) -> str:
+    """The round-10 proportional budget division across REAL executor
+    JVMs: a skewed micro-batch (90/10/10/10 over 4 partitions, global
+    tps=40, batch_size=1) must drain in ≈ total/rate wall clock — the
+    r9 static split needed ≥ (90−1)/10 = 8.9 s — while the aggregate
+    rate stays at the cap, and last_budget must report the shares."""
+    import glob as _glob
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from batchprocessor_spark.streaming.flow import FlowControlConfig
+    from batchprocessor_spark.streaming.processor import foreach_batch_sink
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(64)], "pk BIGINT"
+    ).repartition(4, "pk")
+    pmap = {
+        r.pk: r.p
+        for r in probe.select("pk", F.spark_partition_id().alias("p")).collect()
+    }
+    by_part: dict[int, int] = {}
+    for pk, p in sorted(pmap.items()):
+        by_part.setdefault(p, pk)
+    if len(by_part) != 4:
+        return f"fail: probe found {len(by_part)} partitions"
+    heavy_pk, *light_pks = [by_part[p] for p in sorted(by_part)]
+
+    src = os.path.join(tmp, "wc_src")
+    marks = os.path.join(tmp, "wc_marks")
+    os.makedirs(src)
+    os.makedirs(marks)
+    pks = [heavy_pk] * 90 + [pk for pk in light_pks for _ in range(10)]
+    pd.DataFrame({"id": range(120), "pk": pks}).to_parquet(
+        os.path.join(src, "input.parquet"), index=False
+    )
+
+    def sink(chunk: pd.DataFrame) -> None:
+        import time as _t
+        import uuid
+
+        with open(
+            os.path.join(marks, f"{_t.time():.6f}-{uuid.uuid4().hex}.mark"),
+            "w",
+        ) as fh:
+            fh.write(str(len(chunk)))
+
+    cfg = FlowControlConfig(batch_size=1, concurrency=8, tps=40.0)
+    handle = foreach_batch_sink(sink, cfg, distributed=True)
+    stream = (
+        spark.readStream.schema("id BIGINT, pk BIGINT")
+        .parquet(src)
+        .repartition(4, "pk")
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(tmp, "wc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    files = _glob.glob(os.path.join(marks, "*.mark"))
+    if len(files) != 120:
+        return f"fail: {len(files)}/120 flushes delivered"
+    stamps = sorted(float(os.path.basename(f).split("-")[0]) for f in files)
+    span = stamps[-1] - stamps[0]
+    if span > 7.0:
+        return f"fail: span {span:.1f}s — static-split behavior"
+    if span < 2.0:
+        return f"fail: span {span:.1f}s — budget not applied"
+    agg_rate = (len(files) - 4) / span
+    if agg_rate > 40 * 1.3:
+        return f"fail: aggregate rate {agg_rate:.1f}/s exceeds cap"
+    b = handle.last_budget
+    if b is None or b.get("mode") != "work_conserving_proportional":
+        return f"fail: last_budget {b}"
+    if sorted(b["rows_by_partition"].values()) != [10, 10, 10, 90]:
+        return f"fail: shares {b['rows_by_partition']}"
+    return "pass"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -262,6 +345,12 @@ def main() -> int:
             for k, v in check_oracle_parity(spark, sf_dir).items():
                 results[f"parity:{k}"] = v
             run("distributed_flow_dlq", check_distributed_dlq, spark, tmp)
+            run(
+                "work_conserving_budget",
+                check_work_conserving_budget,
+                spark,
+                tmp,
+            )
         finally:
             spark.stop()
 

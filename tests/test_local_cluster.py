@@ -67,5 +67,6 @@ def test_local_cluster_probe_all_green(tmp_path):
         "materialize_reliable_checkpoint",
         "snm_block_ids_deterministic",
         "distributed_flow_dlq",
+        "work_conserving_budget",
     } <= names
     assert sum(k.startswith("parity:") for k in names) >= 6
