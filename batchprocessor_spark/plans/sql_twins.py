@@ -26,6 +26,10 @@ from __future__ import annotations
 import re
 
 from batchprocessor_spark.plans.registry import load_all
+from batchprocessor_spark.plans.sql_dialect import (
+    double_backslashes_in_literals,
+    structural_spark_sql,
+)
 
 # Queries whose oracle text is NOT valid/equivalent Spark SQL and need
 # a hand-written Spark-dialect twin (beyond the mechanical // -> DIV).
@@ -857,6 +861,126 @@ def _extended_twins() -> dict[str, str]:
     """,
     }
 
+# Hand-written Spark twins for oracles whose DuckDB constructs have no
+# mechanical Spark equivalent (quantified subqueries, named-window
+# frame refinement, correlated aggregate FILTER). Unlike the contract
+# set these serve ONLY when TWINS.json records a measured pass whose
+# text fingerprint still matches (ADVICE r10 #1 — fail closed on text
+# drift). Same twin-writing discipline as the contract set (exact
+# integer lanes, D-suffixed float literals, identical fold order).
+DIALECT_TWINS: dict[str, str] = {
+    # `> ALL (subq)` / `< ANY (subq)` have no Spark grammar; with a
+    # non-null, non-empty comparison set they reduce to max().  The
+    # coalesce supplies the quantifier's empty-set identity (ALL over
+    # an empty set is TRUE, ANY is FALSE); supplier.s_acctbal is
+    # NOT NULL in the fixture, so the NULL case collapses to empty.
+    "q_subq_quantified": """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           coalesce(c_acctbal > (SELECT max(s_acctbal) FROM supplier s
+                                 WHERE s.s_nationkey = c.c_nationkey), TRUE)
+             AS beats_all,
+           coalesce(c_acctbal < (SELECT max(s_acctbal) FROM supplier s
+                                 WHERE s.s_nationkey = c.c_nationkey), FALSE)
+             AS below_any,
+           CAST((SELECT count(*) FROM supplier s
+                 WHERE s.s_nationkey = c.c_nationkey) AS BIGINT) AS n_sup
+    FROM customer c
+    """,
+    # DuckDB permits refining a named window with a frame
+    # (`OVER (w ROWS ...)`); Spark's grammar does not — inline the
+    # refined spec.
+    "q_win_rank_ext": """
+    SELECT o_orderkey, o_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    # The oracle's aggregate FILTER carries a correlated scalar
+    # subquery (best streak per user); Spark can't correlate into an
+    # aggregate filter — a per-user window max replaces it exactly.
+    "q_streaks_gaps_islands": """
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    grouped AS (
+      SELECT user_id, day,
+             datediff(day, DATE '2024-01-01')
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM days),
+    islands AS (
+      SELECT user_id, grp,
+             CAST(count(*) AS BIGINT) AS streak_days,
+             CAST(unix_micros(CAST(min(day) AS TIMESTAMP)) DIV 1000000
+                  AS BIGINT) AS start_s
+      FROM grouped GROUP BY user_id, grp),
+    x AS (
+      SELECT user_id, streak_days, start_s,
+             max(streak_days) OVER (PARTITION BY user_id) AS max_sd
+      FROM islands)
+    SELECT user_id,
+           CAST(max(streak_days) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(min(CASE WHEN streak_days = max_sd THEN start_s END)
+                AS BIGINT) AS best_start_s
+    FROM x GROUP BY user_id
+    """,
+    # The mapped DTW oracle is a 64-CTE unrolled anti-diagonal DP
+    # whose multi-megabyte expression tree wedges Spark's analyzer
+    # (gen_twins ANALYZER_PATHOLOGICAL since r9).  This twin runs the
+    # SAME recurrence as a nested aggregate() fold — the classic
+    # row-DP: carry dp[i-1][0..m] (1-based positions 1..m+1), build
+    # dp[i] left-to-right with array_append, so up = prev[j+1],
+    # diag = prev[j], left = cur[last].  Plan size is O(1) regardless
+    # of series length; per-pair work is the exact O(n·m) kernel.
+    "q_ts_dtw": """
+    WITH q AS (
+      SELECT o_orderpriority AS p,
+             (year(o_orderdate) * 4 + (month(o_orderdate) - 1) DIV 3) AS qi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders GROUP BY p, qi),
+    s AS (
+      SELECT p,
+             transform(array_sort(collect_list(struct(qi AS _s0, v AS _v))),
+                       x -> x._v) AS vs
+      FROM q GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, a.vs AS va, b.vs AS vb
+      FROM s a JOIN s b ON a.p < b.p),
+    dtw AS (
+      SELECT pa, pb,
+             CAST(size(va) AS BIGINT) AS n_a,
+             CAST(size(vb) AS BIGINT) AS n_b,
+             element_at(
+               aggregate(
+                 sequence(1, size(va)),
+                 concat(array(CAST(0 AS BIGINT)),
+                        transform(vb, x ->
+                          CAST(999999999999999999 AS BIGINT))),
+                 (prev, i) -> aggregate(
+                   sequence(1, size(vb)),
+                   array(CAST(999999999999999999 AS BIGINT)),
+                   (cur, j) -> array_append(cur,
+                     abs(element_at(va, i) - element_at(vb, j))
+                     + least(element_at(prev, j + 1),
+                             element_at(prev, j),
+                             element_at(cur, size(cur)))))),
+               size(vb) + 1) AS dp
+      FROM pairs)
+    SELECT pa AS prio_a, pb AS prio_b, n_a, n_b,
+           CAST(dp AS BIGINT) AS dtw_cents,
+           CAST((1000 * dp) DIV (n_a + n_b) AS BIGINT) AS dtw_per_step_milli
+    FROM dtw
+    ORDER BY prio_a, prio_b
+    """,
+}
+
 # The queries whose Spark-SQL lane is VERIFIED value-identical to the
 # DataFrame builder (tests/test_sql_twins.py) — the SURVEY §2.2
 # contract set. spark_sql_for refuses names outside it: most other
@@ -905,13 +1029,9 @@ _DIV_RE = re.compile(r"\s*//\s*")
 # q_stream_custom_state / q_join_range_bands mismatches).
 _FLOAT_LIT_RE = re.compile(r"(?<![\w.'])(\d+\.\d+(?:[eE][+-]?\d+)?)(?![\w.'])")
 
-# DuckDB list indexing is 1-BASED (`embedding[1]` is the first
-# element); Spark's `[ ]` is 0-based but `element_at` is 1-based, so
-# `x[k]` → `element_at(x, k)` preserves meaning exactly (including
-# negative = from-the-end on both). Literal indices only — computed
-# indices appear solely in recursive-CTE oracles Spark can't run
-# anyway. (Root cause of the 8 measured graph/spatial mismatches.)
-_INDEX_RE = re.compile(r"\b([a-zA-Z_]\w*)\[(-?\d+)\]")
+# DuckDB list indexing (1-based, including computed indices and
+# slices), [..] literals, and the other structural constructs are
+# rewritten by sql_dialect.structural_spark_sql before this map runs.
 
 # Function/type spellings with identical semantics on both engines.
 # string_split_regex MUST map before string_split (prefix collision);
@@ -944,7 +1064,10 @@ _TOKEN_MAPS: list[tuple[re.Pattern[str], str]] = [
     # DuckDB permits the shorthand aggregate FILTER (cond); Spark's
     # grammar requires FILTER (WHERE cond). Uppercase-only so the
     # lowercase lambda filter( (mapped from list_filter) is untouched.
-    (re.compile(r"\bFILTER\s*\(\s*(?!WHERE\b)"), "FILTER (WHERE "),
+    # The WHERE lookahead sits BEFORE the whitespace consumption —
+    # with it after, the regex engine backtracks \s* one char and
+    # matches anyway, doubling the WHERE when a newline precedes it.
+    (re.compile(r"\bFILTER\s*\((?!\s*WHERE\b)\s*"), "FILTER (WHERE "),
     # DuckDB HUGEINT is a 128-bit integer; DECIMAL(38,0) is Spark's
     # widest exact integer lane (the engine's own exact-cents
     # discipline) — products that genuinely need >38 digits overflow
@@ -959,6 +1082,21 @@ _TOKEN_MAPS: list[tuple[re.Pattern[str], str]] = [
     # Same aggregate, different name (value-at-extremum-of-key).
     (re.compile(r"\barg_min\("), "min_by("),
     (re.compile(r"\barg_max\("), "max_by("),
+    # Round-11 spellings (structural constructs live in sql_dialect).
+    # DuckDB's list() aggregate == collect_list (the ordered form is
+    # rewritten structurally before this map runs).
+    (re.compile(r"\blist\("), "collect_list("),
+    (re.compile(r"\bord\("), "ascii("),
+    (re.compile(r"\blist_extract\("), "element_at("),
+    (re.compile(r"\blist_concat\("), "concat("),
+    (re.compile(r"\blist_reverse\("), "reverse("),
+    (re.compile(r"\blist_append\("), "array_append("),
+    # json_extract returns JSON-typed text; the oracles only ever cast
+    # the result to numerics, where get_json_object's plain string is
+    # identical.
+    (re.compile(r"\bjson_extract\("), "get_json_object("),
+    (re.compile(r"\bBLOB\b"), "BINARY"),
+    (re.compile(r"\bfrom_base64\("), "unbase64("),
 ]
 
 # DuckDB parses hex-prefixed strings in integer casts — the oracles'
@@ -1017,10 +1155,15 @@ def mechanical_spark_sql(sql: str) -> str:
     sql = _DIV_RE.sub(" DIV ", sql)
     sql = _map_epoch_fns(sql)
     sql = _HEX_CAST_RE.sub(r"CAST(conv(\1, 16, 10) AS BIGINT)", sql)
+    sql = structural_spark_sql(sql)
     for pat, rep in _TOKEN_MAPS:
         sql = pat.sub(rep, sql)
-    sql = _INDEX_RE.sub(r"element_at(\1, \2)", sql)
     sql = _FLOAT_LIT_RE.sub(r"\1D", sql)
+    # DuckDB literals are raw; Spark's are C-escaped — double every
+    # backslash so '\s+' stays a whitespace regex (measured
+    # value_mismatch class, r11). Applies only to MAPPED oracle text;
+    # hand twins are written in Spark dialect already.
+    sql = double_backslashes_in_literals(sql)
     return sql
 
 
@@ -1058,16 +1201,28 @@ EXTENDED_TWIN_NAMES: frozenset[str] = frozenset(
 )
 
 
-_MEASURED_PASS: frozenset[str] | None = None
+def sql_fingerprint(sql: str) -> str:
+    """md5 of the exact text a measurement ran — recorded per query in
+    TWINS.json and re-checked at serve time, so editing an oracle or a
+    dialect rule AFTER generation can never serve unmeasured SQL under
+    a stale pass record (ADVICE r10 #1): the fingerprint mismatch
+    fails closed to KeyError until gen_twins re-measures."""
+    import hashlib
+
+    return hashlib.md5(sql.encode()).hexdigest()
 
 
-def _measured_pass_names() -> frozenset[str]:
-    """Query names whose mechanically-mapped oracle text MEASURED as
-    value-identical to the builder through a real spark.sql()
-    (TWINS.json, regenerated by ``python -m scripts.gen_twins`` and
-    registry-gated in tests/test_artifact_freshness.py). Empty set
-    when the artifact isn't present (installed library without the
-    repo evidence files) — the curated sets still serve."""
+_MEASURED_PASS: dict[str, str] | None = None
+
+
+def _measured_pass_fingerprints() -> dict[str, str]:
+    """name → fingerprint of the measured text, for every query whose
+    mapped/dialect twin MEASURED as value-identical to the builder
+    through a real spark.sql() (TWINS.json, regenerated by ``python -m
+    scripts.gen_twins`` and registry-gated in
+    tests/test_artifact_freshness.py). Empty when the artifact isn't
+    present (installed library without the repo evidence files) — the
+    curated sets still serve."""
     global _MEASURED_PASS
     if _MEASURED_PASS is None:
         import json
@@ -1080,37 +1235,50 @@ def _measured_pass_names() -> frozenset[str]:
         try:
             with open(path) as f:
                 data = json.load(f)
-            _MEASURED_PASS = frozenset(
-                n
+            _MEASURED_PASS = {
+                n: rec.get("sql_md5", "")
                 for n, rec in data.get("queries", {}).items()
                 if rec.get("status") == "pass"
-                and rec.get("source") == "oracle_div_mapped"
-            )
+                and rec.get("source") in ("oracle_div_mapped", "dialect_twin")
+            }
         except (OSError, ValueError):
-            _MEASURED_PASS = frozenset()
+            _MEASURED_PASS = {}
     return _MEASURED_PASS
 
 
 def spark_sql_for(name: str) -> str:
     """The Spark-SQL text for a VERIFIED query: the hand-written twin
-    when one exists (contract set or the extended analytics set), else
-    the mechanically-mapped oracle text when that mapping MEASURED as
-    value-identical (TWINS.json) or belongs to the r4-era verified
-    set. Raises KeyError for queries outside the verified+measured
-    sets — returning unvalidated dialect text would be a runtime trap
-    (review r5)."""
+    when one exists (contract set, the extended analytics set, or a
+    measured dialect twin), else the mechanically-mapped oracle text
+    when that mapping MEASURED as value-identical (TWINS.json, with
+    the measured text's fingerprint still matching) or belongs to the
+    r4-era verified set. Raises KeyError for queries outside the
+    verified+measured sets — returning unvalidated dialect text would
+    be a runtime trap (review r5)."""
     if name in SPARK_SQL_TWINS:
         return SPARK_SQL_TWINS[name]
     if name in EXTENDED_TWIN_NAMES:
         return _extended_twins()[name]
-    if name not in VERIFIED_TWINS and name not in _measured_pass_names():
+    measured = _measured_pass_fingerprints()
+    if name in DIALECT_TWINS:
+        sql = DIALECT_TWINS[name]
+        if measured.get(name) == sql_fingerprint(sql):
+            return sql
         raise KeyError(
-            f"{name} has no verified Spark-SQL twin; use Engine.query() "
-            "(the DataFrame builder) — twins are served only where the "
-            "SQL text is hand-verified or measured value-identical "
-            "(TWINS.json)"
+            f"{name}: dialect twin not (re)measured — run "
+            "`python -m scripts.gen_twins` and commit TWINS.json"
         )
     oracle = load_all()[name].oracle
     if oracle is None:
         raise KeyError(f"{name} has no oracle and no hand-written twin")
-    return mechanical_spark_sql(oracle)
+    sql = mechanical_spark_sql(oracle)
+    if name in VERIFIED_TWINS:
+        return sql
+    if measured.get(name) == sql_fingerprint(sql):
+        return sql
+    raise KeyError(
+        f"{name} has no verified Spark-SQL twin; use Engine.query() "
+        "(the DataFrame builder) — twins are served only where the "
+        "SQL text is hand-verified or measured value-identical with a "
+        "matching text fingerprint (TWINS.json)"
+    )

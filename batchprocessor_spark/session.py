@@ -69,6 +69,11 @@ def engine_confs(
         # default; read as raw nanos once here so readers stay
         # side-effect-free (catalog converts to micros with integer div).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Reference-tracked cleanup of reliable checkpoints: without
+        # it, per-round checkpoints from iterative operators accumulate
+        # in the checkpoint dir for the life of a long-lived Engine
+        # (ADVICE r10).
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": env.get("SPARK_DRIVER_MEMORY", "8g"),
     }
@@ -113,7 +118,9 @@ def materialization_mode(master: str, checkpoint_dir_set: bool) -> str:
 
 
 def _checkpoint_dir_set(spark: SparkSession) -> bool:
-    return spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    # Public API (PySpark ≥3.1) — the former _jsc gateway probe broke
+    # under Spark Connect and tracked JVM internals (ADVICE r10).
+    return spark.sparkContext.getCheckpointDir() is not None
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -136,10 +143,51 @@ def materialize(df: DataFrame) -> DataFrame:
     if mode == "local_checkpoint":
         return df.localCheckpoint(eager=True)
     if mode == "reliable_checkpoint":
-        return df.checkpoint(eager=True)
+        # checkpoint(eager=True) on an unpersisted plan runs the
+        # subtree twice (once for the action, once for the checkpoint
+        # write job); a scoped cache makes it compute-once, and the
+        # cache is dropped as soon as the checkpoint files exist
+        # (ADVICE r10). Checkpoint-file cleanup itself is
+        # reference-tracked via cleanCheckpoints in engine_confs.
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist()
+    _warn_replicated_persist_once()
     out = df.persist(StorageLevel.MEMORY_AND_DISK_2)
     out.count()
     return out
+
+
+_REPLICATED_WARNED = False
+
+
+def _warn_replicated_persist_once() -> None:
+    """The replicated-persist fallback neither truncates lineage nor
+    frees superseded caches — on deep iterative operators (connected
+    components, BFS, k-core) the untruncated lineage grows per round
+    and can OOM the driver, and per-round MEMORY_AND_DISK_2 entries
+    pin the CacheManager for the session lifetime (ADVICE r10). Warn
+    loudly, once: production clusters should set
+    $SPARK_GRAFT_CHECKPOINT_DIR so materialize() takes the reliable-
+    checkpoint path instead."""
+    global _REPLICATED_WARNED
+    if _REPLICATED_WARNED:
+        return
+    _REPLICATED_WARNED = True
+    import warnings
+
+    warnings.warn(
+        "batchprocessor_spark: running on a cluster master WITHOUT a "
+        "checkpoint dir — materialize() falls back to replicated "
+        "persist, which keeps full lineage (iterative operators grow "
+        "it every round) and holds per-round caches for the session "
+        "lifetime. Set SPARK_GRAFT_CHECKPOINT_DIR (or call "
+        "sparkContext.setCheckpointDir) for the reliable path.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def get_spark(

@@ -397,6 +397,7 @@ def foreach_batch_sink(
     config: FlowControlConfig | None = None,
     dlq_path: str | None = None,
     distributed: bool = False,
+    budget: str = "escrow",
 ):
     """Standalone foreachBatch wrapper for arbitrary streaming queries:
     ``df.writeStream.foreachBatch(foreach_batch_sink(my_sink, cfg))``.
@@ -427,6 +428,30 @@ def foreach_batch_sink(
     Σ tps_i = tps exact. Empty partitions get no budget and no
     controller.
 
+    ``budget`` selects how the global rate is enforced across
+    partitions (distributed mode only):
+
+    - ``"escrow"`` (default, VERDICT r10 #2): ONE driver-side
+      TokenEscrowServer holds the tps/ips buckets for the whole
+      query; every partition's flush reserves from it over a tiny
+      line-oriented TCP exchange (executors already reach the driver
+      host). This is literally the reference's single shared
+      MixedLimiter (V1/MixedLimiter.java:16-43) made distributed:
+      work-conserving with NO shares and NO epochs — a partition
+      whose sink is atypically slow per row just reserves less, and
+      its idle budget flows to whichever partition asks next,
+      mid-epoch. The burst is granted ONCE per query (1 flush /
+      batch_size items), not per epoch, so the cross-epoch statement
+      tightens to: delivered ≤ rate·elapsed + that one-time burst.
+    - ``"proportional"``: the r9/r10 zero-coordination division —
+      each nonempty partition gets rate × its row share from one
+      counting pass. Work-conserving for ROW-COUNT skew (Σ shares =
+      1, every partition drains in ≈ total/global_rate) but shares
+      are fixed at dispatch: heterogeneous per-row sink LATENCY
+      cannot borrow idle budget until the next epoch. Kept for
+      deployments where the executors cannot open a connection to
+      the driver (locked-down networks).
+
     Concurrency divides proportionally too but floors at 1 per
     nonempty partition; when nonempty partitions exceed the
     configured cap the true aggregate in-flight bound is that count.
@@ -441,6 +466,8 @@ def foreach_batch_sink(
     never the driver-mode default burst re-granted every epoch.
     """
     cfg = config or FlowControlConfig()
+    if budget not in ("escrow", "proportional"):
+        raise ValueError(f"unknown budget mode {budget!r}")
 
     if not distributed:
         controller = FlowController(sink, cfg, dlq_path=dlq_path)
@@ -491,20 +518,44 @@ def foreach_batch_sink(
             # default burst (a full second of tokens / 2·batch_size
             # items) silently multiplying by epochs×partitions
             # (code-review r9 finding #1).
+            use_escrow = budget == "escrow" and (cfg.tps > 0 or cfg.ips > 0)
+            escrow_addr = None
+            if use_escrow:
+                escrow_addr = _ensure_escrow(
+                    handle_distributed, cfg, df.sparkSession
+                )
             budgets = {}
             for i, c in nonempty.items():
                 w = c / total
-                budgets[i] = dataclasses.replace(
-                    cfg,
-                    tps=cfg.tps * w if cfg.tps > 0 else 0.0,
-                    ips=cfg.ips * w if cfg.ips > 0 else 0.0,
-                    concurrency=max(1, int(cfg.concurrency * w)),
-                    tps_burst=1.0,
-                    ips_burst=float(cfg.batch_size),
-                )
+                if use_escrow:
+                    # Rates are enforced by the ONE shared escrow
+                    # bucket; per-partition tps/ips are kept at the
+                    # global value purely for stat reporting — the
+                    # controller routes every acquire to the escrow.
+                    budgets[i] = dataclasses.replace(
+                        cfg,
+                        concurrency=max(1, int(cfg.concurrency * w)),
+                        tps_burst=1.0,
+                        ips_burst=float(cfg.batch_size),
+                        escrow_addr=escrow_addr,
+                    )
+                else:
+                    budgets[i] = dataclasses.replace(
+                        cfg,
+                        tps=cfg.tps * w if cfg.tps > 0 else 0.0,
+                        ips=cfg.ips * w if cfg.ips > 0 else 0.0,
+                        concurrency=max(1, int(cfg.concurrency * w)),
+                        tps_burst=1.0,
+                        ips_burst=float(cfg.batch_size),
+                    )
             handle_distributed.last_budget = {
                 "epoch_id": epoch_id,
-                "mode": "work_conserving_proportional",
+                "mode": (
+                    "escrow_shared_limiter"
+                    if use_escrow
+                    else "work_conserving_proportional"
+                ),
+                "escrow_addr": escrow_addr,
                 "num_partitions": nparts,
                 "nonempty_partitions": len(nonempty),
                 "rows_total": total,
@@ -518,16 +569,22 @@ def foreach_batch_sink(
                 "concurrency_by_partition": {
                     i: b.concurrency for i, b in sorted(budgets.items())
                 },
-                # Aggregate SUSTAINED-rate bounds (bucket refill
-                # across partitions — Σ tps·wᵢ = tps exactly), plus
-                # the per-epoch free allowance from the minimum burst
-                # each rebuilt bucket starts with — the honest
-                # cross-epoch statement is
-                # rate ≤ bound + epochs_per_sec · burst_per_epoch.
+                # Aggregate SUSTAINED-rate bounds. Proportional mode:
+                # bucket refill across partitions — Σ tps·wᵢ = tps
+                # exactly, plus a per-epoch allowance from the minimum
+                # burst each rebuilt bucket starts with (the honest
+                # cross-epoch statement is rate ≤ bound +
+                # epochs_per_sec · burst_per_epoch). Escrow mode: ONE
+                # persistent bucket pair for the query, so the burst
+                # is granted once TOTAL (per_epoch_* = 0).
                 "aggregate_tps_bound": cfg.tps,
                 "aggregate_ips_bound": cfg.ips,
-                "per_epoch_burst_flushes": len(nonempty),
-                "per_epoch_burst_items": len(nonempty) * cfg.batch_size,
+                "per_epoch_burst_flushes": 0 if use_escrow else len(nonempty),
+                "per_epoch_burst_items": (
+                    0 if use_escrow else len(nonempty) * cfg.batch_size
+                ),
+                "query_burst_flushes": 1 if use_escrow else 0,
+                "query_burst_items": cfg.batch_size if use_escrow else 0,
                 # Concurrency can exceed the global cap by the
                 # per-partition floor of 1 when the nonempty
                 # partition count exceeds cap.
@@ -547,9 +604,29 @@ def foreach_batch_sink(
                 pid = tc.partitionId() if tc else 0
                 pp_cfg = budgets.get(pid)
                 if pp_cfg is None:  # count said empty; trust the rows
-                    pp_cfg = dataclasses.replace(
-                        cfg, tps_burst=1.0, ips_burst=float(cfg.batch_size)
-                    )
+                    # but never the UNDIVIDED global rate — if the
+                    # count and dispatch passes ever disagreed, a full
+                    # grant per surprise partition could exceed the
+                    # aggregate cap by up to the whole global rate
+                    # (ADVICE r10). Escrow mode shares the one bucket
+                    # anyway; proportional mode falls back to a
+                    # 1/nparts share.
+                    if use_escrow:
+                        pp_cfg = dataclasses.replace(
+                            cfg,
+                            tps_burst=1.0,
+                            ips_burst=float(cfg.batch_size),
+                            escrow_addr=escrow_addr,
+                        )
+                    else:
+                        pp_cfg = dataclasses.replace(
+                            cfg,
+                            tps=cfg.tps / nparts if cfg.tps > 0 else 0.0,
+                            ips=cfg.ips / nparts if cfg.ips > 0 else 0.0,
+                            concurrency=max(1, cfg.concurrency // nparts),
+                            tps_burst=1.0,
+                            ips_burst=float(cfg.batch_size),
+                        )
                 # Retry→DLQ must survive distribution: each
                 # partition's controller appends under its own
                 # epoch/partition subpath (unique dirs, no cross-task
@@ -568,4 +645,39 @@ def foreach_batch_sink(
             rdd.unpersist()
 
     handle_distributed.last_budget = None  # set per epoch
+    handle_distributed.escrow_server = None  # started on first epoch
+    handle_distributed.escrow_addr = None
+
+    def close() -> None:
+        if handle_distributed.escrow_server is not None:
+            handle_distributed.escrow_server.close()
+            handle_distributed.escrow_server = None
+
+    handle_distributed.close = close
     return handle_distributed
+
+
+def _ensure_escrow(handle, cfg: FlowControlConfig, spark) -> tuple[str, int]:
+    """Start (once per handle) the driver-side TokenEscrowServer and
+    return the (host, port) executors should dial. The advertised host
+    is spark.driver.host — the address executors already use to reach
+    the driver for blocks and files."""
+    if handle.escrow_addr is not None:
+        return handle.escrow_addr
+    from batchprocessor_spark.streaming.flow import TokenEscrowServer
+
+    server = TokenEscrowServer(
+        tps=cfg.tps,
+        ips=cfg.ips,
+        # burst granted ONCE for the query lifetime: the progress
+        # minimum (1 flush / one batch of items)
+        tps_burst=1.0,
+        ips_burst=float(cfg.batch_size),
+    )
+    try:
+        host = spark.sparkContext.getConf().get("spark.driver.host")
+    except Exception:  # noqa: BLE001 - conf lookup shape varies
+        host = None
+    handle.escrow_server = server
+    handle.escrow_addr = (host or "127.0.0.1", server.port)
+    return handle.escrow_addr

@@ -227,9 +227,10 @@ def main() -> None:
         print(f"\n## {name}\n")
         if twin is not None:
             print(
-                "(pre-checkpoint composition: the registered builder "
-                "returns a `localCheckpoint()` of this exact plan — "
-                "the cached relation is scoped cache → checkpoint → "
+                "(pre-materialization composition: the registered "
+                "builder returns this exact plan through the "
+                "cluster-safe `session.materialize()` barrier — the "
+                "cached relation is scoped cache → materialize → "
                 "unpersist, see the builder docstring)\n"
             )
         print("```")

@@ -52,6 +52,8 @@ def classify_source(name: str) -> str:
         return "hand_twin"
     if name in tw.EXTENDED_TWIN_NAMES:
         return "extended_twin"
+    if name in tw.DIALECT_TWINS:
+        return "dialect_twin"
     return "oracle_div_mapped"
 
 
@@ -62,6 +64,8 @@ def candidate_sql(name: str, oracle: str) -> str:
         return tw.SPARK_SQL_TWINS[name]
     if name in tw.EXTENDED_TWIN_NAMES:
         return tw._extended_twins()[name]
+    if name in tw.DIALECT_TWINS:
+        return tw.DIALECT_TWINS[name]
     # NOT spark_sql_for: the sweep must measure the mechanical map for
     # every query, including ones a prior artifact already admitted —
     # the artifact is regenerated evidence, not a cache of itself.
@@ -75,11 +79,19 @@ def run_one(spark, name: str, spec, sf_dir: str, timeout_s: int = 180) -> dict:
     if spec.oracle is None:
         rec["status"] = "no_oracle"
         return rec
-    if name in ANALYZER_PATHOLOGICAL:
+    # The skiplist only covers the MAPPED oracle text; a hand dialect
+    # twin (e.g. q_ts_dtw's fold-DP rewrite, r11) is measured normally.
+    if name in ANALYZER_PATHOLOGICAL and rec["source"] == "oracle_div_mapped":
         rec["status"] = "timeout"
         rec["error"] = ANALYZER_PATHOLOGICAL[name]
         return rec
     sql = candidate_sql(name, spec.oracle)
+    # Fingerprint of the EXACT text this measurement runs: serve-time
+    # (spark_sql_for) re-derives the candidate and refuses a stale
+    # pass record whose text has since drifted (ADVICE r10 #1).
+    from batchprocessor_spark.plans.sql_twins import sql_fingerprint
+
+    rec["sql_md5"] = sql_fingerprint(sql)
     t0 = time.perf_counter()
     # Watchdog: a mapped oracle can be VALID Spark SQL yet plan
     # pathologically (e.g. a DTW fold that DuckDB evaluates through a
@@ -150,9 +162,21 @@ def main() -> int:
     spark = get_spark("bp-gen-twins", cpus=8, shuffle_partitions=8)
     register_views(spark, sf_dir)
 
+    from batchprocessor_spark.plans.sql_twins import sql_fingerprint
+
     queries: dict = dict(prior)
     for i, name in enumerate(names, 1):
-        if args.resume and prior.get(name, {}).get("status") == "pass":
+        p = prior.get(name, {})
+        # A prior pass is reusable only while the candidate text is
+        # byte-identical to what was measured — a changed oracle or
+        # dialect rule invalidates the record (ADVICE r10 #1).
+        if (
+            args.resume
+            and p.get("status") == "pass"
+            and registry[name].oracle is not None
+            and p.get("sql_md5")
+            == sql_fingerprint(candidate_sql(name, registry[name].oracle))
+        ):
             continue
         queries[name] = run_one(spark, name, registry[name], sf_dir)
         print(
@@ -160,26 +184,33 @@ def main() -> int:
             file=sys.stderr,
             flush=True,
         )
+        # Checkpoint after EVERY query: a driver-side analyzer wedge
+        # (uncancellable — no job group exists yet) forces a kill, and
+        # without this the whole sweep's measurements would be lost.
+        _write(args.out, queries, args.sf_dir)
 
+    return 0
+
+
+def _write(out: str, queries: dict, sf_dir: str) -> None:
     statuses = [q["status"] for q in queries.values()]
     payload = {
-        "sf_dir": args.sf_dir,
+        "sf_dir": sf_dir,
         "n": len(queries),
         "n_pass": statuses.count("pass"),
         "n_dialect_fail": statuses.count("dialect_fail"),
         "n_value_mismatch": statuses.count("value_mismatch"),
         "queries": {k: queries[k] for k in sorted(queries)},
     }
-    with open(args.out, "w") as f:
+    with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
     print(
         f"TWINS: {payload['n_pass']}/{payload['n']} pass, "
         f"{payload['n_dialect_fail']} dialect_fail, "
-        f"{payload['n_value_mismatch']} value_mismatch -> {args.out}",
+        f"{payload['n_value_mismatch']} value_mismatch -> {out}",
         file=sys.stderr,
     )
-    return 0
 
 
 if __name__ == "__main__":

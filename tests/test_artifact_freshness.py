@@ -205,3 +205,26 @@ def test_twins_artifact_tracks_registry(registry_names):
     # builder_error means the measurement harness itself broke — never
     # acceptable in a committed artifact.
     assert statuses.count("builder_error") == 0
+    # Fingerprint gate (ADVICE r10): every pass record must carry the
+    # md5 of the EXACT text it measured, and that text must still be
+    # what the current oracle + dialect rules produce — editing either
+    # after generation fails here (and spark_sql_for fails closed at
+    # serve time) until gen_twins re-measures.
+    from scripts.gen_twins import candidate_sql
+
+    from batchprocessor_spark.plans.registry import load_all
+
+    registry = load_all()
+    stale = []
+    for n, rec in data["queries"].items():
+        if rec["status"] != "pass" or registry[n].oracle is None:
+            continue
+        want = tw.sql_fingerprint(candidate_sql(n, registry[n].oracle))
+        if rec.get("sql_md5") != want:
+            stale.append(n)
+    assert not stale, (
+        f"TWINS.json pass records whose measured text drifted from the "
+        f"current oracle/dialect rules: {stale[:8]} — rerun "
+        "`python -m scripts.gen_twins --resume` (resume re-measures "
+        "fingerprint mismatches)"
+    )

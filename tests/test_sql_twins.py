@@ -168,3 +168,54 @@ def test_measured_pass_serving_is_artifact_driven(tmp_path, monkeypatch):
     # a served name returns mapped text without raising
     text = spark_sql_for(sorted(served)[0])
     assert "SELECT" in text.upper()
+
+
+def test_dialect_twin_serving_requires_matching_fingerprint(monkeypatch):
+    """ADVICE r10 #1: a measured pass is only servable while the text
+    it measured is byte-identical to what would be served NOW.
+    Simulate post-measurement drift (artifact md5 ≠ current text) —
+    spark_sql_for must fail closed instead of serving unmeasured SQL."""
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    name = sorted(tw.DIALECT_TWINS)[0]
+    # record says pass but with a stale fingerprint
+    monkeypatch.setattr(tw, "_MEASURED_PASS", {name: "0" * 32})
+    with pytest.raises(KeyError, match="not \\(re\\)measured"):
+        tw.spark_sql_for(name)
+    # matching fingerprint serves
+    monkeypatch.setattr(
+        tw,
+        "_MEASURED_PASS",
+        {name: tw.sql_fingerprint(tw.DIALECT_TWINS[name])},
+    )
+    assert "SELECT" in tw.spark_sql_for(name).upper()
+
+
+def test_mapped_oracle_serving_requires_matching_fingerprint(monkeypatch):
+    """Same fail-closed contract for mechanically-mapped oracles: a
+    rule or oracle edit after generation invalidates the pass record
+    at serve time (the freshness gate catches it repo-side too)."""
+    import json
+    from pathlib import Path
+
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    twins = json.loads(
+        (Path(__file__).resolve().parent.parent / "TWINS.json").read_text()
+    )
+    curated = (
+        set(tw.SPARK_SQL_TWINS)
+        | set(tw.EXTENDED_TWIN_NAMES)
+        | tw.VERIFIED_TWINS
+        | set(tw.DIALECT_TWINS)
+    )
+    name = sorted(
+        n
+        for n, r in twins["queries"].items()
+        if r["status"] == "pass"
+        and r["source"] == "oracle_div_mapped"
+        and n not in curated
+    )[0]
+    monkeypatch.setattr(tw, "_MEASURED_PASS", {name: "0" * 32})
+    with pytest.raises(KeyError, match="no verified Spark-SQL twin"):
+        tw.spark_sql_for(name)
