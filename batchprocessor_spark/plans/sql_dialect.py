@@ -591,6 +591,40 @@ def _repl_list_transform_zip(args, inner):
     return f"zip_with({zip_args[0]}, {zip_args[1]}, ({pa}, {pb}) -> {body})"
 
 
+_CTE_DEF = re.compile(r"(\b\w+\s*(?:\([^()]*\))?)(\s+AS\s*\()")
+
+
+def _add_recursion_limit(sql: str, level: int = 10000) -> str:
+    """Spark recursive CTEs default to a 100-level cap
+    (RECURSION_LEVEL_LIMIT_EXCEEDED) — DuckDB has no such limit, so a
+    row-DP recursion that fit at sf0.01 dies at sf0.1 on longer
+    documents. Add `MAX RECURSION LEVEL n` to every SELF-REFERENCING
+    CTE; runaway protection stays with the sweep watchdog."""
+    if not re.search(r"\bRECURSIVE\b", sql):
+        return sql
+    mask = _string_mask(sql)
+    out, pos = [], 0
+    for m in _CTE_DEF.finditer(sql):
+        if mask[m.start()]:
+            continue
+        op = m.end() - 1
+        cl = _find_close(sql, op, mask)
+        if cl is None:
+            continue
+        name = m.group(1).split("(")[0].strip()
+        if not name or not re.search(
+            r"\b" + re.escape(name) + r"\b", sql[op + 1 : cl]
+        ):
+            continue
+        if m.start() < pos:
+            continue
+        out.append(sql[pos : m.end(1)])
+        out.append(f" MAX RECURSION LEVEL {level}")
+        pos = m.end(1)
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 _COMMA_UNNEST = re.compile(r",\s*unnest\s*\(")
 
 
@@ -997,6 +1031,7 @@ def structural_spark_sql(sql: str) -> str:
     """All structural passes, in dependency order (zip idioms before
     the generic range/unnest maps; type-suffix before the bracket
     pass; everything before the token map in sql_twins)."""
+    sql = _add_recursion_limit(sql)
     sql = _rewrite_zip_generators(sql)
     sql = _rewrite_lateral_unnest(sql)
     sql = _rewrite_cast_after_unnest(sql)

@@ -981,6 +981,35 @@ DIALECT_TWINS: dict[str, str] = {
     """,
 }
 
+_INT_SUM_WIDENED = ("q_agg_corr_matrix", "q_ml_linreg_normal_eq")
+_SUM_TO_DOUBLE = re.compile(r"sum\(([^()]*)\)::DOUBLE")
+_DIALECT_CACHE: dict[str, str] | None = None
+
+
+def dialect_twins() -> dict[str, str]:
+    """DIALECT_TWINS plus the generated integer-sum-widening twins.
+
+    DuckDB ``sum(BIGINT)`` silently widens to HUGEINT; Spark's BIGINT
+    sum overflows under ANSI once the exact-cents PRODUCT sums cross
+    2^63 — which the sf0.1 twin sweep caught for the two moment-matrix
+    queries (sum(price·price) ≈ 6e19 at 600k rows). The twin mirrors
+    the widening with DECIMAL(38,0) — exact, then ONE cast to DOUBLE,
+    the same value DuckDB's HUGEINT→DOUBLE conversion produces. The
+    text is derived from the oracle itself (single source of truth)
+    and, like every dialect twin, serves only on a measured pass with
+    a matching fingerprint."""
+    global _DIALECT_CACHE
+    if _DIALECT_CACHE is None:
+        out = dict(DIALECT_TWINS)
+        reg = load_all()
+        for name in _INT_SUM_WIDENED:
+            sql = mechanical_spark_sql(reg[name].oracle)
+            out[name] = _SUM_TO_DOUBLE.sub(
+                r"CAST(sum(CAST(\1 AS DECIMAL(38,0))) AS DOUBLE)", sql
+            )
+        _DIALECT_CACHE = out
+    return _DIALECT_CACHE
+
 # The queries whose Spark-SQL lane is VERIFIED value-identical to the
 # DataFrame builder (tests/test_sql_twins.py) — the SURVEY §2.2
 # contract set. spark_sql_for refuses names outside it: most other
@@ -1228,21 +1257,38 @@ def _measured_pass_fingerprints() -> dict[str, str]:
         import json
         import os
 
-        path = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-            "TWINS.json",
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(__file__))
         )
-        try:
-            with open(path) as f:
-                data = json.load(f)
-            _MEASURED_PASS = {
+
+        def passes(fname: str) -> dict[str, str] | None:
+            try:
+                with open(os.path.join(repo, fname)) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                return None
+            return {
                 n: rec.get("sql_md5", "")
                 for n, rec in data.get("queries", {}).items()
                 if rec.get("status") == "pass"
-                and rec.get("source") in ("oracle_div_mapped", "dialect_twin")
+                and rec.get("source")
+                in ("oracle_div_mapped", "dialect_twin")
             }
-        except (OSError, ValueError):
-            _MEASURED_PASS = {}
+
+        base = passes("TWINS.json") or {}
+        # The sf0.1 sweep exists because an sf0.01-only pass can hide
+        # scale-dependent divergence (BIGINT sum overflow where DuckDB
+        # widens to HUGEINT; recursion-level caps on longer rows —
+        # both found in r11). When present, a name serves only if it
+        # passed at BOTH SFs with the SAME measured text.
+        big = passes("TWINS_SF01.json")
+        if big is not None:
+            base = {
+                n: h
+                for n, h in base.items()
+                if big.get(n) == h
+            }
+        _MEASURED_PASS = base
     return _MEASURED_PASS
 
 
@@ -1260,8 +1306,8 @@ def spark_sql_for(name: str) -> str:
     if name in EXTENDED_TWIN_NAMES:
         return _extended_twins()[name]
     measured = _measured_pass_fingerprints()
-    if name in DIALECT_TWINS:
-        sql = DIALECT_TWINS[name]
+    if name in dialect_twins():
+        sql = dialect_twins()[name]
         if measured.get(name) == sql_fingerprint(sql):
             return sql
         raise KeyError(

@@ -52,7 +52,7 @@ def classify_source(name: str) -> str:
         return "hand_twin"
     if name in tw.EXTENDED_TWIN_NAMES:
         return "extended_twin"
-    if name in tw.DIALECT_TWINS:
+    if name in tw.dialect_twins():
         return "dialect_twin"
     return "oracle_div_mapped"
 
@@ -64,8 +64,8 @@ def candidate_sql(name: str, oracle: str) -> str:
         return tw.SPARK_SQL_TWINS[name]
     if name in tw.EXTENDED_TWIN_NAMES:
         return tw._extended_twins()[name]
-    if name in tw.DIALECT_TWINS:
-        return tw.DIALECT_TWINS[name]
+    if name in tw.dialect_twins():
+        return tw.dialect_twins()[name]
     # NOT spark_sql_for: the sweep must measure the mechanical map for
     # every query, including ones a prior artifact already admitted —
     # the artifact is regenerated evidence, not a cache of itself.
@@ -144,6 +144,12 @@ def main() -> int:
     ap.add_argument("--out", default="TWINS.json")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--timeout",
+        type=int,
+        default=180,
+        help="per-query watchdog seconds (raise for heavy-SF sweeps)",
+    )
     args = ap.parse_args()
 
     from batchprocessor_spark.plans.registry import load_all
@@ -178,7 +184,9 @@ def main() -> int:
             == sql_fingerprint(candidate_sql(name, registry[name].oracle))
         ):
             continue
-        queries[name] = run_one(spark, name, registry[name], sf_dir)
+        queries[name] = run_one(
+            spark, name, registry[name], sf_dir, timeout_s=args.timeout
+        )
         print(
             f"[{i}/{len(names)}] {name}: {queries[name]['status']}",
             file=sys.stderr,

@@ -215,16 +215,40 @@ def test_twins_artifact_tracks_registry(registry_names):
     from batchprocessor_spark.plans.registry import load_all
 
     registry = load_all()
-    stale = []
-    for n, rec in data["queries"].items():
-        if rec["status"] != "pass" or registry[n].oracle is None:
-            continue
-        want = tw.sql_fingerprint(candidate_sql(n, registry[n].oracle))
-        if rec.get("sql_md5") != want:
-            stale.append(n)
+
+    def stale_passes(doc: dict) -> list[str]:
+        out = []
+        for n, rec in doc["queries"].items():
+            if rec["status"] != "pass" or registry[n].oracle is None:
+                continue
+            want = tw.sql_fingerprint(candidate_sql(n, registry[n].oracle))
+            if rec.get("sql_md5") != want:
+                out.append(n)
+        return out
+
+    stale = stale_passes(data)
     assert not stale, (
         f"TWINS.json pass records whose measured text drifted from the "
         f"current oracle/dialect rules: {stale[:8]} — rerun "
         "`python -m scripts.gen_twins --resume` (resume re-measures "
         "fingerprint mismatches)"
     )
+    # Second-SF sweep (r11): same gates. Serving intersects the two
+    # artifacts, so a stale/partial sf0.1 doc silently UN-serves
+    # queries — fail loudly here instead.
+    sf01_path = REPO / "TWINS_SF01.json"
+    if sf01_path.exists():
+        data01 = json.loads(sf01_path.read_text())
+        assert set(data01["queries"]) == registry_names, (
+            "TWINS_SF01.json drifted from the registry — rerun "
+            "`python -m scripts.gen_twins --sf-dir /root/testdata/sf0.1 "
+            "--out TWINS_SF01.json --resume --timeout 600`"
+        )
+        stale01 = stale_passes(data01)
+        assert not stale01, (
+            f"TWINS_SF01.json stale pass records: {stale01[:8]}"
+        )
+        assert (
+            sum(1 for q in data01["queries"].values() if q["status"] == "value_mismatch")
+            == 0
+        )

@@ -10,8 +10,14 @@ What one big JVM can never prove, this lane does:
   stay oracle-exact under them across process boundaries;
 - cloudpickled executor-side sinks (distributed flow control) cross
   a real process boundary with chunk-granular DLQ, zero loss;
+- the driver-side token escrow (r11 default budget) is dialed from
+  real separate worker processes — the deployment question for a
+  cluster-global rate limiter;
+- RocksDB-backed stateful streaming (JNI inside each executor
+  process) stays oracle-exact;
 - headline plans (broadcast star, window frame, graph rounds, the
-  repartitioned ROUGE kernel) stay oracle-exact across executors.
+  salted CPU-bound pair join, the repartitioned ROUGE kernel) stay
+  oracle-exact across executors.
 
 First run of this lane caught a real deployment gap: executor python
 workers do not inherit the driver's sys.path, so package-referencing

@@ -177,7 +177,7 @@ def test_dialect_twin_serving_requires_matching_fingerprint(monkeypatch):
     spark_sql_for must fail closed instead of serving unmeasured SQL."""
     from batchprocessor_spark.plans import sql_twins as tw
 
-    name = sorted(tw.DIALECT_TWINS)[0]
+    name = sorted(tw.dialect_twins())[0]
     # record says pass but with a stale fingerprint
     monkeypatch.setattr(tw, "_MEASURED_PASS", {name: "0" * 32})
     with pytest.raises(KeyError, match="not \\(re\\)measured"):
@@ -186,7 +186,7 @@ def test_dialect_twin_serving_requires_matching_fingerprint(monkeypatch):
     monkeypatch.setattr(
         tw,
         "_MEASURED_PASS",
-        {name: tw.sql_fingerprint(tw.DIALECT_TWINS[name])},
+        {name: tw.sql_fingerprint(tw.dialect_twins()[name])},
     )
     assert "SELECT" in tw.spark_sql_for(name).upper()
 
@@ -207,7 +207,7 @@ def test_mapped_oracle_serving_requires_matching_fingerprint(monkeypatch):
         set(tw.SPARK_SQL_TWINS)
         | set(tw.EXTENDED_TWIN_NAMES)
         | tw.VERIFIED_TWINS
-        | set(tw.DIALECT_TWINS)
+        | set(tw.dialect_twins())
     )
     name = sorted(
         n
