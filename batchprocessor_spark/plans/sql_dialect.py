@@ -248,8 +248,28 @@ def _output_names(sel_list: str) -> list[str] | None:
 
 
 def _rewrite_qualify(sql: str) -> str:
-    mask = _string_mask(sql)
-    hits = [m for m in _QUALIFY.finditer(sql) if not mask[m.start()]]
+    # Splicing shifts the offsets of every other hit, so hits are
+    # re-found after each successful rewrite (a stale offset left
+    # nested QUALIFYs unrewritten — code-review r11). Positions that
+    # fail to rewrite are remembered relative to the CURRENT text and
+    # skipped, bounding the loop.
+    for _ in range(32):
+        mask = _string_mask(sql)
+        hits = [m for m in _QUALIFY.finditer(sql) if not mask[m.start()]]
+        new_sql = _rewrite_one_qualify(sql, mask, hits)
+        if new_sql is None:
+            return sql
+        sql = new_sql
+    return sql
+
+
+def _rewrite_one_qualify(
+    sql: str, mask: list[bool], hits: list[re.Match]
+) -> str | None:
+    """Rewrite the LAST rewritable QUALIFY (inner-most blocks sit
+    later in the text than their enclosing SELECT, so processing from
+    the end keeps each splice self-contained); None when no hit can
+    be rewritten."""
     for m in reversed(hits):
         qpos, qend = m.start(), m.end()
         # --- block end: first top-level ')' or trailing-clause keyword
@@ -266,7 +286,7 @@ def _rewrite_qualify(sql: str) -> str:
                     end = i
                     break
                 depth -= 1
-            elif depth == 0 and sql[i] in "OLUIE" and _BLOCK_END_KW.match(sql, i):
+            elif depth == 0 and sql[i] in "OLUIEW" and _BLOCK_END_KW.match(sql, i):
                 if i == 0 or sql[i - 1] not in _IDENT_CHARS:
                     end = i
                     break
@@ -322,9 +342,8 @@ def _rewrite_qualify(sql: str) -> str:
                 f"SELECT{distinct} {cols} FROM "
                 f"(SELECT {head} {body}) __qf WHERE {pred}"
             )
-        sql = sql[:selpos] + new_block + sql[end:]
-        mask = _string_mask(sql)
-    return sql
+        return sql[:selpos] + new_block + sql[end:]
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -787,11 +806,13 @@ def _hoist_subqueries_in_calls(sql: str) -> str:
                         break
                     depth -= 1
                 elif depth == 0:
+                    nxt = s[i + 4 : i + 5]  # slice: no IndexError at EOS
                     if (
                         frompos is None
                         and s[i : i + 4].upper() == "FROM"
-                        and (s[i - 1] not in _IDENT_CHARS)
-                        and (s[i + 4] not in _IDENT_CHARS)
+                        and (i == 0 or s[i - 1] not in _IDENT_CHARS)
+                        and nxt
+                        and nxt not in _IDENT_CHARS
                     ):
                         frompos = i
                     elif frompos is not None:
@@ -807,13 +828,27 @@ def _hoist_subqueries_in_calls(sql: str) -> str:
             joiner = (
                 f" CROSS JOIN{hoist}" if frompos is not None else f" FROM{hoist}"
             )
-            s = (
-                s[: sub.start()]
-                + name
-                + s[sub_cl + 1 : insert_at]
-                + joiner
-                + s[insert_at:]
-            )
+            # the call (and so the subquery) can sit AFTER the FROM
+            # clause — in WHERE/GROUP/HAVING — in which case the join
+            # is inserted BEFORE the subquery span; splice the two
+            # edits in text order (the unordered form duplicated the
+            # trailing clause — code-review r11)
+            if insert_at <= sub.start():
+                s = (
+                    s[:insert_at]
+                    + joiner
+                    + s[insert_at : sub.start()]
+                    + name
+                    + s[sub_cl + 1 :]
+                )
+            else:
+                s = (
+                    s[: sub.start()]
+                    + name
+                    + s[sub_cl + 1 : insert_at]
+                    + joiner
+                    + s[insert_at:]
+                )
             return s
         return None
 

@@ -53,6 +53,9 @@ class FlowControlConfig:
     # partition whose sink is slow per row simply reserves less, and
     # the unreserved budget flows to whoever asks next.
     escrow_addr: tuple[str, int] | None = None
+    # per-query shared secret for the escrow protocol — every request
+    # carries it, and the server drops unauthenticated peers
+    escrow_token: str = ""
 
 
 class TokenBucket:
@@ -111,8 +114,10 @@ class TokenEscrowServer:
         ips: float,
         tps_burst: float = 1.0,
         ips_burst: float | None = None,
+        bind_host: str | None = None,
     ):
         import socket
+        import uuid
 
         self._rates = {"t": float(tps), "i": float(ips)}
         now = time.monotonic()
@@ -126,8 +131,28 @@ class TokenEscrowServer:
         }
         self._lock = threading.Lock()
         self.reservations = 0
-        self._srv = socket.create_server(("0.0.0.0", 0))
+        # Every request must carry this per-query secret — an open
+        # unauthenticated bucket would let any network peer reserve
+        # unbounded tokens and stall every executor (code-review r11).
+        # Bind to the advertised driver interface when known; the
+        # wildcard is only the fallback when that bind fails.
+        self.token = uuid.uuid4().hex
+        self._srv = None
+        if bind_host:
+            try:
+                self._srv = socket.create_server((bind_host, 0))
+            except OSError:
+                self._srv = None
+        if self._srv is None:
+            self._srv = socket.create_server(("0.0.0.0", 0))
         self.port = self._srv.getsockname()[1]
+        # idempotency cache: client_id -> (seq, wait). A client retries
+        # the SAME seq after a write-succeeded/read-failed exchange;
+        # replaying the cached grant instead of re-reserving keeps a
+        # flaky connection from double-deducting budget. One in-flight
+        # request per client (the client serializes under its lock), so
+        # caching only the latest is exact.
+        self._replies: dict[str, tuple[int, float]] = {}
         self._closed = False
         threading.Thread(
             target=self._serve, daemon=True, name="bp-escrow"
@@ -171,8 +196,18 @@ class TokenEscrowServer:
                 line = rf.readline()
                 if not line:
                     return
-                f, i = line.split()
-                wait = self.reserve(float(f), float(i))
+                token, cid, seq_s, f, i = line.split()
+                if token.decode() != self.token:
+                    return  # unauthenticated peer — drop silently
+                cid_s, seq = cid.decode(), int(seq_s)
+                with self._lock:
+                    cached = self._replies.get(cid_s)
+                if cached is not None and cached[0] == seq:
+                    wait = cached[1]  # retry replay — no re-reserve
+                else:
+                    wait = self.reserve(float(f), float(i))
+                    with self._lock:
+                        self._replies[cid_s] = (seq, wait)
                 rf.write(f"{wait:.6f}\n".encode())
                 rf.flush()
         except (OSError, ValueError):
@@ -199,8 +234,13 @@ class EscrowClient:
     failure fails CLOSED after bounded retries — silently falling back
     to an unlimited local bucket would break the aggregate-rate cap."""
 
-    def __init__(self, addr: tuple[str, int]):
+    def __init__(self, addr: tuple[str, int], token: str = ""):
+        import uuid
+
         self._addr = tuple(addr)
+        self._token = token
+        self._cid = uuid.uuid4().hex
+        self._seq = 0
         self._sock = None
         self._rf = None
         self._lock = threading.Lock()
@@ -223,11 +263,19 @@ class EscrowClient:
     def acquire(self, n_flushes: float, n_items: float) -> None:
         last_err: Exception | None = None
         with self._lock:
+            # one seq per logical request: retries RESEND the same seq
+            # and the server replays the cached grant instead of
+            # re-reserving (no double-deduct on write-ok/read-fail)
+            self._seq += 1
+            msg = (
+                f"{self._token} {self._cid} {self._seq} "
+                f"{n_flushes} {n_items}\n"
+            ).encode()
             for attempt in range(5):
                 try:
                     if self._sock is None:
                         self._connect()
-                    self._rf.write(f"{n_flushes} {n_items}\n".encode())
+                    self._rf.write(msg)
                     self._rf.flush()
                     line = self._rf.readline()
                     if not line:
@@ -244,6 +292,10 @@ class EscrowClient:
                 )
         if wait > 0:
             time.sleep(wait)
+
+    def close(self) -> None:
+        with self._lock:
+            self._reset()
 
 
 @dataclass
@@ -333,7 +385,7 @@ class FlowController:
         self._sem = threading.Semaphore(config.concurrency)
         self._pool = ThreadPoolExecutor(max_workers=config.concurrency, thread_name_prefix="bp-flush")
         self._escrow = (
-            EscrowClient(config.escrow_addr)
+            EscrowClient(config.escrow_addr, config.escrow_token)
             if config.escrow_addr is not None
             and (config.tps > 0 or config.ips > 0)
             else None
@@ -455,5 +507,10 @@ class FlowController:
 
     def shutdown(self) -> None:
         self._pool.shutdown(wait=True)
+        if self._escrow is not None:
+            # drop the TCP connection promptly — per-epoch controllers
+            # otherwise leave a socket + a driver-side handler thread
+            # alive until GC (code-review r11)
+            self._escrow.close()
         if hasattr(self.sink, "close"):
             self.sink.close()

@@ -519,9 +519,9 @@ def foreach_batch_sink(
             # items) silently multiplying by epochs×partitions
             # (code-review r9 finding #1).
             use_escrow = budget == "escrow" and (cfg.tps > 0 or cfg.ips > 0)
-            escrow_addr = None
+            escrow_addr, escrow_token = None, ""
             if use_escrow:
-                escrow_addr = _ensure_escrow(
+                escrow_addr, escrow_token = _ensure_escrow(
                     handle_distributed, cfg, df.sparkSession
                 )
             budgets = {}
@@ -538,6 +538,7 @@ def foreach_batch_sink(
                         tps_burst=1.0,
                         ips_burst=float(cfg.batch_size),
                         escrow_addr=escrow_addr,
+                        escrow_token=escrow_token,
                     )
                 else:
                     budgets[i] = dataclasses.replace(
@@ -617,6 +618,7 @@ def foreach_batch_sink(
                             tps_burst=1.0,
                             ips_burst=float(cfg.batch_size),
                             escrow_addr=escrow_addr,
+                            escrow_token=escrow_token,
                         )
                     else:
                         pp_cfg = dataclasses.replace(
@@ -652,20 +654,31 @@ def foreach_batch_sink(
         if handle_distributed.escrow_server is not None:
             handle_distributed.escrow_server.close()
             handle_distributed.escrow_server = None
+        # a stale addr would make the next epoch dial the closed
+        # server instead of starting a fresh one (code-review r11)
+        handle_distributed.escrow_addr = None
 
     handle_distributed.close = close
     return handle_distributed
 
 
-def _ensure_escrow(handle, cfg: FlowControlConfig, spark) -> tuple[str, int]:
+def _ensure_escrow(
+    handle, cfg: FlowControlConfig, spark
+) -> tuple[tuple[str, int], str]:
     """Start (once per handle) the driver-side TokenEscrowServer and
-    return the (host, port) executors should dial. The advertised host
-    is spark.driver.host — the address executors already use to reach
-    the driver for blocks and files."""
+    return ((host, port), token) executors should dial. The advertised
+    host is spark.driver.host — the address executors already use to
+    reach the driver for blocks and files — and the server binds to
+    that interface (wildcard only as fallback); the per-query token
+    authenticates every request."""
     if handle.escrow_addr is not None:
-        return handle.escrow_addr
+        return handle.escrow_addr, handle.escrow_server.token
     from batchprocessor_spark.streaming.flow import TokenEscrowServer
 
+    try:
+        host = spark.sparkContext.getConf().get("spark.driver.host")
+    except Exception:  # noqa: BLE001 - conf lookup shape varies
+        host = None
     server = TokenEscrowServer(
         tps=cfg.tps,
         ips=cfg.ips,
@@ -673,11 +686,8 @@ def _ensure_escrow(handle, cfg: FlowControlConfig, spark) -> tuple[str, int]:
         # minimum (1 flush / one batch of items)
         tps_burst=1.0,
         ips_burst=float(cfg.batch_size),
+        bind_host=host,
     )
-    try:
-        host = spark.sparkContext.getConf().get("spark.driver.host")
-    except Exception:  # noqa: BLE001 - conf lookup shape varies
-        host = None
     handle.escrow_server = server
     handle.escrow_addr = (host or "127.0.0.1", server.port)
-    return handle.escrow_addr
+    return handle.escrow_addr, server.token

@@ -195,12 +195,13 @@ def main() -> int:
         # Checkpoint after EVERY query: a driver-side analyzer wedge
         # (uncancellable — no job group exists yet) forces a kill, and
         # without this the whole sweep's measurements would be lost.
-        _write(args.out, queries, args.sf_dir)
+        _write(args.out, queries, args.sf_dir, summary=False)
 
+    _write(args.out, queries, args.sf_dir)
     return 0
 
 
-def _write(out: str, queries: dict, sf_dir: str) -> None:
+def _write(out: str, queries: dict, sf_dir: str, summary: bool = True) -> None:
     statuses = [q["status"] for q in queries.values()]
     payload = {
         "sf_dir": sf_dir,
@@ -213,12 +214,13 @@ def _write(out: str, queries: dict, sf_dir: str) -> None:
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    print(
-        f"TWINS: {payload['n_pass']}/{payload['n']} pass, "
-        f"{payload['n_dialect_fail']} dialect_fail, "
-        f"{payload['n_value_mismatch']} value_mismatch -> {out}",
-        file=sys.stderr,
-    )
+    if summary:
+        print(
+            f"TWINS: {payload['n_pass']}/{payload['n']} pass, "
+            f"{payload['n_dialect_fail']} dialect_fail, "
+            f"{payload['n_value_mismatch']} value_mismatch -> {out}",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

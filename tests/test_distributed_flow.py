@@ -362,8 +362,17 @@ def test_token_escrow_reserve_semantics():
 
     srv = TokenEscrowServer(tps=0.0, ips=100.0, tps_burst=1.0, ips_burst=10.0)
     try:
-        a = EscrowClient(("127.0.0.1", srv.port))
-        b = EscrowClient(("127.0.0.1", srv.port))
+        # unauthenticated peers are dropped (the bucket is a shared
+        # resource on an open port — code-review r11)
+        import pytest as _pytest
+
+        rogue = EscrowClient(("127.0.0.1", srv.port), token="wrong")
+        with _pytest.raises(ConnectionError):
+            rogue.acquire(1, 1)
+        assert srv.reservations == 0
+
+        a = EscrowClient(("127.0.0.1", srv.port), srv.token)
+        b = EscrowClient(("127.0.0.1", srv.port), srv.token)
         t0 = time.perf_counter()
         a.acquire(1, 10)   # burst covers it — free
         a.acquire(1, 50)

@@ -221,3 +221,41 @@ def test_zip_generator_with_casts():
         "SELECT inline(arrays_zip(sequence(0, size(e) - 1), "
         "e::ARRAY<DOUBLE>)) AS (pos, x) FROM t"
     )
+
+
+def test_qualify_nested_blocks_both_rewritten():
+    """Splices shift offsets; hits must be re-found per rewrite
+    (code-review r11 — a stale offset left nested QUALIFYs behind)."""
+    out = _rewrite_qualify(
+        "SELECT a FROM (SELECT b AS a FROM t QUALIFY a = 1) q "
+        "QUALIFY a = 2"
+    )
+    assert "QUALIFY" not in out
+
+
+def test_qualify_stops_before_window_clause():
+    # the W fast-path omission swallowed a trailing WINDOW clause
+    # into the predicate (code-review r11)
+    out = _rewrite_qualify(
+        "SELECT a, rn FROM t QUALIFY rn = 1 WINDOW w2 AS (ORDER BY a)"
+    )
+    assert "WHERE rn = 1 WINDOW" not in out.replace("  ", " ")
+    assert out.rstrip().endswith("WINDOW w2 AS (ORDER BY a)")
+
+
+def test_hoist_subquery_in_post_from_clause():
+    """A hoistable call in WHERE splices the CROSS JOIN *before* the
+    clause instead of duplicating it (code-review r11)."""
+    from batchprocessor_spark.plans.sql_dialect import (
+        _hoist_subqueries_in_calls as h,
+    )
+
+    out = h(
+        "SELECT a FROM t WHERE "
+        "exists(arr, e -> e > (SELECT max(v) FROM u))"
+    )
+    assert out.count("WHERE") == 1
+    assert "CROSS JOIN (SELECT (SELECT max(v) FROM u) AS __hs1)" in out
+    assert "e > __hs1" in out
+    # and the join lands between FROM t and WHERE
+    assert out.index("CROSS JOIN") < out.index("WHERE")
