@@ -983,6 +983,55 @@ DIALECT_TWINS: dict[str, str] = {
 
 _INT_SUM_WIDENED = ("q_agg_corr_matrix", "q_ml_linreg_normal_eq")
 _SUM_TO_DOUBLE = re.compile(r"sum\(([^()]*)\)::DOUBLE")
+
+# The recursive min-label closure family: Spark 4.1's recursion only
+# supports UNION ALL, and this closure NEEDS the UNION set-dedup to
+# terminate; an unrolled CTE ladder is optimizer-pathological (CTE
+# inlining duplicates the candidate-pair prefix 2^(2R) times — r11,
+# measured). The fold twin sidesteps both: collect the (small,
+# threshold-filtered) edge list into ONE row and run min-label
+# propagation WITH pointer jumping as a map-fold — 32 rounds converge
+# for any graph of ≤ 2^32 nodes (each round at least halves every
+# node's label-distance to its component minimum), and the plan stays
+# O(1) regardless of rounds. Same scale contract as the oracle itself:
+# the dup-pair graph is candidate pairs above a similarity threshold
+# (tiny relative to the corpus); the engine's distributed bounded-round
+# CC operator (operators/graph.py) remains the path for huge graphs.
+_FOLD_CC = (
+    "q_llm_curation_pipeline",
+    "q_llm_dedup_canonical",
+    "q_llm_dedup_clusters",
+    "q_llm_dedup_clusters_star",
+)
+_WALK_IDIOM = re.compile(
+    r"walk\s*\(\s*node\s*,\s*label\s*\)\s*"
+    r"(?:MAX\s+RECURSION\s+LEVEL\s+\d+\s*)?AS\s+\(\s*"
+    r"SELECT\s+DISTINCT\s+a\s*,\s*a\s+FROM\s+edges\s+UNION\s+"
+    r"SELECT\s+e\.b\s*,\s*w\.label\s+FROM\s+walk\s+w\s+"
+    r"JOIN\s+edges\s+e\s+ON\s+e\.a\s*=\s*w\.node\s*\)"
+)
+_WALK_FOLD_CC = """__cc AS (
+      SELECT array_sort(array_distinct(collect_list(a))) AS ks,
+             collect_list(struct(a, b)) AS es
+      FROM edges),
+    __cc_lab AS (
+      SELECT ks,
+             aggregate(
+               sequence(1, 32),
+               map_from_arrays(ks, ks),
+               (m, r) -> map_from_arrays(ks, transform(ks, k ->
+                 element_at(m,
+                   least(element_at(m, k),
+                         coalesce(array_min(transform(
+                                    filter(es, e -> e.a = k),
+                                    e -> element_at(m, e.b))),
+                                  element_at(m, k))))))) AS mfin
+      FROM __cc),
+    walk AS (
+      SELECT k AS node, element_at(mfin, k) AS label
+      FROM __cc_lab LATERAL VIEW explode(ks) t AS k)"""
+
+
 _DIALECT_CACHE: dict[str, str] | None = None
 
 
@@ -1007,6 +1056,14 @@ def dialect_twins() -> dict[str, str]:
             out[name] = _SUM_TO_DOUBLE.sub(
                 r"CAST(sum(CAST(\1 AS DECIMAL(38,0))) AS DOUBLE)", sql
             )
+        for name in _FOLD_CC:
+            sql = mechanical_spark_sql(reg[name].oracle)
+            if not _WALK_IDIOM.search(sql):
+                continue  # oracle reshaped — fall back to the mapped text
+            sql = _WALK_IDIOM.sub(_WALK_FOLD_CC, sql)
+            # no recursive member remains
+            sql = re.sub(r"\bWITH\s+RECURSIVE\b", "WITH", sql)
+            out[name] = sql
         _DIALECT_CACHE = out
     return _DIALECT_CACHE
 

@@ -62,31 +62,26 @@ def test_verified_set_matches_contract():
     assert not (EXTENDED_TWIN_NAMES & VERIFIED_TWINS)
 
 
-def test_unverified_name_raises():
+def test_unverified_name_raises(monkeypatch):
     """Names whose SQL is neither hand-verified nor measured
-    value-identical (TWINS.json) must raise, not return unvalidated
-    DuckDB-dialect text (runtime trap). Pick the probe name from the
-    artifact so the pin tracks the measurement instead of hardcoding
-    a query the dialect map may later learn to serve."""
-    import json
-    from pathlib import Path
-
-    twins = json.loads(
-        (Path(__file__).resolve().parent.parent / "TWINS.json").read_text()
-    )
+    value-identical must raise, not return unvalidated DuckDB-dialect
+    text (runtime trap). Round 11 closed the last measured gaps
+    (401/401 at both SFs), so the unserved condition is synthesized:
+    an empty measurement set must refuse every mapped-oracle name."""
     from batchprocessor_spark.plans import sql_twins as tw
 
+    monkeypatch.setattr(tw, "_MEASURED_PASS", {})
     curated = (
-        set(tw.SPARK_SQL_TWINS) | set(tw.EXTENDED_TWIN_NAMES) | tw.VERIFIED_TWINS
+        set(tw.SPARK_SQL_TWINS)
+        | set(tw.EXTENDED_TWIN_NAMES)
+        | tw.VERIFIED_TWINS
     )
-    unserved = sorted(
-        n
-        for n, rec in twins["queries"].items()
-        if rec["status"] != "pass" and n not in curated
-    )
-    assert unserved, "every query measured pass — retire this pin"
+    name = sorted(set(REGISTRY) - curated - set(tw.dialect_twins()))[0]
     with pytest.raises(KeyError, match="no verified Spark-SQL twin"):
-        spark_sql_for(unserved[0])
+        tw.spark_sql_for(name)
+    # totally unknown names still raise through the same gate
+    with pytest.raises(KeyError):
+        tw.spark_sql_for("q_definitely_not_registered")
 
 
 def test_mechanical_dialect_map_rules():
