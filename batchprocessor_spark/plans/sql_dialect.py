@@ -182,7 +182,8 @@ _ZIP_PATTERNS: list[tuple[re.Pattern[str], str]] = [
             r"unnest\(\s*([\w.]+)\s*\)\s+AS\s+(\w+)\s*,\s*"
             r"unnest\(\s*range\(\s*len\(\s*\1\s*\)\s*\)\s*\)\s+AS\s+(\w+)"
         ),
-        r"inline(arrays_zip(\1, sequence(0, size(\1) - 1))) AS (\2, \3)",
+        r"inline(arrays_zip(\1, CASE WHEN size(\1) > 0 "
+        r"THEN sequence(0, size(\1) - 1) ELSE array() END)) AS (\2, \3)",
     ),
     # unnest(range(len(x))) AS i, unnest(x) AS w — optional ::INT on
     # the index (sequence over INT size already yields INT) and an
@@ -193,7 +194,8 @@ _ZIP_PATTERNS: list[tuple[re.Pattern[str], str]] = [
             r"(?:::INT\w*)?\s+AS\s+(\w+)"
             r"\s*,\s*unnest\(\s*\1\s*((?:::[\w\[\]<>]+)?)\s*\)\s+AS\s+(\w+)"
         ),
-        r"inline(arrays_zip(sequence(0, size(\1) - 1), \1\3)) AS (\2, \4)",
+        r"inline(arrays_zip(CASE WHEN size(\1) > 0 "
+        r"THEN sequence(0, size(\1) - 1) ELSE array() END, \1\3)) AS (\2, \4)",
     ),
     # generate_subscripts(x, 1) AS i, unnest(x) AS v   (1-based index)
     (
@@ -201,7 +203,8 @@ _ZIP_PATTERNS: list[tuple[re.Pattern[str], str]] = [
             r"generate_subscripts\(\s*([\w.]+)\s*,\s*1\s*\)\s+AS\s+(\w+)\s*,\s*"
             r"unnest\(\s*\1\s*\)\s+AS\s+(\w+)"
         ),
-        r"inline(arrays_zip(sequence(1, size(\1)), \1)) AS (\2, \3)",
+        r"inline(arrays_zip(CASE WHEN size(\1) > 0 "
+        r"THEN sequence(1, size(\1)) ELSE array() END, \1)) AS (\2, \3)",
     ),
     # unnest(x) AS v, generate_subscripts(x, 1) AS i
     (
@@ -209,7 +212,8 @@ _ZIP_PATTERNS: list[tuple[re.Pattern[str], str]] = [
             r"unnest\(\s*([\w.]+)\s*\)\s+AS\s+(\w+)\s*,\s*"
             r"generate_subscripts\(\s*\1\s*,\s*1\s*\)\s+AS\s+(\w+)"
         ),
-        r"inline(arrays_zip(\1, sequence(1, size(\1)))) AS (\2, \3)",
+        r"inline(arrays_zip(\1, CASE WHEN size(\1) > 0 "
+        r"THEN sequence(1, size(\1)) ELSE array() END)) AS (\2, \3)",
     ),
 ]
 
@@ -402,12 +406,15 @@ def _agg_order_repl_string_agg(args: list[str], inner: str) -> str | None:
 
 def _repl_list_reduce(args, inner):
     # DuckDB list_reduce seeds the fold with the first element; the
-    # acc type therefore equals the element type on both engines.
+    # acc type therefore equals the element type on both engines. The
+    # slice length is clamped so an empty list fails at element_at
+    # (matching DuckDB's list_reduce-on-empty error) instead of at
+    # slice's ANSI negative-length check.
     if len(args) != 2:
         return None
     lst, lam = args
     return (
-        f"aggregate(slice({lst}, 2, size({lst}) - 1), "
+        f"aggregate(slice({lst}, 2, greatest(0, size({lst}) - 1)), "
         f"element_at({lst}, 1), {lam})"
     )
 
@@ -448,22 +455,49 @@ def _repl_list_sum(args, inner):
 
 
 def _repl_range(args, inner):
-    # DuckDB range() is half-open; Spark sequence() is inclusive.
+    # DuckDB range() is half-open AND returns [] when the range is
+    # empty; Spark sequence() is inclusive and DESCENDS (or raises,
+    # with an explicit step) when stop < start, so an unguarded
+    # sequence(a, b-1) turns DuckDB's [] into [a, a-1] for b <= a
+    # (ADVICE r11: a shape the measured SFs may never exercise). The
+    # emptiness guard is part of the emitted text; array() (ARRAY<VOID>)
+    # coerces to the sequence branch's element type in CASE.
     if len(args) == 1:
-        return f"sequence(0, ({args[0]}) - 1)"
+        n = args[0]
+        return (
+            f"CASE WHEN ({n}) > 0 THEN sequence(0, ({n}) - 1) "
+            f"ELSE array() END"
+        )
     if len(args) == 2:
-        return f"sequence({args[0]}, ({args[1]}) - 1)"
+        a, b = args
+        return (
+            f"CASE WHEN ({b}) > ({a}) THEN sequence({a}, ({b}) - 1) "
+            f"ELSE array() END"
+        )
     if len(args) == 3:
-        # positive integer step only (negative steps don't appear in
-        # the oracles; a mis-fire would be a measured fail anyway)
-        return f"sequence({args[0]}, ({args[1]}) - 1, {args[2]})"
+        # sign-aware: DuckDB descends for negative steps and excludes
+        # the half-open bound in the step's direction
+        a, b, s = args
+        return (
+            f"CASE WHEN ({s}) > 0 AND ({b}) > ({a}) "
+            f"THEN sequence({a}, ({b}) - 1, {s}) "
+            f"WHEN ({s}) < 0 AND ({b}) < ({a}) "
+            f"THEN sequence({a}, ({b}) + 1, {s}) "
+            f"ELSE array() END"
+        )
     return None
 
 
 def _repl_generate_subscripts(args, inner):
+    # guarded like range(): sequence(1, 0) would yield [1, 0] for an
+    # empty array where DuckDB generates zero subscripts
     if len(args) != 2:
         return None
-    return f"sequence(1, size({args[0]}))"
+    x = args[0]
+    return (
+        f"CASE WHEN size({x}) > 0 THEN sequence(1, size({x})) "
+        f"ELSE array() END"
+    )
 
 
 _STRFTIME_TOKENS = {
@@ -511,21 +545,80 @@ def _repl_strftime(args, inner):
 _GROUP_REF = re.compile(r"\\(\d)")
 
 
+def _count_capture_groups(pat: str) -> int:
+    """Capturing groups in a regex literal's content. DuckDB compiles
+    RE2, so backreferences cannot appear; named groups ((?P<n>…) /
+    RE2-style (?<n>…)) count, lookaround / non-capturing don't."""
+    n, i, in_class = 0, 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            nxt = pat[i + 1 : i + 2]
+            if nxt != "?":
+                n += 1
+            elif pat[i + 2 : i + 3] == "P" or (
+                pat[i + 2 : i + 3] == "<"
+                and pat[i + 3 : i + 4] not in ("=", "!")
+            ):
+                n += 1  # named group still captures
+        i += 1
+    return n
+
+
 def _repl_regexp_replace(args, inner):
-    # DuckDB's 4th arg is an options string; 'g' (global) is Spark's
-    # default behavior (other options stay unserved). DuckDB
+    # DuckDB's 4th arg is an options string; 'g' (global) makes it
+    # Spark's default replace-ALL behavior (other options stay
+    # unserved). WITHOUT 'g' DuckDB replaces only the FIRST match
+    # while Spark always replaces all (ADVICE r11) — emulated exactly
+    # by anchoring one lazy-prefix match over the whole string:
+    # pattern P → (?s)^(.*?)(?:P)(.*)$ applied globally matches
+    # exactly once, with the user's groups shifted by one. DuckDB
     # replacement strings reference groups as \1; Java's as $1 —
-    # convert literal replacements (the later backslash-doubling pass
-    # then only sees backslashes that really are literal).
+    # converted here (the later backslash-doubling pass then only
+    # sees backslashes that really are literal).
     had_flag = len(args) == 4 and args[3].strip() == "'g'"
     if not had_flag and len(args) != 3:
         return None
     repl = args[2].strip()
-    if repl.startswith("'") and repl.endswith("'"):
-        repl = _GROUP_REF.sub(r"$\1", repl)
-    if not had_flag and repl == args[2].strip():
-        return None  # nothing to change — keep the original text
-    return f"regexp_replace({args[0]}, {args[1]}, {repl})"
+    if had_flag:
+        if repl.startswith("'") and repl.endswith("'"):
+            repl = _GROUP_REF.sub(r"$\1", repl)
+        return f"regexp_replace({args[0]}, {args[1]}, {repl})"
+    # first-match-only form: both pattern and replacement must be
+    # plain literals to rewrite confidently; anything else emits an
+    # unresolvable marker so the twin measurement fails LOUDLY
+    # (dialect_fail → unserved) instead of passing replace-all
+    # semantics through on data that happens not to show the
+    # difference at the measured SFs.
+    pat = args[1].strip()
+    pm = re.fullmatch(r"'((?:[^']|'')*)'", pat, re.S)
+    rm = re.fullmatch(r"'((?:[^']|'')*)'", repl, re.S)
+    if not pm or not rm:
+        return (
+            f"__bp_unsupported_first_match_regexp_replace__({inner})"
+        )
+    ngroups = _count_capture_groups(pm.group(1))
+    # one pass: \k group refs shift to $(k+1); a raw $ in a DuckDB
+    # replacement is literal and must be \$-escaped for Java (the
+    # later backslash-doubling pass turns \$ into the SQL text \\$,
+    # which parses back to the Java escape)
+    shifted = re.sub(
+        r"\\(\d)|\$",
+        lambda m: f"${int(m.group(1)) + 1}" if m.group(1) else r"\$",
+        rm.group(1),
+    )
+    wrapped = f"(?s)^(.*?)(?:{pm.group(1)})(.*)$"
+    new_repl = f"$1{shifted}${ngroups + 2}"
+    return (
+        f"regexp_replace({args[0]}, '{wrapped}', '{new_repl}')"
+    )
 
 
 def _repl_regexp_extract_all(args, inner):
@@ -571,11 +664,13 @@ def _repl_struct_pack(args, inner):
 
 
 def _repl_list_slice(args, inner):
-    # DuckDB list_slice(l, a, b) is 1-based with an INCLUSIVE end.
+    # DuckDB list_slice(l, a, b) is 1-based with an INCLUSIVE end and
+    # returns [] when b < a; Spark slice() raises under ANSI for a
+    # negative length, so the length is clamped (slice(l, a, 0) is []).
     if len(args) != 3:
         return None
     lst, a, b = args
-    return f"slice({lst}, {a}, ({b}) - ({a}) + 1)"
+    return f"slice({lst}, {a}, greatest(0, ({b}) - ({a}) + 1))"
 
 
 def _repl_list_prepend(args, inner):
@@ -997,7 +1092,9 @@ def _rewrite_brackets(sql: str) -> str:
             if len(colon) == 2:
                 a = colon[0].strip() or "1"
                 b = colon[1].strip() or f"size({base})"
-                new = f"slice({base}, {a}, ({b}) - ({a}) + 1)"
+                # clamped: DuckDB x[a:b] is [] when b < a; Spark slice
+                # raises under ANSI for a negative length
+                new = f"slice({base}, {a}, greatest(0, ({b}) - ({a}) + 1))"
             elif re.fullmatch(r"\s*-?\d+\s*", inner):
                 new = f"element_at({base}, {inner})"
             else:

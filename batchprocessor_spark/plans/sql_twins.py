@@ -1354,8 +1354,9 @@ def spark_sql_for(name: str) -> str:
     when one exists (contract set, the extended analytics set, or a
     measured dialect twin), else the mechanically-mapped oracle text
     when that mapping MEASURED as value-identical (TWINS.json, with
-    the measured text's fingerprint still matching) or belongs to the
-    r4-era verified set. Raises KeyError for queries outside the
+    the measured text's fingerprint still matching — including the
+    r4-era VERIFIED_TWINS set, which carries no ungated shortcut
+    since r12). Raises KeyError for queries outside the
     verified+measured sets — returning unvalidated dialect text would
     be a runtime trap (review r5)."""
     if name in SPARK_SQL_TWINS:
@@ -1375,8 +1376,10 @@ def spark_sql_for(name: str) -> str:
     if oracle is None:
         raise KeyError(f"{name} has no oracle and no hand-written twin")
     sql = mechanical_spark_sql(oracle)
-    if name in VERIFIED_TWINS:
-        return sql
+    # VERIFIED_TWINS gets no ungated shortcut (ADVICE r11 #4): its
+    # r4-era verification predates later structural passes, so members
+    # serve exactly like every other mapped oracle — on a measured
+    # pass whose fingerprint still matches the current derivation.
     if measured.get(name) == sql_fingerprint(sql):
         return sql
     raise KeyError(

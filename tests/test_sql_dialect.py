@@ -78,34 +78,46 @@ def test_string_agg_distinct_same_key():
 def test_list_reduce_seeds_with_first_element():
     out = s("SELECT list_reduce(l, (a, x) -> a + x) FROM t")
     assert out == (
-        "SELECT aggregate(slice(l, 2, size(l) - 1), element_at(l, 1), "
-        "(a, x) -> a + x) FROM t"
+        "SELECT aggregate(slice(l, 2, greatest(0, size(l) - 1)), "
+        "element_at(l, 1), (a, x) -> a + x) FROM t"
     )
 
 
-def test_range_is_half_open():
-    assert s("SELECT range(4)") == "SELECT sequence(0, (4) - 1)"
+def test_range_is_half_open_and_empty_guarded():
+    # DuckDB range(b<=a) is []; unguarded sequence(a, b-1) DESCENDS
+    # (ADVICE r11) — the emptiness guard is part of the emitted text
+    assert s("SELECT range(4)") == (
+        "SELECT CASE WHEN (4) > 0 THEN sequence(0, (4) - 1) "
+        "ELSE array() END"
+    )
     assert s("SELECT range(1, n + 1, 40)") == (
-        "SELECT sequence(1, (n + 1) - 1, 40)"
+        "SELECT CASE WHEN (40) > 0 AND (n + 1) > (1) "
+        "THEN sequence(1, (n + 1) - 1, 40) "
+        "WHEN (40) < 0 AND (n + 1) < (1) "
+        "THEN sequence(1, (n + 1) + 1, 40) "
+        "ELSE array() END"
     )
 
 
 def test_from_range_exposes_duckdb_column_name():
     assert s("SELECT b.range FROM h CROSS JOIN range(60) b") == (
         "SELECT b.range FROM h CROSS JOIN "
-        "(SELECT explode(sequence(0, (60) - 1)) AS range) b"
+        "(SELECT explode(CASE WHEN (60) > 0 THEN "
+        "sequence(0, (60) - 1) ELSE array() END) AS range) b"
     )
 
 
 def test_zipped_dual_unnest_fuses_to_inline():
     out = s("SELECT d, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t")
     assert out == (
-        "SELECT d, inline(arrays_zip(ws, sequence(0, size(ws) - 1))) "
+        "SELECT d, inline(arrays_zip(ws, CASE WHEN size(ws) > 0 "
+        "THEN sequence(0, size(ws) - 1) ELSE array() END)) "
         "AS (w, i) FROM t"
     )
     out = s("SELECT generate_subscripts(v, 1) AS i, unnest(v) AS x FROM t")
     assert out == (
-        "SELECT inline(arrays_zip(sequence(1, size(v)), v)) AS (i, x) FROM t"
+        "SELECT inline(arrays_zip(CASE WHEN size(v) > 0 "
+        "THEN sequence(1, size(v)) ELSE array() END, v)) AS (i, x) FROM t"
     )
 
 
@@ -120,9 +132,10 @@ def test_brackets_literal_index_slice():
     assert _rewrite_brackets("SELECT x[1][2]") == (
         "SELECT element_at(element_at(x, 1), 2)"
     )
-    # inclusive 1-based slice
+    # inclusive 1-based slice; length clamped (DuckDB x[a:b] with
+    # b < a is [], Spark slice raises under ANSI on negative length)
     assert _rewrite_brackets("SELECT s[2:7]") == (
-        "SELECT slice(s, 2, (7) - (2) + 1)"
+        "SELECT slice(s, 2, greatest(0, (7) - (2) + 1))"
     )
     # brackets inside string literals are untouched (regex classes)
     assert _rewrite_brackets("SELECT regexp_replace(t, '[a-z]', '')") == (
@@ -160,6 +173,44 @@ def test_arity_and_flag_fixes():
     assert s("SELECT regexp_replace(t, 'a', 'b', 'g')") == (
         "SELECT regexp_replace(t, 'a', 'b')"
     )
+
+
+def test_regexp_replace_first_match_emulated():
+    """DuckDB 3-arg regexp_replace replaces only the FIRST match;
+    Spark always replaces all (ADVICE r11). Emulated by anchoring one
+    lazy-prefix match over the whole string, with user group refs
+    shifted past the prefix group."""
+    assert s("SELECT regexp_replace(t, 'X', '-')") == (
+        "SELECT regexp_replace(t, '(?s)^(.*?)(?:X)(.*)$', '$1-$2')"
+    )
+    # user capture groups shift by one; the suffix ref lands after them
+    assert s(r"SELECT regexp_replace(t, '(a)(b)', '\2\1')") == (
+        "SELECT regexp_replace(t, '(?s)^(.*?)(?:(a)(b))(.*)$', "
+        "'$1$3$2$4')"
+    )
+    # a raw $ in a DuckDB replacement is a literal dollar — escaped
+    # for Java (mechanical_spark_sql's backslash-doubling then turns
+    # the \$ into the SQL-literal spelling \\$)
+    assert s("SELECT regexp_replace(t, 'o', '$')") == (
+        "SELECT regexp_replace(t, '(?s)^(.*?)(?:o)(.*)$', '$1\\$$2')"
+    )
+    # non-literal pattern/replacement: emit an unresolvable marker so
+    # the twin measurement fails LOUDLY (dialect_fail -> unserved)
+    # instead of passing replace-ALL semantics through
+    out = s("SELECT regexp_replace(t, p, 'x')")
+    assert "__bp_unsupported_first_match_regexp_replace__" in out
+
+
+def test_count_capture_groups():
+    from batchprocessor_spark.plans.sql_dialect import (
+        _count_capture_groups as g,
+    )
+
+    assert g("abc") == 0
+    assert g("(a)(b)") == 2
+    assert g(r"(?:x)(?=y)(?!z)(?<=w)(?<!v)") == 0
+    assert g(r"(?P<n>a)(?<m>b)") == 2
+    assert g(r"\((a)[()](b)") == 2
     # DuckDB 2-arg regexp_extract_all returns group 0; Spark defaults
     # to group 1
     assert s("SELECT regexp_extract_all(t, 'p')") == (
@@ -218,7 +269,8 @@ def test_zip_generator_with_casts():
         "unnest(e::DOUBLE[]) AS x FROM t"
     )
     assert out == (
-        "SELECT inline(arrays_zip(sequence(0, size(e) - 1), "
+        "SELECT inline(arrays_zip(CASE WHEN size(e) > 0 "
+        "THEN sequence(0, size(e) - 1) ELSE array() END, "
         "e::ARRAY<DOUBLE>)) AS (pos, x) FROM t"
     )
 
