@@ -85,6 +85,17 @@ class TokenBucket:
             time.sleep(min(wait, 0.5))
 
 
+# Measured sustained reservation ceiling of ONE TokenEscrowServer
+# (scripts/escrow_bench.py, r12, recorded in SCALE.md): ~14k req/s at
+# 4 concurrent client processes, plateauing at ~7k req/s from 8-16
+# (per-connection server threads contend on the GIL; p50 latency
+# grows with client count while throughput holds — queueing, not
+# collapse). One reservation per FLUSH, so this is the aggregate
+# flushes/sec one escrow can arbitrate. foreach_batch_sink warns past
+# half of it and points at budget="proportional" (zero-coordination).
+ESCROW_CEILING_FLUSHES_PER_SEC = 7000.0
+
+
 class TokenEscrowServer:
     """Driver-side shared rate limiter — the reference's single
     process-global MixedLimiter (V1/MixedLimiter.java:16-43) lifted to
@@ -115,6 +126,7 @@ class TokenEscrowServer:
         tps_burst: float = 1.0,
         ips_burst: float | None = None,
         bind_host: str | None = None,
+        replies_cap: int = 65536,
     ):
         import socket
         import uuid
@@ -152,7 +164,23 @@ class TokenEscrowServer:
         # flaky connection from double-deducting budget. One in-flight
         # request per client (the client serializes under its lock), so
         # caching only the latest is exact.
-        self._replies: dict[str, tuple[int, float]] = {}
+        #
+        # LRU-bounded (VERDICT r11 #1): every micro-batch builds fresh
+        # EscrowClients with new uuids, so an unbounded dict gains one
+        # entry per (partition × epoch) for the life of the query —
+        # GBs of driver RSS over a week of 1 s epochs. The cache only
+        # has to survive one client's in-flight retry window
+        # (milliseconds); evicting the oldest beyond `replies_cap`
+        # keeps it exact unless >cap OTHER reservations land inside
+        # that window, i.e. a sustained request rate far beyond the
+        # single-thread ceiling documented in SCALE.md. Eviction on
+        # connection close would be WRONG here: the client resets its
+        # socket before resending, so the cached grant must outlive
+        # the disconnect it is protecting against.
+        from collections import OrderedDict
+
+        self._replies: OrderedDict[str, tuple[int, float]] = OrderedDict()
+        self._replies_cap = int(replies_cap)
         self._closed = False
         threading.Thread(
             target=self._serve, daemon=True, name="bp-escrow"
@@ -202,12 +230,17 @@ class TokenEscrowServer:
                 cid_s, seq = cid.decode(), int(seq_s)
                 with self._lock:
                     cached = self._replies.get(cid_s)
+                    if cached is not None:
+                        self._replies.move_to_end(cid_s)
                 if cached is not None and cached[0] == seq:
                     wait = cached[1]  # retry replay — no re-reserve
                 else:
                     wait = self.reserve(float(f), float(i))
                     with self._lock:
                         self._replies[cid_s] = (seq, wait)
+                        self._replies.move_to_end(cid_s)
+                        while len(self._replies) > self._replies_cap:
+                            self._replies.popitem(last=False)
                 rf.write(f"{wait:.6f}\n".encode())
                 rf.flush()
         except (OSError, ValueError):

@@ -469,6 +469,37 @@ def foreach_batch_sink(
     if budget not in ("escrow", "proportional"):
         raise ValueError(f"unknown budget mode {budget!r}")
 
+    if distributed and budget == "escrow":
+        # One reservation RPC per flush: the steady-state request rate
+        # is capped by whichever configured rate binds first. Past
+        # half the MEASURED single-server ceiling
+        # (scripts/escrow_bench.py, SCALE.md r12) the escrow stops
+        # being a negligible ~100 µs detour and becomes a queue —
+        # warn and point at the zero-coordination mode rather than
+        # silently degrading every flush (VERDICT r11 #2).
+        from batchprocessor_spark.streaming.flow import (
+            ESCROW_CEILING_FLUSHES_PER_SEC,
+        )
+
+        implied = [r for r in (
+            cfg.tps if cfg.tps > 0 else None,
+            cfg.ips / cfg.batch_size if cfg.ips > 0 else None,
+        ) if r is not None]
+        if implied and min(implied) > 0.5 * ESCROW_CEILING_FLUSHES_PER_SEC:
+            import warnings
+
+            warnings.warn(
+                f"configured rate implies ~{min(implied):.0f} escrow "
+                f"reservations/sec, past the safe region of the "
+                f"measured single-server ceiling "
+                f"(~{ESCROW_CEILING_FLUSHES_PER_SEC:.0f}/s sustained, "
+                f"scripts/escrow_bench.py); use a larger batch_size "
+                f'or budget="proportional" (zero-coordination) '
+                f"to keep flush latency flat",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
     if not distributed:
         controller = FlowController(sink, cfg, dlq_path=dlq_path)
 
@@ -670,9 +701,19 @@ def _ensure_escrow(
     host is spark.driver.host — the address executors already use to
     reach the driver for blocks and files — and the server binds to
     that interface (wildcard only as fallback); the per-query token
-    authenticates every request."""
+    authenticates every request.
+
+    Lifetime: ``handle.close()`` is the contract for releasing the
+    server (socket + accept thread) — call it when the streaming
+    query stops. As a backstop, a weakref finalizer closes the server
+    when the handle itself is garbage-collected (ADVICE r11 #3: a
+    dropped handle otherwise leaked the listener for the process
+    lifetime). The rates are frozen from the config at first use; to
+    re-rate a query, close() the handle and build a new sink."""
     if handle.escrow_addr is not None:
         return handle.escrow_addr, handle.escrow_server.token
+    import weakref
+
     from batchprocessor_spark.streaming.flow import TokenEscrowServer
 
     try:
@@ -690,4 +731,8 @@ def _ensure_escrow(
     )
     handle.escrow_server = server
     handle.escrow_addr = (host or "127.0.0.1", server.port)
+    # weak on the handle, strong on the server: no cycle, and the
+    # finalizer fires exactly when the user drops the handle without
+    # close() (idempotent — close() twice is a no-op)
+    weakref.finalize(handle, TokenEscrowServer.close, server)
     return handle.escrow_addr, server.token

@@ -543,3 +543,143 @@ def test_escrow_is_default_and_reported(spark, tmp_path):
     assert got == 40
     handle.close()
     assert handle.escrow_server is None
+
+
+def test_escrow_reply_cache_bounded_across_epochs():
+    """VERDICT r11 #1 (soak-shaped): every micro-batch builds fresh
+    EscrowClients with new uuids, so an unbounded idempotency cache
+    gains one entry per (partition × epoch) for the life of a
+    long-running streaming query (~17M entries/day at 200 partitions
+    × 1 s epochs). The cache is now LRU-bounded: drive many epochs ×
+    partitions through ONE server and assert the dict never exceeds
+    its cap while every reservation is still served."""
+    from batchprocessor_spark.streaming.flow import (
+        EscrowClient,
+        TokenEscrowServer,
+    )
+
+    srv = TokenEscrowServer(
+        tps=1e9, ips=1e9, tps_burst=1e9, ips_burst=1e9, replies_cap=32
+    )
+    try:
+        epochs, partitions = 100, 4
+        for _ in range(epochs):
+            clients = [
+                EscrowClient(("127.0.0.1", srv.port), srv.token)
+                for _ in range(partitions)
+            ]
+            for c in clients:
+                c.acquire(1.0, 50.0)
+            for c in clients:
+                c.close()
+            assert len(srv._replies) <= 32
+        assert srv.reservations == epochs * partitions
+        assert len(srv._replies) <= 32
+    finally:
+        srv.close()
+
+
+def test_escrow_replay_with_bounded_cache():
+    """A resent (cid, seq) — the write-succeeded/read-failed retry —
+    must replay the cached grant instead of double-deducting, and the
+    LRU bound must not evict the entry within a normal retry window
+    (eviction needs >cap OTHER reservations in between)."""
+    import socket
+
+    from batchprocessor_spark.streaming.flow import TokenEscrowServer
+
+    srv = TokenEscrowServer(tps=0.0, ips=10.0, tps_burst=1.0, ips_burst=5.0)
+    try:
+        conn = socket.create_connection(("127.0.0.1", srv.port))
+        rf = conn.makefile("rwb")
+        msg = f"{srv.token} clientA 1 1.0 30.0\n".encode()
+        rf.write(msg)
+        rf.flush()
+        first = float(rf.readline())
+        # replay the SAME seq on a NEW connection (the client resets
+        # its socket before retrying)
+        conn2 = socket.create_connection(("127.0.0.1", srv.port))
+        rf2 = conn2.makefile("rwb")
+        rf2.write(msg)
+        rf2.flush()
+        second = float(rf2.readline())
+        assert srv.reservations == 1  # no re-reserve
+        assert second == first  # identical cached grant
+        conn.close()
+        conn2.close()
+    finally:
+        srv.close()
+
+
+def test_escrow_warns_past_measured_ceiling():
+    """VERDICT r11 #2: the escrow's reservation ceiling is MEASURED
+    (scripts/escrow_bench.py, SCALE.md); configuring a rate whose
+    implied request rate exceeds half of it warns and points at
+    budget="proportional". Low rates and proportional mode stay
+    silent."""
+    import warnings
+
+    import pytest
+
+    def sink(chunk):
+        pass
+
+    with pytest.warns(RuntimeWarning, match="escrow"):
+        foreach_batch_sink(
+            sink, FlowControlConfig(tps=5000.0), distributed=True
+        )
+    # ips-implied request rate: ips / batch_size
+    with pytest.warns(RuntimeWarning, match="reservations/sec"):
+        foreach_batch_sink(
+            sink,
+            FlowControlConfig(ips=8_000_000.0, batch_size=1024),
+            distributed=True,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        foreach_batch_sink(
+            sink, FlowControlConfig(tps=100.0), distributed=True
+        )
+        foreach_batch_sink(
+            sink,
+            FlowControlConfig(tps=5000.0),
+            distributed=True,
+            budget="proportional",
+        )
+        # tps binds before the huge implied-ips rate: no warning
+        foreach_batch_sink(
+            sink,
+            FlowControlConfig(tps=100.0, ips=8_000_000.0, batch_size=1024),
+            distributed=True,
+        )
+
+
+def test_escrow_server_closed_when_handle_dropped():
+    """ADVICE r11 #3: a user who drops the handle without close()
+    previously leaked the server socket + accept thread for the
+    process lifetime. A weakref finalizer now closes the server when
+    the handle is garbage-collected (close() remains the contract)."""
+    import gc
+
+    from batchprocessor_spark.streaming.processor import _ensure_escrow
+
+    def handle(df, epoch_id):
+        pass
+
+    handle.escrow_server = None
+    handle.escrow_addr = None
+
+    class _NoSpark:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("no session")
+
+    addr, token = _ensure_escrow(
+        handle, FlowControlConfig(tps=10.0), _NoSpark()
+    )
+    srv = handle.escrow_server
+    assert addr is not None and token == srv.token
+    assert not srv._closed
+    del handle
+    gc.collect()
+    assert srv._closed
