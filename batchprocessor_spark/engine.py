@@ -99,10 +99,39 @@ class Engine:
         """The same registered query through the SQL front-end: runs
         the query's Spark-SQL twin text via :meth:`sql`. Twin/builder
         value-equality for the §2.2 contract set is pinned by
-        tests/test_sql_twins.py."""
-        from batchprocessor_spark.plans.sql_twins import spark_sql_for
+        tests/test_sql_twins.py.
 
-        return self.sql(spark_sql_for(name))
+        The fold-CC twins collect the threshold-filtered dup-pair
+        edge list into one row by documented contract; a size probe
+        (the twin's own candidate-pair prefix, counted) ENFORCES that
+        contract here (VERDICT r11 #3) — past the bound this raises
+        instead of silently collecting a huge graph into a single
+        task, and the distributed CC operator (operators/graph.py,
+        served by ``query(name)``) is the pointed-at path. The probe
+        re-runs the pair-generation prefix, so these four queries pay
+        roughly 2× through the SQL lane — the price of the enforced
+        guard; the DataFrame lane is unaffected."""
+        from batchprocessor_spark.plans.sql_twins import (
+            FOLD_CC_EDGE_BOUND,
+            fold_cc_probe,
+            spark_sql_for,
+        )
+
+        sql = spark_sql_for(name)  # KeyError before any probe work
+        probe = fold_cc_probe(name)
+        if probe is not None:
+            n = self.sql(probe).collect()[0][0]
+            if n > FOLD_CC_EDGE_BOUND:
+                raise RuntimeError(
+                    f"{name}: dup-pair graph has {n} directed edges, "
+                    f"past the fold twin's single-row contract "
+                    f"(FOLD_CC_EDGE_BOUND={FOLD_CC_EDGE_BOUND}); use "
+                    f"Engine.query({name!r}) — the DataFrame builder "
+                    f"routes through the distributed bounded-round "
+                    f"connected-components operator (operators/"
+                    f"graph.py), which is the huge-graph path"
+                )
+        return self.sql(sql)
 
     def explain(self, name: str) -> str:
         return (

@@ -1032,6 +1032,30 @@ _WALK_FOLD_CC = """__cc AS (
       FROM __cc_lab LATERAL VIEW explode(ks) t AS k)"""
 
 
+# Serve-time size gate for the fold-CC twins (VERDICT r11 #3): the
+# fold collects the threshold-filtered dup-pair edge list into ONE row
+# — exact and measured at both SFs, but nothing previously ENFORCED
+# the small-graph contract; a pathological dup corpus would silently
+# collect a huge edge list into a single task. Engine.query_sql runs
+# the probe below (the twin's own prefix up to the edge CTE, counting
+# edges) and refuses past this bound, pointing at the distributed
+# bounded-round CC operator (operators/graph.py) via the DataFrame
+# builder. 1M directed edges ≈ tens of MB in one row — far past any
+# measured fixture (sf0.1 is in the hundreds) yet well inside driver
+# memory, so the guard trips only on genuinely out-of-contract inputs.
+FOLD_CC_EDGE_BOUND = 1_000_000
+_FOLD_CC_PROBES: dict[str, str] = {}
+
+
+def fold_cc_probe(name: str) -> str | None:
+    """The edge-count probe SQL for a fold-CC twin (None for every
+    other query). Derived from the served twin text itself — same
+    candidate-pair prefix, so the count the guard sees is exactly the
+    edge list the fold would collect."""
+    dialect_twins()  # warm the cache that fills _FOLD_CC_PROBES
+    return _FOLD_CC_PROBES.get(name)
+
+
 _DIALECT_CACHE: dict[str, str] | None = None
 
 
@@ -1064,6 +1088,15 @@ def dialect_twins() -> dict[str, str]:
             # no recursive member remains
             sql = re.sub(r"\bWITH\s+RECURSIVE\b", "WITH", sql)
             out[name] = sql
+            # companion guard probe: the twin's own prefix (everything
+            # before the injected fold, i.e. through the edges CTE)
+            # with a count head — see FOLD_CC_EDGE_BOUND
+            cut = sql.find("__cc AS (")
+            if cut != -1:
+                prefix = sql[:cut].rstrip().rstrip(",")
+                _FOLD_CC_PROBES[name] = (
+                    prefix + "\n    SELECT count(*) AS n FROM edges"
+                )
         _DIALECT_CACHE = out
     return _DIALECT_CACHE
 

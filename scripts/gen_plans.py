@@ -124,7 +124,7 @@ HEADLINE = [
 ]
 
 
-# Builders that cache an intermediate and return a localCheckpoint of
+# Builders that cache an intermediate and return a materialize() of
 # the (small) verified output — the executed plan of the RETURNED
 # frame is just "Scan ExistingRDD", which documents nothing. For
 # those, dump the PRE-checkpoint composition instead: the exact plan

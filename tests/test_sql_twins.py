@@ -214,3 +214,56 @@ def test_mapped_oracle_serving_requires_matching_fingerprint(monkeypatch):
     monkeypatch.setattr(tw, "_MEASURED_PASS", {name: "0" * 32})
     with pytest.raises(KeyError, match="no verified Spark-SQL twin"):
         tw.spark_sql_for(name)
+
+
+def test_fold_cc_probe_exists_for_family_only():
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    for name in tw._FOLD_CC:
+        probe = tw.fold_cc_probe(name)
+        assert probe is not None and "count(*)" in probe, name
+        assert "FROM edges" in probe
+        # the probe is the twin's own prefix: no fold, no walk
+        assert "__cc" not in probe and "walk" not in probe.lower()
+    assert tw.fold_cc_probe("q_agg_basic") is None
+
+
+def test_fold_cc_guard_trips_on_oversized_dup_graph(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 #3: the fold-CC twins collect the dup-pair edge
+    list into ONE row by documented contract; the serve-time probe
+    now ENFORCES it. A synthetic corpus of 40 identical documents
+    (dense dup graph, 40·39 = 1560 directed edges) must trip a
+    lowered bound with a message routing to the distributed CC
+    operator — and serve normally at the default bound."""
+    import shutil
+
+    import pandas as pd
+    import pytest
+
+    from batchprocessor_spark.engine import Engine
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    sf = tmp_path / "sf"
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    (sf / "documents.parquet").unlink()
+    pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": ["alpha beta gamma delta epsilon zeta"] * 40,
+            "lang": ["en"] * 40,
+            "source": ["synthetic"] * 40,
+            "n_chars": [35] * 40,
+        }
+    ).to_parquet(sf / "documents.parquet", index=False)
+
+    eng = Engine(spark=spark, sf_dir=str(sf))
+    monkeypatch.setattr(tw, "FOLD_CC_EDGE_BOUND", 100)
+    with pytest.raises(RuntimeError, match="graph.py"):
+        eng.query_sql("q_llm_dedup_clusters")
+
+    monkeypatch.setattr(tw, "FOLD_CC_EDGE_BOUND", 1_000_000)
+    rows = eng.query_sql("q_llm_dedup_clusters").collect()
+    assert len(rows) == 40
+    assert len({r.cluster_id for r in rows}) == 1  # one dense cluster
