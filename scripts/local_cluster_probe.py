@@ -425,6 +425,151 @@ def check_escrow_budget(spark, tmp: str) -> str:
     return "pass"
 
 
+_WHEEL_DEPLOY_CHILD = r'''
+"""wheel_deploy child: a fresh driver whose ONLY route to the engine
+is the built wheel — no repo on sys.path, no executorEnv.PYTHONPATH.
+Asserts (a) the driver imports the package from the wheel, (b) real
+executor JVMs resolve it from the shipped artifact (never the repo
+checkout), (c) a cloudpickled package-referencing sink — the exact
+callback class that died with ModuleNotFoundError when the wheel was
+only narrated (SCALE.md r10) — runs executor-side with zero loss."""
+import json
+import os
+import sys
+
+WHEEL = sys.argv[1]
+TMP = sys.argv[2]
+REPO_PKG = sys.argv[3]  # the checkout path executors must NOT use
+
+sys.path.insert(0, WHEEL)
+import batchprocessor_spark.streaming.flow as _fl  # noqa: E402
+
+assert _fl.__file__.startswith(WHEEL), _fl.__file__
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .appName("bp-wheel-deploy")
+    .config("spark.worker.dir", os.path.join(TMP, "worker"))
+    .config("spark.local.dir", os.path.join(TMP, "sparklocal"))
+    .config("spark.executor.memory", "2g")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+# the programmatic twin of --py-files: spark.submit.pyFiles is only
+# read by spark-submit; addPyFile uses the same fetch+PYTHONPATH
+# machinery for sessions built in-process. PySpark registers a python
+# include only for PACKAGE_EXTENSIONS = (.zip, .egg, .jar) — a .whl
+# is fetched but never put on executor sys.path — so the wheel ships
+# under a .zip name (byte-identical; the standard practice for
+# wheels over --py-files).
+import shutil
+
+WHEEL_ZIP = WHEEL + ".zip"
+shutil.copyfile(WHEEL, WHEEL_ZIP)
+spark.sparkContext.addPyFile(WHEEL_ZIP)
+try:
+    def probe_import(_it):
+        import batchprocessor_spark.streaming.flow as fl
+        yield fl.__file__
+
+    paths = (
+        spark.sparkContext.parallelize(range(8), 8)
+        .mapPartitions(probe_import)
+        .collect()
+    )
+    assert paths and all(not p.startswith(REPO_PKG) for p in paths), paths
+    assert all("batchprocessor_spark" in p for p in paths), paths
+
+    # executor-side flow control from the wheel: the cloudpickled
+    # sink builds a FlowController inside each partition
+    out_dir = os.path.join(TMP, "sink_out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def per_partition(rows):
+        import uuid
+
+        import pandas as pd
+        from batchprocessor_spark.streaming.flow import (
+            FlowControlConfig,
+            FlowController,
+        )
+
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        if len(pdf) == 0:
+            return
+
+        def sink(chunk):
+            chunk.to_parquet(
+                os.path.join(out_dir, f"{uuid.uuid4().hex}.parquet"),
+                index=False,
+            )
+
+        ctrl = FlowController(
+            sink, FlowControlConfig(batch_size=16, concurrency=2)
+        )
+        ctrl.wait(ctrl.submit_batch(pdf))
+        ctrl.shutdown()
+
+    df = spark.range(200).repartition(4)
+    df.rdd.map(lambda r: r).foreachPartition(per_partition)
+    import glob as _glob
+
+    import pandas as _pd
+
+    got = sum(
+        len(_pd.read_parquet(f))
+        for f in _glob.glob(os.path.join(out_dir, "*.parquet"))
+    )
+    assert got == 200, got
+    print(json.dumps({"wheel_deploy": "pass", "executor_path": paths[0]}))
+finally:
+    spark.stop()
+'''
+
+
+def check_wheel_deploy(tmp: str) -> str:
+    """VERDICT r11 #5: ship the engine to real executor JVMs as a
+    BUILT wheel over spark.submit.pyFiles — the deployment mechanism a
+    real cluster uses — instead of the executorEnv.PYTHONPATH
+    workaround (SCALE.md r10 finding). Runs in a subprocess with a
+    scrubbed PYTHONPATH and a neutral cwd so the repo checkout cannot
+    leak into either driver or executor import paths."""
+    import subprocess
+
+    from scripts.build_wheel import build
+
+    wheel = build(os.path.join(tmp, "dist"))
+    child = os.path.join(tmp, "wheel_deploy_child.py")
+    with open(child, "w") as f:
+        f.write(_WHEEL_DEPLOY_CHILD)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    repo_pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "batchprocessor_spark",
+    )
+    proc = subprocess.run(
+        [sys.executable, child, wheel, tmp, repo_pkg],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=tmp,
+        env=env,
+    )
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout)[-280:]
+        return f"fail: rc={proc.returncode}: {tail}"
+    last = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(last)
+    return (
+        "pass"
+        if rec.get("wheel_deploy") == "pass"
+        else f"fail: {last[:280]}"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -481,6 +626,10 @@ def main() -> int:
             )
         finally:
             spark.stop()
+        # after spark.stop(): the wheel lane runs its own subprocess
+        # driver (fresh JVM) — two concurrent local-clusters would
+        # fight over worker ports/memory
+        run("wheel_deploy", check_wheel_deploy, tmp)
 
     payload = {"master": MASTER, "sf_dir": sf_dir, "checks": results}
     line = json.dumps(payload, sort_keys=True)

@@ -22,7 +22,11 @@ What one big JVM can never prove, this lane does:
 First run of this lane caught a real deployment gap: executor python
 workers do not inherit the driver's sys.path, so package-referencing
 callbacks die with ModuleNotFoundError unless the package ships
-(--py-files / PYTHONPATH) — recorded in SCALE.md.
+(--py-files / PYTHONPATH) — recorded in SCALE.md. Since r12 the
+packaged path is itself a check: `wheel_deploy` builds the engine
+wheel (scripts/build_wheel.py) and drives a fresh subprocess driver
+whose ONLY route to the engine — driver and executors — is that
+artifact over the --py-files machinery (VERDICT r11 #5).
 
 Marked `local_cluster`; skip with SPARK_GRAFT_SKIP_LOCAL_CLUSTER=1 on
 constrained hosts (spawns 2×2 GiB executor JVMs, ~3-4 min).
