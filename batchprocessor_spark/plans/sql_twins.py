@@ -1332,6 +1332,8 @@ def sql_fingerprint(sql: str) -> str:
 
 
 _MEASURED_PASS: dict[str, str] | None = None
+# test hook: where to read the TWINS artifacts from (None = repo root)
+_ARTIFACT_DIR: str | None = None
 
 
 def _measured_pass_fingerprints() -> dict[str, str]:
@@ -1347,19 +1349,25 @@ def _measured_pass_fingerprints() -> dict[str, str]:
         import json
         import os
 
-        repo = os.path.dirname(
+        repo = _ARTIFACT_DIR or os.path.dirname(
             os.path.dirname(os.path.dirname(__file__))
         )
 
-        def passes(fname: str) -> dict[str, str] | None:
+        def records(fname: str) -> dict | None:
             try:
                 with open(os.path.join(repo, fname)) as f:
                     data = json.load(f)
             except (OSError, ValueError):
                 return None
+            return data.get("queries", {})
+
+        def passes(fname: str) -> dict[str, str] | None:
+            recs = records(fname)
+            if recs is None:
+                return None
             return {
                 n: rec.get("sql_md5", "")
-                for n, rec in data.get("queries", {}).items()
+                for n, rec in recs.items()
                 if rec.get("status") == "pass"
                 and rec.get("source")
                 in ("oracle_div_mapped", "dialect_twin")
@@ -1377,6 +1385,24 @@ def _measured_pass_fingerprints() -> dict[str, str]:
                 n: h
                 for n, h in base.items()
                 if big.get(n) == h
+            }
+        # Third SF (r12, VERDICT r11 #4): the sf1 sweep covers the
+        # non-mechanical twin set (extended + dialect + hand sources —
+        # the texts a human wrote or a structural rule generated,
+        # where a third divergence class would live). The artifact is
+        # PARTIAL by design, so it only constrains names it contains:
+        # present-but-not-pass (or text drifted since measurement)
+        # fails closed exactly like the other two lanes.
+        sf1 = records("TWINS_SF1.json")
+        if sf1 is not None:
+            base = {
+                n: h
+                for n, h in base.items()
+                if n not in sf1
+                or (
+                    sf1[n].get("status") == "pass"
+                    and sf1[n].get("sql_md5") == h
+                )
             }
         _MEASURED_PASS = base
     return _MEASURED_PASS

@@ -252,3 +252,37 @@ def test_twins_artifact_tracks_registry(registry_names):
             sum(1 for q in data01["queries"].values() if q["status"] == "value_mismatch")
             == 0
         )
+    # Third-SF sweep (r12, VERDICT r11 #4): the sf1 artifact covers
+    # the NON-MECHANICAL twin set — every query whose TWINS.json
+    # source is extended/dialect/hand (the sf0.1 sweep caught BIGINT
+    # overflow and the recursion cap; sf1 is where a third class
+    # would surface). Partial by design; must cover exactly that set,
+    # all pass, fingerprints current (serving intersects it for the
+    # names it contains, so staleness silently un-serves — fail
+    # loudly here instead).
+    sf1_path = REPO / "TWINS_SF1.json"
+    if sf1_path.exists():
+        data1 = json.loads(sf1_path.read_text())
+        non_mech = {
+            n
+            for n, rec in data["queries"].items()
+            if rec["source"] in ("extended_twin", "dialect_twin", "hand_twin")
+        }
+        assert set(data1["queries"]) == non_mech, (
+            "TWINS_SF1.json drifted from the non-mechanical twin set "
+            f"(missing={sorted(non_mech - set(data1['queries']))[:5]} "
+            f"stale={sorted(set(data1['queries']) - non_mech)[:5]}) — "
+            "rerun `python -m scripts.gen_twins --sf-dir "
+            "/root/repo/.testdata_big/sf1 --out TWINS_SF1.json "
+            "--resume --timeout 900 --only <non-mechanical names>`"
+        )
+        bad1 = {
+            n: q["status"]
+            for n, q in data1["queries"].items()
+            if q["status"] != "pass"
+        }
+        assert not bad1, f"TWINS_SF1.json non-pass records: {bad1}"
+        stale1 = stale_passes(data1)
+        assert not stale1, (
+            f"TWINS_SF1.json stale pass records: {stale1[:8]}"
+        )

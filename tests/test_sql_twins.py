@@ -267,3 +267,48 @@ def test_fold_cc_guard_trips_on_oversized_dup_graph(
     rows = eng.query_sql("q_llm_dedup_clusters").collect()
     assert len(rows) == 40
     assert len({r.cluster_id for r in rows}) == 1  # one dense cluster
+
+
+def test_sf1_lane_constrains_only_names_it_contains(tmp_path, monkeypatch):
+    """VERDICT r11 #4: the sf1 twin artifact is PARTIAL (the
+    non-mechanical set). The serving gate must (a) leave names absent
+    from it governed by the two full-registry lanes, (b) fail closed
+    for a name it records as non-pass, and (c) fail closed for a pass
+    whose measured text drifted."""
+    import json as _json
+
+    from batchprocessor_spark.plans import sql_twins as tw
+
+    def write(sf1_queries):
+        base = {
+            "queries": {
+                "q_kept": {
+                    "status": "pass",
+                    "source": "dialect_twin",
+                    "sql_md5": "aa",
+                },
+                "q_probed": {
+                    "status": "pass",
+                    "source": "dialect_twin",
+                    "sql_md5": "bb",
+                },
+            }
+        }
+        (tmp_path / "TWINS.json").write_text(_json.dumps(base))
+        (tmp_path / "TWINS_SF01.json").write_text(_json.dumps(base))
+        (tmp_path / "TWINS_SF1.json").write_text(
+            _json.dumps({"queries": sf1_queries})
+        )
+        monkeypatch.setattr(tw, "_ARTIFACT_DIR", str(tmp_path))
+        monkeypatch.setattr(tw, "_MEASURED_PASS", None)
+        return tw._measured_pass_fingerprints()
+
+    # (a) absent from sf1 -> still served off the two full lanes
+    got = write({"q_probed": {"status": "pass", "sql_md5": "bb"}})
+    assert got == {"q_kept": "aa", "q_probed": "bb"}
+    # (b) recorded non-pass at sf1 -> dropped
+    got = write({"q_probed": {"status": "dialect_fail"}})
+    assert got == {"q_kept": "aa"}
+    # (c) sf1 pass with drifted text -> dropped
+    got = write({"q_probed": {"status": "pass", "sql_md5": "ZZ"}})
+    assert got == {"q_kept": "aa"}
