@@ -22,6 +22,20 @@ a recorded pass whose fingerprint still matches). A rule that
 mis-fires therefore surfaces as a recorded dialect_fail or
 value_mismatch, never as wrong answers handed to a user.
 
+Measurement alone is only as strong as the swept data shapes
+(ADVICE r11): a rewrite can pass at every measured SF and still
+diverge on a shape the fixtures never produce. Rules whose
+cross-engine semantics have such edges are therefore GUARDED in the
+emitted text itself (r12): ``range()``/``generate_subscripts()``
+carry an emptiness CASE (Spark ``sequence`` descends where DuckDB
+returns ``[]``), slice lengths are clamped (ANSI ``slice`` raises on
+negative lengths), and 3-arg ``regexp_replace`` emulates DuckDB's
+first-match-only semantics exactly — or emits an unresolvable marker
+when its args aren't literals, so the measurement fails loudly
+rather than admitting replace-all behavior that happens to match at
+the swept SFs. tests/test_oracle_edgecases.py pins every guard
+against live DuckDB on the edge shapes.
+
 Reference scope: SURVEY §2.2 / §3.4 — the reference engine
 (xzchaoo/batchprocessor) has no SQL surface at all; this front end is
 an engine mandate, re-expressed on Spark's own parser.
@@ -589,7 +603,13 @@ def _repl_regexp_replace(args, inner):
     repl = args[2].strip()
     if had_flag:
         if repl.startswith("'") and repl.endswith("'"):
-            repl = _GROUP_REF.sub(r"$\1", repl)
+            # \k → $k, and a raw $ (literal in DuckDB) → \$ for Java
+            # (no oracle uses one today; parity with the 3-arg path)
+            repl = re.sub(
+                r"\\(\d)|\$",
+                lambda m: f"${m.group(1)}" if m.group(1) else r"\$",
+                repl,
+            )
         return f"regexp_replace({args[0]}, {args[1]}, {repl})"
     # first-match-only form: both pattern and replacement must be
     # plain literals to rewrite confidently; anything else emits an

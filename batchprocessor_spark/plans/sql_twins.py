@@ -938,6 +938,11 @@ DIALECT_TWINS: dict[str, str] = {
     # dp[i] left-to-right with array_append, so up = prev[j+1],
     # diag = prev[j], left = cur[last].  Plan size is O(1) regardless
     # of series length; per-pair work is the exact O(n·m) kernel.
+    # Boundedness (why this twin needs no serve-time guard, unlike
+    # the fold-CC family): pairs = o_orderpriority enum × itself
+    # (≤ 5·4/2 rows at ANY SF) and each series is one value per
+    # calendar quarter — both dimensions are fixed by the schema, not
+    # the data volume.
     "q_ts_dtw": """
     WITH q AS (
       SELECT o_orderpriority AS p,

@@ -173,6 +173,11 @@ def test_arity_and_flag_fixes():
     assert s("SELECT regexp_replace(t, 'a', 'b', 'g')") == (
         "SELECT regexp_replace(t, 'a', 'b')"
     )
+    # group refs convert, literal $ escapes (parity with the 3-arg
+    # path; no current oracle exercises the $, pinned regardless)
+    assert s(r"SELECT regexp_replace(t, '(a)', '\1$', 'g')") == (
+        "SELECT regexp_replace(t, '(a)', '$1\\$')"
+    )
 
 
 def test_regexp_replace_first_match_emulated():
