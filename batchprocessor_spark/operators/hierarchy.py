@@ -169,6 +169,15 @@ def pointer_jump_paths(nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
     down to (but excluding) ptr, so a jump concatenates seg(node) ++
     seg(ptr) — segment lengths double per round, and converged roots
     contribute an empty segment, making extra rounds idempotent.
+
+    PRECONDITION (r12, caught by the sf1 twin sweep): the node set
+    must be CLOSED under parent — every non-null parent id must
+    itself appear as a node row. The per-round INNER join resolves a
+    pointer by looking its target up in the state; a pointer to an
+    absent node has no join partner and its row is silently DROPPED.
+    For a hierarchy whose parents are derivable by arithmetic (like
+    q_hier_paths' parent = id div 3), use a per-row fold instead —
+    no closure assumption, and no shuffle at all.
     """
     state = nodes.select(
         "node",
@@ -233,25 +242,38 @@ def q_hier_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree queries into prefix filters (LIKE 'root/%') and powers
     breadcrumbs without per-query traversal.
 
-    Scale posture: pointer jumping with path-segment doubling —
-    ceil(log2 depth) rounds of one equi-join each; segments live as
-    arrays until the single final array_join, so each round moves
-    O(n · current-depth) ids, never strings being re-parsed. The
-    oracle's recursive CTE walks the same chain one hop per
-    iteration.
+    Unlike q_hier_ancestry/q_hier_rollup (whose oracles walk only
+    through EXISTING document rows — pointer jumping's natural
+    contract), this oracle derives every ancestor ARITHMETICALLY
+    (`cur // 3` from the walk row itself): a document whose numeric
+    ancestors are absent from the table still gets its full chain.
+    The r12 sf1 twin sweep caught the old pointer-jumping builder
+    silently dropping exactly those rows (key-shifted sf1 doc_ids
+    are not parent-closed — and neither is any real hierarchy with
+    deleted intermediate nodes).
+
+    Scale posture: the chain is a bounded per-row Catalyst fold —
+    40 div-steps cover any BIGINT id (3^40 > 2^63) and the fold
+    stops appending at the root, so the plan is one projection:
+    no join, no shuffle, nothing to skew. Strictly better at 100 TB
+    than the log-round join kernel it replaced.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    nodes = d.select(
-        F.col("doc_id").alias("node"),
-        F.when(
-            F.col("doc_id") >= _N_ROOTS, F.expr(f"doc_id div {_N_ROOTS}")
-        ).alias("parent"),
+    chain = F.expr(
+        f"aggregate(sequence(1, 40), "
+        f"struct(CAST(doc_id AS BIGINT) AS cur, "
+        f"array(CAST(doc_id AS BIGINT)) AS arr), "
+        f"(s, _i) -> IF(s.cur >= {_N_ROOTS}, "
+        f"struct(s.cur DIV {_N_ROOTS} AS cur, "
+        f"array_append(s.arr, s.cur DIV {_N_ROOTS}) AS arr), s), "
+        f"s -> s.arr)"
     )
-    out = pointer_jump_paths(nodes)
-    return out.select(
-        F.col("node").alias("doc_id"),
-        "root_id",
-        F.array_join(F.col("path"), "/").alias("path"),
+    return d.select("doc_id", chain.alias("_chain")).select(
+        "doc_id",
+        F.element_at("_chain", -1).alias("root_id"),
+        F.array_join(
+            F.transform("_chain", lambda x: x.cast("string")), "/"
+        ).alias("path"),
     )
 
 

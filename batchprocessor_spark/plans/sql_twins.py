@@ -986,7 +986,18 @@ DIALECT_TWINS: dict[str, str] = {
     """,
 }
 
-_INT_SUM_WIDENED = ("q_agg_corr_matrix", "q_ml_linreg_normal_eq")
+# Queries whose oracles sum exact-cents PRODUCTS as BIGINT: DuckDB
+# silently widens to HUGEINT, Spark's ANSI BIGINT sum throws once the
+# sum crosses 2^63. corr_matrix/linreg were caught by the sf0.1 sweep
+# (r11, ~6e19 at 600k rows); mahalanobis by the sf1 sweep (r12 —
+# sum(price_cents²) ≈ 6e20 at 6M rows; its builder already folds
+# DECIMAL(38) sufficient statistics, so only the twin needed the
+# mirrored widening).
+_INT_SUM_WIDENED = (
+    "q_agg_corr_matrix",
+    "q_dq_mahalanobis",
+    "q_ml_linreg_normal_eq",
+)
 _SUM_TO_DOUBLE = re.compile(r"sum\(([^()]*)\)::DOUBLE")
 
 # The recursive min-label closure family: Spark 4.1's recursion only

@@ -69,6 +69,17 @@ def engine_confs(
         # default; read as raw nanos once here so readers stay
         # side-effect-free (catalog converts to micros with integer div).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Recursive-CTE parity (r12, caught by the sf1 twin sweep):
+        # Spark 4.1 caps a recursion's CUMULATIVE row count at 1M
+        # (RECURSION_ROW_LIMIT_EXCEEDED) on top of the 100-level cap;
+        # DuckDB has neither, so a per-key recursive walk that fits at
+        # sf0.1 dies at sf1 (q_ts_croston's SES walk emits 2×10^5 rows
+        # per level-set; rouge's LCS walk similarly). Raise the row
+        # cap to INT_MAX — runaway recursion stays bounded because the
+        # dialect pass injects an explicit MAX RECURSION LEVEL on
+        # every self-referencing CTE, so total rows ≤ levels × widest
+        # level, both finite.
+        "spark.sql.cteRecursionRowLimit": str(2**31 - 1),
         # Reference-tracked cleanup of reliable checkpoints: without
         # it, per-round checkpoints from iterative operators accumulate
         # in the checkpoint dir for the life of a long-lived Engine

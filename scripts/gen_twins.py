@@ -187,6 +187,11 @@ def main() -> int:
         queries[name] = run_one(
             spark, name, registry[name], sf_dir, timeout_s=args.timeout
         )
+        # Per-record provenance: a sweep may legitimately mix dirs
+        # (r12 — the graph family's sf1 lane runs on the sf1graph
+        # subsample, mirroring PARITY_SF1), so the top-level sf_dir
+        # alone can't label every record.
+        queries[name]["sf_dir"] = args.sf_dir
         print(
             f"[{i}/{len(names)}] {name}: {queries[name]['status']}",
             file=sys.stderr,

@@ -252,29 +252,37 @@ def test_twins_artifact_tracks_registry(registry_names):
             sum(1 for q in data01["queries"].values() if q["status"] == "value_mismatch")
             == 0
         )
-    # Third-SF sweep (r12, VERDICT r11 #4): the sf1 artifact covers
-    # the NON-MECHANICAL twin set — every query whose TWINS.json
-    # source is extended/dialect/hand (the sf0.1 sweep caught BIGINT
-    # overflow and the recursion cap; sf1 is where a third class
-    # would surface). Partial by design; must cover exactly that set,
-    # all pass, fingerprints current (serving intersects it for the
-    # names it contains, so staleness silently un-serves — fail
-    # loudly here instead).
+    # Third-SF sweep (r12, VERDICT r11 #4, then extended to the FULL
+    # registry): sf0.1 caught BIGINT overflow and the recursion cap;
+    # the sf1 sweep promptly caught a third instance of the overflow
+    # class (q_dq_mahalanobis, sum(price_cents²) ≈ 6e20 at 6M rows).
+    # The artifact must cover the whole registry minus the three
+    # documented sf1 infeasibilities (same exclusions and reasons as
+    # PARITY_SF1.json); every covered record must pass with a current
+    # fingerprint (serving intersects the artifact for the names it
+    # contains, so staleness silently un-serves — fail loudly here).
+    SF1_TWIN_EXCLUSIONS = {
+        # declared O(n²) exactness baseline — the BUILDER is all-pairs
+        "q_llm_simsearch_neardup",
+        # builder is LSH-pruned but the twin text is the exact
+        # all-pairs oracle — O(n²) in vectors, infeasible at sf1
+        "q_llm_simsearch_neardup_lsh",
+        # sf1 fixture artifact: caesar-rotated copies dilute df
+        # fractions 10×, the stopword cut stops pruning, and the
+        # RESULT itself goes quadratic (2.17e9 pairs, r10-measured)
+        "q_llm_tfcos_pairs",
+    }
     sf1_path = REPO / "TWINS_SF1.json"
     if sf1_path.exists():
         data1 = json.loads(sf1_path.read_text())
-        non_mech = {
-            n
-            for n, rec in data["queries"].items()
-            if rec["source"] in ("extended_twin", "dialect_twin", "hand_twin")
-        }
-        assert set(data1["queries"]) == non_mech, (
-            "TWINS_SF1.json drifted from the non-mechanical twin set "
-            f"(missing={sorted(non_mech - set(data1['queries']))[:5]} "
-            f"stale={sorted(set(data1['queries']) - non_mech)[:5]}) — "
+        want1 = registry_names - SF1_TWIN_EXCLUSIONS
+        assert set(data1["queries"]) == want1, (
+            "TWINS_SF1.json drifted from registry-minus-exclusions "
+            f"(missing={sorted(want1 - set(data1['queries']))[:5]} "
+            f"stale={sorted(set(data1['queries']) - want1)[:5]}) — "
             "rerun `python -m scripts.gen_twins --sf-dir "
             "/root/repo/.testdata_big/sf1 --out TWINS_SF1.json "
-            "--resume --timeout 900 --only <non-mechanical names>`"
+            "--resume --timeout 900`"
         )
         bad1 = {
             n: q["status"]

@@ -78,3 +78,49 @@ def test_pagerank_invariants(spark):
     cust = sum(r.pr for r in ranks if r.node % 2 == 0)
     supp = total - cust
     assert cust > supp
+
+
+def test_hier_paths_survives_non_closed_node_set(spark, tmp_path):
+    """r12 (caught by the sf1 twin sweep): q_hier_paths' oracle
+    derives every ancestor ARITHMETICALLY (cur // 3), so a document
+    whose numeric ancestors are absent from the table still gets its
+    full chain — any real hierarchy with deleted intermediate nodes
+    has this shape. The old pointer-jumping builder's inner join
+    silently dropped exactly those rows (5000 of 50000 at sf1). The
+    per-row fold builder must match DuckDB on a deliberately
+    non-parent-closed id set."""
+    import shutil
+
+    import duckdb
+    import pandas as pd
+
+    from batchprocessor_spark.plans.registry import load_all
+
+    sf = tmp_path / "sf"
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    (sf / "documents.parquet").unlink()
+    # ids whose div-3 chains pass through MISSING intermediates,
+    # including one deeper than 3^20 (the sf1-shifted-id regime)
+    ids = [0, 1, 2, 5, 81, 82, 1_000_000_007, 9_000_000_000_000]
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": ["t"] * len(ids),
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [1] * len(ids),
+        }
+    ).to_parquet(sf / "documents.parquet", index=False)
+
+    spec = load_all()["q_hier_paths"]
+    b = spec.builder(spark, str(sf)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    o = con.execute(spec.oracle).df()
+    bs = sorted(map(str, b[sorted(b.columns)].itertuples(index=False, name=None)))
+    os_ = sorted(map(str, o[sorted(o.columns)].itertuples(index=False, name=None)))
+    assert len(bs) == len(ids)
+    assert bs == os_
