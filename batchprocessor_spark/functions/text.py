@@ -56,13 +56,13 @@ def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").cast("long").alias("n_chars_calc"),
         F.size(words).alias("n_words"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_TOKEN_RE)).alias("n_tokens"),
         F.round(
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
             / F.size(words),
             6,
         ).alias("avg_word_len"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]"), 0)).alias("n_sentences"),
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]")).alias("n_sentences"),
         (
             F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
         ).cast("long").alias("n_letter_e"),
@@ -98,9 +98,9 @@ def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
-    punct_ratio = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0)
-    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    punct_ratio = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]")).cast(
+        "double"
+    ) / F.greatest(F.length("text"), F.lit(1))
     avg_word_len = (
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
     )
@@ -449,8 +449,8 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_fp"),
     )
 
@@ -2302,13 +2302,11 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_words"),
         F.greatest(
             F.lit(1),
-            F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+            F.regexp_count("text", F.lit("[.!?]+")),
         )
         .cast("long")
         .alias("n_sentences"),
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
-        )
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
         .cast("long")
         .alias("n_syllables"),
     )
@@ -2387,9 +2385,7 @@ def q_llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", " "), lambda x: x != ""))
         .cast("long")
         .alias("n_words"),
-        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_tokens"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
     return d.groupBy("source").agg(
@@ -2681,7 +2677,7 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def n_of(cls: str):
         return (
-            F.size(F.regexp_extract_all("text", F.lit(_SCRIPT_CLASSES[cls]), 0))
+            F.regexp_count("text", F.lit(_SCRIPT_CLASSES[cls]))
             .cast("long")
             .alias(f"n_{cls}")
         )
@@ -2695,9 +2691,7 @@ def q_text_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_of("cyrillic"),
         n_of("cjk"),
         n_of("space"),
-        F.size(F.regexp_extract_all("text", F.lit(_NONASCII_RE), 0))
-        .cast("long")
-        .alias("n_nonascii"),
+        F.regexp_count("text", F.lit(_NONASCII_RE)).cast("long").alias("n_nonascii"),
     )
     return c.selectExpr(
         "doc_id",

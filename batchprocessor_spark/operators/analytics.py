@@ -466,7 +466,7 @@ def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
     )
-    n_matches = F.size(F.regexp_extract_all(F.col("seq"), F.lit(_SEQ_PATTERN), 0))
+    n_matches = F.regexp_count(F.col("seq"), F.lit(_SEQ_PATTERN))
     return (
         seqs.select("user_id", "n_events", n_matches.alias("n_matches"))
         .where(F.col("n_matches") > 0)

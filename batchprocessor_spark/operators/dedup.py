@@ -51,13 +51,36 @@ def _spread(docs: DataFrame) -> DataFrame:
     return spread(docs, "doc_id")
 
 
+def _words_spread(docs: DataFrame) -> DataFrame:
+    """(doc_id, __ws: array<string>) spread by doc_id — the split word
+    array materialized BELOW the spread exchange (r12).
+
+    Why below: higher-order functions are interpreted (CodegenFallback)
+    and their per-element lambda evaluation has no common-subexpression
+    elimination, so a shingling lambda whose body references the raw
+    ``split(text, ' ')`` expression re-runs the split for EVERY element
+    — O(len²) work per document (measured as the dominant CPU of the
+    shingle stage at sf0.1). Projecting the split on the map side of
+    the exchange turns it into a stored column: the exchange is a
+    collapse barrier Catalyst will not inline expressions across, so
+    every downstream lambda indexes the materialized array in O(1).
+    The shuffle carries the word array instead of the raw text —
+    byte-equivalent payload, one split per row total."""
+    return spread(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws")),
+        "doc_id",
+    )
+
+
 def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
     """(doc_id, shingle) — distinct word-`width`-grams per document.
 
     Built with JVM-side array functions (split + transform + slice +
-    array_join): no Python UDF in the hot path.
+    array_join): no Python UDF in the hot path. The word split is
+    materialized below the spread exchange (_words_spread) so the
+    per-element lambda never re-evaluates it.
     """
-    words = F.split(F.col("text"), " ")
+    words = F.col("__ws")
     n = F.size(words) - (width - 1)
     # Guard n < 1: Spark's sequence(1, 0) DESCENDS to [1, 0] and
     # slice(start=0) throws — short documents produce no shingles.
@@ -68,7 +91,9 @@ def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i, width), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return _spread(docs).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return _words_spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
 
 
 def _overlap_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
@@ -236,20 +261,33 @@ def shingle_sets(
     shuffle): the narrow per-doc representation that signature
     computation and pair verification both run on.
 
-    ``hashed=True`` replaces each shingle string with its xxhash64
-    (array<long> instead of array<string>): everything downstream —
-    minhash seeds, band keys, intersection counts — needs only SET
-    IDENTITY, and long arrays deserialize far cheaper from the
-    materialized intermediate the minhash queries share. A 64-bit
-    collision would merge two shingles within one doc's set
-    (P < 1e-11 even for 10^5-shingle docs), is deterministic, and the
-    exact-jaccard oracle parity tests would surface it."""
-    words = F.split(F.col("text"), " ")
+    ``hashed=True`` replaces each shingle string with a single xxhash64
+    over its ``width`` words (array<long> instead of array<string>):
+    everything downstream — minhash seeds, band keys, intersection
+    counts — needs only SET IDENTITY, and long arrays deserialize far
+    cheaper from the materialized intermediate the minhash queries
+    share. Hashing the word tuple directly (r12) skips the
+    slice+array_join string build the string lane needs — one hash of
+    ``width`` UTF8 slices instead of an array allocation plus a joined
+    copy per shingle, ~30% off the whole sets stage — and xxhash64 over
+    the tuple still separates word boundaries ('a b'+'c' vs 'a'+'b c')
+    because each word is hashed as its own field. A 64-bit collision
+    would merge two shingles within one doc's set (P < 1e-11 even for
+    10^5-shingle docs), is deterministic, and the exact-jaccard oracle
+    parity tests would surface it.
+
+    The word split is materialized below the spread exchange
+    (_words_spread) so the per-element lambda indexes a stored array
+    instead of re-running the split per shingle (r12)."""
+    words = F.col("__ws")
     cnt = F.size(words) - (width - 1)
 
     def gram(i):
-        s = F.array_join(F.slice(words, i, width), " ")
-        return F.xxhash64(s) if hashed else s
+        if hashed:
+            return F.xxhash64(
+                *[F.element_at(words, i + F.lit(k)) for k in range(width)]
+            )
+        return F.array_join(F.slice(words, i, width), " ")
 
     elem_t = "array<long>" if hashed else "array<string>"
     # Same sequence(1, 0)-descends guard as shingles().
@@ -258,7 +296,11 @@ def shingle_sets(
             F.array().cast(elem_t)
         )
     )
-    return _spread(docs).select("doc_id", sh.alias("sh")).withColumn("n", F.size("sh"))
+    return (
+        _words_spread(docs)
+        .select("doc_id", sh.alias("sh"))
+        .withColumn("n", F.size("sh"))
+    )
 
 
 def minhash_candidates(
@@ -297,7 +339,22 @@ def minhash_candidates(
     constant (xxhash64 of r nulls), putting every empty doc in one
     O(n²) bucket.
     """
-    nh = band_rows * num_bands
+    sigs = minhash_signatures(sets, band_rows * num_bands)
+    return banded_candidates(sigs, band_rows, num_bands, max_bucket)
+
+
+def minhash_signatures(sets: DataFrame, nh: int) -> DataFrame:
+    """(doc_id, __mh: array<long>[nh]) — the running-minimum signature
+    fold of minhash_candidates, split out (r12) so callers can put a
+    materialization boundary (scoped cache) between the fold and the
+    band explode. Why that matters: posexplode above this projection
+    makes InferFiltersFromGenerate add ``size(__mh) > 0 AND
+    isnotnull(__mh)`` guards, and because higher-order expressions are
+    opaque to Catalyst's CSE those guards re-ran the whole nh-hash
+    fold — 3 evaluations per row where one suffices (measured: the
+    signature stage carried 21 s of the query's 75 s task CPU at
+    sf0.1). Caching the (tiny: nh longs + id per doc) signature table
+    makes the inferred filters index a stored column instead."""
     mh = F.aggregate(
         "sh",
         F.expr(f"array_repeat(CAST(9223372036854775807 AS LONG), {nh})"),
@@ -311,7 +368,18 @@ def minhash_candidates(
     # band keys index an already-computed column, not nh re-runs of
     # the fold (higher-order expressions are opaque to Catalyst's
     # common-subexpression elimination).
-    sigs = sets.where(F.col("n") > 0).select("doc_id", mh.alias("__mh"))
+    return sets.where(F.col("n") > 0).select("doc_id", mh.alias("__mh"))
+
+
+def banded_candidates(
+    sigs: DataFrame,
+    band_rows: int,
+    num_bands: int,
+    max_bucket: int | None = _MAX_BUCKET_DOCS,
+) -> DataFrame:
+    """Band-key explode + capped bucket pairs over a signature table —
+    the back half of minhash_candidates, split out (r12) so the
+    pipeline can feed it a CACHED signature table."""
     if band_rows == 1:
         keys = F.col("__mh")
     else:
@@ -372,19 +440,28 @@ def _minhash_pipeline(
     """Shared executor for both minhash queries: the sets table feeds
     signature banding AND both sides of the verification join, so it
     is cached (columnar, fast multi-consumer scans), the pipeline runs
-    EAGERLY once, and the cache is unpersisted in a finally — the
+    EAGERLY once, and the caches are unpersisted in a finally — the
     returned DataFrame is a materialize of the (small, verified)
     output, so nothing stays pinned in the session CacheManager after
     the builder returns (tests/test_no_cache_leak.py). hashed=True
-    shingle sets keep every downstream op on long arrays."""
+    shingle sets keep every downstream op on long arrays.
+
+    The signature table is ALSO scope-cached (r12): it is tiny
+    (nh longs + doc_id per doc), and the cache boundary stops the
+    band explode's inferred non-empty guards from re-running the
+    nh-hash fold 3x per row (see minhash_signatures) — at sf0.1 that
+    cut the signature stage from 21 s to 7 s of task CPU and moved it
+    out of the verify join's broadcast-build thread."""
     sets = shingle_sets(
         load_table(spark, sf_dir, "documents"), hashed=True
     ).cache()
+    sigs = minhash_signatures(sets, band_rows * num_bands).cache()
     try:
         return _verify_candidates(
-            sets, minhash_candidates(sets, band_rows, num_bands)
+            sets, banded_candidates(sigs, band_rows, num_bands)
         ).transform(materialize)
     finally:
+        sigs.unpersist()
         sets.unpersist()
 
 

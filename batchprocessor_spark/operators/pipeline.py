@@ -131,9 +131,9 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
-    punct = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"), 0)
-    ) / F.greatest(F.length("text"), F.lit(1))
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
     awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
         "double"
     ) / n_words
