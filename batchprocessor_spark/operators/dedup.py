@@ -389,7 +389,16 @@ def banded_candidates(
                 *[F.get("__mh", b * band_rows + F.lit(r)) for r in range(band_rows)]
             ),
         )
-    bands = sigs.select("doc_id", F.posexplode(keys).alias("band", "bkey"))
+    # posexplode_OUTER (r12): InferFiltersFromGenerate only fires on
+    # non-outer generates, so the outer explode never grows the
+    # ``size(keys) > 0 AND isnotnull(keys)`` guards that re-ran the
+    # whole signature fold per row (the r12 3x-evaluation defect).
+    # Values are identical: every input row has a non-empty key array
+    # (minhash_signatures filters n > 0, and the r>1 transform emits
+    # exactly num_bands elements), so outer vs inner explode emit the
+    # same rows. This makes the fold single-evaluation BY PLAN SHAPE,
+    # with no scoped cache needed between the fold and the explode.
+    bands = sigs.select("doc_id", F.posexplode_outer(keys).alias("band", "bkey"))
     return capped_bucket_pairs(bands, ["band", "bkey"], "doc_id", max_bucket)
 
 
@@ -446,22 +455,21 @@ def _minhash_pipeline(
     the builder returns (tests/test_no_cache_leak.py). hashed=True
     shingle sets keep every downstream op on long arrays.
 
-    The signature table is ALSO scope-cached (r12): it is tiny
-    (nh longs + doc_id per doc), and the cache boundary stops the
-    band explode's inferred non-empty guards from re-running the
-    nh-hash fold 3x per row (see minhash_signatures) — at sf0.1 that
-    cut the signature stage from 21 s to 7 s of task CPU and moved it
-    out of the verify join's broadcast-build thread."""
+    The signature fold is single-evaluation by plan shape: the band
+    explode is posexplode_OUTER (see banded_candidates), so Catalyst
+    never infers the non-empty guards that re-ran the nh-hash fold 3x
+    per row (the r12 defect, first fixed with a scoped cache on the
+    signature table; the outer explode removes the guards at the
+    source, saving that cache's fill job and barrier per run)."""
     sets = shingle_sets(
         load_table(spark, sf_dir, "documents"), hashed=True
     ).cache()
-    sigs = minhash_signatures(sets, band_rows * num_bands).cache()
+    sigs = minhash_signatures(sets, band_rows * num_bands)
     try:
         return _verify_candidates(
             sets, banded_candidates(sigs, band_rows, num_bands)
         ).transform(materialize)
     finally:
-        sigs.unpersist()
         sets.unpersist()
 
 

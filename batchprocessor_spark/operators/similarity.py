@@ -38,7 +38,18 @@ def as_double(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential double-precision dot product, JVM-side."""
+    """Sequential double-precision dot product, JVM-side.
+
+    Kept as the interpreted fold DELIBERATELY (r12, measured): an
+    unrolled codegen chain (0.0 + a[0]*b[0] + ... via F.get, same
+    fold order, bit-identical values) benchmarked 5x SLOWER on the
+    neardup pair join (10.4 s vs 2.0 s interleaved medians at sf0.1)
+    — every per-element get re-evaluates the inlined child expression
+    (CollapseProject inlines as_double's transform into the consumer,
+    and codegen CSE cannot eliminate CodegenFallback subtrees), so 64
+    unrolled terms re-ran the cast transform 128x per pair. The fold
+    evaluates each input array exactly once and its lambda loop JITs
+    well."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
