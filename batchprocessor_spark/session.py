@@ -50,6 +50,23 @@ def engine_confs(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # CPU-vs-bytes coalescing floor (r12, guide §2.5): with
+        # parallelismFirst (default true) AQE targets
+        # max(shuffleBytes/defaultParallelism, minPartitionSize)
+        # per post-shuffle partition. Spark's 1m floor binds exactly
+        # when a shuffle is byte-light, folding CPU-dense sort/window
+        # stages into 1-3 tasks (measured: q_win_rank's whole
+        # sort+rank+ntile stage ran as ONE task; 64k restores
+        # defaultParallelism-wide stages — q_win_rank 0.87→0.76 s,
+        # q_win_session 0.86→0.67 s interleaved medians at sf0.1). At
+        # scale the floor is inert: any exchange carrying more than
+        # parallelism×1 MB already coalesces by bytes/parallelism, so
+        # lowering it only affects small-shuffle/high-CPU stages — the
+        # same class the per-operator REPARTITION_BY_NUM pins address,
+        # handled here for every keyed exchange at once.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": env.get(
+            "SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"
+        ),
         "spark.sql.shuffle.partitions": str(shuffle_partitions or 2 * int(cpus)),
         # Arrow for any pandas-UDF exchange (vectorized, not per-row).
         "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -58,12 +58,24 @@ TABLES = (
 # for bytesPerCore packing to restore full scan parallelism on the big
 # tables while small dims stay a couple of files (they broadcast; scan
 # parallelism there is irrelevant and tiny files only add footers).
+#
+# r12 (guide §6): the split is additionally BYTE-aware. A row-count
+# rule sized for ~30 B lineitem rows leaves fat-row tables in ONE part
+# (sf0.1 documents: 5,000 text rows, one 0.6 MB file → every text
+# kernel ran as a single task; embeddings likewise, so the corpus-side
+# norm fold of similarity queries ran single-task before its spread).
+# A production corpus is always many files wide; splitting by
+# max(rows/5k, bytes/64k) restores that shape for the tables whose
+# per-row CPU, not row count, is the cost.
 ROWS_PER_PART = 5_000
+PART_BYTES = 64 * 1024
 MAX_PARTS = 64
 
 
-def _part_count(rows: int) -> int:
-    return max(1, min(MAX_PARTS, (rows + ROWS_PER_PART - 1) // ROWS_PER_PART))
+def _part_count(rows: int, nbytes: int = 0) -> int:
+    by_rows = (rows + ROWS_PER_PART - 1) // ROWS_PER_PART
+    by_bytes = (nbytes + PART_BYTES - 1) // PART_BYTES
+    return max(1, min(MAX_PARTS, max(by_rows, by_bytes)))
 
 
 def _source_meta(sf_dir: str) -> dict:
@@ -176,7 +188,8 @@ def ensure_multifile(sf_dir: str) -> str:
     out = os.path.join(MIRROR_ROOT, name)
     meta_path = os.path.join(out, "_mirror_meta.json")
     want = {"source": sf_dir, "tables": _source_meta(sf_dir),
-            "rows_per_part": ROWS_PER_PART, "max_parts": MAX_PARTS}
+            "rows_per_part": ROWS_PER_PART, "max_parts": MAX_PARTS,
+            "part_bytes": PART_BYTES}
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
@@ -190,8 +203,12 @@ def ensure_multifile(sf_dir: str) -> str:
     tmp = tempfile.mkdtemp(prefix=f".{name}.", dir=MIRROR_ROOT)
     try:
         for t in TABLES:
-            tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
-            n = _part_count(tbl.num_rows)
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            tbl = pq.read_table(src)
+            # On-disk (compressed) source bytes: the conservative width
+            # signal — arrow in-memory nbytes would over-split narrow
+            # tables whose scan is already cheap.
+            n = _part_count(tbl.num_rows, os.stat(src).st_size)
             tdir = os.path.join(tmp, f"{t}.parquet")
             os.makedirs(tdir)
             base = tbl.num_rows // n

@@ -60,6 +60,19 @@ def test_production_default_is_128m():
     assert confs["spark.sql.files.maxPartitionBytes"] == "64m"
 
 
+def test_coalesce_floor_is_64k():
+    """Polarity pin (r12, guide §2.5): AQE's coalescing floor is 64k,
+    not Spark's 1m — with parallelismFirst the floor only binds on
+    byte-light shuffles, where the 1m default folded CPU-dense
+    sort/window stages into 1-3 tasks (q_win_rank's whole sort+rank
+    stage ran as ONE task at sf0.1). At scale the floor is inert
+    (bytes/parallelism dominates past parallelism×1 MB of shuffle)."""
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    assert engine_confs(cpus=8, env={})[key] == "64k"
+    confs = engine_confs(cpus=8, env={"SPARK_GRAFT_MIN_PARTITION_SIZE": "1m"})
+    assert confs[key] == "1m"
+
+
 @contextlib.contextmanager
 def _split_bytes(spark, value: str):
     """Runtime-set the scan split (it's a runtime SQL conf) and restore."""
