@@ -545,15 +545,34 @@ _REP_ORACLE = """
 
 
 def _grams(words, width: int):
-    """Non-distinct word n-gram list as a per-row array expression."""
-    cnt = F.size(words) - (width - 1)
-    return F.when(
-        cnt >= 1,
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.array_join(F.slice(words, i, width), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Non-distinct word n-gram list as a per-row array expression.
+
+    r12 (guide §1.2/§4): built with ``zip_with`` over shifted slices,
+    NOT ``transform(sequence(...), i -> slice(words, i, width))``.
+    Higher-order functions are interpreted (CodegenFallback) and their
+    lambda bodies get no common-subexpression elimination, so a lambda
+    that references the raw ``split(text, ' ')`` expression re-runs
+    the split for EVERY element — O(words²) per document (the same
+    defect class as dedup._words_spread, measured as the bulk of
+    q_llm_repetition_stats' runtime at sf0.1: 7.7 s → 1.6 s). In
+    ``zip_with`` the arrays are ARGUMENTS, evaluated once per row; the
+    lambda touches only its element variables."""
+    n = F.size(words)
+    cnt = F.greatest(n - (width - 1), F.lit(0))
+    zipped = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    for off in range(3, width + 1):
+        zipped = F.zip_with(
+            zipped,
+            F.slice(words, off, F.greatest(n - (off - 1), F.lit(0))),
+            lambda p, c: F.concat(p, F.lit(" "), c),
+        )
+    # zip_with pads the shorter side with null (concat → null); the
+    # trailing width−1 null entries are sliced off.
+    return F.slice(zipped, 1, cnt)
 
 
 @register("q_llm_repetition_stats", oracle=_REP_ORACLE, category="text")
@@ -564,23 +583,53 @@ def q_llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-trigram fraction. High repetition marks boilerplate,
     SEO spam, and decoding loops.
 
-    distinct-word and duplicate-trigram fractions are per-row array
-    folds (hash-set array_distinct, linear) — a narrow map with NO
-    shuffle and no Python. The top-bigram count uses the explode +
-    count formulation: ONE map-side-combined shuffle of (doc, bigram)
-    partials, linear in corpus size — the r3 version's per-row
-    transform×filter scan was O(n²) per document (~130 s at sf0.1,
-    ~2 s this way) and would be quadratic-per-doc at book length."""
+    All three signals are per-row array folds — a narrow map with NO
+    shuffle and no Python. The top-bigram count is the max run length
+    over the SORTED bigram array (equal grams are adjacent after
+    array_sort, so max multiplicity = longest run): O(n log n) per
+    document. r12 (guide §2.4): this replaces the explode +
+    two-aggregate + join formulation — same values, but the per-doc
+    max never needed a corpus-wide shuffle; the whole query is now a
+    single codegen'd scan+project (plan evidence
+    plans/r12/q_llm_repetition_stats_{before,after}.txt, 7.7 s →
+    1.6 s at sf0.1). The r3 per-row transform×filter scan stays
+    rejected — it was O(n²) per document; the sorted-run fold is not."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     bg, tg = _grams(words, 2), _grams(words, 3)
-    per_doc = d.select(
+    n_bg = F.size(bg)
+    # Max bigram multiplicity via sorted-run fold: state carries the
+    # previous gram, current run length, and best run seen.
+    top_bg = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda st, x: F.struct(
+            x.alias("prev"),
+            F.when(x == st.prev, st.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                st.best,
+                F.when(x == st.prev, st.run + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda st: st.best,
+    )
+    return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.round(
             F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
         ).alias("distinct_word_frac"),
-        F.size(bg).alias("n_bg"),
+        F.when(n_bg == 0, F.lit(0.0))
+        .otherwise(F.round(top_bg.cast("double") / n_bg, 6))
+        .alias("top_bigram_frac"),
         F.when(F.size(tg) == 0, F.lit(0.0))
         .otherwise(
             F.round(
@@ -588,22 +637,6 @@ def q_llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("dup_trigram_frac"),
-    )
-    top = (
-        d.select("doc_id", F.explode(bg).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_bg"))
-    )
-    return per_doc.join(top, "doc_id", "left").select(
-        "doc_id",
-        "n_words",
-        "distinct_word_frac",
-        F.when(F.col("n_bg") == 0, F.lit(0.0))
-        .otherwise(F.round(F.col("top_bg").cast("double") / F.col("n_bg"), 6))
-        .alias("top_bigram_frac"),
-        "dup_trigram_frac",
     )
 
 
@@ -892,10 +925,20 @@ def q_llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window packing step before embedding or tokenizing a
     corpus. Works entirely in JVM array expressions (split → sequence
     of starts → slice per start → explode): no Python, no shuffle at
-    all — chunking is embarrassingly parallel and the plan is a single
-    codegen'd Project."""
+    all — chunking is embarrassingly parallel.
+
+    r12 (guide §1.2/§4): the word split is materialized as a column
+    in a Project BELOW the Generate. The transform lambda's body
+    references the word array, and interpreted lambda evaluation has
+    no common-subexpression elimination — with the split inline the
+    lambda re-split the text for every chunk, O(words²/stride) per
+    document. A Generate does not collapse into its child Project, so
+    the split now runs exactly once per row (plan evidence
+    plans/r12/q_llm_chunk_documents_{before,after}.txt: ``split``
+    appears once, below the Generate; measured 1.6 s → 0.26 s at
+    sf0.01 on the shared prototype session)."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
+    ws = F.col("__ws")
     chunks = F.transform(
         F.sequence(F.lit(1), F.size(ws), F.lit(_CHUNK_STRIDE)),
         lambda start: F.struct(
@@ -906,8 +949,10 @@ def q_llm_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(ws, start, _CHUNK_WORDS), " ").alias("chunk_text"),
         ),
     )
-    return d.select("doc_id", F.explode(chunks).alias("c")).select(
-        "doc_id", "c.chunk_id", "c.n_chunk_words", "c.chunk_text"
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.n_chunk_words", "c.chunk_text")
     )
 
 
@@ -3438,23 +3483,38 @@ def q_text_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             max(64, 2 * spark.sparkContext.defaultParallelism), "pair_id"
         )
     )
-    # outer fold over candidate tokens; each row is the prefix-max
-    # form of the LCS update (see docstring) — state is the previous
-    # DP row, 1-indexed positions 1..m+1 for j = 0..m
+    # outer fold over candidate tokens; the inner fold builds the new
+    # DP row LEFT-TO-RIGHT (new[j] = max(new[j-1], prev[j],
+    # prev[j-1] + match)), state is the previous DP row, 1-indexed
+    # positions 1..m+1 for j = 0..m.
+    #
+    # r12 (guide §1.2 "the distributed algorithm" applied per task):
+    # the r9 spelling unrolled new[j] as a PREFIX-MAX over k ≤ j
+    # (array_max over transform(sequence(1, j))) — O(n·m²)
+    # interpreted-expression evaluations per pair. The sequential
+    # inner fold is the textbook O(n·m) recurrence: same integer
+    # values (the prefix-max form is exactly the expansion of this
+    # recurrence), ~7× measured (sf0.01 interleaved: 10.6 s → 1.4 s;
+    # sf0.1: see OPTIMIZATION_r12.md). The inner fold still append-
+    # copies its row array per step (arrays are immutable in
+    # expression land) — O(m) longs per step — but a copy is ~50×
+    # cheaper than an interpreted greatest/element_at chain, and the
+    # 512-token cap bounds the worst pair either way.
     lcs = pr.selectExpr(
         "pair_id",
         "n AS len_cand",
         "m AS len_ref",
         "element_at(aggregate(a,"
         " transform(sequence(0, CAST(m AS INT)), x -> CAST(0 AS BIGINT)),"
-        " (state, tok) -> concat(array(CAST(0 AS BIGINT)),"
-        "   transform(sequence(1, CAST(m AS INT)), j ->"
-        "     array_max(transform(sequence(1, j), k ->"
-        "       greatest(element_at(state, k + 1),"
-        "                element_at(state, k)"
-        "                + CASE WHEN tok = element_at(b, k)"
-        "                       THEN CAST(1 AS BIGINT)"
-        "                       ELSE CAST(0 AS BIGINT) END)))))),"
+        " (state, tok) -> aggregate(sequence(1, CAST(m AS INT)),"
+        "   array(CAST(0 AS BIGINT)),"
+        "   (st, j) -> concat(st, array(greatest("
+        "     element_at(st, j),"
+        "     element_at(state, j + 1),"
+        "     element_at(state, j)"
+        "       + CASE WHEN tok = element_at(b, j)"
+        "              THEN CAST(1 AS BIGINT)"
+        "              ELSE CAST(0 AS BIGINT) END))))),"
         " CAST(m AS INT) + 1) AS lcs_len",
     )
     scored = lcs.selectExpr(

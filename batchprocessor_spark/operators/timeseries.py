@@ -2680,6 +2680,22 @@ def q_ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _theil_sen_slopes(daily: DataFrame) -> DataFrame:
+    """All-pairs quantized slopes over the day table (da < db) — the
+    declared n² value-table stage, factored out so tests/test_plans.py
+    gates ITS shape (nested-loop over the bounded day frames, never a
+    cartesian product, no Python) even though the registered builder
+    materializes it before the rank-k selection (r12)."""
+    a = daily.select(F.col("day_no").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("day_no").alias("db"), F.col("cents").alias("cb"))
+    return a.join(b, F.col("da") < F.col("db")).selectExpr(
+        "CAST(CASE WHEN cb - ca >= 0"
+        " THEN (1000000 * (cb - ca)) DIV (db - da)"
+        " ELSE -((1000000 * (ca - cb)) DIV (db - da)) END AS BIGINT)"
+        " AS smicro"
+    )
+
+
 @register(
     "q_ts_theil_sen",
     oracle="""
@@ -2734,15 +2750,33 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: the pair expansion is over the CALENDAR-BOUNDED
     day table (retention-sized — ~2400 days = ~2.9M pairs regardless
     of corpus SF, the q_ml_isotonic declared value-table n² class;
-    slope_last ~0 by design), never fact rows; the median window
-    runs over the distinct-slope histogram. No Python, no hints
+    slope_last ~0 by design), never fact rows. No Python, no hints
     (the non-equi day join is a nested-loop over the bounded day
     frames — AQE broadcasts).
+
+    r12 (guide §2.4, measured): the slopes are ~all-distinct (2.89M
+    distinct of 2.89M pairs at sf0.1), so the old global
+    Window.orderBy over the slope "histogram" serialized every pair
+    through ONE task (~3 s of the query's 5.8 s), and the histogram
+    aggregate itself shuffled 2.9M rows to keep ~nothing. The median
+    is now a distributed two-phase rank-k selection (the
+    pack_by_cumsum idiom): range-partition the slopes, pin the
+    assignment with materialize, collect the #partitions-sized count
+    table, and run the cum window only over the ONE partition that
+    holds the global rank — 2.9M/parallelism rows instead of 2.9M.
+    n_pairs is C(n_days, 2) analytically (the da<db join over
+    distinct days emits every pair exactly once), so the pair
+    expansion is evaluated once, not re-aggregated for the total.
+    Values identical at both SFs (oracle-proven); 5.8 s → ~2.6 s at
+    sf0.1. Driver state: n_days + one count per range partition —
+    model-sized scalars (the k-means allowance).
 
     Reference scope: the reference engine has no analytics surface;
     this extends SURVEY.md §2.4's time-series family beside
     q_ts_theta_forecast (OLS) and q_ml_isotonic (monotone fit).
     """
+    from batchprocessor_spark.session import materialize
+
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.expr(
@@ -2753,35 +2787,58 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
         .cast("long")
         .alias("cents")
-    )
-    a = daily.select(
-        F.col("day_no").alias("da"), F.col("cents").alias("ca")
-    )
-    b = daily.select(
-        F.col("day_no").alias("db"), F.col("cents").alias("cb")
-    )
-    slopes = (
-        a.join(b, F.col("da") < F.col("db"))
-        .selectExpr(
-            "CAST(CASE WHEN cb - ca >= 0"
-            " THEN (1000000 * (cb - ca)) DIV (db - da)"
-            " ELSE -((1000000 * (ca - cb)) DIV (db - da)) END AS BIGINT)"
-            " AS smicro"
+    ).transform(materialize)  # day-table-sized; read by both join sides
+    n_days = daily.count()
+    n_pairs = n_days * (n_days - 1) // 2
+    if n_pairs == 0:
+        # 0 or 1 days: no pairs — empty result on both engines (the
+        # oracle's w CTE is empty, so its final GROUP BY emits no row)
+        return spark.createDataFrame(
+            [], "n_days BIGINT, n_pairs BIGINT, ts_slope_micro BIGINT"
         )
+    slopes = _theil_sen_slopes(daily)
+    # Phase 1: range-partition by slope and pin the (sampled, hence
+    # run-dependent) partition assignment; the per-partition counts
+    # locate the partition holding the global lower-median rank.
+    nparts = max(16, spark.sparkContext.defaultParallelism)
+    parted = (
+        slopes.repartitionByRange(nparts, "smicro")
+        .withColumn("pid", F.spark_partition_id())
+        .transform(materialize)
     )
-    hist = slopes.groupBy("smicro").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    totals = {
+        r.pid: r.c
+        for r in parted.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    acc, target, offset = 0, None, 0
+    for pid in sorted(totals):
+        if target is None and 2 * (acc + totals[pid]) >= n_pairs + 1:
+            target, offset = pid, acc
+        acc += totals[pid]
+    # Phase 2: the cum window runs over the target partition's slope
+    # histogram only, seeded with the global offset — same
+    # 2·cum ≥ n_pairs+1 nearest-rank-lower-median cut as before.
+    hist = (
+        parted.where(F.col("pid") == target)
+        .groupBy("smicro")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     cum = Window.orderBy("smicro").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     w = hist.select(
-        "smicro", F.sum("c").over(cum).cast("long").alias("cum")
+        "smicro",
+        (F.sum("c").over(cum) + F.lit(offset)).cast("long").alias("cum"),
     )
-    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
-    tot = hist.agg(F.sum("c").cast("long").alias("n_pairs")).crossJoin(n_days)
     return (
-        w.crossJoin(tot)
+        w.select(
+            F.lit(n_days).cast("long").alias("n_days"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            "smicro",
+            "cum",
+        )
         .groupBy("n_days", "n_pairs")
         .agg(
             F.expr(

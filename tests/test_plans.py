@@ -2172,14 +2172,35 @@ def test_theil_sen_pairs_on_day_table_only(spark):
     """q_ts_theil_sen: the n² pair stage is a nested-loop join of the
     CALENDAR-BOUNDED day aggregate with itself (the q_ml_isotonic
     class) — the fact table contributes exactly one aggregate below
-    it, the median window runs over the slope histogram, no
-    Python."""
+    it, never a cartesian product, no Python. r12: the registered
+    builder materializes the slopes and selects the median with a
+    distributed two-phase rank-k (pack_by_cumsum idiom), so the pair
+    stage is gated on the factored helper and the REGISTERED plan is
+    gated on the selection shape: the cum window + final aggregate
+    run over a single range partition of the materialized slopes
+    (Filter on pid over the ExistingRDD scan — NOT a global window
+    over every pair), no Python anywhere."""
     import re
+
+    from batchprocessor_spark.operators import timeseries as TS
+    from batchprocessor_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF_ORACLE, "orders")
+        .groupBy(F.expr("CAST(o_orderkey % 7 AS BIGINT)").alias("day_no"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cents"))
+    )
+    pair_plan = TS._theil_sen_slopes(daily)._jdf.queryExecution().executedPlan().toString()
+    _assert_no_python(pair_plan)
+    assert "CartesianProduct" not in pair_plan, pair_plan
+    assert "BroadcastNestedLoopJoin" in pair_plan, pair_plan
 
     plan = plan_of(spark, "q_ts_theil_sen")
     _assert_no_python(plan)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ExistingRDD" in plan, plan  # materialized slopes, computed once
+    assert re.search(r"Filter \(pid#\d+ = \d+\)", plan), plan  # rank-k partition cut
     w = plan.index("Window")
     aggs = [m.start() for m in re.finditer("HashAggregate", plan)]
     assert any(a > w for a in aggs), plan
