@@ -50,22 +50,23 @@ def engine_confs(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
-        # CPU-vs-bytes coalescing floor (r12, guide §2.5): with
-        # parallelismFirst (default true) AQE targets
-        # max(shuffleBytes/defaultParallelism, minPartitionSize)
-        # per post-shuffle partition. Spark's 1m floor binds exactly
-        # when a shuffle is byte-light, folding CPU-dense sort/window
-        # stages into 1-3 tasks (measured: q_win_rank's whole
-        # sort+rank+ntile stage ran as ONE task; 64k restores
-        # defaultParallelism-wide stages — q_win_rank 0.87→0.76 s,
-        # q_win_session 0.86→0.67 s interleaved medians at sf0.1). At
-        # scale the floor is inert: any exchange carrying more than
-        # parallelism×1 MB already coalesces by bytes/parallelism, so
-        # lowering it only affects small-shuffle/high-CPU stages — the
-        # same class the per-operator REPARTITION_BY_NUM pins address,
-        # handled here for every keyed exchange at once.
+        # AQE coalescing floor (r12, guide §1.2 "configuration last"):
+        # STAYS at Spark's 1m default. A 64k floor was tried this
+        # round (it widens CPU-dense byte-light sort/window stages —
+        # q_win_rank 0.87→0.76 s, q_win_session 0.86→0.67 s) but
+        # re-measuring the ITERATIVE operator family reversed the
+        # verdict: with the floor at 64k every tiny per-round shuffle
+        # stops coalescing to 1-3 tasks, and multi-round operators pay
+        # task/stage overhead dozens of times per query — measured at
+        # sf0.1 local[32]: q_llm_simsearch_pq 17.2 s (64k) vs 4.5 s
+        # (1m), q_ml_kmeans 7.4 vs 5.8, q_graph_ppr 20.6 vs 11.8,
+        # while the window-query gain is ~0.5 s combined and inside
+        # those queries' committed spreads. CPU-dense byte-light
+        # stages that matter are pinned per-operator with
+        # REPARTITION_BY_NUM instead (the rouge/minhash pattern).
+        # Env-overridable for experiments.
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": env.get(
-            "SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"
+            "SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"
         ),
         "spark.sql.shuffle.partitions": str(shuffle_partitions or 2 * int(cpus)),
         # Arrow for any pandas-UDF exchange (vectorized, not per-row).

@@ -60,17 +60,20 @@ def test_production_default_is_128m():
     assert confs["spark.sql.files.maxPartitionBytes"] == "64m"
 
 
-def test_coalesce_floor_is_64k():
-    """Polarity pin (r12, guide §2.5): AQE's coalescing floor is 64k,
-    not Spark's 1m — with parallelismFirst the floor only binds on
-    byte-light shuffles, where the 1m default folded CPU-dense
-    sort/window stages into 1-3 tasks (q_win_rank's whole sort+rank
-    stage ran as ONE task at sf0.1). At scale the floor is inert
-    (bytes/parallelism dominates past parallelism×1 MB of shuffle)."""
+def test_coalesce_floor_is_spark_default():
+    """Polarity pin (r12, guide §1.2): AQE's coalescing floor stays at
+    Spark's 1m default. A 64k floor was measured BOTH ways this round:
+    it widens CPU-dense byte-light window stages (~0.5 s combined on
+    q_win_rank/q_win_session, inside their committed spreads) but
+    stops tiny per-round shuffles of ITERATIVE operators from
+    coalescing — q_llm_simsearch_pq 17.2 s (64k) vs 4.5 s (1m),
+    q_ml_kmeans 7.4 vs 5.8, q_graph_ppr 20.6 vs 11.8 at sf0.1. The
+    env override stays for experiments; CPU-dense stages that matter
+    are pinned per-operator with REPARTITION_BY_NUM."""
     key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    assert engine_confs(cpus=8, env={})[key] == "64k"
-    confs = engine_confs(cpus=8, env={"SPARK_GRAFT_MIN_PARTITION_SIZE": "1m"})
-    assert confs[key] == "1m"
+    assert engine_confs(cpus=8, env={})[key] == "1m"
+    confs = engine_confs(cpus=8, env={"SPARK_GRAFT_MIN_PARTITION_SIZE": "64k"})
+    assert confs[key] == "64k"
 
 
 @contextlib.contextmanager
