@@ -96,7 +96,11 @@ def shingles(docs: DataFrame, width: int = _SHINGLE_WIDTH) -> DataFrame:
     )
 
 
-def _overlap_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def _overlap_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """(d1, d2, inter, n1, n2) — exact word-shingle set-overlap
     statistics for every doc pair sharing ≥1 shingle (or only the
     ``candidates`` pairs). The shared core under Jaccard AND
@@ -104,8 +108,21 @@ def _overlap_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> Data
     With candidates: the intersection is computed ONLY for the
     candidate pairs (shingles are semi-joined down to candidate docs
     first), so verification cost scales with |candidates|, not with
-    shingle co-occurrence."""
-    sh = shingles(docs)
+    shingle co-occurrence.
+
+    r12 (guide §2.4, measured BOTH ways): callers that build prefix
+    candidates AND verify pass ONE materialized shingle table via
+    ``sh`` so the corpus is shingled exactly once per query — the
+    combined plan otherwise references the shingle subtree ~7 times
+    (q_llm_dedup_jaccard_prefix: 8.5 → 5.9 s at sf0.1, interleaved).
+    The DEFAULT stays unmaterialized: with the r12 spread-side split
+    fix the shingle transform is cheap, and for single-consumer plans
+    (containment, calibration) the materialize barrier measured
+    SLOWER than the ≤4 re-reads it saves (2.38 vs 2.87 s interleaved
+    ×4) — a barrier is not free; it pays only when amortized over
+    candidate generation plus verification."""
+    if sh is None:
+        sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -128,11 +145,15 @@ def _overlap_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> Data
     )
 
 
-def _jaccard_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def _jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None = None,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Exact word-shingle Jaccard per co-occurring pair (see
     :func:`_overlap_pairs` for the join strategy)."""
     return (
-        _overlap_pairs(docs, candidates)
+        _overlap_pairs(docs, candidates, sh=sh)
         .select(
             "d1",
             "d2",
@@ -994,7 +1015,9 @@ def q_llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_filter_candidates(
-    docs: DataFrame, threshold: float = _JACCARD_THRESHOLD
+    docs: DataFrame,
+    threshold: float = _JACCARD_THRESHOLD,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(d1, d2) candidate pairs from PREFIX FILTERING (Bayardo et al.
     "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.
@@ -1015,8 +1038,13 @@ def prefix_filter_candidates(
     tokens (rare shingles first also means the hottest buckets are
     the smallest). At 100 TB this is the exact set-similarity join
     you run when LSH's probabilistic recall is not acceptable.
+
+    r12: callers that also verify pass a shared MATERIALIZED shingle
+    table via ``sh`` (see _overlap_pairs — the barrier pays only when
+    amortized over candidates + verification together).
     """
-    sh = shingles(docs)
+    if sh is None:
+        sh = shingles(docs)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(df_counts, "shingle").withColumn(
         "rnk",
@@ -1051,8 +1079,11 @@ def q_llm_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the right trade at 100 TB when exact recall is mandatory (see
     prefix_filter_candidates for the lemma and literature)."""
     docs = load_table(spark, sf_dir, "documents")
-    candidates = prefix_filter_candidates(docs)
-    pairs = _jaccard_pairs(docs, candidates)
+    # One shingle materialization shared by candidate generation AND
+    # exact verification (r12 — see _overlap_pairs).
+    sh = shingles(docs).transform(materialize)
+    candidates = prefix_filter_candidates(docs, sh=sh)
+    pairs = _jaccard_pairs(docs, candidates, sh=sh)
     return pairs.where(F.col("jaccard") > _JACCARD_THRESHOLD).select(
         "d1", "d2", F.round("jaccard", 6).alias("jaccard")
     )
