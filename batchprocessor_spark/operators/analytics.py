@@ -380,9 +380,20 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = load_table(spark, sf_dir, "events").select(
         "event_type", to_units(F.col("value"), 100).alias("cents")
     )
-    b = u.groupBy("event_type").agg(
-        F.percentile("cents", F.lit(0.25)).alias("q1"),
-        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    # r12: one percentile buffer for both quartiles (value-identical;
+    # the q_agg_approx consolidation, guide §1.2).
+    b = (
+        u.groupBy("event_type")
+        .agg(
+            F.percentile(
+                "cents", F.array(F.lit(0.25), F.lit(0.75))
+            ).alias("_q")
+        )
+        .select(
+            "event_type",
+            F.element_at("_q", 1).alias("q1"),
+            F.element_at("_q", 2).alias("q3"),
+        )
     )
     iqr = F.col("q3") - F.col("q1")
     lo = F.col("q1") - F.lit(_IQR_K) * iqr
@@ -3456,12 +3467,25 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lat_s"),
     )
-    return lat.groupBy("cohort_day").agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.percentile("lat_s", F.lit(0.5)).alias("p50_s"),
-        F.percentile("lat_s", F.lit(0.9)).alias("p90_s"),
-        F.percentile("lat_s", F.lit(0.99)).alias("p99_s"),
-        F.expr("sum(lat_s) DIV count(1)").cast("long").alias("avg_s"),
+    # r12: one percentile buffer for the three latency quantiles
+    # (value-identical; the q_agg_approx consolidation, guide §1.2).
+    return (
+        lat.groupBy("cohort_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.percentile(
+                "lat_s", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("_q"),
+            F.expr("sum(lat_s) DIV count(1)").cast("long").alias("avg_s"),
+        )
+        .select(
+            "cohort_day",
+            "n_converted",
+            F.element_at("_q", 1).alias("p50_s"),
+            F.element_at("_q", 2).alias("p90_s"),
+            F.element_at("_q", 3).alias("p99_s"),
+            "avg_s",
+        )
     )
 
 
