@@ -784,10 +784,15 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("src"),
         (F.col("o_custkey") * 2).alias("dst"),
     )
+    # r12: distinct BEFORE symmetrizing — src is always odd (2s+1) and
+    # dst always even (2c), so the forward and reversed edge sets are
+    # disjoint and the union of two distinct sets needs no second
+    # distinct; the dedup shuffle runs over half the rows
+    # (edge build 1.79 → 1.20 s interleaved at sf0.1, same edge set).
+    directed = directed.distinct()
     edges = (
-        directed.union(directed.select(F.col("dst").alias("src"),
-                                       F.col("src").alias("dst")))
-        .distinct()
+        directed.unionAll(directed.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
         .transform(materialize)
     )
     nodes = (
