@@ -190,8 +190,17 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute inactivity gap per user.
     Spark's session_window end = last event + gap; the oracle builds
     the same sessions with the classic gaps-and-islands idiom; totals
-    in the exact cents lane."""
-    e = load_table(spark, sf_dir, "events")
+    in the exact cents lane.
+
+    r12 (guide §2.5 CPU-vs-bytes): the user_id exchange is pinned
+    with an explicit REPARTITION_BY_NUM (exempt from AQE byte-based
+    coalescing) — the session sort+agg stage is CPU-dense but
+    byte-light (~3 MB shuffle at sf0.1), so AQE folded it to 1-3
+    tasks; the pin keeps it cluster-wide (1.38 → 1.11 s interleaved
+    ×4). Width derives from the cluster, the rouge/minhash pattern."""
+    e = load_table(spark, sf_dir, "events").repartition(
+        max(64, 2 * spark.sparkContext.defaultParallelism), "user_id"
+    )
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(
