@@ -198,8 +198,19 @@ _JACCARD_ORACLE = f"""
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact key dedup keeping the FIRST occurrence (earliest ts, then
     lowest event_id) per (user_id, event_type). Deterministic — unlike
-    bare dropDuplicates, which keeps an arbitrary row."""
-    e = load_table(spark, sf_dir, "events")
+    bare dropDuplicates, which keeps an arbitrary row.
+
+    r12 (guide §2.5 CPU-vs-bytes): the key exchange is pinned with an
+    explicit REPARTITION_BY_NUM — the rn=1 sort+group-limit stage is
+    CPU-dense but byte-light (~2 MB shuffle at sf0.1), the
+    q_win_session class; AQE's byte-based coalescing folded it to 1-3
+    tasks (1.18 → 1.04 s interleaved ×5, wins 4/5 reps). Width
+    derives from the cluster."""
+    e = load_table(spark, sf_dir, "events").repartition(
+        max(64, 2 * spark.sparkContext.defaultParallelism),
+        "user_id",
+        "event_type",
+    )
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         e.withColumn("rn", F.row_number().over(w))
