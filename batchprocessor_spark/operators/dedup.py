@@ -22,7 +22,7 @@ from batchprocessor_spark.operators.skew import (
     hot_key_salted_equi_join,
 )
 from batchprocessor_spark.plans.registry import register
-from batchprocessor_spark.sources.catalog import load_table, spread
+from batchprocessor_spark.sources.catalog import load_table, spread, spread_keyed
 from batchprocessor_spark.session import materialize
 
 # Word-trigram shingling is shared by all text near-dup operators.
@@ -200,14 +200,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest event_id) per (user_id, event_type). Deterministic — unlike
     bare dropDuplicates, which keeps an arbitrary row.
 
-    r12 (guide §2.5 CPU-vs-bytes): the key exchange is pinned with an
-    explicit REPARTITION_BY_NUM — the rn=1 sort+group-limit stage is
-    CPU-dense but byte-light (~2 MB shuffle at sf0.1), the
-    q_win_session class; AQE's byte-based coalescing folded it to 1-3
-    tasks (1.18 → 1.04 s interleaved ×5, wins 4/5 reps). Width
-    derives from the cluster."""
-    e = load_table(spark, sf_dir, "events").repartition(
-        max(64, 2 * spark.sparkContext.defaultParallelism),
+    r13 (guide §2.5, VERDICT r12 #1): the r12 unconditional
+    REPARTITION_BY_NUM pin (64-task floor) regressed the driver bench
+    0.57x at sf0.1 — 64 tiny tasks for a ~2 MB shuffle is pure
+    scheduling overhead. The pin is now SIZE-GATED (spread_keyed): at
+    small inputs the plan is the r11 shape (window establishes the
+    exchange, AQE sizes it); past 256 MB of source the explicit pin
+    keeps the CPU-dense rn=1 stage cluster-wide with a byte-derived
+    width."""
+    e = spread_keyed(
+        load_table(spark, sf_dir, "events"),
+        sf_dir,
+        "events",
         "user_id",
         "event_type",
     )

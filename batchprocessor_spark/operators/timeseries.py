@@ -23,7 +23,7 @@ from batchprocessor_spark.functions.exactmath import (
     to_units,
 )
 from batchprocessor_spark.plans.registry import register
-from batchprocessor_spark.sources.catalog import load_table
+from batchprocessor_spark.sources.catalog import load_table, spread_keyed
 
 
 @register(
@@ -192,15 +192,15 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sessions with the classic gaps-and-islands idiom; totals
     in the exact cents lane.
 
-    r12 (guide §2.5 CPU-vs-bytes): the user_id exchange is pinned
-    with an explicit REPARTITION_BY_NUM (exempt from AQE byte-based
-    coalescing) — the session sort+agg stage is CPU-dense but
-    byte-light (~3 MB shuffle at sf0.1), so AQE folded it to 1-3
-    tasks; the pin keeps it cluster-wide (1.38 → 1.11 s interleaved
-    ×4). Width derives from the cluster, the rouge/minhash pattern."""
-    e = load_table(spark, sf_dir, "events").repartition(
-        max(64, 2 * spark.sparkContext.defaultParallelism), "user_id"
-    )
+    r13 (guide §2.5, VERDICT r12 #1): the r12 unconditional
+    REPARTITION_BY_NUM pin (64-task floor) regressed the driver bench
+    0.88x at sf0.1 — 64 tiny tasks for a ~3 MB shuffle is scheduling
+    overhead. The pin is now SIZE-GATED (spread_keyed): at small
+    inputs the plan is the r11 shape (session_window groupBy
+    establishes the exchange, AQE sizes it); past 256 MB of source
+    the explicit pin keeps the CPU-dense session sort+agg stage
+    cluster-wide with a byte-derived width."""
+    e = spread_keyed(load_table(spark, sf_dir, "events"), sf_dir, "events", "user_id")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(

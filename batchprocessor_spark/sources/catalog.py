@@ -42,6 +42,50 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one table (file or directory of part files)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
+    return os.stat(path).st_size
+
+
+# Size gate for explicit key-pin repartitions (guide §2.5, r13). An
+# explicit REPARTITION_BY_NUM keeps a CPU-dense stage cluster-wide when
+# AQE's byte-based coalescing would otherwise fold it to 1-3 tasks —
+# but at small inputs the same pin is pure scheduling overhead: the
+# r12 driver run measured q_dedup_exact 0.57x and q_win_session 0.88x
+# at sf0.1, where the keyed shuffle is ~2-3 MB and a 64-task floor
+# means ~40 KB/task. Pin only when the source table is large enough
+# that the post-shuffle stage both needs every core and amortizes the
+# task overhead; below the threshold return the input unchanged so the
+# downstream window/groupBy establishes its own exchange and AQE sizes
+# it. Thresholds are env-overridable so cluster deployments can tune
+# them without code changes; the defaults are production values
+# (256 MB gate, ~256 MB of source bytes per post-shuffle task).
+_PIN_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_PIN_MIN_BYTES", str(256 << 20)))
+_PIN_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PIN_TARGET_BYTES", str(256 << 20))
+)
+
+
+def spread_keyed(df: DataFrame, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """Size-gated key-pinned redistribution of table ``name`` (already
+    loaded as ``df``) before a CPU-dense keyed stage. No-op below
+    ``_PIN_MIN_BYTES``; above it, an explicit hash repartition on
+    ``cols`` whose width scales with input bytes (floor 2x cluster
+    parallelism) so the stage stays cluster-wide past AQE coalescing
+    at 100 TB without paying a fixed 64-task floor at test scale."""
+    nbytes = table_bytes(sf_dir, name)
+    if nbytes < _PIN_MIN_BYTES:
+        return df
+    sc = df.sparkSession.sparkContext
+    width = max(2 * sc.defaultParallelism, nbytes // _PIN_TARGET_BYTES)
+    return df.repartition(int(width), *cols)
+
+
 # Catalog schema cache (r12, guide §1.2 "per-task work" at the driver):
 # ``spark.read.parquet`` re-infers the schema (footer read + listing)
 # on EVERY call — measured 0.10-0.20 s per table load at sf0.1 vs
