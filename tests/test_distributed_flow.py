@@ -11,8 +11,13 @@ import glob
 import os
 
 import pandas as pd
+import pytest
 
 from batchprocessor_spark.streaming.flow import FlowControlConfig
+
+# r13 fast-lane split (VERDICT r12 #2): multi-minute soak/throughput
+# semantics — opt-in slow lane, excluded from the default run.
+pytestmark = pytest.mark.slow
 from batchprocessor_spark.streaming.processor import foreach_batch_sink
 
 N_ROWS = 200

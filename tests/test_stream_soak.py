@@ -22,6 +22,10 @@ import pandas as pd
 import pytest
 
 from batchprocessor_spark.streaming.flow import FlowControlConfig, FlowController
+
+# r13 fast-lane split (VERDICT r12 #2): multi-minute soak/throughput
+# semantics — opt-in slow lane, excluded from the default run.
+pytestmark = pytest.mark.slow
 from batchprocessor_spark.streaming.processor import BatchProcessor, ProcessorConfig
 
 SCHEMA = "id BIGINT, payload STRING"
