@@ -151,9 +151,48 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluate window aggregates with different association trees
     (sequential accumulator, sliding subtract, segment tree), which
     makes double frame-sums engine-dependent in the low bits — integer
-    cents make every tree produce the same value."""
+    cents make every tree produce the same value.
+
+    r13 (guide §2.5 low-cardinality partition key, VERDICT r12 #7):
+    the RANGE frame was PARTITION BY o_orderstatus — ~3 distinct
+    values, so at scale EVERY orders row funneled through ≤3 window
+    tasks, each sorting its whole status slice. The frame spans at
+    most 100 key units, so the evaluation is TILED instead: each row
+    lands in tile floor(key/100) and is replicated into the successor
+    tile (the only tile whose frames can reach back into it); the
+    window runs per (status, tile) — partition count scales with the
+    key range, per-task state is ≤2 tiles of one status — and only
+    each row's own-tile copy is kept. Every frame [k-100, k] lies
+    entirely within tiles {t-1, t} of row k's tile t, and each key in
+    that span appears exactly once in the group (donor copy if from
+    t-1, native if from t), so the summed row set — and the exact
+    integer cents sum — is unchanged."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    _RANGE_W = 100  # tile width == RANGE frame reach, a semantic constant
+    tiled = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        cents.alias("__cents"),
+        F.floor(F.col("o_orderkey") / _RANGE_W).alias("__tile"),
+    ).select(
+        "*",
+        F.explode(
+            F.array(F.col("__tile"), F.col("__tile") + 1)
+        ).alias("__rcpt"),
+    )
+    w_range = (
+        Window.partitionBy("o_orderstatus", "__rcpt")
+        .orderBy("o_orderkey")
+        .rangeBetween(-_RANGE_W, 0)
+    )
+    ranged = (
+        tiled.withColumn("__range_cents", F.sum("__cents").over(w_range))
+        .where(F.col("__rcpt") == F.col("__tile"))
+        .drop("__rcpt", "__tile")
+    )
     w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -164,17 +203,16 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
-    w_range = (
-        Window.partitionBy("o_orderstatus").orderBy("o_orderkey").rangeBetween(-100, 0)
-    )
-    return o.select(
+    return ranged.select(
         "o_orderkey",
         "o_custkey",
-        (F.sum(cents).over(w_run) / F.lit(100.0)).alias("run_sum"),
-        (F.sum(cents).over(w_mov) / F.lit(100.0) / F.count(F.lit(1)).over(w_mov)).alias(
-            "mov_avg3"
-        ),
-        (F.sum(cents).over(w_range) / F.lit(100.0)).alias("range_sum"),
+        (F.sum("__cents").over(w_run) / F.lit(100.0)).alias("run_sum"),
+        (
+            F.sum("__cents").over(w_mov)
+            / F.lit(100.0)
+            / F.count(F.lit(1)).over(w_mov)
+        ).alias("mov_avg3"),
+        (F.col("__range_cents") / F.lit(100.0)).alias("range_sum"),
     )
 
 
