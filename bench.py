@@ -378,11 +378,27 @@ def main() -> None:
     # payload; the stdout line carries the compact spread map.
     spreads: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    # r13 (VERDICT r12 #5/#6): sub-second queries carry per-run spreads
+    # of 0.3-0.9 s on this shared host, which made five UNTOUCHED
+    # queries read as 30% "regressions" in PERF_r12 purely from ambient
+    # load. Queries whose first-pass median lands under 1 s get topped
+    # up to SPARK_GRAFT_BENCH_RUNS_FAST total runs (default 5) so their
+    # medians damp more noise. Additions-only: multi-second queries
+    # keep exactly the old n_runs/median semantics, and the extra cost
+    # is bounded by ~2 runs x 1 s x #fast-queries per suite.
+    n_runs_fast = max(
+        n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_FAST", "5"))
+    )
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
         runs = [run_once(spark, spec.builder, sf_dir) for _ in range(n_runs)]
+        if statistics.median(runs) < 1.0:
+            runs += [
+                run_once(spark, spec.builder, sf_dir)
+                for _ in range(n_runs_fast - n_runs)
+            ]
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 2)
         samples[name] = [round(r, 3) for r in runs]
