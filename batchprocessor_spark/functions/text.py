@@ -571,8 +571,13 @@ def _grams(words, width: int):
             lambda p, c: F.concat(p, F.lit(" "), c),
         )
     # zip_with pads the shorter side with null (concat → null); the
-    # trailing width−1 null entries are sliced off.
-    return F.slice(zipped, 1, cnt)
+    # trailing width−1 null entries are sliced off. NULL input words
+    # (split of NULL text) yield [] — not NULL — preserving the pre-r12
+    # contract that downstream size(...) == 0 guards rely on
+    # (size(NULL) is -1, which would silently skip them; ADVICE r12).
+    return F.coalesce(
+        F.slice(zipped, 1, cnt), F.array().cast("array<string>")
+    )
 
 
 @register("q_llm_repetition_stats", oracle=_REP_ORACLE, category="text")

@@ -314,6 +314,16 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k× the rows map-side, combined before the shuffle); at 100 TB
     swap count_distinct for approx_count_distinct and the Expand
     disappears — the profile shape is unchanged.
+
+    r13, evaluated and REJECTED (measured, VERDICT r12 #8): splitting
+    the profile into per-column groupBy(value) partial aggregates
+    unioned at the end removes the Expand but measured SLOWER at
+    sf0.1 — 2.42 s vs 1.97 s median, losing all 5 interleaved reps
+    (plan: 0 Expand but 6 scans + 6 two-level aggregates, 24 vs 4
+    Exchange mentions). The Expand's 7× row copies feed straight
+    into the partial hash aggregate and are cheaper than five extra
+    scan+aggregate pipelines; the verdict's condition ("if the plan
+    confirms the Expand is the cost") does not hold.
     """
     o = load_table(spark, sf_dir, "orders")
     aggs = []

@@ -127,6 +127,19 @@ def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-surviving subset, and the final rollup is
     language-cardinality. No intermediate corpus is materialized; the
     stages fuse into one plan.
+
+    r13, evaluated and REJECTED (measured, VERDICT r12 #4): sharing
+    ONE materialized shingle table across the lanes — the r12
+    jaccard-prefix pattern. Two variants, both interleaved ×5 at
+    sf0.1 vs this shape: (a) corpus-wide shingles + per-lane
+    semi-joins LOST outright (shingles ~2× the documents, one extra
+    semi-join per consumer); (b) quality-subset shingles
+    (materialize(shingles(quality)), the 4-consumer subtree) was a
+    WASH — 6.750 s old vs 6.847 s new medians, split reps. Unlike
+    jaccard-prefix (whose candidates+verify re-read the table 7×
+    around a pair blow-up), here Spark's ReusedExchange already
+    covers the repeated aggregate-side subtrees, so the checkpoint
+    barrier only adds a write. Kept the fused single-plan shape.
     """
     full = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")

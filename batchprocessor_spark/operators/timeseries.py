@@ -2783,6 +2783,14 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: the reference engine has no analytics surface;
     this extends SURVEY.md §2.4's time-series family beside
     q_ts_theta_forecast (OLS) and q_ml_isotonic (monotone fit).
+
+    NOTE (ADVICE r12): this builder is EAGER — the rank-k selection
+    runs driver-side actions (day count, slope materialize, per-
+    partition counts) at BUILD time, so merely constructing the plan
+    executes the pair job, and the returned DataFrame bakes in the
+    driver-computed rank cut as literals. Plan-only consumers
+    (PLANS.md generation, dry inspection) pay the full computation —
+    the documented cost of the k-means-class driver-scalar allowance.
     """
     from batchprocessor_spark.session import materialize
 

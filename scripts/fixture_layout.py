@@ -75,7 +75,10 @@ MAX_PARTS = 64
 def _part_count(rows: int, nbytes: int = 0) -> int:
     by_rows = (rows + ROWS_PER_PART - 1) // ROWS_PER_PART
     by_bytes = (nbytes + PART_BYTES - 1) // PART_BYTES
-    return max(1, min(MAX_PARTS, max(by_rows, by_bytes)))
+    # Clamp to the row count (ADVICE r12): a byte-derived count can
+    # exceed the rows (few fat rows), which would write zero-row part
+    # files — footer overhead masquerading as layout realism.
+    return max(1, min(MAX_PARTS, rows or 1, max(by_rows, by_bytes)))
 
 
 def _source_meta(sf_dir: str) -> dict:
