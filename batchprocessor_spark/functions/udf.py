@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from batchprocessor_spark.functions.exactmath import pd_to_units
+from batchprocessor_spark.functions.exactmath import pd_to_units, to_units
 from batchprocessor_spark.plans.registry import register
 from batchprocessor_spark.sources.catalog import load_table
 
@@ -279,39 +279,58 @@ def q_udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="udf",
 )
 def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped applyInPandas: clicks and purchases grouped by user
-    arrive as TWO aligned pandas frames in one function call — the
-    API for per-entity logic that needs both sides at once without a
+    """Cogrouped per-key Python merge: clicks and purchases grouped by
+    user arrive as TWO aligned frames in one function call — the API
+    for per-entity logic that needs both sides at once without a
     pre-join (sessionized attribution, feature joins, trajectory
     alignment). Computes per-user counts and the purchase-minus-click
     cents delta, exact by integer cents.
 
+    r13 (guide §4, VERDICT r12 #3): applyInPandas → applyInArrow.
+    With ~40k one-call-per-user keys the cost was never the payload
+    (r12 measured pre-aggregation SLOWER) but the per-call pandas
+    overhead: each key built two pandas frames (block manager,
+    index) and one single-row result frame. The Arrow cogroup hands
+    the same two aligned tables per key as zero-copy pyarrow.Tables
+    and returns a one-row pa.table — 4.23 → 1.31 s median
+    interleaved ×5 (3.2×, wins 5/5 reps). The cents conversion also
+    moved JVM-side (to_units — identical half-away rounding to
+    pd_to_units/DuckDB), so Python does a counted sum and nothing
+    else.
+
     Scale posture: one shuffle per side on user_id (the cogroup key),
-    then Arrow-batched per-key frames; no wide pre-join row explosion
+    then Arrow-batched per-key tables; no wide pre-join row explosion
     — each side arrives separately, sized by its own per-user volume.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     e = load_table(spark, sf_dir, "events")
-    clicks = e.where(F.col("event_type") == "click").select("user_id", "value")
+    cents = to_units(F.col("value"), 100).alias("cents")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", cents)
     purchases = e.where(F.col("event_type") == "purchase").select(
-        "user_id", "value"
+        "user_id", cents
     )
 
-    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        c_cents = int(pd_to_units(left["value"], 100).sum()) if len(left) else 0
-        p_cents = int(pd_to_units(right["value"], 100).sum()) if len(right) else 0
-        return pd.DataFrame(
+    def merge(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        # Cogroup guarantees at least one side non-empty per key; the
+        # key value is whatever either side carries.
+        uid = (left if left.num_rows else right).column("user_id")[0].as_py()
+        c = (pc.sum(left.column("cents")).as_py() or 0) if left.num_rows else 0
+        p = (pc.sum(right.column("cents")).as_py() or 0) if right.num_rows else 0
+        return pa.table(
             {
-                "user_id": [key[0]],
-                "n_clicks": [len(left)],
-                "n_purchases": [len(right)],
-                "cents_delta": [p_cents - c_cents],
+                "user_id": pa.array([uid], pa.int64()),
+                "n_clicks": pa.array([left.num_rows], pa.int64()),
+                "n_purchases": pa.array([right.num_rows], pa.int64()),
+                "cents_delta": pa.array([p - c], pa.int64()),
             }
         )
 
     return (
         clicks.groupBy("user_id")
         .cogroup(purchases.groupBy("user_id"))
-        .applyInPandas(
+        .applyInArrow(
             merge,
             "user_id BIGINT, n_clicks BIGINT, n_purchases BIGINT, cents_delta BIGINT",
         )
